@@ -1,0 +1,24 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Determinism helpers shared by every oracle-checked query. */
+object Det {
+
+  /** Round a double column exactly the way DuckDB's ROUND(DOUBLE, n) does.
+    *
+    * DuckDB computes `std::round(x * 10^n) / 10^n` (half away from zero on
+    * the *scaled binary double*), while Spark's `round(col, n)` rounds the
+    * shortest-decimal-string view of the unscaled double (HALF_UP via
+    * BigDecimal). The two disagree on values like 1222.745 whose scaled
+    * double lands just below the .5 boundary. Emulating the scaled form
+    * makes Spark bit-identical to the oracle: `round(y, 0)` on a double
+    * equals `std::round(y)` for every double (X.5 is exactly representable,
+    * so the shortest repr of y is on the same side of the boundary as y).
+    */
+  def dround(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    round(c * lit(p), 0) / lit(p)
+  }
+}

@@ -1,0 +1,614 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Det.dround
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator surface (SURVEY.md §2B rows 1-20).
+  *
+  * Determinism discipline (oracle = DuckDB on the same parquet):
+  *  - every query ends in a total-order ORDER BY (non-nullable key tiebreakers);
+  *  - floating aggregates pass through ROUND(x, 2);
+  *  - computed integer columns are cast to LongType to match DuckDB's BIGINT;
+  *  - column names are aliased identically on both sides.
+  *
+  * Scale notes (the real target is ~100 TB on a 1000-executor cluster):
+  *  - all aggregations are partial-agg friendly (sum/count/min/max) so
+  *    map-side combine reduces shuffle volume;
+  *  - dimension joins (region/nation/part/supplier) are explicitly
+  *    broadcast — no shuffle of the fact table;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key only
+  *    after projection, and AQE handles skew/coalescing at runtime.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Scratch dir for source/sink round-trip queries (content is
+    * deterministic, derived solely from the driver's test data). */
+  private def scratch(tag: String, dir: String): String = {
+    val clean = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_scratch/$clean/$tag"
+  }
+
+  // ---- 1. Parquet scan (projection + pushdown reach the scan) ----
+  val q01_scan_parquet: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .filter(col("l_orderkey") < 100)
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // ordering over every output column makes the result total-ordered
+      // (remaining ties are between identical rows).
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+  val q01_scan_parquet_sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem WHERE l_orderkey < 100
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin
+
+  // ---- 2. CSV / JSON scans (round-trip the parquet through text formats) ----
+  val q02_scan_csv: Q = (s, dir) => {
+    val p = scratch("region_csv", dir)
+    t(s, dir, "region").write.mode("overwrite").option("header", "true").csv(p)
+    s.read.schema(Tables.region).option("header", "true").csv(p)
+      .orderBy("r_regionkey")
+  }
+
+  val q02_scan_csv_sql: String =
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+
+  val q02b_scan_json: Q = (s, dir) => {
+    val p = scratch("nation_json", dir)
+    t(s, dir, "nation").write.mode("overwrite").json(p)
+    s.read.schema(Tables.nation).json(p).orderBy("n_nationkey")
+  }
+
+  val q02b_scan_json_sql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  // ---- 3. Parquet sink (write through the engine FS, re-read, aggregate) ----
+  val q03_sink_parquet: Q = (s, dir) => {
+    val p = scratch("lineitem_sink", dir)
+    t(s, dir, "lineitem").filter(col("l_quantity") > 25)
+      .write.mode("overwrite").parquet(p)
+    s.read.schema(Tables.lineitem).parquet(p)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), dround(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  val q03_sink_parquet_sql: String =
+    """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem WHERE l_quantity > 25
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- 4. Projection: select / rename / computed columns ----
+  val q04_project: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").as("qty"),
+        dround(col("l_extendedprice") * (lit(1) - col("l_discount")), 2)
+          .as("net_price"),
+        dround(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax")), 2).as("charged"))
+      .filter(col("l_orderkey") < 200)
+      .orderBy("l_orderkey", "l_linenumber", "qty", "net_price", "charged")
+
+  val q04_project_sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+      |  round(l_extendedprice * (1 - l_discount), 2) AS net_price,
+      |  round(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS charged
+      |FROM lineitem WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber, qty, net_price, charged""".stripMargin
+
+  // ---- 5. Filter: AND/OR/NOT, IN, BETWEEN, LIKE, IS NULL ----
+  val q05_filter: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R")
+        && col("l_quantity").between(10, 30)
+        && (col("l_linestatus").like("F%") || col("l_discount") > 0.08)
+        && !(col("l_tax") > 0.07)
+        && col("l_shipdate").isNotNull)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_tax")
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_tax")
+
+  val q05_filter_sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_tax
+      |FROM lineitem
+      |WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 30
+      |  AND (l_linestatus LIKE 'F%' OR l_discount > 0.08)
+      |  AND NOT (l_tax > 0.07) AND l_shipdate IS NOT NULL
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_tax""".stripMargin
+
+  // ---- 6. Inner equi join (fact-fact: shuffle on the key, AQE-managed) ----
+  val q06_join_inner: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"), "inner")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("o_orderstatus")
+
+  val q06_join_inner_sql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---- 7. Outer joins ----
+  val q07_join_left: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        dround(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total"))
+      .orderBy("c_custkey")
+
+  val q07_join_left_sql: String =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      |  round(coalesce(sum(o_totalprice), 0), 2) AS total
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  val q07b_join_full: Q = (s, dir) => {
+    val cn = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk_c"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sn = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk_s"))
+      .agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, col("nk_c") === col("nk_s"), "full_outer")
+      .select(coalesce(col("nk_c"), col("nk_s")).as("nk"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy("nk")
+  }
+
+  val q07b_join_full_sql: String =
+    """SELECT coalesce(a.nk, b.nk) AS nk,
+      |  coalesce(a.n_cust, 0) AS n_cust, coalesce(b.n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) a
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) b
+      |ON a.nk = b.nk ORDER BY nk""".stripMargin
+
+  val q07c_join_right: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy("c_mktsegment")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("c_mktsegment")
+
+  val q07c_join_right_sql: String =
+    """SELECT c_mktsegment, count(o_orderkey) AS n_orders, count(*) AS n_rows
+      |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---- 8. Semi / anti joins ----
+  val q08_join_semi: Q = (s, dir) => {
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+    t(s, dir, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val q08_join_semi_sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  val q08b_join_anti: Q = (s, dir) => {
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+    t(s, dir, "customer")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  val q08b_join_anti_sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- 9. Broadcast-hinted dimension join (no fact shuffle at 100 TB) ----
+  val q09_join_broadcast: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey"), "inner")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"), dround(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("p_brand")
+
+  val q09_join_broadcast_sql: String =
+    """SELECT p_brand, count(*) AS cnt, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---- 10. Theta / range predicates + cross join ----
+  val q10_join_range: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")),
+        col("l_partkey") === col("p_partkey")
+          && col("l_quantity") > col("p_size"), "inner")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("p_brand")
+
+  val q10_join_range_sql: String =
+    """SELECT p_brand, count(*) AS cnt
+      |FROM lineitem JOIN part
+      |  ON l_partkey = p_partkey AND l_quantity > p_size
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  val q10b_join_cross: Q = (s, dir) =>
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("combos"))
+      .orderBy("r_name")
+
+  val q10b_join_cross_sql: String =
+    """SELECT r_name, count(*) AS combos
+      |FROM region CROSS JOIN nation
+      |GROUP BY r_name ORDER BY r_name""".stripMargin
+
+  // ---- 11. Grouped aggregation (flagship, TPC-H-Q1-style) ----
+  val q11_agg_pricing: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dround(sum("l_quantity"), 2).as("sum_qty"),
+        dround(sum("l_extendedprice"), 2).as("sum_base_price"),
+        dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        dround(avg("l_quantity"), 2).as("avg_qty"),
+        dround(avg("l_extendedprice"), 2).as("avg_price"),
+        dround(avg("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q11_agg_pricing_sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      |  round(avg(l_quantity), 2) AS avg_qty,
+      |  round(avg(l_extendedprice), 2) AS avg_price,
+      |  round(avg(l_discount), 2) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val q11b_agg_distinct: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        dround(min("l_extendedprice"), 2).as("min_price"),
+        dround(max("l_extendedprice"), 2).as("max_price"))
+      .orderBy("l_returnflag")
+
+  val q11b_agg_distinct_sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_orders,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  round(min(l_extendedprice), 2) AS min_price,
+      |  round(max(l_extendedprice), 2) AS max_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- 12. Rollup / cube / grouping sets ----
+  // Grouping columns are NOT NULL in the data, so coalescing the
+  // super-aggregate NULLs to 'ALL' is unambiguous and sidesteps the
+  // Spark-vs-DuckDB NULL-ordering difference.
+  val q12_rollup: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(dround(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("cnt"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("cnt"))
+      .orderBy("rf", "ls")
+
+  val q12_rollup_sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS cnt
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY rf, ls""".stripMargin
+
+  val q12b_cube: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), dround(sum("o_totalprice"), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+        col("cnt"), col("total"))
+      .orderBy("st", "pr")
+
+  val q12b_cube_sql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS st,
+      |  coalesce(o_orderpriority, 'ALL') AS pr,
+      |  count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY st, pr""".stripMargin
+
+  val q12c_grouping_sets: Q = (s, dir) => {
+    Tables.registerAll(s, dir)
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |  coalesce(l_linestatus, 'ALL') AS ls,
+        |  count(*) AS cnt
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  val q12c_grouping_sets_sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+      |  coalesce(l_linestatus, 'ALL') AS ls,
+      |  count(*) AS cnt
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY rf, ls""".stripMargin
+
+  // ---- 13. Approx distinct (HLL) — bench-only, excluded from oracle ----
+  val q13_approx_distinct: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy("l_returnflag")
+
+  // ---- 14. Window ranking ----
+  val q14_window_rank: Q = (s, dir) => {
+    val w = Window.partitionBy("l_returnflag")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rk", rank().over(w).cast("long"))
+      .withColumn("drk", dense_rank().over(w).cast("long"))
+      .withColumn("qt", ntile(4).over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("l_returnflag"), col("rn").cast("long").as("rn"),
+        col("rk"), col("drk"), col("qt"),
+        col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy("l_returnflag", "rn")
+  }
+
+  val q14_window_rank_sql: String =
+    """SELECT l_returnflag, rn, rk, drk, qt, l_orderkey, l_linenumber, l_extendedprice
+      |FROM (
+      |  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+      |    row_number() OVER w AS rn, rank() OVER w AS rk,
+      |    dense_rank() OVER w AS drk, ntile(4) OVER w AS qt
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_returnflag
+      |               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+      |) WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin
+
+  // ---- 15. Window analytics: lag / lead / first / last ----
+  val q15_window_lag: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 30)
+      .withColumn("prev_price",
+        dround(coalesce(lag("o_totalprice", 1).over(w), lit(-1.0)), 2))
+      .withColumn("next_price",
+        dround(coalesce(lead("o_totalprice", 1).over(w), lit(-1.0)), 2))
+      .withColumn("first_price", dround(first("o_totalprice").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .select("o_custkey", "o_orderkey", "o_totalprice",
+        "prev_price", "next_price", "first_price")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q15_window_lag_sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  round(coalesce(lag(o_totalprice, 1) OVER w, -1), 2) AS prev_price,
+      |  round(coalesce(lead(o_totalprice, 1) OVER w, -1), 2) AS next_price,
+      |  round(first_value(o_totalprice) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_price
+      |FROM orders WHERE o_custkey < 30
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- 16. Framed window aggregates: running sum / avg ----
+  val q16_window_running: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 30)
+      .withColumn("running_total", dround(sum("o_totalprice").over(w), 2))
+      .withColumn("running_avg", dround(avg("o_totalprice").over(w), 2))
+      .withColumn("running_cnt", count(lit(1)).over(w))
+      .select("o_custkey", "o_orderkey", "running_total", "running_avg",
+        "running_cnt")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q16_window_running_sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(sum(o_totalprice) OVER w, 2) AS running_total,
+      |  round(avg(o_totalprice) OVER w, 2) AS running_avg,
+      |  count(*) OVER w AS running_cnt
+      |FROM orders WHERE o_custkey < 30
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- 17. Global sort + top-k (TakeOrderedAndProject at scale) ----
+  val q17_topk: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .limit(25)
+
+  val q17_topk_sql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin
+
+  // ---- 18. UNION ALL / UNION DISTINCT ----
+  val q18_union_all: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+    val p = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+    c.union(p).groupBy("nk").agg(count(lit(1)).as("cnt")).orderBy("nk")
+  }
+
+  val q18_union_all_sql: String =
+    """SELECT nk, count(*) AS cnt FROM (
+      |  SELECT c_nationkey AS nk FROM customer
+      |  UNION ALL SELECT s_nationkey AS nk FROM supplier
+      |) GROUP BY nk ORDER BY nk""".stripMargin
+
+  val q18b_union_distinct: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+    val p = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+    c.union(p).distinct().orderBy("nk")
+  }
+
+  val q18b_union_distinct_sql: String =
+    """SELECT c_nationkey AS nk FROM customer
+      |UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin
+
+  // ---- 19. INTERSECT / EXCEPT ----
+  val q19_intersect: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+    val p = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+    c.intersect(p).orderBy("nk")
+  }
+
+  val q19_intersect_sql: String =
+    """SELECT c_nationkey AS nk FROM customer
+      |INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""".stripMargin
+
+  // Customers that never placed a >300k order (non-empty at every sf).
+  val q19b_except: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_custkey").as("ck"))
+    val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("ck"))
+    c.except(o).orderBy("ck")
+  }
+
+  val q19b_except_sql: String =
+    """SELECT c_custkey AS ck FROM customer
+      |EXCEPT SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 300000
+      |ORDER BY ck""".stripMargin
+
+  // ---- 20. Exact dedup: distinct + deterministic dropDuplicates ----
+  val q20_dedup_rows: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q20_dedup_rows_sql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // Deterministic keep-first dedup (dropDuplicates has nondeterministic
+  // keep semantics — the window + rn=1 form pins the survivor; this is
+  // also the shape that scales: one shuffle on the dedup key).
+  val q20b_dedup_keyed: Q = (s, dir) => {
+    // (l_orderkey, l_linenumber, l_partkey, l_suppkey) is a unique key in
+    // the data — the window order pins exactly one survivor per order.
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey")
+  }
+
+  val q20b_dedup_keyed_sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+      |FROM (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY l_orderkey
+      |     ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
+      |  FROM lineitem
+      |) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q01_scan_parquet" -> q01_scan_parquet,
+    "q02_scan_csv" -> q02_scan_csv,
+    "q02b_scan_json" -> q02b_scan_json,
+    "q03_sink_parquet" -> q03_sink_parquet,
+    "q04_project" -> q04_project,
+    "q05_filter" -> q05_filter,
+    "q06_join_inner" -> q06_join_inner,
+    "q07_join_left" -> q07_join_left,
+    "q07b_join_full" -> q07b_join_full,
+    "q07c_join_right" -> q07c_join_right,
+    "q08_join_semi" -> q08_join_semi,
+    "q08b_join_anti" -> q08b_join_anti,
+    "q09_join_broadcast" -> q09_join_broadcast,
+    "q10_join_range" -> q10_join_range,
+    "q10b_join_cross" -> q10b_join_cross,
+    "q11_agg_pricing" -> q11_agg_pricing,
+    "q11b_agg_distinct" -> q11b_agg_distinct,
+    "q12_rollup" -> q12_rollup,
+    "q12b_cube" -> q12b_cube,
+    "q12c_grouping_sets" -> q12c_grouping_sets,
+    "q13_approx_distinct" -> q13_approx_distinct,
+    "q14_window_rank" -> q14_window_rank,
+    "q15_window_lag" -> q15_window_lag,
+    "q16_window_running" -> q16_window_running,
+    "q17_topk" -> q17_topk,
+    "q18_union_all" -> q18_union_all,
+    "q18b_union_distinct" -> q18b_union_distinct,
+    "q19_intersect" -> q19_intersect,
+    "q19b_except" -> q19b_except,
+    "q20_dedup_rows" -> q20_dedup_rows,
+    "q20b_dedup_keyed" -> q20b_dedup_keyed)
+
+  val oracles: Map[String, String] = Map(
+    "q01_scan_parquet" -> q01_scan_parquet_sql,
+    "q02_scan_csv" -> q02_scan_csv_sql,
+    "q02b_scan_json" -> q02b_scan_json_sql,
+    "q03_sink_parquet" -> q03_sink_parquet_sql,
+    "q04_project" -> q04_project_sql,
+    "q05_filter" -> q05_filter_sql,
+    "q06_join_inner" -> q06_join_inner_sql,
+    "q07_join_left" -> q07_join_left_sql,
+    "q07b_join_full" -> q07b_join_full_sql,
+    "q07c_join_right" -> q07c_join_right_sql,
+    "q08_join_semi" -> q08_join_semi_sql,
+    "q08b_join_anti" -> q08b_join_anti_sql,
+    "q09_join_broadcast" -> q09_join_broadcast_sql,
+    "q10_join_range" -> q10_join_range_sql,
+    "q10b_join_cross" -> q10b_join_cross_sql,
+    "q11_agg_pricing" -> q11_agg_pricing_sql,
+    "q11b_agg_distinct" -> q11b_agg_distinct_sql,
+    "q12_rollup" -> q12_rollup_sql,
+    "q12b_cube" -> q12b_cube_sql,
+    "q12c_grouping_sets" -> q12c_grouping_sets_sql,
+    // q13_approx_distinct: HLL estimate — bench-only, no DuckDB oracle.
+    "q14_window_rank" -> q14_window_rank_sql,
+    "q15_window_lag" -> q15_window_lag_sql,
+    "q16_window_running" -> q16_window_running_sql,
+    "q17_topk" -> q17_topk_sql,
+    "q18_union_all" -> q18_union_all_sql,
+    "q18b_union_distinct" -> q18b_union_distinct_sql,
+    "q19_intersect" -> q19_intersect_sql,
+    "q19b_except" -> q19b_except_sql,
+    "q20_dedup_rows" -> q20_dedup_rows_sql,
+    "q20b_dedup_keyed" -> q20b_dedup_keyed_sql)
+}
