@@ -91,9 +91,23 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
     "embeddings" -> embeddings)
 
+  /** events.ts is INT64 timestamp[ns] in the parquet footer; Spark 4
+    * refuses to read nanos as TimestampType, so read the raw long and
+    * truncate to micros (identical to DuckDB's ns->micros truncation). */
+  private val eventsRaw: StructType = StructType(
+    events.fields.map(f =>
+      if (f.name == "ts") StructField("ts", LongType) else f))
+
   /** Load one table from an sf directory with its explicit schema. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.schema(schemas(name)).parquet(s"$sfDir/$name.parquet")
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    if (name == "events")
+      spark.read.schema(eventsRaw).parquet(path)
+        .withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+        .select(events.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    else spark.read.schema(schemas(name)).parquet(path)
+  }
 
   /** Register every table as a temp view (for the spark.sql query paths). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -18,7 +18,12 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return repr(round(v, 9))
-    return str(v)
+    s = str(v)
+    # pandas widens DATE to midnight datetimes — strip the zero time so
+    # a Spark date32 and a DuckDB DATE compare equal.
+    if s.endswith(" 00:00:00"):
+        s = s[:-9]
+    return s
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
