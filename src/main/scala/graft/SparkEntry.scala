@@ -18,10 +18,16 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ ScalarQueries.queries ++ UdfQueries.queries
+    RelationalQueries.queries ++ ScalarQueries.queries ++
+      UdfQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ TextQueries.queries ++
+      MultimodalQueries.queries ++ EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ ScalarQueries.oracles ++ UdfQueries.oracles
+    RelationalQueries.oracles ++ ScalarQueries.oracles ++
+      UdfQueries.oracles ++ DedupQueries.oracles ++
+      SimilarityQueries.oracles ++ TextQueries.oracles ++
+      MultimodalQueries.oracles ++ EventQueries.oracles
 }

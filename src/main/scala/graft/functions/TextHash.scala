@@ -1,0 +1,128 @@
+package graft.functions
+
+/** Deterministic, JVM-stable hashing primitives for the dedup/similarity
+  * operators. All algorithms are standard public constructions (FNV-1a,
+  * splitmix64, affine min-hash permutations, sign-random-projection LSH)
+  * — chosen because their output is a pure function of the input bytes,
+  * so results are reproducible across executors, JVMs and rounds.
+  */
+object TextHash extends Serializable {
+
+  /** FNV-1a 64-bit string hash (public-domain constant set). */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** splitmix64 mixer — used to derive per-permutation constants. */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  val NumPerms = 64
+  val NumBands = 8
+  val RowsPerBand: Int = NumPerms / NumBands
+
+  private val permA: Array[Long] =
+    Array.tabulate(NumPerms)(i => splitmix64(i.toLong) | 1L) // odd => bijective
+  private val permB: Array[Long] =
+    Array.tabulate(NumPerms)(i => splitmix64(i.toLong + 7919L))
+
+  /** Word n-gram shingles of a lower-cased, whitespace-split text. */
+  def shingles(text: String, n: Int): Array[String] = {
+    val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (ws.length < n) Array(ws.mkString(" "))
+    else Array.tabulate(ws.length - n + 1)(i => ws.slice(i, i + n).mkString(" "))
+  }
+
+  /** MinHash signature: per permutation, min over shingles of a_i*h+b_i. */
+  def minhashSignature(text: String, n: Int): Array[Long] = {
+    val sig = Array.fill(NumPerms)(Long.MaxValue)
+    val sh = shingles(text, n)
+    var k = 0
+    while (k < sh.length) {
+      val h = fnv1a64(sh(k))
+      var i = 0
+      while (i < NumPerms) {
+        val v = permA(i) * h + permB(i)
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      k += 1
+    }
+    sig
+  }
+
+  /** LSH band hashes over a minhash signature (NumBands hashes). */
+  def bandHashes(sig: Array[Long]): Array[Long] =
+    Array.tabulate(NumBands) { b =>
+      var h = 0xcbf29ce484222325L
+      var i = b * RowsPerBand
+      while (i < (b + 1) * RowsPerBand) {
+        h ^= sig(i)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      h
+    }
+
+  /** 64-bit SimHash over the word multiset of the text. */
+  def simhash64(text: String): Long = {
+    val votes = new Array[Int](64)
+    val ws = text.toLowerCase.split("\\s+")
+    var k = 0
+    while (k < ws.length) {
+      if (ws(k).nonEmpty) {
+        val h = fnv1a64(ws(k))
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
+      }
+      k += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) {
+      if (votes(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  // Bucket count = 2^LshBits. 6 bits => 64 buckets: at the fixture corpus
+  // sizes (500-2000 vectors) that keeps ~8-30 candidates per bucket; at
+  // billions of vectors you'd raise this (and/or multi-probe neighboring
+  // buckets) so bucket population stays near the target candidate count.
+  val LshBits = 6
+
+  /** Deterministic ±1 hyperplane table for sign-random-projection LSH
+    * (LshBits planes × up-to-1024 dims, derived from splitmix64). */
+  private def planeSign(plane: Int, dim: Int): Float =
+    if (((splitmix64(plane.toLong * 4099L + dim.toLong) >>> 17) & 1L) == 1L) 1.0f
+    else -1.0f
+
+  /** Sign-random-projection bucket id (LshBits-bit signature). */
+  def srpBucket(v: Array[Float]): Int = {
+    var bucket = 0
+    var j = 0
+    while (j < LshBits) {
+      var s = 0.0f
+      var i = 0
+      while (i < v.length) { s += planeSign(j, i) * v(i); i += 1 }
+      if (s > 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+}

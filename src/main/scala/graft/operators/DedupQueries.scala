@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Det.dround
+import graft.functions.TextHash
+import graft.functions.VectorExprs.cosine_similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline (SURVEY.md §2B
+  * row 30 + builder-prompt extension list): exact hash dedup, MinHash+LSH,
+  * SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale shapes (designed for ~100 TB of documents):
+  *  - exact dedup: one shuffle on the content hash (map-side partial agg);
+  *  - MinHash LSH: signature is computed in a single pass per doc, then
+  *    candidates come from an equality join on (band, bandHash) — the
+  *    classic inverted-index shape; no O(n²) pair scan ever materializes;
+  *  - n-gram Jaccard: shingle-inverted-index join, same property;
+  *  - embedding near-dup: brute-force all-pairs here (oracle-checkable);
+  *    the bucketed scale path is SimilarityQueries.q46_ann_lsh.
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- 40. Exact dedup via content hash (md5 of normalized text) ----
+  val q40_dedup_exact: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(md5(lower(trim(col("text")))).as("h"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("copies"))
+      .orderBy("h")
+
+  val q40_dedup_exact_sql: String =
+    """SELECT md5(lower(trim(text))) AS h, min(doc_id) AS keeper,
+      |  count(*) AS copies
+      |FROM documents GROUP BY 1 ORDER BY h""".stripMargin
+
+  // ---- 41. MinHash + LSH near-dup candidates (bench-only: the minhash
+  //          permutation family is not expressible in DuckDB SQL) ----
+  val q41_minhash_lsh: Q = (s, dir) => {
+    val sigUdf = udf((text: String) => TextHash.minhashSignature(text, 3))
+    val bandsUdf = udf((sig: Seq[Long]) => TextHash.bandHashes(sig.toArray))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
+      .withColumn("bands", bandsUdf(col("sig")))
+    val banded = docs
+      .select(col("doc_id"), col("sig"),
+        posexplode(col("bands")).as(Seq("band", "bh")))
+    val a = banded.select(col("doc_id").as("ia"), col("sig").as("sig_a"),
+      col("band"), col("bh"))
+    val b = banded.select(col("doc_id").as("ib"), col("sig").as("sig_b"),
+      col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => x === y), p => p)) / lit(TextHash.NumPerms.toDouble))
+          .as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("ia"), col("ib"), dround(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("ia", "ib")
+  }
+
+  // ---- 42. SimHash near-dup candidates (bench-only) ----
+  val q42_simhash: Q = (s, dir) => {
+    val shUdf = udf((text: String) => TextHash.simhash64(text))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), shUdf(col("text")).as("sh"))
+    // 4 bands of 16 bits: two docs within hamming distance 3 of each
+    // other share at least one exact 16-bit band.
+    val banded = docs.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"),
+          shiftright(col("sh"), 16 * k).bitwiseAND(lit(0xFFFFL)).as("bh"))): _*))
+        .as("b"))
+      .select(col("doc_id"), col("sh"), col("b.band"), col("b.bh"))
+    val a = banded.select(col("doc_id").as("ia"), col("sh").as("sh_a"),
+      col("band"), col("bh"))
+    val b = banded.select(col("doc_id").as("ib"), col("sh").as("sh_b"),
+      col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 10)
+      .orderBy("ia", "ib")
+  }
+
+  // ---- 43. Exact n-gram (3-word shingle) Jaccard near-dup, oracle-checked ----
+  val q43_ngram_jaccard: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+        .as("sh"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val exploded = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+      .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+      .withColumn("jaccard",
+        col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") > 0.5)
+      .select(col("ia"), col("ib"), dround(col("jaccard"), 4).as("jaccard"))
+      .orderBy("ia", "ib")
+  }
+
+  val q43_ngram_jaccard_sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |     for i in generate_series(1, len(ws) - 2)])) AS s
+      |  FROM tok WHERE len(ws) >= 3
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+      |), inter AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ia, ib,
+      |  round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON sa.doc_id = ia
+      |JOIN sz sb ON sb.doc_id = ib
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) > 0.5
+      |ORDER BY ia, ib""".stripMargin
+
+  // ---- 44. Embedding-cosine near-dup (oracle-checked brute force;
+  //          native codegen'd CosineSimilarity expression) ----
+  val q44_embed_neardup: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    a.join(broadcast(b), col("ia") < col("ib"))
+      .withColumn("sim", cosine_similarity(col("ea"), col("eb")))
+      .filter(col("sim") > 0.4)
+      .select(col("ia"), col("ib"), dround(col("sim"), 4).as("sim"))
+      .orderBy("ia", "ib")
+  }
+
+  val q44_embed_neardup_sql: String =
+    """WITH s AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |)
+      |SELECT ia, ib, round(sim, 4) AS sim FROM s
+      |WHERE sim > 0.4 ORDER BY ia, ib""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q40_dedup_exact" -> q40_dedup_exact,
+    "q41_minhash_lsh" -> q41_minhash_lsh,
+    "q42_simhash" -> q42_simhash,
+    "q43_ngram_jaccard" -> q43_ngram_jaccard,
+    "q44_embed_neardup" -> q44_embed_neardup)
+
+  val oracles: Map[String, String] = Map(
+    "q40_dedup_exact" -> q40_dedup_exact_sql,
+    // q41/q42: minhash + simhash families not expressible in DuckDB —
+    // rows-only check; cross-validated against q43 in DedupSpec.
+    "q43_ngram_jaccard" -> q43_ngram_jaccard_sql,
+    "q44_embed_neardup" -> q44_embed_neardup_sql)
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Det.dround
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream operators: gap-based sessionization and a scalable
+  * as-of (point-in-time) join — the two patterns every event pipeline
+  * needs and plain SQL engines express only via window tricks.
+  *
+  * Scale shapes:
+  *  - sessionize: one shuffle on user_id, then two window passes over
+  *    each user's sorted events (lag -> gap flags -> running sum) — the
+  *    standard linear-scan formulation, no self-join;
+  *  - as-of join: union both sides tagged, sort once per key, and carry
+  *    the last order value forward with last(ignoreNulls) — one shuffle
+  *    + one sort instead of a per-row correlated probe. This is the
+  *    MERGE_ASOF/ASOF JOIN equivalent, built from Spark primitives.
+  */
+object EventQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val GapMinutes = 30
+
+  // ---- 52. Gap-based sessionization (30-minute inactivity gap) ----
+  val q52_sessionize: Q = (s, dir) => {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val sessions = t(s, dir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      // millisecond arithmetic: second-truncating unix_timestamp would
+      // disagree with the oracle on sub-second gap boundaries
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts"))
+            > GapMinutes * 60L * 1000L, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions.groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"),
+        (unix_millis(max("ts")) - unix_millis(min("ts")))
+          .as("duration_ms"),
+        dround(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val q52_sessionize_sql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > ${GapMinutes * 60 * 1000}
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), numbered AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CAST(sum(new_session) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+       |  FROM flagged
+       |)
+       |SELECT user_id, session_idx, count(*) AS n_events,
+       |  min(ts) AS session_start,
+       |  CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms,
+       |  round(sum(value), 2) AS sum_value
+       |FROM numbered GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  // ---- 53. As-of join: latest order per user at each event time ----
+  val q53_asof_join: Q = (s, dir) => {
+    val orders = t(s, dir, "orders")
+      .select(col("o_custkey").as("user_id"),
+        col("o_orderdate").as("pit_ts"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderdate").as("order_date"),
+        lit(0).as("side"))
+    val events = t(s, dir, "events")
+      .select(col("user_id"), col("ts").as("pit_ts"), col("event_id"),
+        lit(null).cast("timestamp").as("order_date"),
+        lit(1).as("side"))
+    // Order rows sort before event rows at equal timestamps (side 0 < 1),
+    // so an order dated exactly at the event time is visible to it.
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("pit_ts"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionByName(events)
+      .withColumn("last_order_date",
+        last("order_date", ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("last_order_date"))
+      .orderBy("event_id")
+  }
+
+  val q53_asof_join_sql: String =
+    """SELECT event_id, user_id,
+      |  (SELECT max(o_orderdate) FROM orders
+      |   WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_order_date
+      |FROM events ORDER BY event_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q52_sessionize" -> q52_sessionize,
+    "q53_asof_join" -> q53_asof_join)
+
+  val oracles: Map[String, String] = Map(
+    "q52_sessionize" -> q52_sessionize_sql,
+    "q53_asof_join" -> q53_asof_join_sql)
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Det.dround
+import graft.functions.TextHash
+import graft.functions.VectorExprs.cosine_similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embeddings table (SURVEY.md §2B row 31 +
+  * builder-prompt extension list).
+  *
+  * Scale design: the query set is broadcast and the corpus is scanned
+  * once (the 100 TB-correct shape: queries are small, the corpus is not).
+  * q45 is the exact brute-force baseline (oracle-checked); q46 is the
+  * bucketed approximate path — sign-random-projection LSH prunes the
+  * corpus to same-bucket candidates so the per-query work drops from
+  * O(corpus) to O(bucket), the structure you'd use with billions of
+  * vectors (bucket id becomes the partition/cluster key).
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private val K = 5
+
+  // ---- 45. Exact top-k cosine (brute force, oracle-checked) ----
+  val q45_knn_brute: Q = (s, dir) => {
+    val e = t(s, dir, "embeddings")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim_raw").desc, col("nid"))
+    corpus.join(broadcast(queries), col("qid") =!= col("nid"))
+      .withColumn("sim_raw", cosine_similarity(col("qe"), col("ne")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("rn"), col("nid"), dround(col("sim_raw"), 4).as("sim"))
+      .orderBy("qid", "rn")
+  }
+
+  val q45_knn_brute_sql: String =
+    s"""WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+       |           FROM embeddings WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ne
+       |      FROM embeddings),
+       |s AS (
+       |  SELECT qid, nid,
+       |    list_dot_product(qe, ne) /
+       |    (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ne, ne))) AS sim_raw
+       |  FROM q JOIN c ON qid <> nid
+       |), r AS (
+       |  SELECT qid, nid, sim_raw,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, nid) AS rn
+       |  FROM s
+       |)
+       |SELECT qid, rn, nid, round(sim_raw, 4) AS sim
+       |FROM r WHERE rn <= $K ORDER BY qid, rn""".stripMargin
+
+  // ---- 46. Approximate top-k via sign-random-projection LSH buckets ----
+  // Bench-only (the hyperplane family is not DuckDB-expressible): the
+  // driver records rows>0; SimilaritySpec checks recall vs q45.
+  val q46_ann_lsh: Q = (s, dir) => {
+    val bucketUdf = udf((v: Seq[Float]) => TextHash.srpBucket(v.toArray))
+    val e = t(s, dir, "embeddings")
+      .withColumn("bucket", bucketUdf(col("embedding")))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("bucket"))
+    val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      col("bucket"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim_raw").desc, col("nid"))
+    corpus.join(broadcast(queries), Seq("bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("sim_raw", cosine_similarity(col("qe"), col("ne")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("qid"), col("rn"), col("nid"),
+        dround(col("sim_raw"), 4).as("sim"))
+      .orderBy("qid", "rn")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q45_knn_brute" -> q45_knn_brute,
+    "q46_ann_lsh" -> q46_ann_lsh)
+
+  val oracles: Map[String, String] = Map(
+    "q45_knn_brute" -> q45_knn_brute_sql)
+}

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Det.dround
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the documents table (builder-prompt
+  * extension list): language ID, quality scoring, token counting,
+  * document fingerprinting. Everything here is native `functions._`
+  * (codegen'd) — per-document work is a single projection, so the whole
+  * stage pipelines inside one pass over the corpus at any scale.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Tiny per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic and DuckDB-replicable. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is", "on"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu", "mit"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "est", "que", "pour"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不"))
+
+  private def hits(lang: String) =
+    size(array_intersect(col("toks"),
+      array(stopwords(lang).map(lit): _*))).cast("long")
+
+  private def sqlHits(lang: String): String = {
+    val lst = stopwords(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_intersect(toks, $lst))"
+  }
+
+  // ---- 48. Language ID: stopword-hit argmax with deterministic tiebreak ----
+  val q48_langid: Q = (s, dir) => {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val scored = t(s, dir, "documents")
+      .withColumn("toks",
+        array_distinct(split(lower(col("text")), "\\s+")))
+      .select(col("doc_id") +: col("lang").as("actual_lang") +:
+        langs.map(l => hits(l).as(s"h_$l")): _*)
+    val best = langs.map(l => col(s"h_$l")).reduce((a, b) =>
+      when(a >= b, a).otherwise(b))
+    val pred = langs.foldRight(lit("unk")) { (l, acc) =>
+      when(col(s"h_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight gives en > de > es > fr > zh priority on score ties.
+    scored.withColumn("pred_lang", pred)
+      .groupBy("pred_lang", "actual_lang")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("pred_lang", "actual_lang")
+  }
+
+  val q48_langid_sql: String = {
+    val langs = Seq("en", "de", "es", "fr", "zh")
+    val hitCols = langs.map(l => s"${sqlHits(l)} AS h_$l").mkString(",\n    ")
+    val best = langs.map(l => s"h_$l").mkString("greatest(", ", ", ")")
+    val cases = langs.map(l =>
+      s"WHEN h_$l = $best AND $best > 0 THEN '$l'").mkString("\n      ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS actual_lang,
+       |    $hitCols
+       |  FROM (SELECT doc_id, lang,
+       |          list_distinct(string_split_regex(lower(text), '\\s+')) AS toks
+       |        FROM documents)
+       |)
+       |SELECT CASE
+       |      $cases
+       |      ELSE 'unk' END AS pred_lang,
+       |  actual_lang, count(*) AS cnt
+       |FROM scored GROUP BY 1, 2 ORDER BY pred_lang, actual_lang""".stripMargin
+  }
+
+  // ---- 49. Quality scoring: length / stopword / punctuation ratios ----
+  val q49_quality: Q = (s, dir) => {
+    val en = array(stopwords("en").map(lit): _*)
+    val scored = t(s, dir, "documents")
+      .withColumn("ws", split(lower(col("text")), "\\s+"))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+      .withColumn("stop_ratio",
+        size(filter(col("ws"), w => array_contains(en, w))).cast("double")
+          / col("n_tokens"))
+      .withColumn("punct_cnt",
+        (length(col("text"))
+          - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
+      .withColumn("avg_tok_len",
+        length(regexp_replace(col("text"), "\\s+", "")).cast("double")
+          / col("n_tokens"))
+      .withColumn("quality_bucket",
+        when(col("stop_ratio") >= 0.08, "high")
+          .when(col("stop_ratio") >= 0.03, "mid")
+          .otherwise("low"))
+    scored.groupBy("quality_bucket")
+      .agg(count(lit(1)).as("cnt"),
+        dround(avg("n_tokens"), 2).as("avg_tokens"),
+        dround(avg("stop_ratio"), 4).as("avg_stop_ratio"),
+        dround(avg("avg_tok_len"), 2).as("avg_tok_len"),
+        sum("punct_cnt").as("punct_total"))
+      .orderBy("quality_bucket")
+  }
+
+  val q49_quality_sql: String = {
+    val lst = stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    len(ws) AS n_tokens,
+       |    CAST(len(list_filter(ws, w -> list_contains($lst, w))) AS DOUBLE)
+       |      / len(ws) AS stop_ratio,
+       |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+       |      AS punct_cnt,
+       |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |      / len(ws) AS avg_tok_len
+       |  FROM (SELECT doc_id, text,
+       |          string_split_regex(lower(text), '\\s+') AS ws
+       |        FROM documents)
+       |)
+       |SELECT CASE WHEN stop_ratio >= 0.08 THEN 'high'
+       |            WHEN stop_ratio >= 0.03 THEN 'mid'
+       |            ELSE 'low' END AS quality_bucket,
+       |  count(*) AS cnt,
+       |  round(avg(n_tokens), 2) AS avg_tokens,
+       |  round(avg(stop_ratio), 4) AS avg_stop_ratio,
+       |  round(avg(avg_tok_len), 2) AS avg_tok_len,
+       |  CAST(sum(punct_cnt) AS BIGINT) AS punct_total
+       |FROM scored GROUP BY 1 ORDER BY quality_bucket""".stripMargin
+  }
+
+  // ---- 50. Token counting: whitespace + BPE-ish regex tokenizers ----
+  val q50_token_count: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("ws_tokens", size(split(col("text"), "\\s+")).cast("long"))
+      .withColumn("re_tokens",
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)"))
+          .cast("long"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum("ws_tokens").as("total_ws_tokens"),
+        sum("re_tokens").as("total_re_tokens"),
+        dround(avg("ws_tokens"), 2).as("avg_ws_tokens"))
+      .orderBy("lang")
+
+  val q50_token_count_sql: String =
+    """SELECT lang, count(*) AS docs,
+      |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+      |    AS BIGINT) AS total_re_tokens,
+      |  round(avg(len(string_split_regex(text, '\s+'))), 2) AS avg_ws_tokens
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- 51. Document fingerprint: canonical word-set hash ----
+  // Near-dup docs (same vocabulary, different order) collide on the
+  // fingerprint — a cheap first-pass dedup key at any scale.
+  val q51_fingerprint: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("fp", md5(concat_ws(" ",
+        array_sort(array_distinct(split(lower(col("text")), "\\s+"))))))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("copies"), min("doc_id").as("keeper"))
+      .filter(col("copies") > 1)
+      .orderBy("fp")
+
+  val q51_fingerprint_sql: String =
+    """SELECT md5(array_to_string(list_sort(list_distinct(
+      |    string_split_regex(lower(text), '\s+'))), ' ')) AS fp,
+      |  count(*) AS copies, min(doc_id) AS keeper
+      |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q48_langid" -> q48_langid,
+    "q49_quality" -> q49_quality,
+    "q50_token_count" -> q50_token_count,
+    "q51_fingerprint" -> q51_fingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "q48_langid" -> q48_langid_sql,
+    "q49_quality" -> q49_quality_sql,
+    "q50_token_count" -> q50_token_count_sql,
+    "q51_fingerprint" -> q51_fingerprint_sql)
+}

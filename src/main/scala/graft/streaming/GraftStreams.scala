@@ -1,0 +1,102 @@
+package graft.streaming
+
+import graft.functions.Det.dround
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface (SURVEY.md §2B row 29).
+  *
+  * The transformations are shared with the batch oracle queries: the same
+  * `windowedCounts` plan runs over `spark.read` (oracle-checked) and
+  * `spark.readStream` (exercised in StreamingSpec with a file source and
+  * a memory sink). Watermarks bound state at scale; the stateful session
+  * aggregator below uses flatMapGroupsWithState with event-time timeout,
+  * the unbounded-stream equivalent of EventQueries.q52_sessionize.
+  */
+object GraftStreams {
+
+  /** Tumbling 1-hour windowed counts per event type — watermarked so
+    * state is dropped 10 minutes past the window end at scale. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), dround(sum("value"), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Open a file-source stream over a DIRECTORY of events parquet files
+    * with the same schema (and ns->us conversion) the batch path uses.
+    * File sources require a directory: new files landing in it become
+    * micro-batches, which is exactly how a 100 TB ingest folder behaves. */
+  def eventsStream(spark: SparkSession, eventsDir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val names = graft.Tables.schemas("events").fieldNames
+    spark.readStream
+      .schema(graft.Tables.schemas("events")
+        .fields.foldLeft(new org.apache.spark.sql.types.StructType()) {
+          (st, f) =>
+            if (f.name == "ts") st.add("ts", org.apache.spark.sql.types.LongType)
+            else st.add(f)
+        })
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(eventsDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(names.map(col): _*)
+  }
+
+  case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp,
+      value: Double)
+  case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_start: Timestamp,
+      n_events: Long, sum_value: Double)
+
+  private val GapMs = 30L * 60 * 1000
+
+  /** Stateful gap-based sessionization for unbounded streams: emits a
+    * session when the 30-minute inactivity gap elapses (event-time
+    * timeout), keeping one small state record per active user. */
+  def sessionize(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[SessionEvent]
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(
+              SessionOut(user, new Timestamp(s.start), s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= GapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out += SessionOut(user, new Timestamp(s.start), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + GapMs)
+            }
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+}

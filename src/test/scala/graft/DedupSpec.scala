@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.DedupQueries
+
+/** Cross-validates the approximate dedup operators against the exact
+  * n-gram Jaccard ground truth (the fixture generator plants ~25
+  * near-dup pairs with shingle jaccard >= 0.9).
+  */
+class DedupSpec extends TestBase {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("ia", "ib").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exact: Set[(Long, Long)] =
+    pairs(DedupQueries.q43_ngram_jaccard(spark, sfDir))
+
+  test("ground truth near-dup pairs exist in the fixture") {
+    assert(exact.nonEmpty)
+  }
+
+  test("minhash LSH finds every exact near-dup pair") {
+    val approx = pairs(DedupQueries.q41_minhash_lsh(spark, sfDir))
+    assert(exact.subsetOf(approx),
+      s"missed: ${exact -- approx}")
+  }
+
+  test("simhash candidates cover the exact near-dup pairs") {
+    val sh = pairs(DedupQueries.q42_simhash(spark, sfDir))
+    val covered = exact.intersect(sh)
+    // simhash is word-multiset based; near-dups differ slightly, so
+    // expect high (not necessarily perfect) coverage
+    assert(covered.size * 2 >= exact.size,
+      s"covered only ${covered.size}/${exact.size}")
+  }
+
+  test("exact dedup groups every document") {
+    val total = Tables.load(spark, sfDir, "documents").count()
+    val df = DedupQueries.q40_dedup_exact(spark, sfDir)
+    import org.apache.spark.sql.functions._
+    val summed = df.agg(sum("copies")).collect()(0).getLong(0)
+    assert(summed == total)
+  }
+}

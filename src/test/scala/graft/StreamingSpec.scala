@@ -1,0 +1,56 @@
+package graft
+
+import graft.streaming.GraftStreams
+import org.apache.spark.sql.functions._
+
+/** Real Structured Streaming execution (file source -> memory sink),
+  * checked against the batch run of the same transformation. */
+class StreamingSpec extends TestBase {
+
+  /** Stage the single-file fixture into a directory (file sources only
+    * accept directories; the read-only fixture stays untouched). */
+  private lazy val eventsDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"))
+    d.toString
+  }
+
+  test("streamed windowed counts equal the batch result") {
+    val stream = GraftStreams.eventsStream(spark, eventsDir)
+    val q = GraftStreams.windowedCounts(stream)
+      .writeStream
+      .format("memory")
+      .queryName("win_counts")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("win_counts")
+      .orderBy("win_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = GraftStreams.windowedCounts(
+      Tables.load(spark, sfDir, "events"))
+      .orderBy("win_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+  }
+
+  test("stateful streaming sessionization emits sessions") {
+    val stream = GraftStreams.eventsStream(spark, eventsDir)
+    val q = GraftStreams.sessionize(spark, stream)
+      .writeStream
+      .format("memory")
+      .queryName("sessions")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // Append mode only emits closed sessions; with a single input file
+    // the watermark never advances past the last event, so in-flight
+    // sessions stay in state. Batch-equivalence of the gap logic is
+    // oracle-checked via q52; here we assert the stateful plan runs.
+    assert(spark.table("sessions").columns.toSeq ==
+      Seq("user_id", "session_start", "n_events", "sum_value"))
+  }
+}

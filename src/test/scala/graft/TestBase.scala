@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (matches the driver's
+  * Verify/Bench session config: UTC, small shuffle partition count). */
+trait TestBase extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = TestBase.session
+
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+object TestBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

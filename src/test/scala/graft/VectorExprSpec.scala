@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.VectorExprs
+import org.apache.spark.sql.functions._
+
+/** The native CosineSimilarity expression must agree with the
+  * HOF-composed formula (zip_with + aggregate) bit-for-bit, handle
+  * degenerate inputs, and be callable from SQL. */
+class VectorExprSpec extends TestBase {
+
+  private lazy val e = Tables.load(spark, sfDir, "embeddings").limit(50)
+
+  test("matches zip_with/aggregate composition") {
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val both = a.crossJoin(b).limit(500)
+      .withColumn("expr_sim",
+        VectorExprs.cosine_similarity(col("ea"), col("eb")))
+      .withColumn("hof_dot",
+        aggregate(zip_with(col("ea"), col("eb"),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("hof_na", aggregate(col("ea"), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double")))
+      .withColumn("hof_nb", aggregate(col("eb"), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double")))
+      .withColumn("hof_sim",
+        col("hof_dot") / (sqrt(col("hof_na")) * sqrt(col("hof_nb"))))
+    val bad = both.filter(col("expr_sim") =!= col("hof_sim")).count()
+    assert(bad == 0)
+  }
+
+  test("self-similarity is 1.0 within fp tolerance") {
+    val sims = e
+      .withColumn("s", VectorExprs.cosine_similarity(col("embedding"), col("embedding")))
+      .select("s").collect().map(_.getDouble(0))
+    assert(sims.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+
+  test("zero vector yields null") {
+    import spark.implicits._
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val r = df.select(VectorExprs.cosine_similarity(col("a"), col("b")))
+      .collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("registered SQL function works") {
+    VectorExprs.register(spark)
+    Tables.registerAll(spark, sfDir)
+    val n = spark.sql(
+      """SELECT cosine_similarity(embedding, embedding) AS s
+        |FROM embeddings LIMIT 5""".stripMargin).count()
+    assert(n == 5)
+  }
+
+  test("dot product of unit-ish vectors stays bounded") {
+    val r = e.withColumn("d",
+      VectorExprs.dot_product(col("embedding"), col("embedding")))
+      .agg(min("d"), max("d")).collect()(0)
+    assert(r.getDouble(0) > 0.0 && r.getDouble(1) < 10.0)
+  }
+}
