@@ -1,0 +1,219 @@
+package graft.fs
+
+import java.io.{EOFException, InputStream}
+import java.nio.ByteBuffer
+import org.apache.hadoop.fs.{ByteBufferReadable, FSDataInputStream, FileSystem, Path, PositionedReadable, Seekable}
+
+/** Tiered caching read stream — the engine's core read algorithm, the
+  * Scala re-expression of SidecarCachingInputStream.readInternal
+  * (:796-877):
+  *
+  *   prefetch buffer -> page cache -> write-cache FS -> remote FS
+  *
+  * Every external fetch reads a full I/O-buffer-aligned span (default
+  * 4 MiB = 4 pages) so sequential readers amplify one remote RPC into
+  * many local hits; fetched pages are admitted to the shared page cache
+  * unless the ScanDetector flags the stream as a large sequential scan.
+  * Only positioned reads touch shared state, so Spark's parquet reader
+  * (PositionedReadable-heavy) never contends on stream position.
+  */
+final class CachingInputStream(
+    graftPath: String,
+    fileLen: Long,
+    keyBase: String,
+    conf: GraftFsConf,
+    pageCache: PageCache,
+    stats: Statistics,
+    writeCacheFile: () => Option[(FileSystem, Path)],
+    remoteOpen: () => FSDataInputStream)
+  extends InputStream with Seekable with PositionedReadable
+  with ByteBufferReadable {
+
+  private val pageSize = conf.pageSize
+  private val scan = new ScanDetector(conf.scanThresholdPages, pageSize)
+  private var pos = 0L
+  private var closed = false
+
+  // lazily opened tier streams (kept for the stream's lifetime)
+  private var remoteStream: FSDataInputStream = _
+  private var cacheStream: FSDataInputStream = _
+  private var cacheStreamChecked = false
+
+  // per-stream prefetch buffer: [bufStart, bufStart+bufLen)
+  private var buf: Array[Byte] = _
+  private var bufStart = -1L
+  private var bufLen = 0
+
+  // ---- InputStream (sequential) ----
+
+  override def read(): Int = {
+    val one = new Array[Byte](1)
+    val n = read(one, 0, 1)
+    if (n < 0) -1 else one(0) & 0xff
+  }
+
+  override def read(b: Array[Byte], off: Int, len: Int): Int = {
+    val n = read(pos, b, off, len)
+    if (n > 0) pos += n
+    n
+  }
+
+  override def available(): Int =
+    math.min(fileLen - pos, Int.MaxValue.toLong).toInt max 0
+
+  override def skip(n: Long): Long = {
+    val moved = math.min(n, fileLen - pos) max 0
+    pos += moved
+    moved
+  }
+
+  // ---- Seekable ----
+
+  override def seek(newPos: Long): Unit = {
+    if (newPos < 0 || newPos > fileLen)
+      throw new EOFException(s"seek($newPos) out of range 0..$fileLen")
+    pos = newPos
+  }
+
+  override def getPos: Long = pos
+  override def seekToNewSource(targetPos: Long): Boolean = false
+
+  // ---- ByteBufferReadable ----
+
+  override def read(bb: ByteBuffer): Int = {
+    val want = bb.remaining()
+    if (want == 0) return 0
+    val tmp = new Array[Byte](want)
+    val n = read(tmp, 0, want)
+    if (n > 0) bb.put(tmp, 0, n)
+    n
+  }
+
+  // ---- PositionedReadable (the hot path under Spark's parquet reader) ----
+
+  override def read(position: Long, b: Array[Byte], off: Int, len: Int): Int = {
+    if (position >= fileLen) return -1
+    val n = math.min(len.toLong, fileLen - position).toInt
+    if (n <= 0) return 0
+    readInternal(position, b, off, n)
+    stats.readRequests.incrementAndGet()
+    stats.bytesRead.addAndGet(n)
+    n
+  }
+
+  override def readFully(position: Long, b: Array[Byte], off: Int, len: Int): Unit = {
+    if (position + len > fileLen)
+      throw new EOFException(s"readFully($position,$len) past EOF $fileLen")
+    readInternal(position, b, off, len)
+    stats.readRequests.incrementAndGet()
+    stats.bytesRead.addAndGet(len)
+  }
+
+  override def readFully(position: Long, b: Array[Byte]): Unit =
+    readFully(position, b, 0, b.length)
+
+  // ---- core tier cascade ----
+
+  private def readInternal(position: Long, b: Array[Byte], off: Int, len: Int): Unit = {
+    var p = position
+    val end = position + len
+    // Bytes served out of a span fetched during THIS call are charged to
+    // the external tier that produced the span (a 4-page request filled
+    // by one write-cache readFully is 100% write-cache bytes, matching
+    // the reference's accounting); only hits on a buffer left over from
+    // an EARLIER call count as prefetch hits.
+    var fetchTier: java.util.concurrent.atomic.AtomicLong = null
+    while (p < end) {
+      val pageOff = (p / pageSize) * pageSize
+      val inPage = (p - pageOff).toInt
+      val want = math.min(end - p, pageSize - inPage).toInt
+      // admission control sees the stream's page-access pattern
+      scan.record(pageOff)
+
+      if (bufStart >= 0 && p >= bufStart && p + want <= bufStart + bufLen) {
+        System.arraycopy(buf, (p - bufStart).toInt, b, off + (p - position).toInt, want)
+        (if (fetchTier != null) fetchTier else stats.bytesFromPrefetch)
+          .addAndGet(want)
+      } else {
+        val key = PageKey(keyBase, pageOff)
+        pageCache.get(key) match {
+          case Some(page) =>
+            System.arraycopy(page, inPage, b, off + (p - position).toInt, want)
+            stats.bytesFromPageCache.addAndGet(want)
+          case None =>
+            fetchTier = fetchSpan(pageOff)
+            // the span starts at pageOff, so the wanted slice is in-buffer now
+            System.arraycopy(buf, (p - bufStart).toInt, b, off + (p - position).toInt, want)
+            fetchTier.addAndGet(want)
+        }
+      }
+      p += want
+    }
+  }
+
+  /** Fill the prefetch buffer with an I/O-buffer-sized span starting at
+    * `pageOff` from the best external tier, then admit its pages.
+    * Returns the byte counter of the tier that served the span (the
+    * caller attributes only the user-visible bytes, so the per-tier
+    * counters always sum to bytesRead). */
+  private def fetchSpan(pageOff: Long): java.util.concurrent.atomic.AtomicLong = {
+    val spanLen = math.min(conf.ioBufferSize, fileLen - pageOff).toInt
+    if (buf == null || buf.length < spanLen) buf = new Array[Byte](math.max(spanLen, 1))
+    val tier = externalReadFully(pageOff, buf, spanLen)
+    bufStart = pageOff
+    bufLen = spanLen
+
+    val isScan = scan.isScan
+    var o = 0
+    while (o < spanLen) {
+      val pl = math.min(pageSize, (spanLen - o).toLong).toInt
+      if (!isScan) {
+        val page = new Array[Byte](pl)
+        System.arraycopy(buf, o, page, 0, pl)
+        pageCache.put(PageKey(keyBase, pageOff + o), page)
+      } else stats.pagesRejectedScan.incrementAndGet()
+      o += pl
+    }
+    tier
+  }
+
+  /** Reads into dst and returns the tier counter to charge. */
+  private def externalReadFully(position: Long, dst: Array[Byte], len: Int)
+      : java.util.concurrent.atomic.AtomicLong = {
+    // tier 2: full-file copy in the write cache (read-your-writes)
+    if (!cacheStreamChecked) {
+      cacheStreamChecked = true
+      writeCacheFile().foreach { case (fs, p) =>
+        try {
+          if (fs.exists(p)) cacheStream = fs.open(p)
+        } catch { case _: java.io.IOException => cacheStream = null }
+      }
+    }
+    if (cacheStream != null) {
+      try {
+        cacheStream.readFully(position, dst, 0, len)
+        return stats.bytesFromWriteCache
+      } catch {
+        case _: java.io.IOException =>
+          // degrade to remote silently, like the reference
+          try cacheStream.close() catch { case _: Throwable => }
+          cacheStream = null
+      }
+    }
+    // tier 3: remote
+    val t0 = System.nanoTime()
+    if (remoteStream == null) remoteStream = remoteOpen()
+    remoteStream.readFully(position, dst, 0, len)
+    stats.remoteReadNanos.addAndGet(System.nanoTime() - t0)
+    stats.bytesFromRemote
+  }
+
+  override def close(): Unit = {
+    if (!closed) {
+      closed = true
+      if (remoteStream != null) remoteStream.close()
+      if (cacheStream != null) cacheStream.close()
+      buf = null
+    }
+  }
+}

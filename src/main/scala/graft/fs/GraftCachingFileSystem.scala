@@ -1,0 +1,285 @@
+package graft.fs
+
+import java.io.File
+import java.net.URI
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs._
+import org.apache.hadoop.fs.permission.FsPermission
+import org.apache.hadoop.util.Progressable
+
+/** Hadoop-compatible caching filesystem — the Spark-native re-expression
+  * of the reference's SidecarCachingFileSystem (the engine's
+  * infrastructure layer *below* the Catalyst plans; SURVEY.md §2A).
+  *
+  * Wraps a remote FS and adds three caches:
+  *  1. a two-tier data page cache (PageCache: memory LRU -> disk victim),
+  *  2. a FileStatus metadata cache (MetaCache),
+  *  3. a full-file write cache with `.toupload` moniker protection and
+  *     95/90 watermark FIFO eviction (WriteCacheManager).
+  *
+  * Registration for Spark:
+  * {{{
+  *   spark.hadoop.fs.graft.impl = graft.fs.GraftCachingFileSystem
+  *   spark.read.parquet("graft://local/<abs path>")   // file:// remote
+  * }}}
+  * The `graft://` scheme delegates to a local remote FS here (the
+  * testable instantiation, like the reference's SidecarLocalFileSystem);
+  * pointing `graft.fs.remote.impl`+`graft.fs.remote.uri` at s3a/abfs/gcs
+  * gives the object-store deployments — the caching core is
+  * scheme-agnostic.
+  */
+class GraftCachingFileSystem extends FileSystem {
+
+  private var uri: URI = _
+  private var fsConf: GraftFsConf = _
+  private var remoteFs: FileSystem = _
+  private var writeCache: Option[WriteCacheManager] = None
+  private var pageCache: PageCache = _
+  private var metaCache: MetaCache = _
+  val stats = new Statistics
+  private var workingDir: Path = _
+
+  override def getScheme: String = "graft"
+  override def getUri: URI = uri
+
+  override def initialize(name: URI, conf: Configuration): Unit = {
+    super.initialize(name, conf)
+    setConf(conf)
+    uri = URI.create(s"${name.getScheme}://${Option(name.getAuthority).getOrElse("local")}/")
+    fsConf = GraftFsConf(conf)
+    // remote side: an embedded FS the caching layer delegates to.
+    val remoteUri = URI.create(conf.get(s"${GraftFsConf.Prefix}remote.uri", "file:///"))
+    remoteFs = {
+      val impl = conf.get(s"${GraftFsConf.Prefix}remote.impl", "")
+      if (impl.nonEmpty)
+        Class.forName(impl).getDeclaredConstructor().newInstance()
+          .asInstanceOf[FileSystem]
+      else new RawLocalFileSystem()
+    }
+    remoteFs.initialize(remoteUri, conf)
+    pageCache = new PageCache(fsConf.memCacheBytes, fsConf.diskCacheBytes,
+      fsConf.diskCacheDir, stats)
+    metaCache = new MetaCache(stats)
+    if (fsConf.writeCacheEnabled) {
+      val wcFs = new RawLocalFileSystem()
+      wcFs.initialize(URI.create("file:///"), conf)
+      writeCache = Some(new WriteCacheManager(wcFs,
+        new Path(fsConf.writeCacheDir), fsConf.writeCacheBytes,
+        fsConf.writeCacheExclude, stats,
+        asyncEvict = conf.getBoolean(
+          s"${GraftFsConf.Prefix}write.cache.async.evict", true)))
+    }
+    workingDir = new Path(uri.toString)
+    if (fsConf.persistent) loadState()
+    GraftCachingFileSystem.register(uri.toString, this)
+  }
+
+  // ---- path mapping graft://auth/p -> remote fs path ----
+
+  private def qualify(p: Path): Path = p.makeQualified(uri, workingDir)
+
+  private[fs] def toRemotePath(p: Path): Path =
+    new Path(remoteFs.getUri.getScheme match {
+      case null => qualify(p).toUri.getPath
+      case s    => s"$s://${Option(remoteFs.getUri.getAuthority).getOrElse("")}${qualify(p).toUri.getPath}"
+    })
+
+  private def toGraftPath(remote: Path): Path =
+    new Path(s"${uri.getScheme}://${uri.getAuthority}${remote.toUri.getPath}")
+
+  // ---- metadata ----
+
+  override def getFileStatus(f: Path): FileStatus = {
+    val q = qualify(f)
+    val key = q.toString
+    metaCache.get(key) match {
+      case Some(m) if !fsConf.remoteMutable =>
+        new FileStatus(m.length, m.isDir, 1, fsConf.pageSize, m.modTime, q)
+      case cached =>
+        val rs = remoteFs.getFileStatus(toRemotePath(f))
+        val rec = MetaRecord(rs.getModificationTime, rs.getLen, rs.isDirectory)
+        // mutable remote: a modTime change invalidates stale pages
+        cached.foreach { old =>
+          if (old.modTime != rec.modTime)
+            pageCache.invalidateFile(PageKey.baseFor(key, old.modTime),
+              old.length, fsConf.pageSize)
+        }
+        metaCache.put(key, rec)
+        new FileStatus(rec.length, rec.isDir, 1, fsConf.pageSize, rec.modTime, q)
+    }
+  }
+
+  override def listStatus(f: Path): Array[FileStatus] =
+    // listings always hit the remote — the reference never intercepts
+    // them either (SURVEY §2A.1); Spark's InMemoryFileIndex memoizes.
+    remoteFs.listStatus(toRemotePath(f)).map { rs =>
+      new FileStatus(rs.getLen, rs.isDirectory, rs.getReplication,
+        rs.getBlockSize, rs.getModificationTime, toGraftPath(rs.getPath))
+    }
+
+  // ---- read path ----
+
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    val q = qualify(f)
+    val st = getFileStatus(f)
+    val base = PageKey.baseFor(q.toString, st.getModificationTime)
+    val stream = new CachingInputStream(
+      q.toString, st.getLen, base, fsConf, pageCache, stats,
+      writeCacheFile = () => writeCache.map(wc => (wc.cacheFs, wc.toCachePath(q))),
+      remoteOpen = () => remoteFs.open(toRemotePath(f), bufferSize))
+    new FSDataInputStream(stream)
+  }
+
+  // ---- write path ----
+
+  override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    val q = qualify(f)
+    val remoteOut = remoteFs.create(toRemotePath(f), permission, overwrite,
+      bufferSize, replication, blockSize, progress)
+    val wc = writeCache.filter(w => !w.isExcluded(q))
+    val cacheOut = wc.flatMap { w =>
+      try {
+        val cp = w.toCachePath(q)
+        w.cacheFs.mkdirs(cp.getParent)
+        // moniker first: "upload in flight, do not evict"
+        w.cacheFs.create(w.monikerPath(cp), true).close()
+        Some(w.cacheFs.create(cp, true))
+      } catch { case _: java.io.IOException => None }
+    }
+    val tee = new CachingOutputStream(remoteOut, cacheOut.map(identity),
+      onCacheError = () => wc.foreach { w =>
+        val cp = w.toCachePath(q)
+        w.cacheFs.delete(cp, false)
+        w.cacheFs.delete(w.monikerPath(cp), false)
+      },
+      onClose = bytes => {
+        stats.bytesWritten.addAndGet(bytes)
+        // refresh meta from remote (authoritative length + modTime)
+        val rs = remoteFs.getFileStatus(toRemotePath(f))
+        metaCache.put(q.toString,
+          MetaRecord(rs.getModificationTime, rs.getLen, rs.isDirectory))
+        wc.foreach { w =>
+          val cp = w.toCachePath(q)
+          if (w.cacheFs.exists(cp)) {
+            w.recordFile(cp, bytes)
+            w.cacheFs.delete(w.monikerPath(cp), false)
+          }
+        }
+      })
+    new FSDataOutputStream(tee, null)
+  }
+
+  override def append(f: Path, bufferSize: Int,
+      progress: Progressable): FSDataOutputStream = {
+    val q = qualify(f)
+    invalidate(q)
+    remoteFs.append(toRemotePath(f), bufferSize, progress)
+  }
+
+  // ---- namespace ops ----
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    val qs = qualify(src); val qd = qualify(dst)
+    val ok = remoteFs.rename(toRemotePath(src), toRemotePath(dst))
+    if (ok) {
+      metaCache.get(qs.toString).foreach { m =>
+        pageCache.invalidateFile(PageKey.baseFor(qs.toString, m.modTime),
+          m.length, fsConf.pageSize)
+      }
+      metaCache.rename(qs.toString, qd.toString)
+      // the remote rename bumps nothing; re-resolve dest meta lazily
+      metaCache.remove(qd.toString)
+      metaCache.removePrefix(qs.toString) // children of a renamed dir
+      writeCache.foreach { w =>
+        val cs = w.toCachePath(qs); val cd = w.toCachePath(qd)
+        if (w.cacheFs.exists(cs)) {
+          w.cacheFs.mkdirs(cd.getParent)
+          if (w.cacheFs.rename(cs, cd)) w.renameFile(cs, cd)
+          else { w.cacheFs.delete(cs, false); w.removeFile(cs) }
+          if (w.cacheFs.exists(w.monikerPath(cs)))
+            w.cacheFs.rename(w.monikerPath(cs), w.monikerPath(cd))
+        }
+      }
+    }
+    ok
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    val q = qualify(f)
+    val ok = remoteFs.delete(toRemotePath(f), recursive)
+    invalidate(q, recursive)
+    ok
+  }
+
+  private def invalidate(q: Path, recursive: Boolean = false): Unit = {
+    metaCache.get(q.toString).foreach { m =>
+      pageCache.invalidateFile(PageKey.baseFor(q.toString, m.modTime),
+        m.length, fsConf.pageSize)
+    }
+    metaCache.remove(q.toString)
+    metaCache.removePrefix(q.toString) // directory facts under q
+    writeCache.foreach { w =>
+      val cp = w.toCachePath(q)
+      if (w.cacheFs.exists(cp)) {
+        // mirror the remote delete shape: dirs go recursively
+        w.cacheFs.delete(cp, recursive)
+        w.removeFile(cp)
+      }
+      w.cacheFs.delete(w.monikerPath(cp), false)
+    }
+  }
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    val ok = remoteFs.mkdirs(toRemotePath(f), permission)
+    writeCache.foreach(w => w.cacheFs.mkdirs(w.toCachePath(qualify(f))))
+    ok
+  }
+
+  override def setWorkingDirectory(dir: Path): Unit = { workingDir = dir }
+  override def getWorkingDirectory: Path = workingDir
+
+  // ---- lifecycle / persistence ----
+
+  private def stateDir: File = {
+    val d = new File(fsConf.diskCacheDir)
+    d.mkdirs()
+    d
+  }
+
+  def saveState(): Unit = {
+    pageCache.save(new File(stateDir, "pagecache.idx"))
+    metaCache.save(new File(stateDir, "meta.bin"))
+    writeCache.foreach(_.save(new File(stateDir, "filelist.bin")))
+  }
+
+  private def loadState(): Unit = {
+    pageCache.load(new File(stateDir, "pagecache.idx"))
+    metaCache.load(new File(stateDir, "meta.bin"))
+    writeCache.foreach(_.load(new File(stateDir, "filelist.bin")))
+  }
+
+  override def close(): Unit = {
+    if (fsConf.persistent) saveState()
+    remoteFs.close()
+    super.close()
+  }
+
+  // test/bench hooks
+  private[graft] def pageCacheRef: PageCache = pageCache
+  private[graft] def metaCacheRef: MetaCache = metaCache
+  private[graft] def writeCacheRef: Option[WriteCacheManager] = writeCache
+}
+
+object GraftCachingFileSystem {
+  private val instances = new ConcurrentHashMap[String, GraftCachingFileSystem]()
+
+  private[fs] def register(uri: String, fs: GraftCachingFileSystem): Unit =
+    instances.put(uri, fs)
+
+  /** Stats lookup for tests/bench: the live instance for a graft:// uri. */
+  def instanceFor(uri: String): Option[GraftCachingFileSystem] =
+    Option(instances.get(uri))
+}

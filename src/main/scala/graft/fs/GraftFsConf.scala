@@ -1,0 +1,55 @@
+package graft.fs
+
+import org.apache.hadoop.conf.Configuration
+
+/** Configuration for the caching filesystem layer.
+  *
+  * Mirrors the reference's tunables (defaults from
+  * SidecarConfig.java:127-153): 1 MiB data pages, 4 MiB prefetch I/O
+  * buffer, 95%/90% write-cache eviction watermarks, 10-page scan
+  * detector threshold. Keys use the `graft.fs.` prefix and are read from
+  * the Hadoop Configuration, so `spark.hadoop.graft.fs.*` settings flow
+  * through untouched.
+  */
+final case class GraftFsConf(
+    pageSize: Long,
+    ioBufferSize: Long,
+    memCacheBytes: Long,
+    diskCacheBytes: Long,
+    diskCacheDir: String,
+    writeCacheEnabled: Boolean,
+    writeCacheDir: String,
+    writeCacheBytes: Long,
+    writeCacheExclude: Seq[String],
+    scanThresholdPages: Int,
+    remoteMutable: Boolean,
+    persistent: Boolean,
+    asyncClose: Boolean)
+
+object GraftFsConf {
+  val Prefix = "graft.fs."
+
+  def apply(c: Configuration): GraftFsConf = GraftFsConf(
+    pageSize = c.getLong(s"${Prefix}data.page.size", 1L << 20),
+    ioBufferSize = c.getLong(s"${Prefix}io.buffer.size", 4L << 20),
+    memCacheBytes = c.getLong(s"${Prefix}memory.cache.size", 256L << 20),
+    diskCacheBytes = c.getLong(s"${Prefix}disk.cache.size", 1L << 30),
+    diskCacheDir = c.get(s"${Prefix}disk.cache.dir",
+      sys.props("java.io.tmpdir") + "/graft_page_cache"),
+    writeCacheEnabled = c.getBoolean(s"${Prefix}write.cache.enabled", true),
+    writeCacheDir = c.get(s"${Prefix}write.cache.dir",
+      sys.props("java.io.tmpdir") + "/graft_write_cache"),
+    writeCacheBytes = c.getLong(s"${Prefix}write.cache.size", 4L << 30),
+    writeCacheExclude = Option(c.get(s"${Prefix}write.cache.exclude.list"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty),
+    scanThresholdPages = c.getInt(s"${Prefix}scan.detector.threshold.pages", 10),
+    remoteMutable = c.getBoolean(s"${Prefix}remote.files.mutable", false),
+    persistent = c.getBoolean(s"${Prefix}cache.persistent", false),
+    asyncClose = c.getBoolean(s"${Prefix}write.cache.async.close", false))
+
+  /** Write-cache eviction watermarks (hard-coded in the reference too:
+    * SidecarCachingFileSystem.java:124-129). */
+  val EvictionStart = 0.95
+  val EvictionStop = 0.90
+}

@@ -1,0 +1,127 @@
+package graft.fs
+
+import java.io.{File, FileInputStream, FileOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import scala.jdk.CollectionConverters._
+
+/** Write-cache bookkeeping: remote<->cache path mapping, the
+  * insertion-ordered file list ("least recently created" FIFO eviction
+  * queue, util/LRCQueue.java), the `.toupload` moniker protocol that
+  * protects not-yet-synced files, and watermark-driven eviction
+  * (start 95% / stop 90%, SidecarCachingFileSystem.java:122-129,
+  * 1397-1465).
+  */
+final class WriteCacheManager(val cacheFs: FileSystem, val workDir: Path,
+    capacityBytes: Long, excludePatterns: Seq[String], stats: Statistics,
+    asyncEvict: Boolean = true) {
+
+  // insertion-ordered: first entry = next eviction victim
+  private val fileList = new java.util.LinkedHashMap[String, Long]()
+  private val usedBytes = new AtomicLong(0)
+  private val evictorRunning = new AtomicBoolean(false)
+
+  cacheFs.mkdirs(workDir)
+
+  /** remote path -> write-cache path: <workDir>/<scheme>/<host>/<path>
+    * (bijective, like remoteToCachingPath). */
+  def toCachePath(remote: Path): Path = {
+    val uri = remote.toUri
+    val scheme = Option(uri.getScheme).getOrElse("none")
+    val host = Option(uri.getHost).getOrElse("local")
+    new Path(workDir, s"$scheme/$host${uri.getPath}")
+  }
+
+  def monikerPath(cachePath: Path): Path =
+    new Path(cachePath.getParent, cachePath.getName + ".toupload")
+
+  def isExcluded(remote: Path): Boolean =
+    excludePatterns.exists(p => remote.toString.matches(p))
+
+  def recordFile(cachePath: Path, length: Long): Unit = {
+    synchronized {
+      val prev = fileList.put(cachePath.toString, length)
+      usedBytes.addAndGet(length - (if (prev == null) 0L else prev))
+    }
+    stats.filesWritten.incrementAndGet()
+    maybeEvict()
+  }
+
+  def removeFile(cachePath: Path): Unit = synchronized {
+    val len = fileList.remove(cachePath.toString)
+    if (len != null) usedBytes.addAndGet(-len)
+  }
+
+  def renameFile(src: Path, dst: Path): Unit = synchronized {
+    val len = fileList.remove(src.toString)
+    if (len != null) fileList.put(dst.toString, len)
+  }
+
+  def used: Long = usedBytes.get
+  def listedFiles: Int = synchronized(fileList.size)
+
+  /** Watermark check; spawns a single evictor like checkEviction.
+    * With asyncEvict=false (tests) eviction only runs via evictNow(). */
+  def maybeEvict(): Unit = {
+    if (asyncEvict && capacityBytes > 0 &&
+      usedBytes.get > (capacityBytes * GraftFsConf.EvictionStart).toLong &&
+      evictorRunning.compareAndSet(false, true)) {
+      val t = new Thread(() => {
+        try evictLoop() finally evictorRunning.set(false)
+      }, "graft-write-cache-evictor")
+      t.setDaemon(true)
+      t.start()
+    }
+  }
+
+  private def evictLoop(): Unit = {
+    val stop = (capacityBytes * GraftFsConf.EvictionStop).toLong
+    var continue = true
+    while (continue && usedBytes.get > stop) {
+      val victim = synchronized {
+        val it = fileList.entrySet().iterator()
+        var found: Option[(String, Long)] = None
+        while (found.isEmpty && it.hasNext) {
+          val e = it.next()
+          val p = new Path(e.getKey)
+          // moniker => remote upload not finished; never evict (the
+          // reference additionally backs off — we just skip to the next)
+          if (!cacheFs.exists(monikerPath(p))) {
+            it.remove()
+            found = Some((e.getKey, e.getValue))
+          }
+        }
+        found
+      }
+      victim match {
+        case Some((p, len)) =>
+          usedBytes.addAndGet(-len)
+          cacheFs.delete(new Path(p), false)
+          stats.filesEvicted.incrementAndGet()
+        case None => continue = false // only monikered files remain
+      }
+    }
+  }
+
+  /** Synchronous eviction helper for deterministic tests. */
+  def evictNow(): Unit = evictLoop()
+
+  def save(f: File): Unit = synchronized {
+    val out = new ObjectOutputStream(new FileOutputStream(f))
+    try out.writeObject(fileList.asScala.toSeq.toList) finally out.close()
+  }
+
+  def load(f: File): Unit = synchronized {
+    if (!f.exists()) return
+    val in = new ObjectInputStream(new FileInputStream(f))
+    try {
+      in.readObject().asInstanceOf[List[(String, Long)]].foreach {
+        case (k, v) =>
+          if (cacheFs.exists(new Path(k))) {
+            fileList.put(k, v)
+            usedBytes.addAndGet(v)
+          }
+      }
+    } finally in.close()
+  }
+}
