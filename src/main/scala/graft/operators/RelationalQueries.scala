@@ -412,8 +412,10 @@ object RelationalQueries {
         dround(coalesce(lead("o_totalprice", 1).over(w), lit(-1.0)), 2))
       .withColumn("first_price", dround(first("o_totalprice").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .withColumn("last_price", dround(last("o_totalprice").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)), 2))
       .select("o_custkey", "o_orderkey", "o_totalprice",
-        "prev_price", "next_price", "first_price")
+        "prev_price", "next_price", "first_price", "last_price")
       .orderBy("o_custkey", "o_orderkey")
   }
 
@@ -423,7 +425,10 @@ object RelationalQueries {
       |  round(coalesce(lead(o_totalprice, 1) OVER w, -1), 2) AS next_price,
       |  round(first_value(o_totalprice) OVER
       |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_price
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS first_price,
+      |  round(last_value(o_totalprice) OVER
+      |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_price
       |FROM orders WHERE o_custkey < 30
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
@@ -452,6 +457,31 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- 16b. RANGE frame: peers-inclusive running aggregate ----
+  // RANGE BETWEEN groups peer rows (same order key) into one frame —
+  // the semantics ROWS frames can't express.
+  val q16b_window_rangeframe: Q = (s, dir) => {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_custkey"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") < 500)
+      .withColumn("range_total", dround(sum("o_totalprice").over(w), 2))
+      .withColumn("range_cnt", count(lit(1)).over(w))
+      .select("o_orderkey", "o_orderstatus", "o_custkey", "range_total",
+        "range_cnt")
+      .orderBy("o_orderkey")
+  }
+
+  val q16b_window_rangeframe_sql: String =
+    """SELECT o_orderkey, o_orderstatus, o_custkey,
+      |  round(sum(o_totalprice) OVER w, 2) AS range_total,
+      |  count(*) OVER w AS range_cnt
+      |FROM orders WHERE o_orderkey < 500
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_custkey
+      |             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderkey""".stripMargin
 
   // ---- 17. Global sort + top-k (TakeOrderedAndProject at scale) ----
   val q17_topk: Q = (s, dir) =>
@@ -571,6 +601,7 @@ object RelationalQueries {
     "q14_window_rank" -> q14_window_rank,
     "q15_window_lag" -> q15_window_lag,
     "q16_window_running" -> q16_window_running,
+    "q16b_window_rangeframe" -> q16b_window_rangeframe,
     "q17_topk" -> q17_topk,
     "q18_union_all" -> q18_union_all,
     "q18b_union_distinct" -> q18b_union_distinct,
@@ -604,6 +635,7 @@ object RelationalQueries {
     "q14_window_rank" -> q14_window_rank_sql,
     "q15_window_lag" -> q15_window_lag_sql,
     "q16_window_running" -> q16_window_running_sql,
+    "q16b_window_rangeframe" -> q16b_window_rangeframe_sql,
     "q17_topk" -> q17_topk_sql,
     "q18_union_all" -> q18_union_all_sql,
     "q18b_union_distinct" -> q18b_union_distinct_sql,
