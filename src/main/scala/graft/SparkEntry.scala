@@ -21,7 +21,8 @@ object SparkEntry {
     RelationalQueries.queries ++ ScalarQueries.queries ++
       UdfQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
-      MultimodalQueries.queries ++ EventQueries.queries
+      MultimodalQueries.queries ++ EventQueries.queries ++
+      SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */

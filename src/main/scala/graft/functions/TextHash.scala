@@ -32,9 +32,9 @@ object TextHash extends Serializable {
   val NumBands = 8
   val RowsPerBand: Int = NumPerms / NumBands
 
-  private val permA: Array[Long] =
+  private[graft] val permA: Array[Long] =
     Array.tabulate(NumPerms)(i => splitmix64(i.toLong) | 1L) // odd => bijective
-  private val permB: Array[Long] =
+  private[graft] val permB: Array[Long] =
     Array.tabulate(NumPerms)(i => splitmix64(i.toLong + 7919L))
 
   /** Word n-gram shingles of a lower-cased, whitespace-split text. */

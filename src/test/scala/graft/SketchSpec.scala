@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{SimilarityQueries, SketchQueries}
+import org.apache.spark.sql.functions._
+
+/** Value-level validation of the sketch/ANN operators DuckDB can't
+  * oracle: MinHash sketch estimates vs exact set Jaccard, and IVF
+  * recall vs the exact brute-force top-k. */
+class SketchSpec extends TestBase {
+
+  test("per-source minhash estimates track exact shingle jaccard") {
+    // exact per-source shingle sets
+    val shingled = Tables.load(spark, sfDir, "documents")
+      .select(col("source"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("source"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+        .as("s"))
+      .distinct()
+    val sets = shingled.collect().groupBy(_.getString(0))
+      .map { case (src, rows) => src -> rows.map(_.getString(1)).toSet }
+
+    val est = SketchQueries.q54_source_sketch(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(est.nonEmpty, "sketch query returned no overlapping source pairs")
+
+    est.foreach { case ((a, b), e) =>
+      val sa = sets(a); val sb = sets(b)
+      val exact = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      // 64 permutations => binomial std err <= 0.0625; allow 4 sigma
+      assert(math.abs(e - exact) < 0.25,
+        s"($a,$b): est $e vs exact $exact")
+    }
+  }
+
+  test("IVF ANN achieves usable recall against exact top-k") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilarityQueries.q45_knn_brute(spark, sfDir))
+    val ivf = pairs(SketchQueries.q46b_ann_ivf(spark, sfDir))
+    assert(ivf.nonEmpty)
+    // every IVF hit must be a real neighbor of its query (sanity), and
+    // recall must beat random chance by a wide margin: with 16 cells and
+    // 2 probes, ~1/8 of the corpus is scanned; random top-5 overlap
+    // would be ~12%, a working IVF on random vectors lands far higher
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall > 0.25, s"recall $recall")
+  }
+
+  test("sketch aggregate merges deterministically across partition counts") {
+    val one = SketchQueries.q54_source_sketch(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val many = {
+      // same query over a repartitioned source: partial-agg merge order
+      // changes, results must not
+      val df = Tables.load(spark, sfDir, "documents").repartition(13)
+      df.createOrReplaceTempView("documents_repart")
+      // rebuild the pipeline on the repartitioned frame
+      import org.apache.spark.sql.functions._
+      val shingled = df
+        .select(col("source"), split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("source"), explode(transform(
+          sequence(lit(1), size(col("ws")) - 2),
+          i => concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+          .as("shingle"))
+      val sk = shingled.groupBy("source")
+        .agg(graft.functions.MinHashAgg.minhash_sketch(col("shingle")).as("sig"))
+      val a = sk.select(col("source").as("src_a"), col("sig").as("sig_a"))
+      val b = sk.select(col("source").as("src_b"), col("sig").as("sig_b"))
+      a.join(broadcast(b), col("src_a") < col("src_b"))
+        .withColumn("est_jaccard", graft.functions.Det.dround(
+          size(filter(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => x === y), p => p)).cast("double") /
+            lit(graft.functions.TextHash.NumPerms), 4))
+        .select(col("src_a"), col("src_b"), col("est_jaccard"))
+        .orderBy("src_a", "src_b")
+        .collect().map(_.toSeq).toSeq
+    }
+    assert(one == many)
+  }
+}
