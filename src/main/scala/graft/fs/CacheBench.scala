@@ -38,6 +38,15 @@ object CacheBench {
     val cold = scan() / 1e9
     val warm1 = scan() / 1e9
     val warm2 = scan() / 1e9
+    // write round-trip through the caching FS (rename-based commit +
+    // read-your-writes): orders out and back, row counts must agree
+    val outPath = s"graft://local$scratch/bench_out"
+    val orders = Tables.load(spark, sfDir, "orders")
+    val nIn = orders.count()
+    orders.write.mode("overwrite").parquet(outPath)
+    val nOut = spark.read.schema(Tables.orders).parquet(outPath).count()
+    require(nIn == nOut, s"write round-trip mismatch: $nIn != $nOut")
+
     val st = GraftCachingFileSystem.instanceFor("graft://local/")
       .map(_.stats.snapshot).getOrElse(Map.empty)
     val tiers = st.filter { case (k, _) => k.startsWith("bytes") }

@@ -7,14 +7,23 @@ import org.apache.hadoop.fs.FSDataOutputStream
   * byte goes to the write-cache copy first, then the remote stream. An
   * I/O error on the caching side silently drops the cached copy (the
   * remote write is the source of truth); an error on the remote side
-  * propagates. `onClose(bytes)` runs after the remote close completes —
-  * it saves metadata, registers the cache file, and deletes the moniker.
+  * propagates.
+  *
+  * Close is split like the reference's `closingRemote` listener:
+  * `onCloseLocal(bytes)` runs immediately (meta save + file-list entry
+  * — enables read-your-writes from the write cache), while the remote
+  * close plus `onCloseRemote(bytes)` (moniker delete, eviction check)
+  * run through `closer` — inline in SYNC mode, on the shared async
+  * executor in ASYNC mode, where the caller returns before the remote
+  * upload finishes.
   */
 final class CachingOutputStream(
     remote: FSDataOutputStream,
     cacheInit: Option[OutputStream],
     onCacheError: () => Unit,
-    onClose: Long => Unit)
+    onCloseLocal: Long => Unit,
+    onCloseRemote: Long => Unit,
+    closer: Runnable => Unit)
   extends OutputStream {
 
   private var cache: OutputStream = cacheInit.orNull
@@ -54,8 +63,8 @@ final class CachingOutputStream(
     if (!closed) {
       closed = true
       if (cache != null) cache.close()
-      remote.close()
-      onClose(count)
+      onCloseLocal(count)
+      closer(() => { remote.close(); onCloseRemote(count) })
     }
   }
 

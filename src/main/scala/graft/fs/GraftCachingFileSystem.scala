@@ -155,20 +155,37 @@ class GraftCachingFileSystem extends FileSystem {
         w.cacheFs.delete(cp, false)
         w.cacheFs.delete(w.monikerPath(cp), false)
       },
-      onClose = bytes => {
+      onCloseLocal = bytes => {
         stats.bytesWritten.addAndGet(bytes)
-        // refresh meta from remote (authoritative length + modTime)
-        val rs = remoteFs.getFileStatus(toRemotePath(f))
-        metaCache.put(q.toString,
-          MetaRecord(rs.getModificationTime, rs.getLen, rs.isDirectory))
         wc.foreach { w =>
           val cp = w.toCachePath(q)
-          if (w.cacheFs.exists(cp)) {
-            w.recordFile(cp, bytes)
-            w.cacheFs.delete(w.monikerPath(cp), false)
-          }
+          if (w.cacheFs.exists(cp)) w.recordFile(cp, bytes)
         }
-      })
+        if (fsConf.asyncClose) {
+          // remote close hasn't happened yet: record the facts we know
+          // (length from the byte count) so read-your-writes works now;
+          // the write-cache copy serves the data meanwhile.
+          metaCache.put(q.toString,
+            MetaRecord(System.currentTimeMillis(), bytes, isDir = false))
+        }
+      },
+      onCloseRemote = _ => {
+        if (!fsConf.asyncClose) {
+          // sync mode: remote is authoritative for length + modTime
+          val rs = remoteFs.getFileStatus(toRemotePath(f))
+          metaCache.put(q.toString,
+            MetaRecord(rs.getModificationTime, rs.getLen, rs.isDirectory))
+        }
+        // upload complete => moniker off, file becomes evictable
+        wc.foreach { w =>
+          val cp = w.toCachePath(q)
+          w.cacheFs.delete(w.monikerPath(cp), false)
+          w.maybeEvict()
+        }
+      },
+      closer = r =>
+        if (fsConf.asyncClose) GraftCachingFileSystem.asyncPool.execute(r)
+        else r.run())
     new FSDataOutputStream(tee, null)
   }
 
@@ -275,6 +292,15 @@ class GraftCachingFileSystem extends FileSystem {
 
 object GraftCachingFileSystem {
   private val instances = new ConcurrentHashMap[String, GraftCachingFileSystem]()
+
+  /** Shared async pool for ASYNC-close remote uploads (8 daemon threads,
+    * like the reference's sidecar.thread.pool.max.size default). */
+  private[fs] lazy val asyncPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+      val t = new Thread(r, "graft-async-close")
+      t.setDaemon(true)
+      t
+    })
 
   private[fs] def register(uri: String, fs: GraftCachingFileSystem): Unit =
     instances.put(uri, fs)

@@ -364,6 +364,23 @@ object RelationalQueries {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
       |ORDER BY rf, ls""".stripMargin
 
+  // ---- 12d. Pivot (wide aggregation; oracle via conditional aggs) ----
+  val q12d_pivot: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(dround(sum("o_totalprice"), 2))
+      .withColumnsRenamed(Map("F" -> "f_total", "O" -> "o_total", "P" -> "p_total"))
+      .na.fill(0.0, Seq("f_total", "o_total", "p_total"))
+      .orderBy("o_orderpriority")
+
+  val q12d_pivot_sql: String =
+    """SELECT o_orderpriority,
+      |  coalesce(round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2), 0) AS f_total,
+      |  coalesce(round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2), 0) AS o_total,
+      |  coalesce(round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0) AS p_total
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---- 13. Approx distinct (HLL) — bench-only, excluded from oracle ----
   val q13_approx_distinct: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -597,6 +614,7 @@ object RelationalQueries {
     "q12_rollup" -> q12_rollup,
     "q12b_cube" -> q12b_cube,
     "q12c_grouping_sets" -> q12c_grouping_sets,
+    "q12d_pivot" -> q12d_pivot,
     "q13_approx_distinct" -> q13_approx_distinct,
     "q14_window_rank" -> q14_window_rank,
     "q15_window_lag" -> q15_window_lag,
@@ -631,6 +649,7 @@ object RelationalQueries {
     "q12_rollup" -> q12_rollup_sql,
     "q12b_cube" -> q12b_cube_sql,
     "q12c_grouping_sets" -> q12c_grouping_sets_sql,
+    "q12d_pivot" -> q12d_pivot_sql,
     // q13_approx_distinct: HLL estimate — bench-only, no DuckDB oracle.
     "q14_window_rank" -> q14_window_rank_sql,
     "q15_window_lag" -> q15_window_lag_sql,
