@@ -24,6 +24,10 @@ object CacheBench {
       .config("spark.hadoop.graft.fs.disk.cache.dir", s"$scratch/pages")
       .config("spark.hadoop.graft.fs.write.cache.dir", s"$scratch/wc")
       .config("spark.hadoop.graft.fs.memory.cache.size", (512L << 20).toString)
+      .config("spark.hadoop.graft.fs.data.cache.mode",
+        sys.env.getOrElse("SPARK_GRAFT_CACHE_MODE", "ALL"))
+      .config("spark.hadoop.graft.fs.cache.minsize.threshold",
+        sys.env.getOrElse("SPARK_GRAFT_MINSIZE", (100L << 20).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -25,7 +25,8 @@ final class CachingInputStream(
     pageCache: PageCache,
     stats: Statistics,
     writeCacheFile: () => Option[(FileSystem, Path)],
-    remoteOpen: () => FSDataInputStream)
+    remoteOpen: () => FSDataInputStream,
+    cacheEnabled: Boolean = true)
   extends InputStream with Seekable with PositionedReadable
   with ByteBufferReadable {
 
@@ -136,7 +137,7 @@ final class CachingInputStream(
           .addAndGet(want)
       } else {
         val key = PageKey(keyBase, pageOff)
-        pageCache.get(key) match {
+        (if (cacheEnabled) pageCache.get(key) else None) match {
           case Some(page) =>
             System.arraycopy(page, inPage, b, off + (p - position).toInt, want)
             stats.bytesFromPageCache.addAndGet(want)
@@ -167,7 +168,7 @@ final class CachingInputStream(
     var o = 0
     while (o < spanLen) {
       val pl = math.min(pageSize, (spanLen - o).toLong).toInt
-      if (!isScan) {
+      if (cacheEnabled && !isScan) {
         val page = new Array[Byte](pl)
         System.arraycopy(buf, o, page, 0, pl)
         pageCache.put(PageKey(keyBase, pageOff + o), page)

@@ -71,7 +71,15 @@ class GraftCachingFileSystem extends FileSystem {
           s"${GraftFsConf.Prefix}write.cache.async.evict", true)))
     }
     workingDir = new Path(uri.toString)
-    if (fsConf.persistent) loadState()
+    if (fsConf.persistent) {
+      loadState()
+      // reference parity: persistent caches also save on JVM shutdown
+      // (SidecarCachingFileSystem.java:593-616)
+      val hook = new Thread(() => try saveState() catch { case _: Throwable => },
+        "graft-fs-shutdown-save")
+      try Runtime.getRuntime.addShutdownHook(hook)
+      catch { case _: IllegalStateException => /* already shutting down */ }
+    }
     GraftCachingFileSystem.register(uri.toString, this)
   }
 
@@ -120,6 +128,18 @@ class GraftCachingFileSystem extends FileSystem {
 
   // ---- read path ----
 
+  /** Per-file page-cache admission (reference isCacheableFile +
+    * DataCacheMode, SidecarCachingFileSystem.java:739-748). */
+  private def isCacheableFile(q: Path, len: Long): Boolean = {
+    val modeOk = fsConf.dataCacheMode match {
+      case "MINSIZE" => len >= fsConf.minSizeThreshold
+      case "NOT_IN_WRITE_CACHE" =>
+        !writeCache.exists(w => w.cacheFs.exists(w.toCachePath(q)))
+      case _ => true
+    }
+    modeOk && !fsConf.dataCacheExclude.exists(p => q.toString.matches(p))
+  }
+
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val q = qualify(f)
     val st = getFileStatus(f)
@@ -127,7 +147,8 @@ class GraftCachingFileSystem extends FileSystem {
     val stream = new CachingInputStream(
       q.toString, st.getLen, base, fsConf, pageCache, stats,
       writeCacheFile = () => writeCache.map(wc => (wc.cacheFs, wc.toCachePath(q))),
-      remoteOpen = () => remoteFs.open(toRemotePath(f), bufferSize))
+      remoteOpen = () => remoteFs.open(toRemotePath(f), bufferSize),
+      cacheEnabled = isCacheableFile(q, st.getLen))
     new FSDataInputStream(stream)
   }
 

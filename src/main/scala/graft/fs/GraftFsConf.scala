@@ -24,7 +24,10 @@ final case class GraftFsConf(
     scanThresholdPages: Int,
     remoteMutable: Boolean,
     persistent: Boolean,
-    asyncClose: Boolean)
+    asyncClose: Boolean,
+    dataCacheMode: String,
+    minSizeThreshold: Long,
+    dataCacheExclude: Seq[String])
 
 object GraftFsConf {
   val Prefix = "graft.fs."
@@ -46,7 +49,14 @@ object GraftFsConf {
     scanThresholdPages = c.getInt(s"${Prefix}scan.detector.threshold.pages", 10),
     remoteMutable = c.getBoolean(s"${Prefix}remote.files.mutable", false),
     persistent = c.getBoolean(s"${Prefix}cache.persistent", false),
-    asyncClose = c.getBoolean(s"${Prefix}write.cache.async.close", false))
+    asyncClose = c.getBoolean(s"${Prefix}write.cache.async.close", false),
+    // page-cache admission by file (reference DataCacheMode.java:20-38):
+    // ALL | NOT_IN_WRITE_CACHE | MINSIZE (only files >= the threshold)
+    dataCacheMode = c.get(s"${Prefix}data.cache.mode", "ALL").toUpperCase,
+    minSizeThreshold = c.getLong(s"${Prefix}cache.minsize.threshold", 100L << 20),
+    dataCacheExclude = Option(c.get(s"${Prefix}data.cache.exclude.list"))
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty))
 
   /** Write-cache eviction watermarks (hard-coded in the reference too:
     * SidecarCachingFileSystem.java:124-129). */
