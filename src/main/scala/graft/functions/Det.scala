@@ -19,6 +19,9 @@ object Det {
     */
   def dround(c: Column, scale: Int): Column = {
     val p = math.pow(10, scale)
-    round(c * lit(p), 0) / lit(p)
+    // + 0.0 folds IEEE negative zero into +0.0; DuckDB's std::round
+    // produces -0.0 for tiny negatives while BigDecimal never does, so
+    // oracle SQL pairs any round() that can yield -0.0 with "+ 0".
+    round(c * lit(p), 0) / lit(p) + lit(0.0)
   }
 }

@@ -309,6 +309,24 @@ object RelationalQueries {
       |  round(max(l_extendedprice), 2) AS max_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- 11c. Skew-safe two-phase distinct aggregation ----
+  // count(DISTINCT x) over a skewed key first dedups on (group, x) —
+  // spreading one hot group across all partitions — then counts per
+  // group. Same answer as COUNT(DISTINCT), but no single reducer ever
+  // sees a whole hot group's raw rows; the manual form of the
+  // salting/partial-dedup technique for 100 TB skew.
+  val q11c_distinct_twophase: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select("l_returnflag", "l_partkey")
+      .distinct() // phase 1: shuffle on (flag, partkey) — skew-spread
+      .groupBy("l_returnflag") // phase 2: tiny per-group counts
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("l_returnflag")
+
+  val q11c_distinct_twophase_sql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- 12. Rollup / cube / grouping sets ----
   // Grouping columns are NOT NULL in the data, so coalescing the
   // super-aggregate NULLs to 'ALL' is unambiguous and sidesteps the
@@ -611,6 +629,7 @@ object RelationalQueries {
     "q10b_join_cross" -> q10b_join_cross,
     "q11_agg_pricing" -> q11_agg_pricing,
     "q11b_agg_distinct" -> q11b_agg_distinct,
+    "q11c_distinct_twophase" -> q11c_distinct_twophase,
     "q12_rollup" -> q12_rollup,
     "q12b_cube" -> q12b_cube,
     "q12c_grouping_sets" -> q12c_grouping_sets,
@@ -646,6 +665,7 @@ object RelationalQueries {
     "q10b_join_cross" -> q10b_join_cross_sql,
     "q11_agg_pricing" -> q11_agg_pricing_sql,
     "q11b_agg_distinct" -> q11b_agg_distinct_sql,
+    "q11c_distinct_twophase" -> q11c_distinct_twophase_sql,
     "q12_rollup" -> q12_rollup_sql,
     "q12b_cube" -> q12b_cube_sql,
     "q12c_grouping_sets" -> q12c_grouping_sets_sql,

@@ -170,11 +170,11 @@ object ScalarQueries {
       |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
       |    x -> x * x))), 4) AS l2_norm,
       |  list_transform(embedding[1:3],
-      |    x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+      |    x -> round(CAST(x AS DOUBLE), 4) + 0) AS head3,
       |  list_sort(list_transform(embedding[1:3],
-      |    x -> round(CAST(x AS DOUBLE), 4))) AS head3_sorted,
+      |    x -> round(CAST(x AS DOUBLE), 4) + 0)) AS head3_sorted,
       |  list_contains(list_transform(embedding,
-      |    x -> round(CAST(x AS DOUBLE), 2)), 0.0) AS has_zero
+      |    x -> round(CAST(x AS DOUBLE), 2) + 0), 0.0) AS has_zero
       |FROM embeddings ORDER BY vec_id""".stripMargin
 
   // ---- 25b. explode / posexplode ----
