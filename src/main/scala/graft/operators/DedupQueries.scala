@@ -50,6 +50,7 @@ object DedupQueries {
     val banded = docs
       .select(col("doc_id"), col("sig"),
         posexplode(col("bands")).as(Seq("band", "bh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("doc_id").as("ia"), col("sig").as("sig_a"),
       col("band"), col("bh"))
     val b = banded.select(col("doc_id").as("ib"), col("sig").as("sig_b"),
@@ -79,6 +80,7 @@ object DedupQueries {
           shiftright(col("sh"), 16 * k).bitwiseAND(lit(0xFFFFL)).as("bh"))): _*))
         .as("b"))
       .select(col("doc_id"), col("sh"), col("b.band"), col("b.bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.select(col("doc_id").as("ia"), col("sh").as("sh_a"),
       col("band"), col("bh"))
     val b = banded.select(col("doc_id").as("ib"), col("sh").as("sh_b"),
@@ -89,7 +91,7 @@ object DedupQueries {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long")
           .as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 10)
+      .filter(col("hamming") <= 4)
       .orderBy("ia", "ib")
   }
 
@@ -104,7 +106,11 @@ object DedupQueries {
           element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
         .as("sh"))
     val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    // both sides of the self-join read this: persist so the scan +
+    // shingle expansion happens once (at 100 TB: persist(DISK_ONLY)
+    // or a checkpoint, same plan shape)
     val exploded = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = exploded.as("a")
       .join(exploded.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -162,6 +168,7 @@ object DedupQueries {
         i => concat_ws(" ", element_at(col("ws"), i),
           element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)))))
       .select(col("doc_id"), col("sh"), bandsUdf(col("sig")).as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = docs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "bh")))
     val candidates = banded.as("a")
