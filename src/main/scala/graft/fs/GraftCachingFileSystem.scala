@@ -217,6 +217,28 @@ class GraftCachingFileSystem extends FileSystem {
     remoteFs.append(toRemotePath(f), bufferSize, progress)
   }
 
+  override def createNonRecursive(f: Path, permission: FsPermission,
+      flags: java.util.EnumSet[org.apache.hadoop.fs.CreateFlag],
+      bufferSize: Int, replication: Short, blockSize: Long,
+      progress: Progressable): FSDataOutputStream = {
+    // same dual-stream path as create, but the parent must pre-exist
+    val parent = qualify(f).getParent
+    if (parent != null && !exists(parent))
+      throw new java.io.FileNotFoundException(s"parent missing: $parent")
+    create(f, permission,
+      flags.contains(org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+      bufferSize, replication, blockSize, progress)
+  }
+
+  /** HDFS-style concat: delegate to the remote (object stores throw,
+    * like the reference notes), then drop every cached fact for the
+    * target and sources. */
+  override def concat(trg: Path, psrcs: Array[Path]): Unit = {
+    remoteFs.concat(toRemotePath(trg), psrcs.map(toRemotePath))
+    invalidate(qualify(trg))
+    psrcs.foreach(p => invalidate(qualify(p)))
+  }
+
   // ---- namespace ops ----
 
   override def rename(src: Path, dst: Path): Boolean = {
