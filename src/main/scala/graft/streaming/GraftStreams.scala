@@ -47,6 +47,15 @@ object GraftStreams {
       .select(names.map(col): _*)
   }
 
+  /** Streaming exact dedup: drop duplicate event_ids, keeping state only
+    * within the watermark horizon — the unbounded-stream form of exact
+    * dedup (state size bounded by events-per-watermark-window, not by
+    * the stream's history). */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp,
       value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)

@@ -38,7 +38,22 @@ object StreamSmoke {
     val same = streamed.collect().map(_.toSeq).toSeq ==
       batch.collect().map(_.toSeq).toSeq
     println(s"[stream-smoke] windows=${streamed.count()} matches_batch=$same")
+
+    // streaming dedup: feed the fixture twice, expect one copy out
+    val dupDir = java.nio.file.Files.createTempDirectory("graft_stream_dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dupDir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), dupDir.resolve("b.parquet"))
+    val dq = GraftStreams.dedupedEvents(
+      GraftStreams.eventsStream(spark, dupDir.toString, maxFilesPerTrigger = 2))
+      .writeStream.format("memory").queryName("dedup").outputMode("append")
+      .start()
+    try dq.processAllAvailable() finally dq.stop()
+    val deduped = spark.table("dedup").count()
+    val distinct = graft.Tables.load(spark, sfDir, "events").count()
+    println(s"[stream-smoke] dedup in=${2 * distinct} out=$deduped ok=${deduped == distinct}")
     spark.stop()
-    if (!same) sys.exit(1)
+    if (!same || deduped != distinct) sys.exit(1)
   }
 }

@@ -37,6 +37,27 @@ class StreamingSpec extends TestBase {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops duplicates within the watermark") {
+    // stage the same file twice: every event is a duplicate once
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("b.parquet"))
+    val q = GraftStreams.dedupedEvents(
+      GraftStreams.eventsStream(spark, d.toString, maxFilesPerTrigger = 2))
+      .writeStream.format("memory").queryName("dedup_events")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dedup_events").count()
+    val batchDistinct = Tables.load(spark, sfDir, "events").count()
+    assert(streamed == batchDistinct,
+      s"streamed $streamed vs distinct $batchDistinct")
+  }
+
   test("stateful streaming sessionization emits sessions") {
     val stream = GraftStreams.eventsStream(spark, eventsDir)
     val q = GraftStreams.sessionize(spark, stream)
