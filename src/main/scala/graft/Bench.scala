@@ -36,17 +36,20 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try {
-        val df = fn(spark, sfDir)
-        // large per-row outputs: count() after a forced projection would
-        // still skip work, so cap materialization instead of pruning it
-        df.limit(2000000).collect()
-      } catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try {
+          val df = fn(spark, sfDir)
+          // large per-row outputs: count() after a forced projection would
+          // still skip work, so cap materialization instead of pruning it
+          df.limit(2000000).collect()
+          true
+        } catch { case _: Throwable => false }
+      // a crashed query must not masquerade as a fast success
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

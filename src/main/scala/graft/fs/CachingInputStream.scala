@@ -115,7 +115,13 @@ final class CachingInputStream(
 
   // ---- core tier cascade ----
 
-  private def readInternal(position: Long, b: Array[Byte], off: Int, len: Int): Unit = {
+  // Hadoop's PositionedReadable contract allows concurrent positioned
+  // reads on one stream (HBase, async parquet I/O do this); the prefetch
+  // buffer and lazy tier streams are per-stream mutable state, so the
+  // whole cascade runs under the stream's monitor. Uncontended, the
+  // lock is nanoseconds; contended, correctness beats parallelism on a
+  // single stream (callers wanting parallel I/O open parallel streams).
+  private def readInternal(position: Long, b: Array[Byte], off: Int, len: Int): Unit = synchronized {
     var p = position
     val end = position + len
     // Bytes served out of a span fetched during THIS call are charged to
@@ -209,7 +215,7 @@ final class CachingInputStream(
     stats.bytesFromRemote
   }
 
-  override def close(): Unit = {
+  override def close(): Unit = synchronized {
     if (!closed) {
       closed = true
       if (remoteStream != null) remoteStream.close()

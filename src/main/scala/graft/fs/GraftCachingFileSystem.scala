@@ -205,7 +205,23 @@ class GraftCachingFileSystem extends FileSystem {
         }
       },
       closer = r =>
-        if (fsConf.asyncClose) GraftCachingFileSystem.asyncPool.execute(r)
+        if (fsConf.asyncClose) GraftCachingFileSystem.asyncPool.execute(() =>
+          try r.run()
+          catch {
+            case e: Throwable =>
+              // the upload failed after the writer already returned:
+              // drop every local claim that the file exists so reads
+              // surface the remote truth instead of a phantom copy
+              System.err.println(
+                s"[graft.fs] async remote close failed for $q: $e")
+              metaCache.remove(q.toString)
+              wc.foreach { w =>
+                val cp = w.toCachePath(q)
+                w.cacheFs.delete(cp, false)
+                w.cacheFs.delete(w.monikerPath(cp), false)
+                w.removeFile(cp)
+              }
+          })
         else r.run())
     new FSDataOutputStream(tee, null)
   }
@@ -249,18 +265,25 @@ class GraftCachingFileSystem extends FileSystem {
         pageCache.invalidateFile(PageKey.baseFor(qs.toString, m.modTime),
           m.length, fsConf.pageSize)
       }
-      metaCache.rename(qs.toString, qd.toString)
-      // the remote rename bumps nothing; re-resolve dest meta lazily
+      // drop any stale fact at the destination, then migrate the source
+      // record (rename preserves content, so modTime/len stay valid)
       metaCache.remove(qd.toString)
+      metaCache.rename(qs.toString, qd.toString)
       metaCache.removePrefix(qs.toString) // children of a renamed dir
       writeCache.foreach { w =>
         val cs = w.toCachePath(qs); val cd = w.toCachePath(qd)
-        if (w.cacheFs.exists(cs)) {
+        if (w.cacheFs.exists(w.monikerPath(cs))) {
+          // ASYNC upload still in flight for the source: the pending
+          // completion callback holds the ORIGINAL path, so moving the
+          // moniker would leak it (permanently unevictable entry).
+          // Drop the cache copy instead; the moniker stays for the
+          // closer to clean and dest reads fall through to the remote.
+          w.cacheFs.delete(cs, false)
+          w.removeFile(cs)
+        } else if (w.cacheFs.exists(cs)) {
           w.cacheFs.mkdirs(cd.getParent)
           if (w.cacheFs.rename(cs, cd)) w.renameFile(cs, cd)
           else { w.cacheFs.delete(cs, false); w.removeFile(cs) }
-          if (w.cacheFs.exists(w.monikerPath(cs)))
-            w.cacheFs.rename(w.monikerPath(cs), w.monikerPath(cd))
         }
       }
     }

@@ -32,9 +32,15 @@ final case class GraftFsConf(
 object GraftFsConf {
   val Prefix = "graft.fs."
 
-  def apply(c: Configuration): GraftFsConf = GraftFsConf(
-    pageSize = c.getLong(s"${Prefix}data.page.size", 1L << 20),
-    ioBufferSize = c.getLong(s"${Prefix}io.buffer.size", 4L << 20),
+  def apply(c: Configuration): GraftFsConf = {
+    val page = math.max(c.getLong(s"${Prefix}data.page.size", 1L << 20), 512L)
+    val ioRaw = c.getLong(s"${Prefix}io.buffer.size", 4L << 20)
+    GraftFsConf(
+    pageSize = page,
+    // the span fetcher caches page-aligned slices of the I/O buffer, so
+    // the buffer must be a positive multiple of the page size — clamp
+    // rather than corrupt (a short mid-file page would be cached forever)
+    ioBufferSize = math.max(ioRaw - ioRaw % page, page),
     memCacheBytes = c.getLong(s"${Prefix}memory.cache.size", 256L << 20),
     diskCacheBytes = c.getLong(s"${Prefix}disk.cache.size", 1L << 30),
     diskCacheDir = c.get(s"${Prefix}disk.cache.dir",
@@ -57,6 +63,7 @@ object GraftFsConf {
     dataCacheExclude = Option(c.get(s"${Prefix}data.cache.exclude.list"))
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
       .getOrElse(Seq.empty))
+  }
 
   /** Write-cache eviction watermarks (hard-coded in the reference too:
     * SidecarCachingFileSystem.java:124-129). */

@@ -44,11 +44,15 @@ final class PageCache(memCapacity: Long, diskCapacity: Long, diskDir: String,
     val m = mem.get(k)
     if (m != null) Some(m)
     else if (disk.containsKey(k)) {
-      // promote on hit (victim-cache behavior)
+      // promote on hit (victim-cache behavior): the page moves tiers,
+      // so the disk entry + file are released (double-counting a page
+      // against both budgets would shrink effective capacity)
       val f = diskFile(k)
       if (!f.exists()) { removeDisk(k); None }
       else {
         val buf = java.nio.file.Files.readAllBytes(f.toPath)
+        removeDisk(k)
+        f.delete()
         putMem(k, buf)
         Some(buf)
       }

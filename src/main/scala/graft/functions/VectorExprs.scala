@@ -53,7 +53,10 @@ object VectorExprs {
     override protected def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      // ragged input (corrupt row) => NULL, never a confident prefix
+      // similarity; DuckDB's list_dot_product errors on the same input
+      if (a.numElements() != b.numElements()) return null
+      val n = a.numElements()
       val ra = readFn(left.dataType)
       val rb = readFn(right.dataType)
       var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -78,15 +81,18 @@ object VectorExprs {
         val n = ctx.freshName("n"); val x = ctx.freshName("x")
         val y = ctx.freshName("y")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  double $x = ${getter(left.dataType, a, i)};
-           |  double $y = ${getter(right.dataType, b, i)};
-           |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+           |else {
+           |  int $n = $a.numElements();
+           |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    double $x = ${getter(left.dataType, a, i)};
+           |    double $y = ${getter(right.dataType, b, i)};
+           |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+           |  }
+           |  if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
+           |  else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
            |}
-           |if ($na == 0.0 || $nb == 0.0) { ${ev.isNull} = true; }
-           |else { ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)); }
          """.stripMargin
       })
     }
@@ -96,16 +102,19 @@ object VectorExprs {
       copy(left = newLeft, right = newRight)
   }
 
-  /** dot(a, b), same storage-level access as CosineSimilarity. */
+  /** dot(a, b), same storage-level access as CosineSimilarity.
+    * NULL on ragged inputs, like CosineSimilarity. */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
 
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
 
     override protected def nullSafeEval(l: Any, r: Any): Any = {
       val a = l.asInstanceOf[ArrayData]
       val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
+      if (a.numElements() != b.numElements()) return null
+      val n = a.numElements()
       val ra = readFn(left.dataType)
       val rb = readFn(right.dataType)
       var dot = 0.0
@@ -123,12 +132,15 @@ object VectorExprs {
         val dot = ctx.freshName("dot"); val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double $dot = 0.0;
-           |for (int $i = 0; $i < $n; $i++) {
-           |  $dot += ${getter(left.dataType, a, i)} * ${getter(right.dataType, b, i)};
+           |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+           |else {
+           |  int $n = $a.numElements();
+           |  double $dot = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    $dot += ${getter(left.dataType, a, i)} * ${getter(right.dataType, b, i)};
+           |  }
+           |  ${ev.value} = $dot;
            |}
-           |${ev.value} = $dot;
          """.stripMargin
       })
     }

@@ -63,6 +63,57 @@ object MultimodalQueries {
       |  strlen(text) % 640 AS width, strlen(text) % 480 AS height
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  val queries: Map[String, Q] = Map("q47_multimodal" -> q47_multimodal)
-  val oracles: Map[String, String] = Map("q47_multimodal" -> q47_multimodal_sql)
+  case class Frame(doc_id: Long, frame_idx: Long, digest: String)
+
+  /** STUB — deterministic fake frame decode: a real implementation
+    * would run ffmpeg/codec over the payload per batch; the fake hashes
+    * fixed-width character windows so the oracle can replicate it. */
+  def sampleFramesStub(docId: Long, text: String): Seq[Frame] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until text.length by 200).zipWithIndex.map { case (off, idx) =>
+      val frame = text.substring(off, math.min(off + 100, text.length))
+      md.reset()
+      Frame(docId, idx.toLong,
+        md.digest(frame.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    }
+  }
+
+  // ---- 47b. Frame sampling: explicit BATCH-shaped partition processing
+  // (the Scala analogue of a mapInPandas batch loop: rows are pulled in
+  // fixed-size batches, each batch is "decoded" together — the shape a
+  // vectorized/native decoder needs; here every 2nd 100-char window of
+  // the payload is a "frame").
+  val q47b_frame_sample: Q = (s, dir) => {
+    import s.implicits._
+    val BatchSize = 32
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.grouped(BatchSize).flatMap { batch =>
+          // per-batch setup happens once (codec init, buffer alloc, ...)
+          batch.flatMap { case (id, text) => sampleFramesStub(id, text) }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  // Frames start every 200 chars (sampling every 2nd 100-char window).
+  // The series bound must dominate the longest possible document
+  // (DuckDB's lateral generate_series can't reference length(text));
+  // 8191 frames covers ~1.6M chars — far beyond any fixture document.
+  val q47b_frame_sample_sql: String =
+    """SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+      |  md5(substr(text, i * 200 + 1, 100)) AS digest
+      |FROM documents, generate_series(0, 8191) AS g(i)
+      |WHERE i * 200 < length(text)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q47_multimodal" -> q47_multimodal,
+    "q47b_frame_sample" -> q47b_frame_sample)
+  val oracles: Map[String, String] = Map(
+    "q47_multimodal" -> q47_multimodal_sql,
+    "q47b_frame_sample" -> q47b_frame_sample_sql)
 }

@@ -59,7 +59,7 @@ object SimilarityQueries {
        |    row_number() OVER (PARTITION BY qid ORDER BY sim_raw DESC, nid) AS rn
        |  FROM s
        |)
-       |SELECT qid, rn, nid, round(sim_raw, 4) AS sim
+       |SELECT qid, rn, nid, round(sim_raw, 4) + 0 AS sim
        |FROM r WHERE rn <= $K ORDER BY qid, rn""".stripMargin
 
   // ---- 46. Approximate top-k via sign-random-projection LSH buckets ----

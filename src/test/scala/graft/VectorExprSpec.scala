@@ -37,6 +37,15 @@ class VectorExprSpec extends TestBase {
     assert(sims.forall(s => math.abs(s - 1.0) < 1e-12))
   }
 
+  test("ragged (mismatched-dim) vectors yield null, not a prefix score") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorExprs.cosine_similarity(col("a"), col("b")).as("c"),
+      VectorExprs.dot_product(col("a"), col("b")).as("d")).collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("zero vector yields null") {
     import spark.implicits._
     val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
