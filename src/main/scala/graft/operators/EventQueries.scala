@@ -105,11 +105,72 @@ object EventQueries {
       |   WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_order_date
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- 55. Funnel analysis: signup -> purchase conversion ----
+  // One shuffle on user_id, then per-user min-timestamps; conversion =
+  // first purchase strictly after first signup. No self-join of the
+  // event stream (the naive formulation) — the grouped-min shape scales.
+  val q55_funnel: Q = (s, dir) => {
+    val steps = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"),
+        count(lit(1)).as("n_events"))
+    steps.select(
+      count(lit(1)).as("n_users"),
+      count(col("first_signup")).as("n_signed_up"),
+      sum(when(col("first_purchase").isNotNull
+        && col("first_signup").isNotNull
+        && col("first_purchase") > col("first_signup"), 1L).otherwise(0L))
+        .as("n_converted"))
+  }
+
+  val q55_funnel_sql: String =
+    """WITH steps AS (
+      |  SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+      |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT count(*) AS n_users,
+      |  count(first_signup) AS n_signed_up,
+      |  CAST(sum(CASE WHEN first_purchase IS NOT NULL
+      |                 AND first_signup IS NOT NULL
+      |                 AND first_purchase > first_signup
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+      |FROM steps""".stripMargin
+
+  // ---- 56. Cohort retention: users active on day d AND day d+1 ----
+  val q56_retention: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val next = daily.select(col("user_id"),
+      date_sub(col("day"), 1).as("day"))
+    daily.join(next, Seq("user_id", "day"))
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("retained_users"))
+      .orderBy("day")
+  }
+
+  val q56_retention_sql: String =
+    """WITH daily AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |)
+      |SELECT a.day, count(DISTINCT a.user_id) AS retained_users
+      |FROM daily a JOIN daily b
+      |  ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+      |GROUP BY a.day ORDER BY a.day""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q52_sessionize" -> q52_sessionize,
-    "q53_asof_join" -> q53_asof_join)
+    "q53_asof_join" -> q53_asof_join,
+    "q55_funnel" -> q55_funnel,
+    "q56_retention" -> q56_retention)
 
   val oracles: Map[String, String] = Map(
     "q52_sessionize" -> q52_sessionize_sql,
-    "q53_asof_join" -> q53_asof_join_sql)
+    "q53_asof_join" -> q53_asof_join_sql,
+    "q55_funnel" -> q55_funnel_sql,
+    "q56_retention" -> q56_retention_sql)
 }
