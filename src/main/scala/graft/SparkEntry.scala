@@ -22,7 +22,7 @@ object SparkEntry {
       UdfQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
       MultimodalQueries.queries ++ EventQueries.queries ++
-      SketchQueries.queries
+      SketchQueries.queries ++ QuantizeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -30,5 +30,6 @@ object SparkEntry {
     RelationalQueries.oracles ++ ScalarQueries.oracles ++
       UdfQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextQueries.oracles ++
-      MultimodalQueries.oracles ++ EventQueries.oracles
+      MultimodalQueries.oracles ++ EventQueries.oracles ++
+      SketchQueries.oracles ++ QuantizeQueries.oracles
 }

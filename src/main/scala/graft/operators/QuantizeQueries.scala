@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Det.dround
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Embedding compression + dedup clustering — the two post-processing
+  * steps a production embedding pipeline runs after similarity search.
+  */
+object QuantizeQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---- 57. Symmetric int8 quantization + reconstruction error ----
+  // scale = max|x| / 127 per vector; q_i = round(x_i / scale). One
+  // projection pass — 4x smaller vectors with measurable error, the
+  // standard storage/bandwidth trade at billion-vector scale.
+  val q57_quantize_int8: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+      .withColumn("scale",
+        aggregate(col("vd"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x))) / lit(127.0))
+      .withColumn("q", transform(col("vd"),
+        x => round(x / col("scale"), 0).cast("long")))
+      .withColumn("deq", zip_with(col("q"), col("vd"),
+        (qi, _) => qi * col("scale")))
+      .withColumn("max_abs_err",
+        aggregate(zip_with(col("deq"), col("vd"),
+          (d, o) => abs(d - o)), lit(0.0), (acc, e) => greatest(acc, e)))
+      .select(col("vec_id"),
+        dround(col("scale"), 6).as("scale"),
+        element_at(col("q"), 1).as("q1"),
+        element_at(col("q"), 2).as("q2"),
+        dround(col("max_abs_err"), 6).as("max_abs_err"))
+      .orderBy("vec_id")
+
+  val q57_quantize_int8_sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd FROM embeddings
+      |), sc AS (
+      |  SELECT vec_id, vd,
+      |    list_max(list_transform(vd, x -> abs(x))) / 127.0 AS scale
+      |  FROM v
+      |), q AS (
+      |  SELECT vec_id, vd, scale,
+      |    list_transform(vd, x -> CAST(round(x / scale, 0) AS BIGINT)) AS qv
+      |  FROM sc
+      |)
+      |SELECT vec_id, round(scale, 6) + 0 AS scale,
+      |  qv[1] AS q1, qv[2] AS q2,
+      |  round(list_max(list_transform(list_zip(qv, vd),
+      |    p -> abs(p[1] * scale - p[2]))), 6) + 0 AS max_abs_err
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  // ---- 58. Near-dup clusters: connected components over the verified
+  // pair graph (the step after pair detection — every cluster keeps one
+  // canonical doc). Iterative min-label propagation: each round is one
+  // join + grouped min, so a round costs O(|edges|) shuffled bytes and
+  // the loop runs graph-diameter times (near-dup clusters are tiny, so
+  // 2-4 rounds; at 100 TB you'd checkpoint between rounds).
+  val q58_dedup_clusters: Q = (s, dir) => {
+    val edges = DedupQueries.q43b_lsh_verified(s, dir)
+      .select(col("ia"), col("ib"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bidir = edges.union(
+      edges.select(col("ib").as("ia"), col("ia").as("ib")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = bidir.select(col("ia").as("node")).distinct()
+
+    var labels = nodes.withColumn("label", col("node"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val msgs = bidir
+        .join(labels, bidir("ia") === labels("node"))
+        .groupBy(col("ib").as("node2"))
+        .agg(min("label").as("nbr_min"))
+      val next = labels
+        .join(msgs, labels("node") === msgs("node2"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label")))
+            .as("label"),
+          (col("nbr_min") < col("label")).as("improved"))
+      next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("improved")).count()
+      labels = next.select("node", "label")
+      rounds += 1
+    }
+    labels.groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("size"), max("node").as("max_member"))
+      .orderBy("cluster")
+  }
+
+  // DuckDB oracle: transitive closure by recursive CTE over the same
+  // exact near-dup edge set (q43's SQL), then min reachable label.
+  val q58_dedup_clusters_sql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |     for i in generate_series(1, len(ws) - 2)])) AS s
+      |  FROM tok WHERE len(ws) >= 3
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+      |), inter AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT ia, ib FROM inter
+      |  JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) > 0.5
+      |), bidir AS (
+      |  SELECT ia, ib FROM pairs UNION ALL SELECT ib, ia FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT ia, ib FROM bidir
+      |  UNION
+      |  SELECT r.a, e.ib FROM reach r JOIN bidir e ON r.b = e.ia
+      |), labels AS (
+      |  SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a
+      |)
+      |SELECT cluster, count(*) AS size, max(node) AS max_member
+      |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q57_quantize_int8" -> q57_quantize_int8,
+    "q58_dedup_clusters" -> q58_dedup_clusters)
+
+  val oracles: Map[String, String] = Map(
+    "q57_quantize_int8" -> q57_quantize_int8_sql,
+    "q58_dedup_clusters" -> q58_dedup_clusters_sql)
+}
