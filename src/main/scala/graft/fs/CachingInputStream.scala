@@ -122,6 +122,7 @@ final class CachingInputStream(
   // lock is nanoseconds; contended, correctness beats parallelism on a
   // single stream (callers wanting parallel I/O open parallel streams).
   private def readInternal(position: Long, b: Array[Byte], off: Int, len: Int): Unit = synchronized {
+    if (closed) throw new java.io.IOException(s"stream closed: $graftPath")
     var p = position
     val end = position + len
     // Bytes served out of a span fetched during THIS call are charged to
@@ -221,6 +222,8 @@ final class CachingInputStream(
       if (remoteStream != null) remoteStream.close()
       if (cacheStream != null) cacheStream.close()
       buf = null
+      bufStart = -1
+      bufLen = 0
     }
   }
 }

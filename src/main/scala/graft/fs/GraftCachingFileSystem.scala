@@ -154,6 +154,23 @@ class GraftCachingFileSystem extends FileSystem {
 
   // ---- write path ----
 
+  /** Where a deferred completion callback should act now: renames that
+    * happened while the upload was in flight are recorded here
+    * (origCachePath -> (newCachePath, newGraftPath)), and the callback
+    * follows the chain. Entries are consumed on resolution. */
+  private val renameForwards =
+    new ConcurrentHashMap[String, (Path, String)]()
+
+  private def resolveForward(cp: Path, graft: String): (Path, String) = {
+    var cur = (cp, graft)
+    var hop = renameForwards.remove(cur._1.toString)
+    while (hop != null) {
+      cur = hop
+      hop = renameForwards.remove(cur._1.toString)
+    }
+    cur
+  }
+
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
@@ -161,12 +178,14 @@ class GraftCachingFileSystem extends FileSystem {
     val remoteOut = remoteFs.create(toRemotePath(f), permission, overwrite,
       bufferSize, replication, blockSize, progress)
     val wc = writeCache.filter(w => !w.isExcluded(q))
+    // ownership token: deferred callbacks only touch state still holding it
+    val token = java.util.UUID.randomUUID().toString
     val cacheOut = wc.flatMap { w =>
       try {
         val cp = w.toCachePath(q)
         w.cacheFs.mkdirs(cp.getParent)
         // moniker first: "upload in flight, do not evict"
-        w.cacheFs.create(w.monikerPath(cp), true).close()
+        w.writeMoniker(cp, token)
         Some(w.cacheFs.create(cp, true))
       } catch { case _: java.io.IOException => None }
     }
@@ -197,10 +216,13 @@ class GraftCachingFileSystem extends FileSystem {
           metaCache.put(q.toString,
             MetaRecord(rs.getModificationTime, rs.getLen, rs.isDirectory))
         }
-        // upload complete => moniker off, file becomes evictable
+        // upload complete => lift OUR moniker (wherever a rename moved
+        // it) so the file becomes evictable; a different token means a
+        // newer generation owns the path now — leave it alone
         wc.foreach { w =>
-          val cp = w.toCachePath(q)
-          w.cacheFs.delete(w.monikerPath(cp), false)
+          val (cp, _) = resolveForward(w.toCachePath(q), q.toString)
+          if (w.monikerToken(cp).contains(token))
+            w.cacheFs.delete(w.monikerPath(cp), false)
           w.maybeEvict()
         }
       },
@@ -210,17 +232,22 @@ class GraftCachingFileSystem extends FileSystem {
           catch {
             case e: Throwable =>
               // the upload failed after the writer already returned:
-              // drop every local claim that the file exists so reads
-              // surface the remote truth instead of a phantom copy
+              // drop every local claim OF THIS GENERATION (token match)
+              // so reads surface the remote truth instead of a phantom
+              // copy, without clobbering a newer write at the same path
               System.err.println(
                 s"[graft.fs] async remote close failed for $q: $e")
-              metaCache.remove(q.toString)
               wc.foreach { w =>
-                val cp = w.toCachePath(q)
-                w.cacheFs.delete(cp, false)
-                w.cacheFs.delete(w.monikerPath(cp), false)
-                w.removeFile(cp)
+                val (cp, curGraft) =
+                  resolveForward(w.toCachePath(q), q.toString)
+                if (w.monikerToken(cp).contains(token)) {
+                  metaCache.remove(curGraft)
+                  w.cacheFs.delete(cp, false)
+                  w.cacheFs.delete(w.monikerPath(cp), false)
+                  w.removeFile(cp)
+                }
               }
+              if (wc.isEmpty) metaCache.remove(q.toString)
           })
         else r.run())
     new FSDataOutputStream(tee, null)
@@ -238,18 +265,41 @@ class GraftCachingFileSystem extends FileSystem {
       bufferSize: Int, replication: Short, blockSize: Long,
       progress: Progressable): FSDataOutputStream = {
     // same dual-stream path as create, but the parent must pre-exist
+    // and be a directory (Hadoop contract)
     val parent = qualify(f).getParent
-    if (parent != null && !exists(parent))
-      throw new java.io.FileNotFoundException(s"parent missing: $parent")
-    create(f, permission,
-      flags.contains(org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-      bufferSize, replication, blockSize, progress)
+    if (parent != null) {
+      val st = try Some(getFileStatus(parent))
+        catch { case _: java.io.FileNotFoundException => None }
+      st match {
+        case None =>
+          throw new java.io.FileNotFoundException(s"parent missing: $parent")
+        case Some(s) if !s.isDirectory =>
+          throw new org.apache.hadoop.fs.ParentNotDirectoryException(
+            s"parent is a file: $parent")
+        case _ =>
+      }
+    }
+    if (flags.contains(org.apache.hadoop.fs.CreateFlag.APPEND))
+      append(f, bufferSize, progress)
+    else
+      create(f, permission,
+        flags.contains(org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+        bufferSize, replication, blockSize, progress)
   }
 
   /** HDFS-style concat: delegate to the remote (object stores throw,
     * like the reference notes), then drop every cached fact for the
-    * target and sources. */
+    * target and sources. Refuses while any involved file still has an
+    * in-flight ASYNC upload — concatenating half-flushed remote files
+    * would silently assemble a corrupt target. */
   override def concat(trg: Path, psrcs: Array[Path]): Unit = {
+    writeCache.foreach { w =>
+      (trg +: psrcs.toSeq).foreach { p =>
+        if (w.cacheFs.exists(w.monikerPath(w.toCachePath(qualify(p)))))
+          throw new java.io.IOException(
+            s"concat: upload still in flight for $p")
+      }
+    }
     remoteFs.concat(toRemotePath(trg), psrcs.map(toRemotePath))
     invalidate(qualify(trg))
     psrcs.foreach(p => invalidate(qualify(p)))
@@ -272,18 +322,24 @@ class GraftCachingFileSystem extends FileSystem {
       metaCache.removePrefix(qs.toString) // children of a renamed dir
       writeCache.foreach { w =>
         val cs = w.toCachePath(qs); val cd = w.toCachePath(qd)
-        if (w.cacheFs.exists(w.monikerPath(cs))) {
-          // ASYNC upload still in flight for the source: the pending
-          // completion callback holds the ORIGINAL path, so moving the
-          // moniker would leak it (permanently unevictable entry).
-          // Drop the cache copy instead; the moniker stays for the
-          // closer to clean and dest reads fall through to the remote.
-          w.cacheFs.delete(cs, false)
-          w.removeFile(cs)
-        } else if (w.cacheFs.exists(cs)) {
+        if (w.cacheFs.exists(cs)) {
           w.cacheFs.mkdirs(cd.getParent)
-          if (w.cacheFs.rename(cs, cd)) w.renameFile(cs, cd)
-          else { w.cacheFs.delete(cs, false); w.removeFile(cs) }
+          val monikered = w.cacheFs.exists(w.monikerPath(cs))
+          if (w.cacheFs.rename(cs, cd)) {
+            w.renameFile(cs, cd)
+            if (monikered) {
+              // upload still in flight: move the moniker with the copy
+              // (read-your-writes at the new name keeps working) and
+              // record a forward so the pending completion callback
+              // finds — and only ever touches — its own moniker here
+              w.cacheFs.rename(w.monikerPath(cs), w.monikerPath(cd))
+              renameForwards.put(cs.toString, (cd, qd.toString))
+            }
+          } else {
+            w.cacheFs.delete(cs, false)
+            w.removeFile(cs)
+            w.cacheFs.delete(w.monikerPath(cs), false)
+          }
         }
       }
     }

@@ -44,16 +44,21 @@ final class PageCache(memCapacity: Long, diskCapacity: Long, diskDir: String,
     val m = mem.get(k)
     if (m != null) Some(m)
     else if (disk.containsKey(k)) {
-      // promote on hit (victim-cache behavior): the page moves tiers,
-      // so the disk entry + file are released (double-counting a page
-      // against both budgets would shrink effective capacity)
       val f = diskFile(k)
       if (!f.exists()) { removeDisk(k); None }
       else {
         val buf = java.nio.file.Files.readAllBytes(f.toPath)
-        removeDisk(k)
-        f.delete()
-        putMem(k, buf)
+        if (memCapacity >= buf.length) {
+          // promote on hit (victim-cache behavior): the page moves
+          // tiers, releasing the disk entry + file so it isn't counted
+          // against both budgets
+          removeDisk(k)
+          f.delete()
+          putMem(k, buf)
+        }
+        // else: memory tier can't hold a page at all — serve from disk
+        // in place (promoting would just spill straight back, rewriting
+        // the same file on every hit)
         Some(buf)
       }
     } else None

@@ -35,6 +35,29 @@ final class WriteCacheManager(val cacheFs: FileSystem, val workDir: Path,
   def monikerPath(cachePath: Path): Path =
     new Path(cachePath.getParent, cachePath.getName + ".toupload")
 
+  /** Monikers carry an ownership token: a deferred upload-completion
+    * callback must only clean up state that still belongs to ITS write
+    * (the same path may have been re-created by a newer generation). */
+  def writeMoniker(cachePath: Path, token: String): Unit = {
+    val out = cacheFs.create(monikerPath(cachePath), true)
+    try out.write(token.getBytes("UTF-8")) finally out.close()
+  }
+
+  def monikerToken(cachePath: Path): Option[String] = {
+    val mp = monikerPath(cachePath)
+    try {
+      if (!cacheFs.exists(mp)) None
+      else {
+        val in = cacheFs.open(mp)
+        try {
+          val buf = new Array[Byte](64)
+          val n = math.max(in.read(buf), 0)
+          Some(new String(buf, 0, n, "UTF-8"))
+        } finally in.close()
+      }
+    } catch { case _: java.io.IOException => None }
+  }
+
   def isExcluded(remote: Path): Boolean =
     excludePatterns.exists(p => remote.toString.matches(p))
 

@@ -114,8 +114,7 @@ object EventQueries {
       .groupBy("user_id")
       .agg(
         min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
-        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"),
-        count(lit(1)).as("n_events"))
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
     steps.select(
       count(lit(1)).as("n_users"),
       count(col("first_signup")).as("n_signed_up"),

@@ -25,8 +25,12 @@ object QuantizeQueries {
       .withColumn("scale",
         aggregate(col("vd"), lit(0.0),
           (acc, x) => greatest(acc, abs(x))) / lit(127.0))
+      // all-zero vector => scale 0; dividing would NaN (and ANSI-crash
+      // the long cast), so quantize against 1.0 — every q_i is 0 anyway
+      .withColumn("scale_safe",
+        when(col("scale") === 0.0, lit(1.0)).otherwise(col("scale")))
       .withColumn("q", transform(col("vd"),
-        x => round(x / col("scale"), 0).cast("long")))
+        x => round(x / col("scale_safe"), 0).cast("long")))
       .withColumn("deq", zip_with(col("q"), col("vd"),
         (qi, _) => qi * col("scale")))
       .withColumn("max_abs_err",
@@ -48,7 +52,8 @@ object QuantizeQueries {
       |  FROM v
       |), q AS (
       |  SELECT vec_id, vd, scale,
-      |    list_transform(vd, x -> CAST(round(x / scale, 0) AS BIGINT)) AS qv
+      |    list_transform(vd, x -> CAST(round(
+      |      x / (CASE WHEN scale = 0 THEN 1.0 ELSE scale END), 0) AS BIGINT)) AS qv
       |  FROM sc
       |)
       |SELECT vec_id, round(scale, 6) + 0 AS scale,
@@ -73,6 +78,7 @@ object QuantizeQueries {
     val nodes = bidir.select(col("ia").as("node")).distinct()
 
     var labels = nodes.withColumn("label", col("node"))
+    var prev: DataFrame = null
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -87,10 +93,16 @@ object QuantizeQueries {
             .as("label"),
           (col("nbr_min") < col("label")).as("improved"))
       next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.filter(col("improved")).count()
+      changed = next.filter(col("improved")).count() // materializes next
+      if (prev != null) prev.unpersist(blocking = false)
+      prev = next
       labels = next.select("node", "label")
       rounds += 1
     }
+    // the last round's persist stays live for the final aggregation and
+    // is reclaimed by the ContextCleaner; the loop inputs are done:
+    edges.unpersist(blocking = false)
+    bidir.unpersist(blocking = false)
     labels.groupBy(col("label").as("cluster"))
       .agg(count(lit(1)).as("size"), max("node").as("max_member"))
       .orderBy("cluster")

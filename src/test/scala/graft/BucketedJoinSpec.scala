@@ -31,13 +31,13 @@ class BucketedJoinSpec extends TestBase {
         .agg(count(lit(1)).as("cnt"))
 
       val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"no SMJ in plan:\n$plan")
       // the JOIN itself must be exchange-free: no shuffle before the
       // SortMergeJoin (the single Exchange allowed is the one feeding
       // the final tiny groupBy)
       val joinPart = plan.split("SortMergeJoin")(1)
       assert(!joinPart.contains("Exchange hashpartitioning"),
         s"bucketed join still shuffles:\n$plan")
-      assert(plan.contains("SortMergeJoin"), plan)
 
       // same answer as the plain join
       val expected = Tables.load(spark, sfDir, "lineitem")
@@ -52,6 +52,7 @@ class BucketedJoinSpec extends TestBase {
       spark.sql("DROP TABLE IF EXISTS li_bucketed")
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.unset("spark.sql.legacy.bucketedTableScan.outputOrdering")
     }
   }
 }

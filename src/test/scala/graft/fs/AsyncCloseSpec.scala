@@ -83,4 +83,47 @@ class AsyncCloseSpec extends AnyFunSuite {
       System.currentTimeMillis() < deadline) Thread.sleep(50)
     assert(!wc.cacheFs.exists(wc.monikerPath(wc.toCachePath(p))))
   }
+
+  test("rename during an in-flight upload: read-your-writes at the new name, moniker follows and is lifted") {
+    val c = new Configuration(false)
+    c.setLong("graft.fs.data.page.size", 16 * 1024)
+    c.set("graft.fs.disk.cache.dir", root.resolve("pages2").toString)
+    c.set("graft.fs.write.cache.dir", root.resolve("wc2").toString)
+    c.set("graft.fs.remote.impl", classOf[SlowCloseFileSystem].getName)
+    c.setBoolean("graft.fs.write.cache.async.close", true)
+    val fs = new GraftCachingFileSystem
+    fs.initialize(URI.create("graft://async2/"), c)
+
+    val src = new Path(s"graft://async2${root.toString}/part-tmp.bin")
+    val dst = new Path(s"graft://async2${root.toString}/part-final.bin")
+    val data = Array.tabulate(30000)(i => ((i * 3) % 256).toByte)
+
+    SlowCloseSpecState.remoteClosed.set(false)
+    val out = fs.create(src, true)
+    out.write(data)
+    out.close() // returns before the 800ms remote close
+    assert(fs.rename(src, dst), "commit-style rename failed")
+
+    val wc = fs.writeCacheRef.get
+    // the copy AND its moniker moved with the rename
+    assert(wc.cacheFs.exists(wc.toCachePath(dst)))
+    assert(wc.cacheFs.exists(wc.monikerPath(wc.toCachePath(dst))))
+
+    // read-your-writes at the committed name while the upload runs
+    val in = fs.open(dst)
+    val buf = new Array[Byte](data.length)
+    in.readFully(0, buf)
+    in.close()
+    assert(buf.sameElements(data))
+    assert(fs.stats.bytesFromWriteCache.get > 0)
+
+    // once the upload lands, the forwarded moniker is lifted
+    val deadline = System.currentTimeMillis() + 10000
+    while (wc.cacheFs.exists(wc.monikerPath(wc.toCachePath(dst))) &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(!wc.cacheFs.exists(wc.monikerPath(wc.toCachePath(dst))),
+      "moniker leaked at the renamed path")
+    // and the committed copy is still there (evictable, not deleted)
+    assert(wc.cacheFs.exists(wc.toCachePath(dst)))
+  }
 }
