@@ -161,13 +161,38 @@ object EventQueries {
       |  ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
       |GROUP BY a.day ORDER BY a.day""".stripMargin
 
+  // ---- 59. Interval join (batch form of the stream-stream join) ----
+  // Purchases matched to the same user's signups within the next hour.
+  // StreamingSpec runs the identical transformation as a watermarked
+  // stream-stream join and checks it against this batch plan.
+  val q59_interval_join: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    graft.streaming.GraftStreams.purchasesAfterSignup(
+      ev.filter(col("event_type") === "signup"),
+      ev.filter(col("event_type") === "purchase"))
+      .select(col("user_id"), col("signup_id"), col("purchase_id"),
+        dround(col("value"), 2).as("value"))
+      .orderBy("user_id", "signup_id", "purchase_id")
+  }
+
+  val q59_interval_join_sql: String =
+    """SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id,
+      |  round(p.value, 2) AS value
+      |FROM events s JOIN events p
+      |  ON s.user_id = p.user_id
+      | AND s.event_type = 'signup' AND p.event_type = 'purchase'
+      | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+      |ORDER BY s.user_id, signup_id, purchase_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q59_interval_join" -> q59_interval_join,
     "q52_sessionize" -> q52_sessionize,
     "q53_asof_join" -> q53_asof_join,
     "q55_funnel" -> q55_funnel,
     "q56_retention" -> q56_retention)
 
   val oracles: Map[String, String] = Map(
+    "q59_interval_join" -> q59_interval_join_sql,
     "q52_sessionize" -> q52_sessionize_sql,
     "q53_asof_join" -> q53_asof_join_sql,
     "q55_funnel" -> q55_funnel_sql,

@@ -56,6 +56,27 @@ object GraftStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * signups within the preceding hour. Watermarks on both sides bound
+    * the join state (each side keeps at most 1h + watermark of rows per
+    * user) — the unbounded form of a range/interval join. */
+  def purchasesAfterSignup(signups: DataFrame, purchases: DataFrame): DataFrame = {
+    val s = signups
+      .select(col("user_id"), col("ts").as("signup_ts"),
+        col("event_id").as("signup_id"))
+      .withWatermark("signup_ts", "10 minutes")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    s.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("signup_ts") &&
+        col("purchase_ts") <= col("signup_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("signup_id"), col("purchase_id"),
+        col("signup_ts"), col("purchase_ts"), col("value"))
+  }
+
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp,
       value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)

@@ -53,7 +53,28 @@ object StreamSmoke {
     val deduped = spark.table("dedup").count()
     val distinct = graft.Tables.load(spark, sfDir, "events").count()
     println(s"[stream-smoke] dedup in=${2 * distinct} out=$deduped ok=${deduped == distinct}")
+
+    // stream-stream watermarked interval join vs its batch plan
+    import org.apache.spark.sql.functions.col
+    def sideStream(t: String) = GraftStreams.eventsStream(spark, dir.toString)
+      .filter(col("event_type") === t)
+    val jq = GraftStreams.purchasesAfterSignup(
+      sideStream("signup"), sideStream("purchase"))
+      .writeStream.format("memory").queryName("ssj").outputMode("append")
+      .start()
+    try jq.processAllAvailable() finally jq.stop()
+    val ev = graft.Tables.load(spark, sfDir, "events")
+    val batchJoin = GraftStreams.purchasesAfterSignup(
+      ev.filter(col("event_type") === "signup"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("user_id", "signup_id", "purchase_id")
+      .collect().map(_.toSeq).toSeq
+    val streamJoin = spark.table("ssj")
+      .orderBy("user_id", "signup_id", "purchase_id")
+      .collect().map(_.toSeq).toSeq
+    val joinOk = streamJoin == batchJoin && streamJoin.nonEmpty
+    println(s"[stream-smoke] interval_join rows=${streamJoin.size} matches_batch=$joinOk")
     spark.stop()
-    if (!same || deduped != distinct) sys.exit(1)
+    if (!same || deduped != distinct || !joinOk) sys.exit(1)
   }
 }

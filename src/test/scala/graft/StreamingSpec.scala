@@ -58,6 +58,30 @@ class StreamingSpec extends TestBase {
       s"streamed $streamed vs distinct $batchDistinct")
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val signups = GraftStreams.eventsStream(spark, eventsDir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "signup")
+    val purchases = GraftStreams.eventsStream(spark, eventsDir)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+    val q = GraftStreams.purchasesAfterSignup(signups, purchases)
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("ss_join")
+      .orderBy("user_id", "signup_id", "purchase_id")
+      .collect().map(_.toSeq).toSeq
+    val ev = Tables.load(spark, sfDir, "events")
+    val batch = GraftStreams.purchasesAfterSignup(
+      ev.filter(org.apache.spark.sql.functions.col("event_type") === "signup"),
+      ev.filter(org.apache.spark.sql.functions.col("event_type") === "purchase"))
+      .orderBy("user_id", "signup_id", "purchase_id")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("stateful streaming sessionization emits sessions") {
     val stream = GraftStreams.eventsStream(spark, eventsDir)
     val q = GraftStreams.sessionize(spark, stream)
