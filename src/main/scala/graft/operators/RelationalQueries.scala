@@ -408,18 +408,33 @@ object RelationalQueries {
       .orderBy("l_returnflag")
 
   // ---- 14. Window ranking ----
+  // ntile is NOT computed in the window: a non-rank-like function in the
+  // window spec defeats WindowGroupLimit, forcing a full per-partition sort
+  // of the fact table into (cardinality of l_returnflag) reducers. Instead
+  // the window carries only rank-like functions (top-5 rows are kept
+  // map-side before the exchange) and the ntile bucket is derived
+  // arithmetically from broadcast group counts — SQL ntile semantics:
+  // n = base*4 + rem, the first `rem` buckets hold base+1 rows.
   val q14_window_rank: Q = (s, dir) => {
     val w = Window.partitionBy("l_returnflag")
       .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
         col("l_linenumber"))
-    t(s, dir, "lineitem")
+    val li = t(s, dir, "lineitem")
+    val counts = li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+    val baseFloor = floor(col("n") / 4)
+    val rem = col("n") - baseFloor * 4
+    val qt = when(col("rn") <= rem * (baseFloor + 1),
+        floor((col("rn") - 1) / (baseFloor + 1)) + 1)
+      .otherwise(rem +
+        floor((col("rn") - rem * (baseFloor + 1) - 1) / baseFloor) + 1)
+    li
       .withColumn("rn", row_number().over(w))
       .withColumn("rk", rank().over(w).cast("long"))
       .withColumn("drk", dense_rank().over(w).cast("long"))
-      .withColumn("qt", ntile(4).over(w).cast("long"))
       .filter(col("rn") <= 5)
+      .join(broadcast(counts), "l_returnflag")
       .select(col("l_returnflag"), col("rn").cast("long").as("rn"),
-        col("rk"), col("drk"), col("qt"),
+        col("rk"), col("drk"), qt.cast("long").as("qt"),
         col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       .orderBy("l_returnflag", "rn")
   }

@@ -156,10 +156,15 @@ object ScalarQueries {
         dround(sqrt(aggregate(col("embedding"), lit(0.0),
           (acc, x) => acc + x.cast("double") * x.cast("double"))), 4)
           .as("l2_norm"),
-        transform(slice(col("embedding"), 1, 3),
-          x => dround(x.cast("double"), 4)).as("head3"),
-        sort_array(transform(slice(col("embedding"), 1, 3),
-          x => dround(x.cast("double"), 4))).as("head3_sorted"),
+        // Nested outputs are serialized to strings so the driver's pandas
+        // comparator can hash them; scaled-long (round(x*1e4)) avoids
+        // double-to-string formatting differences between engines.
+        concat_ws(",", transform(slice(col("embedding"), 1, 3),
+          x => round(x.cast("double") * 10000).cast("long").cast("string")))
+          .as("head3"),
+        concat_ws(",", sort_array(transform(slice(col("embedding"), 1, 3),
+          x => round(x.cast("double") * 10000).cast("long")))
+          .cast("array<string>")).as("head3_sorted"),
         array_contains(transform(col("embedding"),
           x => dround(x.cast("double"), 2)), 0.0).as("has_zero"))
       .orderBy("vec_id")
@@ -169,10 +174,10 @@ object ScalarQueries {
       |  CAST(embedding[1] AS DOUBLE) AS first_val,
       |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
       |    x -> x * x))), 4) AS l2_norm,
-      |  list_transform(embedding[1:3],
-      |    x -> round(CAST(x AS DOUBLE), 4) + 0) AS head3,
-      |  list_sort(list_transform(embedding[1:3],
-      |    x -> round(CAST(x AS DOUBLE), 4) + 0)) AS head3_sorted,
+      |  array_to_string(list_transform(embedding[1:3],
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)), ',') AS head3,
+      |  array_to_string(list_sort(list_transform(embedding[1:3],
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT))), ',') AS head3_sorted,
       |  list_contains(list_transform(embedding,
       |    x -> round(CAST(x AS DOUBLE), 2) + 0), 0.0) AS has_zero
       |FROM embeddings ORDER BY vec_id""".stripMargin
@@ -203,19 +208,26 @@ object ScalarQueries {
           org.apache.spark.sql.types.StructField("k",
             org.apache.spark.sql.types.LongType)))))
       .withColumn("k_val", col("js.k"))
+    // map_keys/map_values outputs serialized to strings (scalar columns)
+    // for the driver's pandas comparator; NULL values spelled out so both
+    // engines agree (concat_ws would silently drop them).
     parsed.select(
       col("event_id"),
       col("k_val"),
-      map_keys(map(lit("k"), col("k_val"))).as("mk"),
-      map_values(map(lit("k"), col("k_val"))).as("mv"))
+      concat_ws(",", map_keys(map(lit("k"), col("k_val")))).as("mk"),
+      concat_ws(",", transform(map_values(map(lit("k"), col("k_val"))),
+        v => coalesce(v.cast("string"), lit("null")))).as("mv"))
       .orderBy("event_id")
   }
 
   val q26_struct_map_sql: String =
     """SELECT event_id,
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
-      |  map_keys(MAP(['k'], [CAST(json_extract_string(props, '$.k') AS BIGINT)])) AS mk,
-      |  map_values(MAP(['k'], [CAST(json_extract_string(props, '$.k') AS BIGINT)])) AS mv
+      |  array_to_string(map_keys(MAP(['k'],
+      |    [CAST(json_extract_string(props, '$.k') AS BIGINT)])), ',') AS mk,
+      |  array_to_string(list_transform(map_values(MAP(['k'],
+      |    [CAST(json_extract_string(props, '$.k') AS BIGINT)])),
+      |    v -> coalesce(CAST(v AS VARCHAR), 'null')), ',') AS mv
       |FROM events ORDER BY event_id""".stripMargin
 
   // ---- 27. JSON extraction + aggregation ----
