@@ -81,13 +81,25 @@ final class CachingInputStream(
 
   // ---- ByteBufferReadable ----
 
+  // heap buffers are filled in place (no copy at all); direct buffers
+  // reuse a per-stream staging array instead of allocating per call —
+  // vectorized parquet readers hit this method hot
+  private var bbStage: Array[Byte] = _
+
   override def read(bb: ByteBuffer): Int = {
     val want = bb.remaining()
     if (want == 0) return 0
-    val tmp = new Array[Byte](want)
-    val n = read(tmp, 0, want)
-    if (n > 0) bb.put(tmp, 0, n)
-    n
+    if (bb.hasArray) {
+      val n = read(bb.array(), bb.arrayOffset() + bb.position(), want)
+      if (n > 0) bb.position(bb.position() + n)
+      n
+    } else {
+      if (bbStage == null || bbStage.length < want)
+        bbStage = new Array[Byte](want)
+      val n = read(bbStage, 0, want)
+      if (n > 0) bb.put(bbStage, 0, n)
+      n
+    }
   }
 
   // ---- PositionedReadable (the hot path under Spark's parquet reader) ----
@@ -166,7 +178,10 @@ final class CachingInputStream(
     * counters always sum to bytesRead). */
   private def fetchSpan(pageOff: Long): java.util.concurrent.atomic.AtomicLong = {
     val spanLen = math.min(conf.ioBufferSize, fileLen - pageOff).toInt
-    if (buf == null || buf.length < spanLen) buf = new Array[Byte](math.max(spanLen, 1))
+    // one fixed size class (the configured I/O buffer) so the shared
+    // pool actually recycles across streams; spanLen only shrinks at EOF
+    if (buf == null)
+      buf = BufferPool.shared.acquire(math.max(conf.ioBufferSize, 1L).toInt)
     val tier = externalReadFully(pageOff, buf, spanLen)
     bufStart = pageOff
     bufLen = spanLen
@@ -221,7 +236,9 @@ final class CachingInputStream(
       closed = true
       if (remoteStream != null) remoteStream.close()
       if (cacheStream != null) cacheStream.close()
+      BufferPool.shared.release(buf)
       buf = null
+      bbStage = null
       bufStart = -1
       bufLen = 0
     }

@@ -81,6 +81,12 @@ class GraftCachingFileSystem extends FileSystem {
       catch { case _: IllegalStateException => /* already shutting down */ }
     }
     GraftCachingFileSystem.register(uri.toString, this)
+    // surface tier counters through Spark's metrics system (JMX parity
+    // with the reference's MBean sink); harmless no-op outside Spark
+    if (conf.getBoolean(s"${GraftFsConf.Prefix}metrics.enabled", true)) {
+      try org.apache.spark.metrics.graft.GraftCacheSource.register(stats)
+      catch { case _: Throwable => /* no Spark runtime on this classpath */ }
+    }
   }
 
   // ---- path mapping graft://auth/p -> remote fs path ----
@@ -253,11 +259,92 @@ class GraftCachingFileSystem extends FileSystem {
     new FSDataOutputStream(tee, null)
   }
 
+  /** Dual-write append (reference parity:
+    * SidecarCachingFileSystem.java:1778-1805): bytes tee into the
+    * write-cache copy in lockstep with the remote IF the copy is a
+    * complete, settled mirror (same length as remote, no upload in
+    * flight) — read-your-writes keeps working for append workloads
+    * (WAL-style users). Anything else (stale or missing copy) falls back
+    * to remote-only with the local copy dropped. Append is always SYNC:
+    * an appender expects durability at close. */
   override def append(f: Path, bufferSize: Int,
       progress: Progressable): FSDataOutputStream = {
     val q = qualify(f)
-    invalidate(q)
-    remoteFs.append(toRemotePath(f), bufferSize, progress)
+    // content is about to change: cached pages + the meta fact are stale
+    metaCache.get(q.toString).foreach { m =>
+      pageCache.invalidateFile(PageKey.baseFor(q.toString, m.modTime),
+        m.length, fsConf.pageSize)
+    }
+    metaCache.remove(q.toString)
+    val remoteOut = remoteFs.append(toRemotePath(f), bufferSize, progress)
+    val wc = writeCache.filter(w => !w.isExcluded(q))
+    val token = java.util.UUID.randomUUID().toString
+    var teeTarget: Option[(WriteCacheManager, Path, Long)] = None
+    wc.foreach { w =>
+      val cp = w.toCachePath(q)
+      // an in-flight upload owns its copy — never touch it from here
+      if (!w.cacheFs.exists(w.monikerPath(cp))) {
+        val settledLen: Option[Long] =
+          try {
+            if (!w.cacheFs.exists(cp)) None
+            else {
+              val local = w.cacheFs.getFileStatus(cp).getLen
+              if (local == remoteFs.getFileStatus(toRemotePath(f)).getLen)
+                Some(local)
+              else None
+            }
+          } catch { case _: java.io.IOException => None }
+        settledLen match {
+          case Some(len) => teeTarget = Some((w, cp, len))
+          case None if w.cacheFs.exists(cp) =>
+            // stale copy would diverge once the append lands remotely
+            w.cacheFs.delete(cp, false)
+            w.removeFile(cp)
+          case None =>
+        }
+      }
+    }
+    val cacheOut = teeTarget.flatMap { case (w, cp, _) =>
+      try {
+        // moniker while appending: the copy must not be evicted mid-write
+        w.writeMoniker(cp, token)
+        Some(w.cacheFs.append(cp, bufferSize, null): java.io.OutputStream)
+      } catch {
+        case _: java.io.IOException =>
+          w.cacheFs.delete(w.monikerPath(cp), false)
+          w.cacheFs.delete(cp, false)
+          w.removeFile(cp)
+          teeTarget = None
+          None
+      }
+    }
+    val tee = new CachingOutputStream(remoteOut, cacheOut,
+      onCacheError = () => teeTarget.foreach { case (w, cp, _) =>
+        w.cacheFs.delete(cp, false)
+        w.cacheFs.delete(w.monikerPath(cp), false)
+        w.removeFile(cp)
+      },
+      onCloseLocal = bytes => {
+        stats.bytesWritten.addAndGet(bytes)
+        teeTarget.foreach { case (w, cp, base) =>
+          if (w.cacheFs.exists(cp)) w.recordFile(cp, base + bytes)
+        }
+      },
+      onCloseRemote = _ => {
+        // sync close: the remote is authoritative for length + modTime
+        try {
+          val rs = remoteFs.getFileStatus(toRemotePath(f))
+          metaCache.put(q.toString,
+            MetaRecord(rs.getModificationTime, rs.getLen, rs.isDirectory))
+        } catch { case _: java.io.IOException => }
+        teeTarget.foreach { case (w, cp, _) =>
+          if (w.monikerToken(cp).contains(token))
+            w.cacheFs.delete(w.monikerPath(cp), false)
+          w.maybeEvict()
+        }
+      },
+      closer = r => r.run())
+    new FSDataOutputStream(tee, null)
   }
 
   override def createNonRecursive(f: Path, permission: FsPermission,

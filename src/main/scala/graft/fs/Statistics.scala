@@ -25,30 +25,29 @@ final class Statistics extends Serializable {
   val pagesEvictedToDisk = new AtomicLong
   val remoteReadNanos = new AtomicLong
 
-  def reset(): Unit = productCounters.foreach(_.set(0))
+  def reset(): Unit = counters.values.foreach(_.set(0))
 
-  private def productCounters: Seq[AtomicLong] = Seq(
-    readRequests, bytesRead, bytesFromPageCache, bytesFromPrefetch,
-    bytesFromWriteCache, bytesFromRemote, pagesPut, pagesRejectedScan,
-    metaHits, metaMisses, bytesWritten, filesWritten, filesEvicted,
-    pagesEvictedToDisk, remoteReadNanos)
+  /** Stable name -> live counter map — the single source of truth for
+    * snapshot, toString, and the Spark metrics gauges. */
+  val counters: Map[String, AtomicLong] = Map(
+    "readRequests" -> readRequests,
+    "bytesRead" -> bytesRead,
+    "bytesFromPageCache" -> bytesFromPageCache,
+    "bytesFromPrefetch" -> bytesFromPrefetch,
+    "bytesFromWriteCache" -> bytesFromWriteCache,
+    "bytesFromRemote" -> bytesFromRemote,
+    "pagesPut" -> pagesPut,
+    "pagesRejectedScan" -> pagesRejectedScan,
+    "metaHits" -> metaHits,
+    "metaMisses" -> metaMisses,
+    "bytesWritten" -> bytesWritten,
+    "filesWritten" -> filesWritten,
+    "filesEvicted" -> filesEvicted,
+    "pagesEvictedToDisk" -> pagesEvictedToDisk,
+    "remoteReadNanos" -> remoteReadNanos)
 
-  def snapshot: Map[String, Long] = Map(
-    "readRequests" -> readRequests.get,
-    "bytesRead" -> bytesRead.get,
-    "bytesFromPageCache" -> bytesFromPageCache.get,
-    "bytesFromPrefetch" -> bytesFromPrefetch.get,
-    "bytesFromWriteCache" -> bytesFromWriteCache.get,
-    "bytesFromRemote" -> bytesFromRemote.get,
-    "pagesPut" -> pagesPut.get,
-    "pagesRejectedScan" -> pagesRejectedScan.get,
-    "metaHits" -> metaHits.get,
-    "metaMisses" -> metaMisses.get,
-    "bytesWritten" -> bytesWritten.get,
-    "filesWritten" -> filesWritten.get,
-    "filesEvicted" -> filesEvicted.get,
-    "pagesEvictedToDisk" -> pagesEvictedToDisk.get,
-    "remoteReadNanos" -> remoteReadNanos.get)
+  def snapshot: Map[String, Long] =
+    counters.map { case (k, v) => k -> v.get }
 
   override def toString: String =
     snapshot.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }

@@ -77,8 +77,7 @@ object QuantizeQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = bidir.select(col("ia").as("node")).distinct()
 
-    var labels = nodes.withColumn("label", col("node"))
-    var prev: DataFrame = null
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -86,17 +85,30 @@ object QuantizeQueries {
         .join(labels, bidir("ia") === labels("node"))
         .groupBy(col("ib").as("node2"))
         .agg(min("label").as("nbr_min"))
-      val next = labels
+      val step = labels
         .join(msgs, labels("node") === msgs("node2"), "left_outer")
-        .select(col("node"),
+        .select(col("node"), col("label").as("old_label"),
           least(col("label"), coalesce(col("nbr_min"), col("label")))
-            .as("label"),
-          (col("nbr_min") < col("label")).as("improved"))
-      next.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      changed = next.filter(col("improved")).count() // materializes next
-      if (prev != null) prev.unpersist(blocking = false)
-      prev = next
-      labels = next.select("node", "label")
+            .as("lbl1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // pointer-jump (path shortcutting): each node also adopts the label
+      // of its label — the min-label invariant is preserved (labels are
+      // node ids with label(m) <= m, same component), and convergence
+      // drops from O(diameter) to O(log diameter) rounds.
+      val parents = step.select(col("node").as("pn"), col("lbl1").as("pl"))
+      val next = step
+        .join(parents, step("lbl1") === parents("pn"), "left_outer")
+        .select(col("node"),
+          least(col("lbl1"), coalesce(col("pl"), col("lbl1"))).as("label"),
+          col("old_label"))
+      // localCheckpoint (eager) truncates lineage every round — the plan
+      // stays O(1) deep no matter how many rounds run, which is what keeps
+      // driver planning bounded at real graph sizes; its materialization
+      // also backs the `changed` count.
+      val mat = next.localCheckpoint()
+      changed = mat.filter(col("label") < col("old_label")).count()
+      step.unpersist(blocking = false)
+      labels = mat.select("node", "label")
       rounds += 1
     }
     // the last round's persist stays live for the final aggregation and

@@ -242,6 +242,49 @@ class CachingFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(errs.get == 0)
   }
 
+  test("append tees into the write cache: read-your-appends, zero remote bytes") {
+    val fs = newFs("t10")
+    val p = graftPath("f10.bin")
+    writeFile(fs, p, PageSz, 10)
+    val out = fs.append(p)
+    out.write(Array.tabulate(PageSz)(i => expectedByte((PageSz + i).toLong, 10)))
+    out.close()
+    // remote holds both halves; the cache copy was extended in lockstep
+    assert(new java.io.File(s"$remoteDir/f10.bin").length() == 2 * PageSz)
+    val wc = fs.writeCacheRef.get
+    val cp = wc.toCachePath(p)
+    assert(wc.cacheFs.getFileStatus(cp).getLen == 2 * PageSz)
+    assert(!wc.cacheFs.exists(wc.monikerPath(cp)), "append moniker not lifted")
+    // first read after the append: every byte from the write cache
+    val in = fs.open(p)
+    val buf = new Array[Byte](2 * PageSz)
+    in.readFully(0, buf)
+    in.close()
+    assert(buf.zipWithIndex.forall { case (b, i) => b == expectedByte(i, 10) })
+    assert(fs.stats.bytesFromRemote.get == 0, s"remote read: ${fs.stats}")
+  }
+
+  test("append over a divergent cache copy falls back to remote-only") {
+    val fs = newFs("t11")
+    val p = graftPath("f11.bin")
+    writeFile(fs, p, PageSz, 11)
+    val wc = fs.writeCacheRef.get
+    val cp = wc.toCachePath(p)
+    // truncate the copy out from under the cache: lengths now disagree
+    val trunc = wc.cacheFs.create(cp, true); trunc.write(1); trunc.close()
+    val out = fs.append(p)
+    out.write(Array.tabulate(8)(i => expectedByte((PageSz + i).toLong, 11)))
+    out.close()
+    // the divergent copy was dropped, not extended
+    assert(!wc.cacheFs.exists(cp))
+    val in = fs.open(p)
+    val buf = new Array[Byte](PageSz + 8)
+    in.readFully(0, buf)
+    in.close()
+    assert(buf.zipWithIndex.forall { case (b, i) => b == expectedByte(i, 11) })
+    assert(fs.stats.bytesFromRemote.get == PageSz + 8)
+  }
+
   test("scan detector truth table") {
     val d = new ScanDetector(3, 100)
     assert(!d.record(0))
