@@ -2,7 +2,6 @@ package graft.fs
 
 import java.io.{File, FileInputStream, FileOutputStream, ObjectInputStream, ObjectOutputStream}
 import java.security.MessageDigest
-import scala.collection.mutable
 import scala.jdk.CollectionConverters._
 
 /** Page identity: MD5(qualifiedPath + "/" + modTime) plus the
@@ -22,20 +21,84 @@ object PageKey {
 /** Two-tier page cache: an LRU byte-budgeted memory tier whose victims
   * spill to an LRU disk tier (the reference's offheap->file victim
   * tiering, SidecarCachingFileSystem.java:916-929, simplified to
-  * heap+disk). Thread-safe; all maps are access-ordered LinkedHashMaps
-  * guarded by this object's lock — the data copies are O(pageSize) and
-  * happen outside any remote I/O, so the lock is never held across RPCs.
+  * heap+disk).
+  *
+  * Lock-striped: keys hash into `NumShards` independent shards, each an
+  * access-ordered LinkedHashMap pair guarded by its own monitor with
+  * 1/NumShards of each byte budget. A 32-thread scan never serializes on
+  * one global lock; per-shard copies are O(pageSize) and never held
+  * across remote I/O. Budget skew across shards is statistical noise —
+  * MD5-based keys distribute uniformly.
   */
 final class PageCache(memCapacity: Long, diskCapacity: Long, diskDir: String,
     stats: Statistics) {
 
-  private val mem = new java.util.LinkedHashMap[PageKey, Array[Byte]](256, 0.75f, true)
-  private var memBytes = 0L
-  // disk tier index: key -> file length (file name derived from key)
-  private val disk = new java.util.LinkedHashMap[PageKey, Long](256, 0.75f, true)
-  private var diskBytes = 0L
+  // one stripe per ~4 MiB of memory budget, capped at 16: production
+  // budgets (256 MiB default) get full striping, tiny test budgets
+  // collapse to a single shard so per-shard capacity still fits pages
+  private val NumShards =
+    math.max(1, math.min(16, (memCapacity / (4L << 20)).toInt))
+  private val shards = Array.tabulate(NumShards)(_ =>
+    new PageShard(math.max(memCapacity / NumShards, 1),
+      diskCapacity / NumShards, diskDir, stats))
 
   new File(diskDir).mkdirs()
+
+  private def shardOf(k: PageKey): PageShard =
+    shards(((k.base.hashCode.toLong * 31 + (k.offset >>> 12)) % NumShards)
+      .toInt.abs)
+
+  def get(k: PageKey): Option[Array[Byte]] = shardOf(k).get(k)
+  def contains(k: PageKey): Boolean = shardOf(k).contains(k)
+  def put(k: PageKey, data: Array[Byte]): Unit = shardOf(k).put(k, data)
+
+  /** Drop every page of a file (walk offsets by pageSize like the
+    * reference's evictDataPages). */
+  def invalidateFile(base: String, fileLen: Long, pageSize: Long): Unit = {
+    var off = 0L
+    while (off < math.max(fileLen, pageSize)) {
+      val k = PageKey(base, off)
+      shardOf(k).invalidate(k)
+      off += pageSize
+    }
+  }
+
+  def clear(): Unit = shards.foreach(_.clear())
+
+  def memoryBytes: Long = shards.map(_.memoryBytes).sum
+  def diskTierBytes: Long = shards.map(_.diskTierBytes).sum
+  def pageCount: Int = shards.map(_.pageCount).sum
+
+  // ---- persistence (reference: caches save on shutdown, reload on init) ----
+
+  def save(indexFile: File): Unit = {
+    // spill all memory pages to the disk tier so data survives, then
+    // write one combined index (key -> length) of the disk tiers
+    val entries = shards.flatMap(_.spillAllAndIndex()).toList
+    val out = new ObjectOutputStream(new FileOutputStream(indexFile))
+    try out.writeObject(entries) finally out.close()
+  }
+
+  def load(indexFile: File): Unit = {
+    if (!indexFile.exists()) return
+    val in = new ObjectInputStream(new FileInputStream(indexFile))
+    try {
+      val entries = in.readObject().asInstanceOf[List[(PageKey, Long)]]
+      entries.foreach { case (k, len) => shardOf(k).adopt(k, len) }
+    } finally in.close()
+  }
+}
+
+/** One stripe of the page cache — the original single-lock two-tier LRU,
+  * now scoped to 1/NumShards of the key space and budgets. */
+private final class PageShard(memCapacity: Long, diskCapacity: Long,
+    diskDir: String, stats: Statistics) {
+
+  private val mem = new java.util.LinkedHashMap[PageKey, Array[Byte]](64, 0.75f, true)
+  private var memBytes = 0L
+  // disk tier index: key -> file length (file name derived from key)
+  private val disk = new java.util.LinkedHashMap[PageKey, Long](64, 0.75f, true)
+  private var diskBytes = 0L
 
   private def diskFile(k: PageKey): File =
     new File(diskDir, s"${k.base}_${k.offset}.page")
@@ -113,19 +176,11 @@ final class PageCache(memCapacity: Long, diskCapacity: Long, diskDir: String,
     if (len != null) diskBytes -= len
   }
 
-  /** Drop every page of a file (walk offsets by pageSize like the
-    * reference's evictDataPages). */
-  def invalidateFile(base: String, fileLen: Long, pageSize: Long): Unit =
-    synchronized {
-      var off = 0L
-      while (off < math.max(fileLen, pageSize)) {
-        val k = PageKey(base, off)
-        val m = mem.remove(k)
-        if (m != null) memBytes -= m.length
-        if (disk.containsKey(k)) { removeDisk(k); diskFile(k).delete() }
-        off += pageSize
-      }
-    }
+  def invalidate(k: PageKey): Unit = synchronized {
+    val m = mem.remove(k)
+    if (m != null) memBytes -= m.length
+    if (disk.containsKey(k)) { removeDisk(k); diskFile(k).delete() }
+  }
 
   def clear(): Unit = synchronized {
     mem.clear(); memBytes = 0
@@ -137,31 +192,18 @@ final class PageCache(memCapacity: Long, diskCapacity: Long, diskDir: String,
   def diskTierBytes: Long = synchronized(diskBytes)
   def pageCount: Int = synchronized(mem.size() + disk.size())
 
-  // ---- persistence (reference: caches save on shutdown, reload on init) ----
-
-  def save(indexFile: File): Unit = synchronized {
-    // spill all memory pages to the disk tier so data survives, then
-    // write the index (key -> length) of the disk tier
+  /** Persistence helper: spill the memory tier, return this shard's disk
+    * index entries. */
+  def spillAllAndIndex(): Seq[(PageKey, Long)] = synchronized {
     mem.entrySet().asScala.toSeq.foreach(e => spillToDisk(e.getKey, e.getValue))
-    val out = new ObjectOutputStream(new FileOutputStream(indexFile))
-    try {
-      val entries = disk.entrySet().asScala.toSeq
-        .map(e => (e.getKey, e.getValue))
-      out.writeObject(entries.toList)
-    } finally out.close()
+    disk.entrySet().asScala.toSeq.map(e => (e.getKey, e.getValue))
   }
 
-  def load(indexFile: File): Unit = synchronized {
-    if (!indexFile.exists()) return
-    val in = new ObjectInputStream(new FileInputStream(indexFile))
-    try {
-      val entries = in.readObject().asInstanceOf[List[(PageKey, Long)]]
-      entries.foreach { case (k, len) =>
-        if (diskFile(k).exists() && !disk.containsKey(k)) {
-          disk.put(k, len)
-          diskBytes += len
-        }
-      }
-    } finally in.close()
+  /** Persistence helper: re-adopt a disk page recorded in a saved index. */
+  def adopt(k: PageKey, len: Long): Unit = synchronized {
+    if (diskFile(k).exists() && !disk.containsKey(k)) {
+      disk.put(k, len)
+      diskBytes += len
+    }
   }
 }

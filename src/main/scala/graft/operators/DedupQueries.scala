@@ -99,7 +99,12 @@ object DedupQueries {
       .orderBy("ia", "ib")
   }
 
-  // ---- 43. Exact n-gram (3-word shingle) Jaccard near-dup, oracle-checked ----
+  // ---- 43. Exact n-gram (3-word shingle) Jaccard near-dup ----
+  // Ground truth ONLY: the sum(df²) shingle self-join is the textbook
+  // scale-killer, so this query is not part of the declared surface —
+  // q43b produces the identical oracle-checked output through the
+  // LSH-then-verify shape (DedupSpec asserts exact equality). Kept as a
+  // callable so the spec can diff the two implementations row by row.
   val q43_ngram_jaccard: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
@@ -247,7 +252,6 @@ object DedupQueries {
     "q40_dedup_exact" -> q40_dedup_exact,
     "q41_minhash_lsh" -> q41_minhash_lsh,
     "q42_simhash" -> q42_simhash,
-    "q43_ngram_jaccard" -> q43_ngram_jaccard,
     "q43b_lsh_verified" -> q43b_lsh_verified,
     "q44_embed_neardup" -> q44_embed_neardup)
 
@@ -255,9 +259,8 @@ object DedupQueries {
     "q40_dedup_exact" -> q40_dedup_exact_sql,
     // q41/q42: minhash + simhash families not expressible in DuckDB —
     // rows-only check; cross-validated against q43 in DedupSpec.
-    "q43_ngram_jaccard" -> q43_ngram_jaccard_sql,
-    // LSH+verify provably returns the same set on this data — checked
-    // against the identical exact-join oracle:
+    // q43's exact all-pairs form is spec-only ground truth; its oracle
+    // SQL lives on as q43b's check (identical output, scale-safe plan):
     "q43b_lsh_verified" -> q43_ngram_jaccard_sql,
     "q44_embed_neardup" -> q44_embed_neardup_sql)
 }

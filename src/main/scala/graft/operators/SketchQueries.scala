@@ -50,13 +50,49 @@ object SketchQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Spherical k-means (Lloyd) for the IVF coarse quantizer: assign each
+    * vector to its max-cosine centroid, recompute cell means, normalize.
+    * Seeds are deterministic (the first k vectors). Centroids are model
+    * state — k×dim doubles — so the per-round collect is legitimate
+    * driver traffic (the same k rows every cluster job must broadcast),
+    * not a distributed-operator smell; each round is one broadcast join
+    * + one shuffle of k×dim partial sums.
+    */
+  private[operators] def kmeansCentroids(s: SparkSession, e: DataFrame,
+      k: Int, iters: Int): DataFrame = {
+    import s.implicits._
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val vd = e.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    var cents: Seq[(Int, Seq[Double])] = vd.filter(col("vec_id") < k)
+      .orderBy("vec_id").collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
+      val means = vd.join(broadcast(cents.toDF("cid", "ce")))
+        .withColumn("sim", cosine_similarity(col("v"), col("ce")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("cid")
+        .agg(array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("m"))
+      val updated = means.collect().map { r =>
+        val m = r.getSeq[Double](1)
+        val norm = math.sqrt(m.map(x => x * x).sum)
+        (r.getInt(0), if (norm == 0.0) m else m.map(_ / norm))
+      }.toMap
+      // empty cells keep their previous centroid
+      cents = cents.map { case (cid, ce) => (cid, updated.getOrElse(cid, ce)) }
+    }
+    cents.toDF("cid", "ce")
+  }
+
   // ---- 46b. IVF (inverted-file) approximate nearest neighbors ----
-  // Centroids here are a deterministic sample (first 16 vectors); a
-  // production build would k-means them — the query shape is identical.
+  // The coarse quantizer is a real spherical k-means (3 Lloyd rounds,
+  // deterministic seeds) — cells reflect the data distribution, not an
+  // arbitrary sample.
   val q46b_ann_ivf: Q = (s, dir) => {
     val e = t(s, dir, "embeddings")
-    val centroids = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+    val centroids = kmeansCentroids(s, e, k = 16, iters = 3)
 
     // invert: each corpus vector -> nearest centroid cell
     val assignW = Window.partitionBy("vec_id")

@@ -19,6 +19,14 @@ class DedupSpec extends TestBase {
     assert(exact.nonEmpty)
   }
 
+  test("LSH-verified near-dup equals the exact all-pairs ground truth") {
+    // q43 (exact sum(df²) self-join) is spec-only; q43b must reproduce
+    // it row-for-row — same pairs AND same jaccard values
+    val a = DedupQueries.q43_ngram_jaccard(spark, sfDir).collect().toSeq
+    val b = DedupQueries.q43b_lsh_verified(spark, sfDir).collect().toSeq
+    assert(a == b, s"exact=${a.size} lsh=${b.size}")
+  }
+
   test("minhash LSH finds every exact near-dup pair") {
     val approx = pairs(DedupQueries.q41_minhash_lsh(spark, sfDir))
     assert(exact.subsetOf(approx),
