@@ -626,7 +626,63 @@ object RelationalQueries {
       |  FROM lineitem
       |) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin
 
+  // ---- 60. Salted skew join (scale technique, oracle-identical) ----
+  // The standard hot-key defense at 100 TB: the fact side gets a
+  // deterministic salt, the (small) build side is replicated S ways, and
+  // the join key becomes (key, salt) so one hot part key fans out over S
+  // reducers instead of melting one. The salt never changes the result —
+  // the oracle is the plain join.
+  val q60_salted_join: Q = (s, dir) => {
+    val S = 8
+    val li = t(s, dir, "lineitem")
+      .withColumn("salt",
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(S)))
+    val pt = t(s, dir, "part")
+      .select(col("p_partkey"), col("p_brand"),
+        explode(sequence(lit(0), lit(S - 1))).as("salt"))
+    li.join(pt,
+        li("l_partkey") === pt("p_partkey") && li("salt") === pt("salt"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"),
+        dround(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy("p_brand")
+  }
+
+  val q60_salted_join_sql: String =
+    """SELECT p_brand, count(*) AS cnt,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---- 61. Exact percentiles (interpolated, = DuckDB quantile_cont) ----
+  // Both extendedprice percentiles share ONE aggregation buffer (array
+  // form) — the buffer is a per-group value-count map, so halving buffer
+  // count matters. Exact quantiles are inherently memory-heavy per group;
+  // at 100 TB the declared scale path is approx_percentile (same shape as
+  // q13's HLL), this query covers the exact semantics.
+  val q61_percentile: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95))).as("ps"),
+        dround(percentile(col("l_quantity"), lit(0.25)), 2).as("q1_qty"))
+      .select(col("l_returnflag"),
+        dround(element_at(col("ps"), 1), 2).as("p50"),
+        dround(element_at(col("ps"), 2), 2).as("p95"),
+        col("q1_qty"))
+      .orderBy("l_returnflag")
+
+  val q61_percentile_sql: String =
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+      |  round(quantile_cont(l_quantity, 0.25), 2) AS q1_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q60_salted_join" -> q60_salted_join,
+    "q61_percentile" -> q61_percentile,
     "q01_scan_parquet" -> q01_scan_parquet,
     "q02_scan_csv" -> q02_scan_csv,
     "q02b_scan_json" -> q02b_scan_json,
@@ -663,6 +719,8 @@ object RelationalQueries {
     "q20b_dedup_keyed" -> q20b_dedup_keyed)
 
   val oracles: Map[String, String] = Map(
+    "q60_salted_join" -> q60_salted_join_sql,
+    "q61_percentile" -> q61_percentile_sql,
     "q01_scan_parquet" -> q01_scan_parquet_sql,
     "q02_scan_csv" -> q02_scan_csv_sql,
     "q02b_scan_json" -> q02b_scan_json_sql,

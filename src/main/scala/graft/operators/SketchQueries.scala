@@ -62,8 +62,10 @@ object SketchQueries {
       k: Int, iters: Int): DataFrame = {
     import s.implicits._
     val dim = e.select(size(col("embedding"))).head.getInt(0)
+    // scanned once per Lloyd round + once for seeds: cache the cast
     val vd = e.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[(Int, Seq[Double])] = vd.filter(col("vec_id") < k)
       .orderBy("vec_id").collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
@@ -83,6 +85,7 @@ object SketchQueries {
       // empty cells keep their previous centroid
       cents = cents.map { case (cid, ce) => (cid, updated.getOrElse(cid, ce)) }
     }
+    vd.unpersist(blocking = false)
     cents.toDF("cid", "ce")
   }
 

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** `spark.sql.extensions=graft.GraftExtensions` must make the native
+  * functions SQL-visible with zero user code. */
+class ExtensionsSpec extends TestBase {
+
+  test("extension-injected functions resolve in plain SQL") {
+    val orig = spark // keep the shared session alive for other suites
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // spark.sql.extensions is a STATIC conf — applied only when the
+      // session creates the SparkContext. The shared test context already
+      // exists, so apply the same class through withExtensions (the
+      // programmatic equivalent; deployments use the config line).
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val row = s2.sql(
+        """SELECT round(cosine_similarity(array(1.0D, 0.0D), array(1.0D, 1.0D)), 4) AS c,
+          |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d
+          |""".stripMargin).collect()(0)
+      assert(row.getDouble(0) == 0.7071)
+      assert(row.getDouble(1) == 11.0)
+
+      val sig = s2.sql(
+        "SELECT minhash_sketch(s) AS sig FROM VALUES ('a b c'), ('d e f') t(s)")
+        .collect()(0).getSeq[Long](0)
+      assert(sig.length == graft.functions.TextHash.NumPerms)
+      assert(sig.forall(_ != Long.MaxValue))
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+}
