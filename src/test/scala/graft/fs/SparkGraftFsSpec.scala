@@ -58,6 +58,36 @@ class SparkGraftFsSpec extends TestBase {
     assert(fsInstance.stats.bytesWritten.get > 0)
   }
 
+  test("structured streaming sink + checkpoint run through graft://") {
+    // checkpoints go through CheckpointFileManager, which prefers the
+    // FileContext API — wiring the AbstractFileSystem shim makes the
+    // atomic checkpoint renames flow through the caching FS too
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.AbstractFileSystem.graft.impl",
+      classOf[graft.fs.adapters.GraftFs].getName)
+    val src = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/nation.parquet"),
+      src.resolve("nation.parquet"))
+    val outPath = s"graft://local$scratch/stream_out"
+    val ckpt = s"graft://local$scratch/stream_ckpt"
+    val q = spark.readStream.schema(Tables.nation).parquet(src.toString)
+      .writeStream.format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val written = spark.read.schema(Tables.nation).parquet(outPath).count()
+    val expected = Tables.load(spark, sfDir, "nation").count()
+    assert(written == expected, s"streamed $written vs $expected")
+    // the checkpoint landed through the caching filesystem
+    val fs = fsInstance
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ckpt/offsets")),
+      "checkpoint offsets dir missing behind graft://")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ckpt/commits")))
+  }
+
   test("query results identical with and without the caching layer") {
     val direct = Tables.load(spark, sfDir, "lineitem")
       .groupBy("l_returnflag", "l_linestatus")
