@@ -23,21 +23,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  private def arity(name: String, n: Int)(es: Seq[Expression]): Unit =
+    if (es.length != n)
+      throw new IllegalArgumentException(
+        s"$name requires exactly $n argument(s), got ${es.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",
         "cosine_similarity(a, b) - cosine of two float/double vectors"),
-      (es: Seq[Expression]) => VectorExprs.CosineSimilarity(es.head, es(1))))
+      (es: Seq[Expression]) => {
+        arity("cosine_similarity", 2)(es)
+        VectorExprs.CosineSimilarity(es.head, es(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       info("dot_product",
         "dot_product(a, b) - dot product of two float/double vectors"),
-      (es: Seq[Expression]) => VectorExprs.DotProduct(es.head, es(1))))
+      (es: Seq[Expression]) => {
+        arity("dot_product", 2)(es)
+        VectorExprs.DotProduct(es.head, es(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("minhash_sketch"),
       info("minhash_sketch",
         "minhash_sketch(shingle) - 64-permutation MinHash signature aggregate"),
-      (es: Seq[Expression]) => MinHashSketch(es.head)))
+      (es: Seq[Expression]) => {
+        arity("minhash_sketch", 1)(es)
+        MinHashSketch(es.head)
+      }))
   }
 }

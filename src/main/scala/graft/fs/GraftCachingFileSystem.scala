@@ -84,7 +84,8 @@ class GraftCachingFileSystem extends FileSystem {
     // surface tier counters through Spark's metrics system (JMX parity
     // with the reference's MBean sink); harmless no-op outside Spark
     if (conf.getBoolean(s"${GraftFsConf.Prefix}metrics.enabled", true)) {
-      try org.apache.spark.metrics.graft.GraftCacheSource.register(stats)
+      try org.apache.spark.metrics.graft.GraftCacheSource.register(
+        uri.toString, stats)
       catch { case _: Throwable => /* no Spark runtime on this classpath */ }
     }
   }
@@ -298,8 +299,7 @@ class GraftCachingFileSystem extends FileSystem {
           case Some(len) => teeTarget = Some((w, cp, len))
           case None if w.cacheFs.exists(cp) =>
             // stale copy would diverge once the append lands remotely
-            w.cacheFs.delete(cp, false)
-            w.removeFile(cp)
+            w.dropCopy(cp)
           case None =>
         }
       }
@@ -311,18 +311,14 @@ class GraftCachingFileSystem extends FileSystem {
         Some(w.cacheFs.append(cp, bufferSize, null): java.io.OutputStream)
       } catch {
         case _: java.io.IOException =>
-          w.cacheFs.delete(w.monikerPath(cp), false)
-          w.cacheFs.delete(cp, false)
-          w.removeFile(cp)
+          w.dropCopy(cp)
           teeTarget = None
           None
       }
     }
     val tee = new CachingOutputStream(remoteOut, cacheOut,
       onCacheError = () => teeTarget.foreach { case (w, cp, _) =>
-        w.cacheFs.delete(cp, false)
-        w.cacheFs.delete(w.monikerPath(cp), false)
-        w.removeFile(cp)
+        w.dropCopy(cp)
       },
       onCloseLocal = bytes => {
         stats.bytesWritten.addAndGet(bytes)

@@ -44,9 +44,17 @@ final class PageCache(memCapacity: Long, diskCapacity: Long, diskDir: String,
 
   new File(diskDir).mkdirs()
 
-  private def shardOf(k: PageKey): PageShard =
-    shards(((k.base.hashCode.toLong * 31 + (k.offset >>> 12)) % NumShards)
-      .toInt.abs)
+  // full 64-bit mix of the offset (fibonacci + xor-fold): page offsets
+  // are multiples of pageSize, so any plain shift keeps them ≡ 0 modulo
+  // a power-of-two shard count and would pin every page of a file to one
+  // shard — the mix spreads consecutive pages across shards
+  private[fs] def shardIndex(k: PageKey): Int = {
+    var h = k.offset * 0x9E3779B97F4A7C15L
+    h ^= h >>> 32
+    math.floorMod(k.base.hashCode.toLong * 31 + h, NumShards.toLong).toInt
+  }
+
+  private def shardOf(k: PageKey): PageShard = shards(shardIndex(k))
 
   def get(k: PageKey): Option[Array[Byte]] = shardOf(k).get(k)
   def contains(k: PageKey): Boolean = shardOf(k).contains(k)

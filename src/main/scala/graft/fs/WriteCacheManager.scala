@@ -58,6 +58,15 @@ final class WriteCacheManager(val cacheFs: FileSystem, val workDir: Path,
     } catch { case _: java.io.IOException => None }
   }
 
+  /** Drop every local claim on a cache copy — content file, moniker, and
+    * file-list entry — in one place, so the cleanup order can't diverge
+    * across the create/append error paths. */
+  def dropCopy(cachePath: Path): Unit = {
+    cacheFs.delete(monikerPath(cachePath), false)
+    cacheFs.delete(cachePath, false)
+    removeFile(cachePath)
+  }
+
   def isExcluded(remote: Path): Boolean =
     excludePatterns.exists(p => remote.toString.matches(p))
 

@@ -78,6 +78,9 @@ object QuantizeQueries {
     val nodes = bidir.select(col("ia").as("node")).distinct()
 
     var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    // previous round's checkpoint blocks are released explicitly — the
+    // RDD behind a localCheckpoint is otherwise reachable only by GC
+    var prevCkpt: DataFrame = labels
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 20) {
@@ -108,9 +111,13 @@ object QuantizeQueries {
       val mat = next.localCheckpoint()
       changed = mat.filter(col("label") < col("old_label")).count()
       step.unpersist(blocking = false)
+      org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(prevCkpt)
+      prevCkpt = mat
       labels = mat.select("node", "label")
       rounds += 1
     }
+    // the final round's checkpoint stays live for the aggregation below
+    // and is reclaimed by the ContextCleaner afterwards
     // the last round's persist stays live for the final aggregation and
     // is reclaimed by the ContextCleaner; the loop inputs are done:
     edges.unpersist(blocking = false)

@@ -61,7 +61,6 @@ object SketchQueries {
   private[operators] def kmeansCentroids(s: SparkSession, e: DataFrame,
       k: Int, iters: Int): DataFrame = {
     import s.implicits._
-    val dim = e.select(size(col("embedding"))).head.getInt(0)
     // scanned once per Lloyd round + once for seeds: cache the cast
     val vd = e.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -69,6 +68,8 @@ object SketchQueries {
     var cents: Seq[(Int, Seq[Double])] = vd.filter(col("vec_id") < k)
       .orderBy("vec_id").collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    // the dimension comes free with the seed collect — no separate job
+    val dim = cents.head._2.length
     for (_ <- 1 to iters) {
       val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
       val means = vd.join(broadcast(cents.toDF("cid", "ce")))

@@ -15,8 +15,12 @@ import graft.fs.Statistics
   * Lives under `org.apache.spark` because the `Source` trait is
   * `private[spark]` — same bridging pattern as GraftSqlBridge.
   */
-class GraftCacheSource(stats: Statistics) extends Source {
-  override val sourceName: String = "graft.fs.cache"
+class GraftCacheSource(suffix: String, stats: Statistics) extends Source {
+  // one source PER filesystem instance: a deployment caching two buckets
+  // has two instances with independent counters, and last-wins
+  // registration would silently zero the first bucket's metrics
+  override val sourceName: String =
+    if (suffix.isEmpty) "graft.fs.cache" else s"graft.fs.cache.$suffix"
   override val metricRegistry: MetricRegistry = new MetricRegistry
 
   stats.counters.foreach { case (name, counter) =>
@@ -27,31 +31,37 @@ class GraftCacheSource(stats: Statistics) extends Source {
 }
 
 object GraftCacheSource {
-  @volatile private var current: Option[GraftCacheSource] = None
+  private val registered =
+    new java.util.concurrent.ConcurrentHashMap[String, GraftCacheSource]()
+
+  private def suffixFor(uri: String): String =
+    uri.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
 
   /** Register the instance's stats with the active SparkEnv's metrics
     * system (no-op outside a Spark runtime — plain Hadoop clients use
-    * the FS without one). Re-initializing replaces the prior source so
-    * the gauges always reflect the live filesystem instance. */
-  def register(stats: Statistics): Boolean = synchronized {
+    * the FS without one). Keyed by filesystem URI: re-initializing the
+    * same URI replaces that source; distinct URIs coexist. */
+  def register(uri: String, stats: Statistics): Boolean = synchronized {
     val env = SparkEnv.get
     if (env == null) false
     else {
-      current.foreach(env.metricsSystem.removeSource)
-      val src = new GraftCacheSource(stats)
+      val key = suffixFor(uri)
+      Option(registered.get(key)).foreach(env.metricsSystem.removeSource)
+      val src = new GraftCacheSource(key, stats)
       env.metricsSystem.registerSource(src)
-      current = Some(src)
+      registered.put(key, src)
       true
     }
   }
 
-  /** Test hook: the gauges of the currently registered source. */
-  def registeredGauges: Map[String, Long] = current match {
-    case Some(src) =>
-      import scala.jdk.CollectionConverters._
-      src.metricRegistry.getGauges.asScala.toMap.map { case (k, g) =>
-        k -> g.getValue.asInstanceOf[Long]
-      }
-    case None => Map.empty
-  }
+  /** Test hook: the gauges registered for a filesystem URI. */
+  def registeredGauges(uri: String): Map[String, Long] =
+    Option(registered.get(suffixFor(uri))) match {
+      case Some(src) =>
+        import scala.jdk.CollectionConverters._
+        src.metricRegistry.getGauges.asScala.toMap.map { case (k, g) =>
+          k -> g.getValue.asInstanceOf[Long]
+        }
+      case None => Map.empty
+    }
 }

@@ -24,6 +24,55 @@ class BufferPoolSpec extends AnyFunSuite {
     assert(pool.pooledCount(2048) == 0)
   }
 
+  test("striped page cache is consistent under concurrent mixed load") {
+    // 64 MiB memory budget => full 16-shard striping (the adaptive shard
+    // count collapses to 1 in the other concurrency specs' tiny budgets)
+    val root = java.nio.file.Files.createTempDirectory("graft_stripe")
+    val stats = new Statistics
+    val cache = new PageCache(64L << 20, 32L << 20, root.toString, stats)
+    val pageSz = 4096
+    val nKeys = 2048
+    val errs = new java.util.concurrent.atomic.AtomicInteger
+    val threads = (0 until 8).map { t =>
+      new Thread(() => {
+        val rnd = new scala.util.Random(t)
+        (1 to 4000).foreach { _ =>
+          val id = rnd.nextInt(nKeys)
+          val k = PageKey(f"base$id%04d", id.toLong * pageSz)
+          if (rnd.nextBoolean()) {
+            // page content is a function of the key — any get must agree
+            cache.put(k, Array.fill(pageSz)((id % 251).toByte))
+          } else {
+            cache.get(k).foreach { page =>
+              if (page.length != pageSz || page(0) != (id % 251).toByte)
+                errs.incrementAndGet()
+            }
+          }
+        }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.get == 0, s"${errs.get} corrupted reads")
+    assert(cache.pageCount > 0)
+    assert(cache.memoryBytes <= (64L << 20))
+    cache.clear()
+    assert(cache.pageCount == 0 && cache.memoryBytes == 0)
+  }
+
+  test("pages of one file spread across shards at the default page size") {
+    // regression: offsets are multiples of pageSize (1 MiB default), so a
+    // plain shift-based route kept every page of a file in ONE shard
+    val root = java.nio.file.Files.createTempDirectory("graft_shardmix")
+    val cache = new PageCache(256L << 20, 0, root.toString, new Statistics)
+    val pageSz = 1L << 20
+    val hit = (0 until 64)
+      .map(i => cache.shardIndex(PageKey("samebase", i * pageSz)))
+      .toSet
+    assert(hit.size >= 8, s"64 consecutive 1MiB pages landed in only " +
+      s"${hit.size} of 16 shards")
+  }
+
   test("caching streams return their span buffer to the shared pool on close") {
     val root = java.nio.file.Files.createTempDirectory("graft_pool")
     val remoteDir = root.resolve("remote")

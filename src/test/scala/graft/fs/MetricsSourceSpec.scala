@@ -19,7 +19,7 @@ class MetricsSourceSpec extends TestBase {
     val fs = new GraftCachingFileSystem
     fs.initialize(java.net.URI.create("graft://metrics/"), conf)
 
-    val gauges0 = GraftCacheSource.registeredGauges
+    val gauges0 = GraftCacheSource.registeredGauges("graft://metrics/")
     assert(gauges0.keySet == fs.stats.counters.keySet,
       s"gauge set mismatch: ${gauges0.keySet}")
     assert(gauges0("bytesRead") == 0)
@@ -32,9 +32,25 @@ class MetricsSourceSpec extends TestBase {
     in.readFully(0, new Array[Byte](4096))
     in.close()
 
-    val gauges = GraftCacheSource.registeredGauges
+    val gauges = GraftCacheSource.registeredGauges("graft://metrics/")
     assert(gauges("bytesRead") == 4096)
     assert(gauges("bytesFromWriteCache") == 4096)
     assert(gauges("filesWritten") == 1)
+  }
+
+  test("two filesystem instances keep independent metric sources") {
+    spark
+    val root = java.nio.file.Files.createTempDirectory("graft_metrics2")
+    def mk(authority: String): GraftCachingFileSystem = {
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.set("graft.fs.disk.cache.dir", root.resolve(s"p_$authority").toString)
+      conf.set("graft.fs.write.cache.dir", root.resolve(s"w_$authority").toString)
+      val fs = new GraftCachingFileSystem
+      fs.initialize(java.net.URI.create(s"graft://$authority/"), conf)
+      fs
+    }
+    mk("bucket_a"); mk("bucket_b")
+    assert(GraftCacheSource.registeredGauges("graft://bucket_a/").nonEmpty)
+    assert(GraftCacheSource.registeredGauges("graft://bucket_b/").nonEmpty)
   }
 }
