@@ -62,6 +62,42 @@ class FsPropertySpec extends AnyFunSuite {
     assert(fs.stats.pagesEvictedToDisk.get > 0)
   }
 
+  test("random create/append sequences: reads always equal the writes (property)") {
+    // the append tee's state machine (settled tee / divergent fallback /
+    // length bookkeeping) must hold for ANY sequence of create + appends
+    val gen = for {
+      nChunks <- Gen.chooseNum(1, 5)
+      sizes <- Gen.listOfN(nChunks, Gen.chooseNum(1, 2 * PageSz))
+      seed <- Gen.chooseNum(0, 255)
+    } yield (sizes, seed)
+    var id = 0
+    check(Prop.forAll(gen) { case (sizes, seed) =>
+      id += 1
+      val p = new Path(s"graft://prop${root.toString}/app_$id.bin")
+      def byteAt(pos: Int): Byte = ((pos * 17 + seed) % 256).toByte
+      // create with the first chunk, append the rest
+      var written = 0
+      val out0 = fs.create(p, true)
+      out0.write(Array.tabulate(sizes.head)(i => byteAt(i)))
+      out0.close()
+      written = sizes.head
+      sizes.tail.foreach { n =>
+        val out = fs.append(p)
+        out.write(Array.tabulate(n)(i => byteAt(written + i)))
+        out.close()
+        written += n
+      }
+      val st = fs.getFileStatus(p)
+      val buf = new Array[Byte](written)
+      val in = fs.open(p)
+      in.readFully(0, buf)
+      in.close()
+      fs.delete(p, false)
+      st.getLen == written &&
+        (0 until written).forall(i => buf(i) == byteAt(i))
+    })
+  }
+
   test("dround matches BigDecimal HALF_UP on the scaled double (property)") {
     // Det.dround contract: round(x*100)/100 under IEEE == DuckDB ROUND
     check(Prop.forAll(Gen.chooseNum(-1e7, 1e7)) { (x: Double) =>
