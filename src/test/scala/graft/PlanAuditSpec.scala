@@ -1,0 +1,37 @@
+package graft
+
+/** Plan lint over the ENTIRE declared surface: no query may plan a
+  * CartesianProduct, and BroadcastNestedLoopJoin is allowed only where a
+  * deliberately tiny side is broadcast (allowlisted below). This is the
+  * "would it survive 100 TB" property made durable — a regression that
+  * turns an equi-join into an all-pairs scan fails the suite, not just
+  * a bench eyeball.
+  */
+class PlanAuditSpec extends TestBase {
+
+  // queries whose BNLJ is the designed shape: a handful of broadcast rows
+  // (query vectors / source sketches / probe set) against a single scan
+  private val bnljAllowed = Set(
+    "q45_knn_brute",     // 10 query vectors broadcast
+    "q46_ann_lsh",       // probe rows broadcast into buckets
+    "q46b_ann_ivf",      // k=16 centroids broadcast for cell assignment
+    "q54_source_sketch", // ~5 source sketches, pairwise
+    "q10b_join_cross"    // the declared CROSS JOIN operator (dim x dim)
+  )
+
+  test("no CartesianProduct anywhere; BNLJ only where designed") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan =
+          try fn(spark, sfDir).queryExecution.executedPlan.toString
+          catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !bnljAllowed.contains(name)
+        if (cartesian) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
