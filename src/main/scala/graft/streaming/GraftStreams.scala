@@ -77,6 +77,22 @@ object GraftStreams {
         col("signup_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Stream-static enrichment: each micro-batch broadcast-joins the
+    * event stream against a (small, slowly-changing) dimension table —
+    * the most common production streaming join. The static side is
+    * re-read per micro-batch by Spark, so dimension updates are picked
+    * up without restarting the query; no streaming state is kept at all
+    * (nothing to watermark — the join is stateless per batch). */
+  def enrichedEvents(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+      broadcast(customers.select(col("c_custkey"),
+        col("c_mktsegment"), col("c_nationkey"))),
+      events("user_id") === col("c_custkey"), "left_outer")
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"),
+        coalesce(col("c_mktsegment"), lit("unknown")).as("segment"),
+        coalesce(col("c_nationkey").cast("long"), lit(-1L)).as("nation"))
+
   case class SessionEvent(user_id: Long, event_id: Long, ts: Timestamp,
       value: Double)
   case class SessionState(start: Long, lastTs: Long, n: Long, sum: Double)

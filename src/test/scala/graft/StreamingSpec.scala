@@ -37,6 +37,24 @@ class StreamingSpec extends TestBase {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment equals the batch join") {
+    val stream = GraftStreams.eventsStream(spark, eventsDir)
+    val customers = Tables.load(spark, sfDir, "customer")
+    val q = GraftStreams.enrichedEvents(stream, customers)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("enriched")
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val batch = GraftStreams.enrichedEvents(
+      Tables.load(spark, sfDir, "events"), customers)
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // enrichment actually matched something (not all-unknown)
+    assert(streamed.exists(r => r(5) != "unknown"))
+  }
+
   test("streaming dedup drops duplicates within the watermark") {
     // stage the same file twice: every event is a duplicate once
     val d = java.nio.file.Files.createTempDirectory("graft_stream_dup")
