@@ -1,0 +1,127 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge.{column, expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the text-hash family (MinHash
+  * signatures, LSH band hashes, SimHash, SRP buckets).
+  *
+  * These replaced the round-1 Scala UDFs: a UDF pays per-row
+  * Catalyst<->Scala conversion (UTF8String -> String -> boxed Seq ->
+  * GenericArrayData) and breaks whole-stage codegen at the call site.
+  * Each expression here generates a direct static call inside codegen
+  * and reads/writes unsafe array data — the signature computation stays
+  * the single hot loop it should be on a billion-document dedup pass.
+  * The hash math itself lives in [[TextHash]] (shared with the sketch
+  * aggregate and the specs).
+  */
+object TextHashExprs {
+
+  // ---- static eval helpers (called from generated code) ----
+
+  def minhashEval(s: UTF8String, n: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(
+      TextHash.minhashSignature(s.toString, n))
+
+  def bandsEval(sig: ArrayData): ArrayData = {
+    val out = new Array[Long](TextHash.NumBands)
+    var b = 0
+    while (b < TextHash.NumBands) {
+      var h = 0xcbf29ce484222325L
+      var i = b * TextHash.RowsPerBand
+      while (i < (b + 1) * TextHash.RowsPerBand) {
+        h ^= sig.getLong(i)
+        h *= 0x100000001b3L
+        i += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def simhashEval(s: UTF8String): Long = TextHash.simhash64(s.toString)
+
+  def srpEval(v: ArrayData): Int = {
+    var bucket = 0
+    var j = 0
+    val n = v.numElements()
+    while (j < TextHash.LshBits) {
+      var sum = 0.0f
+      var i = 0
+      while (i < n) { sum += TextHash.planeSignPublic(j, i) * v.getFloat(i); i += 1 }
+      if (sum > 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
+
+  // ---- expressions ----
+
+  /** minhash_signature(text, n): 64-permutation MinHash over word
+    * n-gram shingles — array<bigint>. */
+  case class MinHashSignature(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      minhashEval(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextHashExprs.minhashEval($c, $n)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** band_hashes(sig): NumBands FNV folds of RowsPerBand signature rows. */
+  case class BandHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      bandsEval(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextHashExprs.bandsEval($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** simhash64(text): 64-bit SimHash of the word multiset. */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any =
+      simhashEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextHashExprs.simhashEval($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** srp_bucket(embedding): sign-random-projection LSH bucket id. */
+  case class SrpBucket(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(input: Any): Any =
+      srpEval(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        c => s"graft.functions.TextHashExprs.srpEval($c)")
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ---- Column-API entry points ----
+
+  def minhash_signature(text: Column, n: Int): Column =
+    column(MinHashSignature(expression(text), n))
+  def band_hashes(sig: Column): Column =
+    column(BandHashes(expression(sig)))
+  def simhash64(text: Column): Column =
+    column(SimHash64(expression(text)))
+  def srp_bucket(embedding: Column): Column =
+    column(SrpBucket(expression(embedding)))
+}

@@ -42,15 +42,14 @@ object DedupQueries {
   // ---- 41. MinHash + LSH near-dup candidates (bench-only: the minhash
   //          permutation family is not expressible in DuckDB SQL) ----
   val q41_minhash_lsh: Q = (s, dir) => {
-    val sigUdf = udf((text: String) => TextHash.minhashSignature(text, 3))
-    val bandsUdf = udf((sig: Seq[Long]) => TextHash.bandHashes(sig.toArray))
+    import graft.functions.TextHashExprs.{band_hashes, minhash_signature}
     // Candidate generation is ids-only: the 64-long signatures never enter
     // the band exchange (they'd be duplicated once per band), and
     // est_jaccard is computed exactly once per distinct candidate pair —
     // the signatures are joined back on the deduplicated (ia, ib) set.
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), sigUdf(col("text")).as("sig"))
-      .withColumn("bands", bandsUdf(col("sig")))
+      .select(col("doc_id"), minhash_signature(col("text"), 3).as("sig"))
+      .withColumn("bands", band_hashes(col("sig")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = docs
       .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
@@ -73,9 +72,9 @@ object DedupQueries {
 
   // ---- 42. SimHash near-dup candidates (bench-only) ----
   val q42_simhash: Q = (s, dir) => {
-    val shUdf = udf((text: String) => TextHash.simhash64(text))
     val docs = t(s, dir, "documents")
-      .select(col("doc_id"), shUdf(col("text")).as("sh"))
+      .select(col("doc_id"),
+        graft.functions.TextHashExprs.simhash64(col("text")).as("sh"))
     // 4 bands of 16 bits: two docs within hamming distance 3 of each
     // other share at least one exact 16-bit band.
     val banded = docs.select(col("doc_id"), col("sh"),
@@ -166,17 +165,16 @@ object DedupQueries {
   // all-pairs shingle join never happens — at 100 TB this is the only
   // viable shape: candidates ~ O(near-dups), not O(sum df^2).
   val q43b_lsh_verified: Q = (s, dir) => {
-    val sigUdf = udf((text: String) => TextHash.minhashSignature(text, 3))
-    val bandsUdf = udf((sig: Seq[Long]) => TextHash.bandHashes(sig.toArray))
+    import graft.functions.TextHashExprs.{band_hashes, minhash_signature}
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"),
-        sigUdf(col("text")).as("sig"))
+        minhash_signature(col("text"), 3).as("sig"))
       .filter(size(col("ws")) >= 3)
       .withColumn("sh", array_distinct(transform(
         sequence(lit(1), size(col("ws")) - 2),
         i => concat_ws(" ", element_at(col("ws"), i),
           element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)))))
-      .select(col("doc_id"), col("sh"), bandsUdf(col("sig")).as("bands"))
+      .select(col("doc_id"), col("sh"), band_hashes(col("sig")).as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = docs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "bh")))

@@ -87,6 +87,26 @@ object RelationalQueries {
       |FROM lineitem WHERE l_quantity > 25
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- 3b. ORC sink + scan (columnar alternative; same round-trip
+  //          discipline as q03 — written by Spark, re-read, aggregated,
+  //          checked against DuckDB on the original parquet) ----
+  val q03b_sink_orc: Q = (s, dir) => {
+    val p = scratch("orders_orc", dir)
+    t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+      .write.mode("overwrite").orc(p)
+    s.read.schema(Tables.orders).orc(p)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        dround(sum("o_totalprice"), 2).as("total"))
+      .orderBy("o_orderstatus")
+  }
+
+  val q03b_sink_orc_sql: String =
+    """SELECT o_orderstatus, count(*) AS cnt,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_totalprice > 150000
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   // ---- 4. Projection: select / rename / computed columns ----
   val q04_project: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -687,6 +707,7 @@ object RelationalQueries {
     "q02_scan_csv" -> q02_scan_csv,
     "q02b_scan_json" -> q02b_scan_json,
     "q03_sink_parquet" -> q03_sink_parquet,
+    "q03b_sink_orc" -> q03b_sink_orc,
     "q04_project" -> q04_project,
     "q05_filter" -> q05_filter,
     "q06_join_inner" -> q06_join_inner,
@@ -725,6 +746,7 @@ object RelationalQueries {
     "q02_scan_csv" -> q02_scan_csv_sql,
     "q02b_scan_json" -> q02b_scan_json_sql,
     "q03_sink_parquet" -> q03_sink_parquet_sql,
+    "q03b_sink_orc" -> q03b_sink_orc_sql,
     "q04_project" -> q04_project_sql,
     "q05_filter" -> q05_filter_sql,
     "q06_join_inner" -> q06_join_inner_sql,

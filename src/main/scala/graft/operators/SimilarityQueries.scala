@@ -66,9 +66,9 @@ object SimilarityQueries {
   // Bench-only (the hyperplane family is not DuckDB-expressible): the
   // driver records rows>0; SimilaritySpec checks recall vs q45.
   val q46_ann_lsh: Q = (s, dir) => {
-    val bucketUdf = udf((v: Seq[Float]) => TextHash.srpBucket(v.toArray))
     val e = t(s, dir, "embeddings")
-      .withColumn("bucket", bucketUdf(col("embedding")))
+      .withColumn("bucket",
+        graft.functions.TextHashExprs.srp_bucket(col("embedding")))
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         col("bucket"))

@@ -8,6 +8,32 @@ import org.apache.spark.sql.functions._
   * degenerate inputs, and be callable from SQL. */
 class VectorExprSpec extends TestBase {
 
+  test("native text-hash expressions are bit-equal to the Scala functions") {
+    import graft.functions.{TextHash, TextHashExprs}
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sfDir, "documents").limit(50)
+    val rows = docs.select(col("text"),
+      TextHashExprs.minhash_signature(col("text"), 3).as("sig"),
+      TextHashExprs.band_hashes(
+        TextHashExprs.minhash_signature(col("text"), 3)).as("bands"),
+      TextHashExprs.simhash64(col("text")).as("sh"))
+      .collect()
+    rows.foreach { r =>
+      val text = r.getString(0)
+      assert(r.getSeq[Long](1) == TextHash.minhashSignature(text, 3).toSeq)
+      assert(r.getSeq[Long](2) ==
+        TextHash.bandHashes(TextHash.minhashSignature(text, 3)).toSeq)
+      assert(r.getLong(3) == TextHash.simhash64(text))
+    }
+    val emb = Tables.load(spark, sfDir, "embeddings").limit(50)
+    val brows = emb.select(col("embedding"),
+      TextHashExprs.srp_bucket(col("embedding")).as("b")).collect()
+    brows.foreach { r =>
+      assert(r.getInt(1) == TextHash.srpBucket(
+        r.getSeq[Float](0).toArray))
+    }
+  }
+
   private lazy val e = Tables.load(spark, sfDir, "embeddings").limit(50)
 
   test("matches zip_with/aggregate composition") {
