@@ -53,5 +53,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("minhash_sketch", 1)(es)
         MinHashSketch(es.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(text) - per-document 64-permutation MinHash over 3-gram shingles"),
+      (es: Seq[Expression]) => {
+        arity("minhash_signature", 1)(es)
+        graft.functions.TextHashExprs.MinHashSignature(es.head, 3)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("band_hashes"),
+      info("band_hashes",
+        "band_hashes(sig) - LSH band hashes of a MinHash signature"),
+      (es: Seq[Expression]) => {
+        arity("band_hashes", 1)(es)
+        graft.functions.TextHashExprs.BandHashes(es.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash of the word multiset"),
+      (es: Seq[Expression]) => {
+        arity("simhash64", 1)(es)
+        graft.functions.TextHashExprs.SimHash64(es.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("srp_bucket"),
+      info("srp_bucket",
+        "srp_bucket(embedding) - sign-random-projection LSH bucket id"),
+      (es: Seq[Expression]) => {
+        arity("srp_bucket", 1)(es)
+        graft.functions.TextHashExprs.SrpBucket(es.head)
+      }))
   }
 }

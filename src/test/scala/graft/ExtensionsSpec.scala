@@ -31,6 +31,15 @@ class ExtensionsSpec extends TestBase {
         .collect()(0).getSeq[Long](0)
       assert(sig.length == graft.functions.TextHash.NumPerms)
       assert(sig.forall(_ != Long.MaxValue))
+
+      val hashes = s2.sql(
+        """SELECT size(minhash_signature('one two three four')) AS n,
+          |       size(band_hashes(minhash_signature('one two three'))) AS b,
+          |       simhash64('hello world') AS sh""".stripMargin).collect()(0)
+      assert(hashes.getInt(0) == graft.functions.TextHash.NumPerms)
+      assert(hashes.getInt(1) == graft.functions.TextHash.NumBands)
+      assert(hashes.getLong(2) ==
+        graft.functions.TextHash.simhash64("hello world"))
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
