@@ -197,11 +197,7 @@ class GraftCachingFileSystem extends FileSystem {
       } catch { case _: java.io.IOException => None }
     }
     val tee = new CachingOutputStream(remoteOut, cacheOut.map(identity),
-      onCacheError = () => wc.foreach { w =>
-        val cp = w.toCachePath(q)
-        w.cacheFs.delete(cp, false)
-        w.cacheFs.delete(w.monikerPath(cp), false)
-      },
+      onCacheError = () => wc.foreach(w => w.dropCopy(w.toCachePath(q))),
       onCloseLocal = bytes => {
         stats.bytesWritten.addAndGet(bytes)
         wc.foreach { w =>
@@ -249,9 +245,7 @@ class GraftCachingFileSystem extends FileSystem {
                   resolveForward(w.toCachePath(q), q.toString)
                 if (w.monikerToken(cp).contains(token)) {
                   metaCache.remove(curGraft)
-                  w.cacheFs.delete(cp, false)
-                  w.cacheFs.delete(w.monikerPath(cp), false)
-                  w.removeFile(cp)
+                  w.dropCopy(cp)
                 }
               }
               if (wc.isEmpty) metaCache.remove(q.toString)
@@ -485,6 +479,8 @@ class GraftCachingFileSystem extends FileSystem {
 
   override def close(): Unit = {
     if (fsConf.persistent) saveState()
+    try org.apache.spark.metrics.graft.GraftCacheSource.unregister(uri.toString)
+    catch { case _: Throwable => /* no Spark runtime on this classpath */ }
     remoteFs.close()
     super.close()
   }

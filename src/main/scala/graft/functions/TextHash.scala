@@ -108,10 +108,7 @@ object TextHash extends Serializable {
 
   /** Deterministic ±1 hyperplane table for sign-random-projection LSH
     * (LshBits planes × up-to-1024 dims, derived from splitmix64). */
-  /** Exposed for the native SrpBucket expression's hot loop. */
-  def planeSignPublic(plane: Int, dim: Int): Float = planeSign(plane, dim)
-
-  private def planeSign(plane: Int, dim: Int): Float =
+  private[graft] def planeSign(plane: Int, dim: Int): Float =
     if (((splitmix64(plane.toLong * 4099L + dim.toLong) >>> 17) & 1L) == 1L) 1.0f
     else -1.0f
 

@@ -2,10 +2,10 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge.{column, expression}
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -20,6 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * the single hot loop it should be on a billion-document dedup pass.
   * The hash math itself lives in [[TextHash]] (shared with the sketch
   * aggregate and the specs).
+  *
+  * All four are SQL-reachable through GraftExtensions, so each validates
+  * its input type at analysis time (the CosineSimilarity pattern) —
+  * unsafe array getters read raw bytes and would otherwise turn a
+  * mistyped literal into silently-wrong hashes.
   */
 object TextHashExprs {
 
@@ -29,7 +34,10 @@ object TextHashExprs {
     UnsafeArrayData.fromPrimitiveArray(
       TextHash.minhashSignature(s.toString, n))
 
+  /** NULL (not garbage) when the signature is not NumPerms long — an
+    * unsafe getLong past the array region reads arbitrary row bytes. */
   def bandsEval(sig: ArrayData): ArrayData = {
+    if (sig.numElements() != TextHash.NumPerms) return null
     val out = new Array[Long](TextHash.NumBands)
     var b = 0
     while (b < TextHash.NumBands) {
@@ -48,19 +56,32 @@ object TextHashExprs {
 
   def simhashEval(s: UTF8String): Long = TextHash.simhash64(s.toString)
 
-  def srpEval(v: ArrayData): Int = {
+  def srpEvalFloat(v: ArrayData): Int = srpEval(v, isFloat = true)
+  def srpEvalDouble(v: ArrayData): Int = srpEval(v, isFloat = false)
+
+  private def srpEval(v: ArrayData, isFloat: Boolean): Int = {
     var bucket = 0
     var j = 0
     val n = v.numElements()
     while (j < TextHash.LshBits) {
-      var sum = 0.0f
+      var sum = 0.0
       var i = 0
-      while (i < n) { sum += TextHash.planeSignPublic(j, i) * v.getFloat(i); i += 1 }
+      while (i < n) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        sum += TextHash.planeSign(j, i) * x
+        i += 1
+      }
       if (sum > 0) bucket |= (1 << j)
       j += 1
     }
     bucket
   }
+
+  private def requireType(e: Expression, ok: Boolean, want: String)
+      : TypeCheckResult =
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"${e.prettyName} expects $want, got ${e.children.map(_.dataType).mkString(", ")}")
 
   // ---- expressions ----
 
@@ -69,6 +90,8 @@ object TextHashExprs {
   case class MinHashSignature(child: Expression, n: Int)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(this, child.dataType == StringType, "a string column")
     override protected def nullSafeEval(input: Any): Any =
       minhashEval(input.asInstanceOf[UTF8String], n)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -78,14 +101,25 @@ object TextHashExprs {
       copy(child = newChild)
   }
 
-  /** band_hashes(sig): NumBands FNV folds of RowsPerBand signature rows. */
+  /** band_hashes(sig): NumBands FNV folds of RowsPerBand signature rows.
+    * NULL for signatures of the wrong length. */
   case class BandHashes(child: Expression) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(this,
+        child.dataType == ArrayType(LongType, containsNull = false) ||
+          child.dataType == ArrayType(LongType, containsNull = true),
+        "array<bigint> (a minhash_signature)")
     override protected def nullSafeEval(input: Any): Any =
       bandsEval(input.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev,
-        c => s"graft.functions.TextHashExprs.bandsEval($c)")
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = graft.functions.TextHashExprs.bandsEval($c);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }
@@ -93,6 +127,8 @@ object TextHashExprs {
   /** simhash64(text): 64-bit SimHash of the word multiset. */
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(this, child.dataType == StringType, "a string column")
     override protected def nullSafeEval(input: Any): Any =
       simhashEval(input.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -102,14 +138,27 @@ object TextHashExprs {
       copy(child = newChild)
   }
 
-  /** srp_bucket(embedding): sign-random-projection LSH bucket id. */
+  /** srp_bucket(embedding): sign-random-projection LSH bucket id over a
+    * float or double vector. */
   case class SrpBucket(child: Expression) extends UnaryExpression {
+    private def isFloatArr: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
     override def dataType: DataType = IntegerType
-    override protected def nullSafeEval(input: Any): Any =
-      srpEval(input.asInstanceOf[ArrayData])
-    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev,
-        c => s"graft.functions.TextHashExprs.srpEval($c)")
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(this, child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _ => false
+      }, "array<float> or array<double>")
+    override protected def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      if (isFloatArr) srpEvalFloat(a) else srpEvalDouble(a)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = if (isFloatArr) "srpEvalFloat" else "srpEvalDouble"
+      defineCodeGen(ctx, ev, c => s"graft.functions.TextHashExprs.$fn($c)")
+    }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)
   }

@@ -68,6 +68,9 @@ object SketchQueries {
     var cents: Seq[(Int, Seq[Double])] = vd.filter(col("vec_id") < k)
       .orderBy("vec_id").collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+    // degenerate input (no vectors under the seed ids): no centroids, no
+    // rounds — the caller's joins simply produce no assignments
+    if (cents.isEmpty) { vd.unpersist(blocking = false); return cents.toDF("cid", "ce") }
     // the dimension comes free with the seed collect — no separate job
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {

@@ -31,11 +31,16 @@ class GraftCacheSource(suffix: String, stats: Statistics) extends Source {
 }
 
 object GraftCacheSource {
+  // keyed by the RAW uri (sanitizing is lossy — graft://a-b and
+  // graft://a_b must not silently replace each other's source); the
+  // sanitized form plus a uri-hash suffix keeps sourceNames unique too
   private val registered =
     new java.util.concurrent.ConcurrentHashMap[String, GraftCacheSource]()
 
-  private def suffixFor(uri: String): String =
-    uri.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+  private def suffixFor(uri: String): String = {
+    val base = uri.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    f"${base}_${uri.hashCode & 0xffff}%04x"
+  }
 
   /** Register the instance's stats with the active SparkEnv's metrics
     * system (no-op outside a Spark runtime — plain Hadoop clients use
@@ -45,18 +50,29 @@ object GraftCacheSource {
     val env = SparkEnv.get
     if (env == null) false
     else {
-      val key = suffixFor(uri)
-      Option(registered.get(key)).foreach(env.metricsSystem.removeSource)
-      val src = new GraftCacheSource(key, stats)
+      Option(registered.get(uri)).foreach(env.metricsSystem.removeSource)
+      val src = new GraftCacheSource(suffixFor(uri), stats)
       env.metricsSystem.registerSource(src)
-      registered.put(key, src)
+      registered.put(uri, src)
       true
+    }
+  }
+
+  /** Drop a closed filesystem's source so the registry (and the metrics
+    * system) don't accumulate gauges over dead Statistics. */
+  def unregister(uri: String): Unit = synchronized {
+    Option(registered.remove(uri)).foreach { src =>
+      val env = SparkEnv.get
+      if (env != null) {
+        try env.metricsSystem.removeSource(src)
+        catch { case _: Throwable => /* metrics system already stopped */ }
+      }
     }
   }
 
   /** Test hook: the gauges registered for a filesystem URI. */
   def registeredGauges(uri: String): Map[String, Long] =
-    Option(registered.get(suffixFor(uri))) match {
+    Option(registered.get(uri)) match {
       case Some(src) =>
         import scala.jdk.CollectionConverters._
         src.metricRegistry.getGauges.asScala.toMap.map { case (k, g) =>
