@@ -170,15 +170,61 @@ object TextQueries {
       |  count(*) AS copies, min(doc_id) AS keeper
       |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY fp""".stripMargin
 
+  // ---- 70. End-to-end training-data pipeline (composition showcase):
+  // language filter -> token-count quality gate -> exact dedup
+  // (keep-first per content hash) -> embedding-coverage join ->
+  // per-source acceptance stats. One window + one broadcastable join on
+  // top of single-pass projections — the whole curation flow is three
+  // shuffles at any corpus size.
+  val q70_pipeline: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, dir, "documents")
+      .withColumn("toks",
+        size(split(trim(col("text")), "\\s+")).cast("long"))
+      .filter(col("lang") === "en" && col("toks") >= 5)
+    val kept = docs
+      .withColumn("h", md5(lower(trim(col("text")))))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("h").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), lit(1L).as("has_emb"))
+    kept.join(emb, kept("doc_id") === emb("vec_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        dround(avg("toks"), 2).as("avg_tokens"),
+        sum(coalesce(col("has_emb"), lit(0L))).as("with_embedding"))
+      .orderBy("source")
+  }
+
+  val q70_pipeline_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, text,
+      |    len(string_split_regex(trim(text), '\s+')) AS toks
+      |  FROM documents WHERE lang = 'en'
+      |), k AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+      |  FROM d WHERE toks >= 5
+      |)
+      |SELECT source, count(*) AS docs, round(avg(toks), 2) AS avg_tokens,
+      |  CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS with_embedding
+      |FROM k LEFT JOIN embeddings e ON k.doc_id = e.vec_id
+      |WHERE rn = 1
+      |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q48_langid" -> q48_langid,
     "q49_quality" -> q49_quality,
     "q50_token_count" -> q50_token_count,
-    "q51_fingerprint" -> q51_fingerprint)
+    "q51_fingerprint" -> q51_fingerprint,
+    "q70_pipeline" -> q70_pipeline)
 
   val oracles: Map[String, String] = Map(
     "q48_langid" -> q48_langid_sql,
     "q49_quality" -> q49_quality_sql,
     "q50_token_count" -> q50_token_count_sql,
-    "q51_fingerprint" -> q51_fingerprint_sql)
+    "q51_fingerprint" -> q51_fingerprint_sql,
+    "q70_pipeline" -> q70_pipeline_sql)
 }
