@@ -479,7 +479,8 @@ class GraftCachingFileSystem extends FileSystem {
 
   override def close(): Unit = {
     if (fsConf.persistent) saveState()
-    try org.apache.spark.metrics.graft.GraftCacheSource.unregister(uri.toString)
+    try org.apache.spark.metrics.graft.GraftCacheSource.unregister(
+      uri.toString, stats)
     catch { case _: Throwable => /* no Spark runtime on this classpath */ }
     remoteFs.close()
     super.close()

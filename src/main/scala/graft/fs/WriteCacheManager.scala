@@ -60,7 +60,15 @@ final class WriteCacheManager(val cacheFs: FileSystem, val workDir: Path,
 
   /** Drop every local claim on a cache copy — content file, moniker, and
     * file-list entry — in one place, so the cleanup order can't diverge
-    * across the create/append error paths. */
+    * across the create/append error paths.
+    *
+    * Moniker-first is deliberate: a crash between the two deletes leaves
+    * a moniker-less content file, which eviction reclaims (self-healing).
+    * The reverse order would leave an orphan moniker that permanently
+    * disables eviction AND append-tee for the path. The cost is a brief
+    * window where the doomed copy looks settled to a concurrent append —
+    * but two writers racing the same path is already an application-level
+    * conflict, and the read path degrades to remote if the copy vanishes. */
   def dropCopy(cachePath: Path): Unit = {
     cacheFs.delete(monikerPath(cachePath), false)
     cacheFs.delete(cachePath, false)

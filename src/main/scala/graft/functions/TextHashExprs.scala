@@ -34,10 +34,16 @@ object TextHashExprs {
     UnsafeArrayData.fromPrimitiveArray(
       TextHash.minhashSignature(s.toString, n))
 
-  /** NULL (not garbage) when the signature is not NumPerms long — an
-    * unsafe getLong past the array region reads arbitrary row bytes. */
+  /** NULL (not garbage) when the signature is not NumPerms long or has
+    * null elements — an unsafe getLong past the region (or on a null
+    * slot) reads arbitrary bytes instead of failing. */
   def bandsEval(sig: ArrayData): ArrayData = {
     if (sig.numElements() != TextHash.NumPerms) return null
+    var j = 0
+    while (j < TextHash.NumPerms) {
+      if (sig.isNullAt(j)) return null
+      j += 1
+    }
     val out = new Array[Long](TextHash.NumBands)
     var b = 0
     while (b < TextHash.NumBands) {
@@ -56,21 +62,31 @@ object TextHashExprs {
 
   def simhashEval(s: UTF8String): Long = TextHash.simhash64(s.toString)
 
-  def srpEvalFloat(v: ArrayData): Int = srpEval(v, isFloat = true)
-  def srpEvalDouble(v: ArrayData): Int = srpEval(v, isFloat = false)
+  /** Float path accumulates in FLOAT — bit-equal to TextHash.srpBucket
+    * (the contract VectorExprSpec asserts); a double accumulator could
+    * flip a near-zero plane sum to the other sign. */
+  def srpEvalFloat(v: ArrayData): Int = {
+    var bucket = 0
+    var j = 0
+    val n = v.numElements()
+    while (j < TextHash.LshBits) {
+      var sum = 0.0f
+      var i = 0
+      while (i < n) { sum += TextHash.planeSign(j, i) * v.getFloat(i); i += 1 }
+      if (sum > 0) bucket |= (1 << j)
+      j += 1
+    }
+    bucket
+  }
 
-  private def srpEval(v: ArrayData, isFloat: Boolean): Int = {
+  def srpEvalDouble(v: ArrayData): Int = {
     var bucket = 0
     var j = 0
     val n = v.numElements()
     while (j < TextHash.LshBits) {
       var sum = 0.0
       var i = 0
-      while (i < n) {
-        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
-        sum += TextHash.planeSign(j, i) * x
-        i += 1
-      }
+      while (i < n) { sum += TextHash.planeSign(j, i) * v.getDouble(i); i += 1 }
       if (sum > 0) bucket |= (1 << j)
       j += 1
     }

@@ -15,7 +15,7 @@ import graft.fs.Statistics
   * Lives under `org.apache.spark` because the `Source` trait is
   * `private[spark]` — same bridging pattern as GraftSqlBridge.
   */
-class GraftCacheSource(suffix: String, stats: Statistics) extends Source {
+class GraftCacheSource(suffix: String, val stats: Statistics) extends Source {
   // one source PER filesystem instance: a deployment caching two buckets
   // has two instances with independent counters, and last-wins
   // registration would silently zero the first bucket's metrics
@@ -59,9 +59,13 @@ object GraftCacheSource {
   }
 
   /** Drop a closed filesystem's source so the registry (and the metrics
-    * system) don't accumulate gauges over dead Statistics. */
-  def unregister(uri: String): Unit = synchronized {
-    Option(registered.remove(uri)).foreach { src =>
+    * system) don't accumulate gauges over dead Statistics. Identity-
+    * guarded: if a newer instance re-registered the same URI (Hadoop FS
+    * cache bypassed), closing the OLD instance must not tear down the
+    * live one's source. */
+  def unregister(uri: String, stats: Statistics): Unit = synchronized {
+    Option(registered.get(uri)).filter(_.stats eq stats).foreach { src =>
+      registered.remove(uri)
       val env = SparkEnv.get
       if (env != null) {
         try env.metricsSystem.removeSource(src)
