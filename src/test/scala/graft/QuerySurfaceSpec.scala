@@ -22,6 +22,26 @@ class QuerySurfaceSpec extends TestBase {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
+  test("q13 HLL estimates land within the sketch's error bounds") {
+    import org.apache.spark.sql.functions._
+    val est = operators.RelationalQueries.q13_approx_distinct(spark, sfDir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.load(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("p"),
+        countDistinct(col("l_orderkey")).as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(est.keySet == exact.keySet)
+    // approx_count_distinct's default rsd is 5%; allow 4x slack
+    exact.foreach { case (k, (p, o)) =>
+      val (ep, eo) = est(k)
+      assert(math.abs(ep - p) <= math.max(4, 0.20 * p), s"$k parts: $ep vs $p")
+      assert(math.abs(eo - o) <= math.max(4, 0.20 * o), s"$k orders: $eo vs $o")
+    }
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs on sf0.001") {
       val n = fn(spark, sfDir).count()
