@@ -104,11 +104,12 @@ object QuantizeQueries {
         .select(col("node"),
           least(col("lbl1"), coalesce(col("pl"), col("lbl1"))).as("label"),
           col("old_label"))
-      // localCheckpoint (eager) truncates lineage every round — the plan
-      // stays O(1) deep no matter how many rounds run, which is what keeps
-      // driver planning bounded at real graph sizes; its materialization
-      // also backs the `changed` count.
-      val mat = next.localCheckpoint()
+      // localCheckpoint truncates lineage every round — the plan stays
+      // O(1) deep no matter how many rounds run, which is what keeps
+      // driver planning bounded at real graph sizes. Lazy + count: the
+      // convergence count is the action that materializes the checkpoint,
+      // so each round runs one job, not two.
+      val mat = next.localCheckpoint(eager = false)
       changed = mat.filter(col("label") < col("old_label")).count()
       step.unpersist(blocking = false)
       org.apache.spark.sql.GraftSqlBridge.unpersistCheckpoint(prevCkpt)
