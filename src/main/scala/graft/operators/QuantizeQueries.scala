@@ -118,9 +118,7 @@ object QuantizeQueries {
       rounds += 1
     }
     // the final round's checkpoint stays live for the aggregation below
-    // and is reclaimed by the ContextCleaner afterwards
-    // the last round's persist stays live for the final aggregation and
-    // is reclaimed by the ContextCleaner; the loop inputs are done:
+    // and is reclaimed by the ContextCleaner; the loop inputs are done:
     edges.unpersist(blocking = false)
     bidir.unpersist(blocking = false)
     labels.groupBy(col("label").as("cluster"))
