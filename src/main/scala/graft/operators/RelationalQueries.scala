@@ -71,6 +71,26 @@ object RelationalQueries {
   val q02b_scan_json_sql: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
 
+  // ---- 2c. Line-based text source (write tab-separated lines, read
+  //          back with spark.read.text, parse, aggregate) ----
+  val q02c_scan_text: Q = (s, dir) => {
+    val p = scratch("docs_text", dir)
+    t(s, dir, "documents")
+      .select(concat_ws("\t", col("doc_id"), col("lang")).as("value"))
+      .write.mode("overwrite").text(p)
+    s.read.text(p)
+      .select(split(col("value"), "\t").as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+        element_at(col("f"), 2).as("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("cnt"), sum("doc_id").as("sum_id"))
+      .orderBy("lang")
+  }
+
+  val q02c_scan_text_sql: String =
+    """SELECT lang, count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_id
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- 3. Parquet sink (write through the engine FS, re-read, aggregate) ----
   val q03_sink_parquet: Q = (s, dir) => {
     val p = scratch("lineitem_sink", dir)
@@ -706,6 +726,7 @@ object RelationalQueries {
     "q01_scan_parquet" -> q01_scan_parquet,
     "q02_scan_csv" -> q02_scan_csv,
     "q02b_scan_json" -> q02b_scan_json,
+    "q02c_scan_text" -> q02c_scan_text,
     "q03_sink_parquet" -> q03_sink_parquet,
     "q03b_sink_orc" -> q03b_sink_orc,
     "q04_project" -> q04_project,
@@ -745,6 +766,7 @@ object RelationalQueries {
     "q01_scan_parquet" -> q01_scan_parquet_sql,
     "q02_scan_csv" -> q02_scan_csv_sql,
     "q02b_scan_json" -> q02b_scan_json_sql,
+    "q02c_scan_text" -> q02c_scan_text_sql,
     "q03_sink_parquet" -> q03_sink_parquet_sql,
     "q03b_sink_orc" -> q03b_sink_orc_sql,
     "q04_project" -> q04_project_sql,
