@@ -490,6 +490,30 @@ object RelationalQueries {
       |               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
       |) WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin
 
+  // ---- 14b. Distribution windows: percent_rank / cume_dist ----
+  // Small keyed slice (one customer's orders per partition) — these
+  // functions need the whole partition by definition, so the partition
+  // key (o_custkey) carries the scale, not the window.
+  val q14b_window_dist: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 20)
+      .withColumn("pr", dround(percent_rank().over(w), 6))
+      .withColumn("cd", dround(cume_dist().over(w), 6))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("pr"), col("cd"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q14b_window_dist_sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  round(percent_rank() OVER w, 6) + 0 AS pr,
+      |  round(cume_dist() OVER w, 6) + 0 AS cd
+      |FROM orders WHERE o_custkey < 20
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ---- 15. Window analytics: lag / lead / first / last ----
   val q15_window_lag: Q = (s, dir) => {
     val w = Window.partitionBy("o_custkey")
@@ -749,6 +773,7 @@ object RelationalQueries {
     "q12d_pivot" -> q12d_pivot,
     "q13_approx_distinct" -> q13_approx_distinct,
     "q14_window_rank" -> q14_window_rank,
+    "q14b_window_dist" -> q14b_window_dist,
     "q15_window_lag" -> q15_window_lag,
     "q16_window_running" -> q16_window_running,
     "q16b_window_rangeframe" -> q16b_window_rangeframe,
@@ -789,6 +814,7 @@ object RelationalQueries {
     "q12d_pivot" -> q12d_pivot_sql,
     // q13_approx_distinct: HLL estimate — bench-only, no DuckDB oracle.
     "q14_window_rank" -> q14_window_rank_sql,
+    "q14b_window_dist" -> q14b_window_dist_sql,
     "q15_window_lag" -> q15_window_lag_sql,
     "q16_window_running" -> q16_window_running_sql,
     "q16b_window_rangeframe" -> q16b_window_rangeframe_sql,
