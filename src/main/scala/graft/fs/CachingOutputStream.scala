@@ -23,7 +23,9 @@ final class CachingOutputStream(
     onCacheError: () => Unit,
     onCloseLocal: Long => Unit,
     onCloseRemote: Long => Unit,
-    closer: Runnable => Unit)
+    closer: Runnable => Unit,
+    onRemoteError: () => Unit = () => (),
+    localFirst: Boolean = true)
   extends OutputStream {
 
   private var cache: OutputStream = cacheInit.orNull
@@ -42,29 +44,55 @@ final class CachingOutputStream(
     }
   }
 
+  /** A remote-side failure is fatal to the cached copy: the bytes the
+    * remote never accepted must not be served from the write-cache tier
+    * later. Cleanup, then propagate (the remote is the source of truth,
+    * so its error is the caller's error). */
+  private def remoteOp(body: => Unit): Unit =
+    try body
+    catch {
+      case e: Throwable =>
+        try { if (cache != null) cache.close() } catch { case _: Throwable => }
+        cache = null
+        onRemoteError()
+        throw e
+    }
+
   override def write(b: Int): Unit = {
     teeWrite(_.write(b))
-    remote.write(b)
+    remoteOp(remote.write(b))
     count += 1
   }
 
   override def write(b: Array[Byte], off: Int, len: Int): Unit = {
     teeWrite(_.write(b, off, len))
-    remote.write(b, off, len)
+    remoteOp(remote.write(b, off, len))
     count += len
   }
 
   override def flush(): Unit = {
     teeWrite(_.flush())
-    remote.flush()
+    remoteOp(remote.flush())
   }
 
   override def close(): Unit = {
     if (!closed) {
       closed = true
       if (cache != null) cache.close()
-      onCloseLocal(count)
-      closer(() => { remote.close(); onCloseRemote(count) })
+      val remoteClose: Runnable =
+        () => { remoteOp(remote.close()); onCloseRemote(count) }
+      if (localFirst) {
+        // create path: local facts first so read-your-writes works
+        // before (ASYNC: possibly long before) the upload completes
+        onCloseLocal(count)
+        closer(remoteClose)
+      } else {
+        // append path (always SYNC): only record the settled copy after
+        // the remote close succeeded — a failed close must not leave
+        // the copy registered at a length the remote never reached
+        closer(remoteClose)
+        onCloseLocal(count)
+      }
     }
   }
 

@@ -196,6 +196,19 @@ class GraftCachingFileSystem extends FileSystem {
         Some(w.cacheFs.create(cp, true))
       } catch { case _: java.io.IOException => None }
     }
+    // the write/close failed remotely: drop every local claim OF THIS
+    // GENERATION (token match) so reads surface the remote truth instead
+    // of a phantom copy, without clobbering a newer write at the path
+    def dropGeneration(): Unit = {
+      wc.foreach { w =>
+        val (cp, curGraft) = resolveForward(w.toCachePath(q), q.toString)
+        if (w.monikerToken(cp).contains(token)) {
+          metaCache.remove(curGraft)
+          w.dropCopy(cp)
+        }
+      }
+      if (wc.isEmpty) metaCache.remove(q.toString)
+    }
     val tee = new CachingOutputStream(remoteOut, cacheOut.map(identity),
       onCacheError = () => wc.foreach(w => w.dropCopy(w.toCachePath(q))),
       onCloseLocal = bytes => {
@@ -234,23 +247,15 @@ class GraftCachingFileSystem extends FileSystem {
           try r.run()
           catch {
             case e: Throwable =>
-              // the upload failed after the writer already returned:
-              // drop every local claim OF THIS GENERATION (token match)
-              // so reads surface the remote truth instead of a phantom
-              // copy, without clobbering a newer write at the same path
+              // the upload failed after the writer already returned
+              // (onRemoteError inside the tee already dropped the
+              // generation; this is the async path's last-resort log)
               System.err.println(
                 s"[graft.fs] async remote close failed for $q: $e")
-              wc.foreach { w =>
-                val (cp, curGraft) =
-                  resolveForward(w.toCachePath(q), q.toString)
-                if (w.monikerToken(cp).contains(token)) {
-                  metaCache.remove(curGraft)
-                  w.dropCopy(cp)
-                }
-              }
-              if (wc.isEmpty) metaCache.remove(q.toString)
+              dropGeneration()
           })
-        else r.run())
+        else r.run(),
+      onRemoteError = () => dropGeneration())
     new FSDataOutputStream(tee, null)
   }
 
@@ -314,6 +319,8 @@ class GraftCachingFileSystem extends FileSystem {
       onCacheError = () => teeTarget.foreach { case (w, cp, _) =>
         w.dropCopy(cp)
       },
+      // localFirst = false: runs only after the remote close succeeded,
+      // so the copy is never registered at a length the remote lacks
       onCloseLocal = bytes => {
         stats.bytesWritten.addAndGet(bytes)
         teeTarget.foreach { case (w, cp, base) =>
@@ -333,7 +340,15 @@ class GraftCachingFileSystem extends FileSystem {
           w.maybeEvict()
         }
       },
-      closer = r => r.run())
+      closer = r => r.run(),
+      // a failed remote write/close is fatal to the copy: its tail holds
+      // bytes the remote never committed, and the orphan moniker would
+      // make a retried append treat the diverged copy as untouchable
+      onRemoteError = () => teeTarget.foreach { case (w, cp, _) =>
+        w.dropCopy(cp) // also lifts the moniker
+        metaCache.remove(q.toString)
+      },
+      localFirst = false)
     new FSDataOutputStream(tee, null)
   }
 

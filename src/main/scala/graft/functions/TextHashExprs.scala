@@ -65,10 +65,14 @@ object TextHashExprs {
   /** Float path accumulates in FLOAT — bit-equal to TextHash.srpBucket
     * (the contract VectorExprSpec asserts); a double accumulator could
     * flip a near-zero plane sum to the other sign. */
-  def srpEvalFloat(v: ArrayData): Int = {
+  /** Boxed so a null vector element yields NULL (matching bandsEval's
+    * guard) instead of a silently wrong bucket from unsafe getters. */
+  def srpEvalFloat(v: ArrayData): java.lang.Integer = {
+    val n = v.numElements()
+    var k = 0
+    while (k < n) { if (v.isNullAt(k)) return null; k += 1 }
     var bucket = 0
     var j = 0
-    val n = v.numElements()
     while (j < TextHash.LshBits) {
       var sum = 0.0f
       var i = 0
@@ -79,10 +83,12 @@ object TextHashExprs {
     bucket
   }
 
-  def srpEvalDouble(v: ArrayData): Int = {
+  def srpEvalDouble(v: ArrayData): java.lang.Integer = {
+    val n = v.numElements()
+    var k = 0
+    while (k < n) { if (v.isNullAt(k)) return null; k += 1 }
     var bucket = 0
     var j = 0
-    val n = v.numElements()
     while (j < TextHash.LshBits) {
       var sum = 0.0
       var i = 0
@@ -162,6 +168,7 @@ object TextHashExprs {
       case _ => false
     }
     override def dataType: DataType = IntegerType
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
       requireType(this, child.dataType match {
         case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
@@ -173,7 +180,14 @@ object TextHashExprs {
     }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val fn = if (isFloatArr) "srpEvalFloat" else "srpEvalDouble"
-      defineCodeGen(ctx, ev, c => s"graft.functions.TextHashExprs.$fn($c)")
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |java.lang.Integer ${ev.value}Boxed =
+           |  graft.functions.TextHashExprs.$fn($c);
+           |${ev.isNull} = (${ev.value}Boxed == null);
+           |if (!${ev.isNull}) ${ev.value} = ${ev.value}Boxed.intValue();
+         """.stripMargin
+      })
     }
     override protected def withNewChildInternal(newChild: Expression): Expression =
       copy(child = newChild)

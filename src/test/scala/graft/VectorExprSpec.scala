@@ -34,6 +34,18 @@ class VectorExprSpec extends TestBase {
     }
   }
 
+  test("srp_bucket of a vector with a null element is NULL, not a garbage bucket") {
+    import graft.functions.TextHashExprs
+    import spark.implicits._
+    val df = Seq(
+      (1, Seq[java.lang.Float](1.0f, null, 3.0f)),
+      (2, Seq[java.lang.Float](1.0f, 2.0f, 3.0f))).toDF("id", "v")
+    val rows = df.select(col("id"), TextHashExprs.srp_bucket(col("v")).as("b"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1), "null element must yield NULL bucket")
+    assert(!rows(1).isNullAt(1))
+  }
+
   private lazy val e = Tables.load(spark, sfDir, "embeddings").limit(50)
 
   test("matches zip_with/aggregate composition") {
