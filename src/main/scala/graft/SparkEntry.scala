@@ -22,7 +22,8 @@ object SparkEntry {
       UdfQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ TextQueries.queries ++
       MultimodalQueries.queries ++ EventQueries.queries ++
-      SketchQueries.queries ++ QuantizeQueries.queries
+      SketchQueries.queries ++ QuantizeQueries.queries ++
+      CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       UdfQueries.oracles ++ DedupQueries.oracles ++
       SimilarityQueries.oracles ++ TextQueries.oracles ++
       MultimodalQueries.oracles ++ EventQueries.oracles ++
-      SketchQueries.oracles ++ QuantizeQueries.oracles
+      SketchQueries.oracles ++ QuantizeQueries.oracles ++
+      CurationQueries.oracles
 }
