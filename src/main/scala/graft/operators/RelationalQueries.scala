@@ -127,6 +127,43 @@ object RelationalQueries {
       |FROM orders WHERE o_totalprice > 150000
       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---- 3c/3d. CSV + JSON sinks (text-format round-trips; Java's
+  // shortest-round-trip double formatting makes the re-read bit-exact,
+  // so the post-round-trip aggregate still hash-matches the oracle run
+  // on the original parquet) ----
+  val q03c_sink_csv: Q = (s, dir) => {
+    val p = scratch("customer_csv", dir)
+    t(s, dir, "customer").filter(col("c_acctbal") > 0)
+      .write.mode("overwrite").option("header", "true").csv(p)
+    s.read.schema(Tables.customer).option("header", "true").csv(p)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), dround(sum("c_acctbal"), 2).as("bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q03c_sink_csv_sql: String =
+    """SELECT c_mktsegment, count(*) AS cnt,
+      |  round(sum(c_acctbal), 2) AS bal
+      |FROM customer WHERE c_acctbal > 0
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  val q03d_sink_json: Q = (s, dir) => {
+    val p = scratch("part_json", dir)
+    t(s, dir, "part").filter(col("p_size") > 20)
+      .write.mode("overwrite").json(p)
+    s.read.schema(Tables.part).json(p)
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("cnt"),
+        dround(sum("p_retailprice"), 2).as("retail"))
+      .orderBy("p_brand")
+  }
+
+  val q03d_sink_json_sql: String =
+    """SELECT p_brand, count(*) AS cnt,
+      |  round(sum(p_retailprice), 2) AS retail
+      |FROM part WHERE p_size > 20
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   // ---- 4. Projection: select / rename / computed columns ----
   val q04_project: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -753,6 +790,8 @@ object RelationalQueries {
     "q02c_scan_text" -> q02c_scan_text,
     "q03_sink_parquet" -> q03_sink_parquet,
     "q03b_sink_orc" -> q03b_sink_orc,
+    "q03c_sink_csv" -> q03c_sink_csv,
+    "q03d_sink_json" -> q03d_sink_json,
     "q04_project" -> q04_project,
     "q05_filter" -> q05_filter,
     "q06_join_inner" -> q06_join_inner,
@@ -794,6 +833,8 @@ object RelationalQueries {
     "q02c_scan_text" -> q02c_scan_text_sql,
     "q03_sink_parquet" -> q03_sink_parquet_sql,
     "q03b_sink_orc" -> q03b_sink_orc_sql,
+    "q03c_sink_csv" -> q03c_sink_csv_sql,
+    "q03d_sink_json" -> q03d_sink_json_sql,
     "q04_project" -> q04_project_sql,
     "q05_filter" -> q05_filter_sql,
     "q06_join_inner" -> q06_join_inner_sql,
