@@ -164,6 +164,28 @@ object RelationalQueries {
       |FROM part WHERE p_size > 20
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ---- 3e. Hive-partitioned sink + partition-pruned scan. At 100 TB,
+  // partitioning on a low-cardinality predicate column is THE difference
+  // between scanning the table and scanning one directory: the re-read's
+  // event_type filter never touches non-matching files (PartitionFilters
+  // in the plan, asserted by PlanAuditSpec). ----
+  val q03e_sink_partitioned: Q = (s, dir) => {
+    val p = scratch("events_part", dir)
+    t(s, dir, "events")
+      .write.mode("overwrite").partitionBy("event_type").parquet(p)
+    s.read.schema(Tables.events).parquet(p)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"), dround(sum("value"), 2).as("total"))
+      .orderBy("day")
+  }
+
+  val q03e_sink_partitioned_sql: String =
+    """SELECT CAST(ts AS DATE) AS day, count(*) AS cnt,
+      |  round(sum(value), 2) + 0 AS total
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY day""".stripMargin
+
   // ---- 4. Projection: select / rename / computed columns ----
   val q04_project: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -792,6 +814,7 @@ object RelationalQueries {
     "q03b_sink_orc" -> q03b_sink_orc,
     "q03c_sink_csv" -> q03c_sink_csv,
     "q03d_sink_json" -> q03d_sink_json,
+    "q03e_sink_partitioned" -> q03e_sink_partitioned,
     "q04_project" -> q04_project,
     "q05_filter" -> q05_filter,
     "q06_join_inner" -> q06_join_inner,
@@ -835,6 +858,7 @@ object RelationalQueries {
     "q03b_sink_orc" -> q03b_sink_orc_sql,
     "q03c_sink_csv" -> q03c_sink_csv_sql,
     "q03d_sink_json" -> q03d_sink_json_sql,
+    "q03e_sink_partitioned" -> q03e_sink_partitioned_sql,
     "q04_project" -> q04_project_sql,
     "q05_filter" -> q05_filter_sql,
     "q06_join_inner" -> q06_join_inner_sql,

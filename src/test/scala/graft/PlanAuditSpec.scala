@@ -34,4 +34,15 @@ class PlanAuditSpec extends TestBase {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("q03e's re-read prunes partitions: the event_type filter is a PartitionFilter") {
+    // materialize the partitioned sink, then audit the re-read's scan
+    val df = SparkEntry.queries("q03e_sink_partitioned")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("event_type"),
+      s"event_type filter did not reach PartitionFilters:\n$plan")
+  }
 }
