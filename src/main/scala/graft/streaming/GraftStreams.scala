@@ -145,4 +145,54 @@ object GraftStreams {
       }
       .toDF()
   }
+
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Spark 4 `transformWithState` processor: one ValueState record per
+    * user holding lifetime (count, sum); every micro-batch emits the
+    * updated running total for each user it touched. The arbitrary-state
+    * v2 API — typed state variables on a StatefulProcessorHandle over
+    * the RocksDB store — is the production shape for unbounded per-key
+    * state (TTL-able, multiple named states, timers), vs the single
+    * serialized blob of flatMapGroupsWithState. */
+  class RunningTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, SessionEvent, UserTotal] {
+    @transient private var totals:
+      org.apache.spark.sql.streaming.ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserTotal]("totals",
+        org.apache.spark.sql.Encoders.product[UserTotal],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserTotal] = {
+      val prev =
+        if (totals.exists()) totals.get() else UserTotal(user, 0L, 0.0)
+      var n = prev.n_events
+      var sum = prev.total_value
+      rows.foreach { e => n += 1; sum += e.value }
+      val cur = UserTotal(user, n, sum)
+      totals.update(cur)
+      Iterator.single(cur)
+    }
+  }
+
+  /** Lifetime per-user running totals over an unbounded event stream
+    * (transformWithState; requires the RocksDB state store provider —
+    * see StreamingSpec for the session conf). */
+  def runningTotals(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState[UserTotal](new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update())
+      .toDF()
+  }
 }

@@ -100,6 +100,51 @@ class StreamingSpec extends TestBase {
     assert(streamed == batch)
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    // two copies of the fixture, one per micro-batch: the second batch
+    // must resume from RocksDB state, so every final total is exactly 2x
+    // the single-file batch aggregate
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_tws")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), d.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"), d.resolve("b.parquet"))
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = GraftStreams.runningTotals(spark,
+        GraftStreams.eventsStream(spark, d.toString, maxFilesPerTrigger = 1))
+        .writeStream.format("memory").queryName("totals")
+        .outputMode("update")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+
+      // last emission per user = the running total after both batches
+      val finalTotals = spark.table("totals")
+        .groupBy("user_id")
+        .agg(max("n_events").as("n"), max("total_value").as("v"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      val batch = Tables.load(spark, sfDir, "events")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("v"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+        .toMap
+      assert(finalTotals.keySet == batch.keySet)
+      finalTotals.foreach { case (u, (n, v)) =>
+        assert(n == 2 * batch(u)._1, s"user $u count $n != 2x batch")
+        assert(math.abs(v - 2 * batch(u)._2) < 1e-6, s"user $u sum $v")
+      }
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("stateful streaming sessionization emits sessions") {
     val stream = GraftStreams.eventsStream(spark, eventsDir)
     val q = GraftStreams.sessionize(spark, stream)
