@@ -262,8 +262,10 @@ object CurationQueries {
         greatest(size(col("toks")) - 4, lit(0)).cast("long").as("n_grams"),
         explode(gramsCol(5)).as("gram"))
       .distinct()
+    // rows are distinct on (doc_id, gram) by construction, so the plain
+    // count IS the distinct doc count — no distinct-aggregate Expand
     val shared = grams.groupBy("gram")
-      .agg(countDistinct("doc_id").as("ndocs"))
+      .agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2)
       .select("gram")
     grams.join(shared, Seq("gram"), "left_semi")
@@ -287,7 +289,7 @@ object CurationQueries {
        |  WHERE len(t) >= 5
        |), shared AS (
        |  SELECT gram FROM grams GROUP BY gram
-       |  HAVING count(DISTINCT doc_id) >= 2
+       |  HAVING count(*) >= 2
        |), per_doc AS (
        |  SELECT g.doc_id, g.lang, g.n_grams,
        |    count(*) AS shared_grams,

@@ -158,11 +158,45 @@ object QuantizeQueries {
       |SELECT cluster, count(*) AS size, max(node) AS max_member
       |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // ---- 73. Label centroids (mean-pooled embeddings per class): the
+  // building block behind class prototypes, IVF coarse quantizers and
+  // centroid-based pruning. posexplode shuffles (label, pos) ONCE with
+  // map-side partial sums — the reduce side holds |labels|×dim cells
+  // regardless of corpus size; the per-label re-assembly is a second,
+  // tiny agg. Centroid components are emitted as scaled longs
+  // (round(mean*1e4)) so the string output is format-stable vs DuckDB.
+  val q73_label_centroids: Q = (s, dir) =>
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(avg("v").as("m"))
+      .withColumn("mi", round(col("m") * lit(10000.0), 0).cast("long"))
+      .groupBy("label")
+      .agg(count(lit(1)).cast("long").as("dim"),
+        concat_ws(",",
+          transform(array_sort(collect_list(struct(col("pos"), col("mi")))),
+            x => x.getField("mi").cast("string"))).as("centroid"))
+      .orderBy("label")
+
+  val q73_label_centroids_sql: String =
+    """WITH pos AS (
+      |  SELECT label, i, embedding[i] AS v
+      |  FROM embeddings, unnest(range(1, len(embedding)+1)) AS t(i)
+      |), m AS (
+      |  SELECT label, i, CAST(round(avg(v) * 10000.0, 0) AS BIGINT) AS mi
+      |  FROM pos GROUP BY label, i
+      |)
+      |SELECT label, CAST(count(*) AS BIGINT) AS dim,
+      |  array_to_string(list(mi ORDER BY i), ',') AS centroid
+      |FROM m GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q57_quantize_int8" -> q57_quantize_int8,
-    "q58_dedup_clusters" -> q58_dedup_clusters)
+    "q58_dedup_clusters" -> q58_dedup_clusters,
+    "q73_label_centroids" -> q73_label_centroids)
 
   val oracles: Map[String, String] = Map(
     "q57_quantize_int8" -> q57_quantize_int8_sql,
-    "q58_dedup_clusters" -> q58_dedup_clusters_sql)
+    "q58_dedup_clusters" -> q58_dedup_clusters_sql,
+    "q73_label_centroids" -> q73_label_centroids_sql)
 }
