@@ -326,7 +326,152 @@ object CurationQueries {
       |) WHERE rn <= 20
       |ORDER BY lang, rn, doc_id""".stripMargin
 
+  // ---- 74. SCD upsert (MERGE emulation): apply an update/insert batch
+  // to a dimension via one full-outer join on the key + column-wise
+  // coalesce — the engine-agnostic form of MERGE INTO. The update batch
+  // is derived deterministically from the base (every 10th key upgraded,
+  // a synthetic insert block appended). At scale the batch is small next
+  // to the dimension, so the join broadcasts the batch; the dimension is
+  // never shuffled.
+  val q74_upsert_merge: Q = (s, dir) => {
+    val base = t(s, dir, "customer")
+    val upgrades = base.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"),
+        col("c_name"),
+        col("c_nationkey"),
+        (col("c_acctbal") + 100.0).as("c_acctbal"),
+        lit("UPGRADED").as("c_mktsegment"))
+    val inserts = base.filter(col("c_custkey") % 100 === 7)
+      .select((col("c_custkey") + 1000000L).as("c_custkey"),
+        concat(lit("new_"), col("c_custkey")).as("c_name"),
+        col("c_nationkey"),
+        lit(50.0).as("c_acctbal"),
+        lit("NEW").as("c_mktsegment"))
+    val updates = upgrades.unionAll(inserts)
+      .withColumnRenamed("c_custkey", "u_custkey")
+    base.join(broadcast(updates),
+        col("c_custkey") === col("u_custkey"), "full_outer")
+      .select(
+        coalesce(col("u_custkey"), col("c_custkey")).as("k"),
+        coalesce(updates("c_acctbal"), base("c_acctbal")).as("bal"),
+        coalesce(updates("c_mktsegment"), base("c_mktsegment")).as("seg"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("cnt"), dround(sum("bal"), 2).as("total_bal"))
+      .orderBy("seg")
+  }
+
+  val q74_upsert_merge_sql: String =
+    """WITH updates AS (
+      |  SELECT c_custkey AS u_custkey, c_acctbal + 100.0 AS c_acctbal,
+      |    'UPGRADED' AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 50.0, 'NEW'
+      |  FROM customer WHERE c_custkey % 100 = 7
+      |)
+      |SELECT COALESCE(u.c_mktsegment, b.c_mktsegment) AS seg,
+      |  count(*) AS cnt,
+      |  round(sum(COALESCE(u.c_acctbal, b.c_acctbal)), 2) AS total_bal
+      |FROM customer b FULL JOIN updates u ON b.c_custkey = u.u_custkey
+      |GROUP BY 1 ORDER BY seg""".stripMargin
+
+  // ---- 75. Time-series resample + gap-fill: expand each user's event
+  // history to a dense daily series (sequence/generate_series), left
+  // join the daily aggregates back, and forward-fill the last seen value
+  // across silent days. The expansion is per user — sequence() explodes
+  // at most span-days rows per key, and the forward fill is one windowed
+  // pass per user partition; nothing global exists at any scale.
+  val q75_gapfill: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .filter(col("user_id") < 100)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+    val spans = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+    val dense = spans.select(col("user_id"),
+      explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+    dense.join(daily, Seq("user_id", "day"), "left_outer")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("ff",
+        round(last(col("v"), ignoreNulls = true).over(w) * 100.0, 0)
+          .cast("long"))
+      .select("user_id", "day", "n", "ff")
+      .orderBy("user_id", "day")
+  }
+
+  val q75_gapfill_sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    count(*) AS n, sum(value) AS v
+      |  FROM events WHERE user_id < 100 GROUP BY 1, 2
+      |), spans AS (
+      |  SELECT user_id, min(day) AS d0, max(day) AS d1
+      |  FROM daily GROUP BY user_id
+      |), dense AS (
+      |  SELECT user_id, CAST(t.day AS DATE) AS day
+      |  FROM spans, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS t(day)
+      |)
+      |SELECT de.user_id, de.day, COALESCE(d.n, 0) AS n,
+      |  CAST(round(last_value(d.v IGNORE NULLS) OVER
+      |    (PARTITION BY de.user_id ORDER BY de.day) * 100.0, 0) AS BIGINT)
+      |    AS ff
+      |FROM dense de LEFT JOIN daily d
+      |  ON de.user_id = d.user_id AND de.day = d.day
+      |ORDER BY de.user_id, de.day""".stripMargin
+
+  // ---- 76. TF-IDF top terms per document. Term frequencies and
+  // document frequencies are two map-side-combined shuffles; the idf is
+  // quantized to a scaled long so the ranking key (tf × idf_scaled) is
+  // an INTEGER — bit-identical across engines, immune to libm ulp
+  // differences that could flip near-tied rankings. row_number <= 3 is
+  // WindowGroupLimit-eligible (local top-3 per doc before the exchange).
+  val q76_tfidf: Q = (s, dir) => {
+    val docs = withToks(t(s, dir, "documents"))
+    val tf = docs
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct("doc_id").as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("idf_scaled",
+        round(log(col("n_docs").cast("double") / col("df")) * 1000000.0, 0)
+          .cast("long"))
+      .withColumn("score", col("tf") * col("idf_scaled"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "rn", "term", "score")
+      .orderBy("doc_id", "rn")
+  }
+
+  val q76_tfidf_sql: String =
+    """WITH tf AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents
+      |), tfc AS (
+      |  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2
+      |), dfc AS (
+      |  SELECT term, count(*) AS df FROM tfc GROUP BY 1
+      |), scored AS (
+      |  SELECT t.doc_id, t.term,
+      |    t.tf * CAST(round(ln(
+      |      (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) FROM documents)
+      |        / d.df) * 1000000.0, 0) AS BIGINT) AS score
+      |  FROM tfc t JOIN dfc d USING (term)
+      |), ranked AS (
+      |  SELECT doc_id, term, score, row_number() OVER
+      |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+      |  FROM scored
+      |)
+      |SELECT doc_id, rn, term, score FROM ranked WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q74_upsert_merge" -> q74_upsert_merge,
+    "q75_gapfill" -> q75_gapfill,
+    "q76_tfidf" -> q76_tfidf,
     "q62_decontaminate" -> q62_decontaminate,
     "q63_repetition_filter" -> q63_repetition_filter,
     "q64_hash_split" -> q64_hash_split,
@@ -336,6 +481,9 @@ object CurationQueries {
     "q68_stratified_sample" -> q68_stratified_sample)
 
   val oracles: Map[String, String] = Map(
+    "q74_upsert_merge" -> q74_upsert_merge_sql,
+    "q75_gapfill" -> q75_gapfill_sql,
+    "q76_tfidf" -> q76_tfidf_sql,
     "q62_decontaminate" -> q62_decontaminate_sql,
     "q63_repetition_filter" -> q63_repetition_filter_sql,
     "q64_hash_split" -> q64_hash_split_sql,
