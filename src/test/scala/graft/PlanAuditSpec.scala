@@ -16,7 +16,8 @@ class PlanAuditSpec extends TestBase {
     "q46_ann_lsh",       // probe rows broadcast into buckets
     "q46b_ann_ivf",      // k=16 centroids broadcast for cell assignment
     "q54_source_sketch", // ~5 source sketches, pairwise
-    "q10b_join_cross"    // the declared CROSS JOIN operator (dim x dim)
+    "q10b_join_cross",   // the declared CROSS JOIN operator (dim x dim)
+    "q76_tfidf"          // ONE row (the corpus doc count) broadcast
   )
 
   test("no CartesianProduct anywhere; BNLJ only where designed") {
