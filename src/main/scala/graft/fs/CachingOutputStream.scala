@@ -31,6 +31,7 @@ final class CachingOutputStream(
   private var cache: OutputStream = cacheInit.orNull
   private var count = 0L
   private var closed = false
+  private var remoteFailed = false
 
   private def teeWrite(body: OutputStream => Unit): Unit = {
     if (cache != null) {
@@ -52,6 +53,7 @@ final class CachingOutputStream(
     try body
     catch {
       case e: Throwable =>
+        remoteFailed = true
         try { if (cache != null) cache.close() } catch { case _: Throwable => }
         cache = null
         onRemoteError()
@@ -78,7 +80,23 @@ final class CachingOutputStream(
   override def close(): Unit = {
     if (!closed) {
       closed = true
-      if (cache != null) cache.close()
+      if (remoteFailed) {
+        // the remote already failed mid-write and onRemoteError dropped
+        // every local claim; recording local facts now would resurrect a
+        // phantom meta/file-list entry nothing could ever clean up. Just
+        // release the remote handle quietly.
+        try remote.close() catch { case _: Throwable => }
+        return
+      }
+      // a close-time failure of the CACHE side must not abort the remote
+      // close (that would leak the remote stream and pin the moniker
+      // forever) — same degrade-to-remote-only treatment as teeWrite
+      if (cache != null) {
+        try cache.close()
+        catch {
+          case _: java.io.IOException => cache = null; onCacheError()
+        }
+      }
       val remoteClose: Runnable =
         () => { remoteOp(remote.close()); onCloseRemote(count) }
       if (localFirst) {

@@ -320,11 +320,17 @@ class GraftCachingFileSystem extends FileSystem {
         w.dropCopy(cp)
       },
       // localFirst = false: runs only after the remote close succeeded,
-      // so the copy is never registered at a length the remote lacks
+      // so the copy is never registered at a length the remote lacks.
+      // The moniker is lifted HERE, after recordFile, not in
+      // onCloseRemote — lifting it first would let the evictor pick the
+      // copy while the file list still holds the pre-append length.
       onCloseLocal = bytes => {
         stats.bytesWritten.addAndGet(bytes)
         teeTarget.foreach { case (w, cp, base) =>
           if (w.cacheFs.exists(cp)) w.recordFile(cp, base + bytes)
+          if (w.monikerToken(cp).contains(token))
+            w.cacheFs.delete(w.monikerPath(cp), false)
+          w.maybeEvict()
         }
       },
       onCloseRemote = _ => {
@@ -334,11 +340,6 @@ class GraftCachingFileSystem extends FileSystem {
           metaCache.put(q.toString,
             MetaRecord(rs.getModificationTime, rs.getLen, rs.isDirectory))
         } catch { case _: java.io.IOException => }
-        teeTarget.foreach { case (w, cp, _) =>
-          if (w.monikerToken(cp).contains(token))
-            w.cacheFs.delete(w.monikerPath(cp), false)
-          w.maybeEvict()
-        }
       },
       closer = r => r.run(),
       // a failed remote write/close is fatal to the copy: its tail holds

@@ -231,7 +231,12 @@ object CurationQueries {
     val keys = t(s, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey")
-    val bf = keys.stat.bloomFilter("o_orderkey", 100000L, 0.01)
+    // size the sketch from the real cardinality (one cheap count over
+    // the filtered dimension) — a fixed capacity would silently
+    // saturate at larger SFs and the false-positive rate, and with it
+    // the shuffle volume, would quietly climb back toward 100%
+    val bf = keys.stat.bloomFilter("o_orderkey",
+      math.max(keys.count(), 1000L), 0.01)
     val mightContain = udf((k: Long) => bf.mightContain(k))
     t(s, dir, "lineitem")
       .filter(mightContain(col("l_orderkey")))
@@ -327,34 +332,32 @@ object CurationQueries {
       |ORDER BY lang, rn, doc_id""".stripMargin
 
   // ---- 74. SCD upsert (MERGE emulation): apply an update/insert batch
-  // to a dimension via one full-outer join on the key + column-wise
-  // coalesce — the engine-agnostic form of MERGE INTO. The update batch
-  // is derived deterministically from the base (every 10th key upgraded,
-  // a synthetic insert block appended). At scale the batch is small next
-  // to the dimension, so the join broadcasts the batch; the dimension is
-  // never shuffled.
+  // to a dimension as (base BROADCAST-LEFT-JOIN updates, column-wise
+  // coalesce) ⊎ inserts — the engine-agnostic form of MERGE INTO.
+  // A full-outer join would be the textbook spelling, but Spark cannot
+  // broadcast a full-outer side, so it would sort-merge-shuffle the
+  // whole dimension; the left-join + unionAll shape is equivalent here
+  // (update keys ⊆ base, insert keys ∩ base = ∅) and keeps the
+  // dimension unshuffled — matched-key updates ride the broadcast, new
+  // rows are appended. The batch is derived deterministically from the
+  // base (every 10th key upgraded, a disjoint insert block).
   val q74_upsert_merge: Q = (s, dir) => {
     val base = t(s, dir, "customer")
     val upgrades = base.filter(col("c_custkey") % 10 === 0)
-      .select(col("c_custkey"),
-        col("c_name"),
-        col("c_nationkey"),
-        (col("c_acctbal") + 100.0).as("c_acctbal"),
-        lit("UPGRADED").as("c_mktsegment"))
+      .select(col("c_custkey").as("u_custkey"),
+        (col("c_acctbal") + 100.0).as("u_acctbal"),
+        lit("UPGRADED").as("u_mktsegment"))
     val inserts = base.filter(col("c_custkey") % 100 === 7)
-      .select((col("c_custkey") + 1000000L).as("c_custkey"),
-        concat(lit("new_"), col("c_custkey")).as("c_name"),
-        col("c_nationkey"),
-        lit(50.0).as("c_acctbal"),
-        lit("NEW").as("c_mktsegment"))
-    val updates = upgrades.unionAll(inserts)
-      .withColumnRenamed("c_custkey", "u_custkey")
-    base.join(broadcast(updates),
-        col("c_custkey") === col("u_custkey"), "full_outer")
+      .select((col("c_custkey") + 1000000L).as("k"),
+        lit(50.0).as("bal"),
+        lit("NEW").as("seg"))
+    base.join(broadcast(upgrades),
+        col("c_custkey") === col("u_custkey"), "left_outer")
       .select(
-        coalesce(col("u_custkey"), col("c_custkey")).as("k"),
-        coalesce(updates("c_acctbal"), base("c_acctbal")).as("bal"),
-        coalesce(updates("c_mktsegment"), base("c_mktsegment")).as("seg"))
+        col("c_custkey").as("k"),
+        coalesce(col("u_acctbal"), col("c_acctbal")).as("bal"),
+        coalesce(col("u_mktsegment"), col("c_mktsegment")).as("seg"))
+      .unionAll(inserts)
       .groupBy("seg")
       .agg(count(lit(1)).as("cnt"), dround(sum("bal"), 2).as("total_bal"))
       .orderBy("seg")

@@ -14,6 +14,9 @@ object FlakyRemoteState {
   /** When set, the next remote create stream throws AFTER its underlying
     * close (data durable remotely, but the caller sees a failure). */
   val failNextCreateClose = new java.util.concurrent.atomic.AtomicBoolean(false)
+  /** When set, the next remote create stream fails on its first write
+    * (nothing reaches the remote). */
+  val failNextCreateWrite = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
 
 /** A "remote" with injectable failures on the append write path and the
@@ -48,8 +51,13 @@ class FlakyRemoteFileSystem extends RawLocalFileSystem {
     val inner = super.create(f, permission, overwrite, bufferSize,
       replication, blockSize, progress)
     new FSDataOutputStream(new java.io.FilterOutputStream(inner) {
-      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        if (FlakyRemoteState.failNextCreateWrite.getAndSet(false)) {
+          try inner.close() catch { case _: Throwable => }
+          throw new IOException("injected remote create-write failure")
+        }
         inner.write(b, off, len)
+      }
       override def close(): Unit = {
         super.close()
         if (FlakyRemoteState.failNextCreateClose.getAndSet(false))
@@ -114,6 +122,37 @@ class RemoteFailureSpec extends AnyFunSuite {
     val all = new Array[Byte](d1.length + d2.length)
     in2.readFully(0, all); in2.close()
     assert(all.sameElements(d1 ++ d2))
+  }
+
+  test("async create: failed remote write, then caller's close(), leaves no phantom meta") {
+    val fs = {
+      val c = new Configuration(false)
+      c.setLong("graft.fs.data.page.size", 16 * 1024)
+      c.set("graft.fs.disk.cache.dir", root.resolve("pages_c").toString)
+      c.set("graft.fs.write.cache.dir", root.resolve("wc_c").toString)
+      c.set("graft.fs.remote.impl", classOf[FlakyRemoteFileSystem].getName)
+      c.setBoolean("graft.fs.write.cache.async.close", true)
+      val f = new GraftCachingFileSystem
+      f.initialize(URI.create("graft://flakyc/"), c)
+      f
+    }
+    val p = new Path(s"graft://flakyc${root.toString}/phantom.bin")
+    val d = Array.tabulate(30000)(i => (i % 251).toByte)
+
+    FlakyRemoteState.failNextCreateWrite.set(true)
+    val out = fs.create(p, true)
+    intercept[IOException] { out.write(d) }
+    out.close() // the caller's finally-close after the failure
+
+    val wc = fs.writeCacheRef.get
+    val cp = wc.toCachePath(p)
+    assert(!wc.cacheFs.exists(cp), "copy survived the failed create")
+    assert(!wc.cacheFs.exists(wc.monikerPath(cp)), "moniker survived")
+    // getFileStatus must reflect the REMOTE truth (an empty file here —
+    // the injector closed it before any byte landed), not a phantom
+    // 30000-byte record resurrected by close()'s local bookkeeping
+    assert(fs.getFileStatus(p).getLen == 0L,
+      "phantom meta record served a length the remote never reached")
   }
 
   test("sync create whose remote close throws drops this generation's copy and meta") {
