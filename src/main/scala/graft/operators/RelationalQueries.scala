@@ -498,6 +498,51 @@ object RelationalQueries {
       |  coalesce(round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2), 0) AS p_total
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- 11d. Ordered string aggregation (LISTAGG WITHIN GROUP):
+  // deterministic because the within-group order is total ----
+  val q11d_listagg: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(expr(
+        "listagg(DISTINCT l_linestatus, ',') WITHIN GROUP (ORDER BY l_linestatus)")
+        .as("statuses"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+
+  val q11d_listagg_sql: String =
+    """SELECT l_returnflag,
+      |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+      |    AS statuses,
+      |  count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- 12e. UNPIVOT (melt): the inverse of q12d's pivot — wide measure
+  // columns back to (key, measure, value) rows ----
+  val q12e_unpivot: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(dround(sum("l_quantity"), 2).as("qty"),
+        dround(sum("l_extendedprice"), 2).as("price"),
+        dround(sum("l_discount"), 2).as("disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("disc")),
+        "measure", "val")
+      .orderBy("l_returnflag", "measure")
+
+  val q12e_unpivot_sql: String =
+    """WITH wide AS (
+      |  SELECT l_returnflag, round(sum(l_quantity), 2) AS qty,
+      |    round(sum(l_extendedprice), 2) AS price,
+      |    round(sum(l_discount), 2) AS disc
+      |  FROM lineitem GROUP BY l_returnflag
+      |)
+      |SELECT l_returnflag, 'qty' AS measure, qty AS val FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'price', price FROM wide
+      |UNION ALL
+      |SELECT l_returnflag, 'disc', disc FROM wide
+      |ORDER BY l_returnflag, measure""".stripMargin
+
   // ---- 13. Approx distinct (HLL) — bench-only, excluded from oracle ----
   val q13_approx_distinct: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -714,6 +759,48 @@ object RelationalQueries {
       |EXCEPT SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 300000
       |ORDER BY ck""".stripMargin
 
+  // ---- 19c/19d. Multiset INTERSECT ALL / EXCEPT ALL (bag semantics:
+  // multiplicities min / subtract, vs the set forms in q19/q19b) ----
+  val q19c_intersect_all: Q = (s, dir) => {
+    val a = t(s, dir, "lineitem").filter(col("l_quantity") > 25)
+      .select("l_returnflag", "l_linestatus")
+    val b = t(s, dir, "lineitem").filter(col("l_extendedprice") > 20000)
+      .select("l_returnflag", "l_linestatus")
+    a.intersectAll(b)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q19c_intersect_all_sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM (
+      |  SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 25
+      |  INTERSECT ALL
+      |  SELECT l_returnflag, l_linestatus FROM lineitem
+      |  WHERE l_extendedprice > 20000
+      |) GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val q19d_except_all: Q = (s, dir) => {
+    val a = t(s, dir, "lineitem").filter(col("l_quantity") > 25)
+      .select("l_returnflag", "l_linestatus")
+    // 60000 keeps the b-side SMALLER than a per group, so a non-empty
+    // multiset remainder actually exercises the bag subtraction
+    val b = t(s, dir, "lineitem").filter(col("l_extendedprice") > 60000)
+      .select("l_returnflag", "l_linestatus")
+    a.exceptAll(b)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  val q19d_except_all_sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM (
+      |  SELECT l_returnflag, l_linestatus FROM lineitem WHERE l_quantity > 25
+      |  EXCEPT ALL
+      |  SELECT l_returnflag, l_linestatus FROM lineitem
+      |  WHERE l_extendedprice > 60000
+      |) GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   // ---- 20. Exact dedup: distinct + deterministic dropDuplicates ----
   val q20_dedup_rows: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -832,7 +919,9 @@ object RelationalQueries {
     "q12_rollup" -> q12_rollup,
     "q12b_cube" -> q12b_cube,
     "q12c_grouping_sets" -> q12c_grouping_sets,
+    "q11d_listagg" -> q11d_listagg,
     "q12d_pivot" -> q12d_pivot,
+    "q12e_unpivot" -> q12e_unpivot,
     "q13_approx_distinct" -> q13_approx_distinct,
     "q14_window_rank" -> q14_window_rank,
     "q14b_window_dist" -> q14b_window_dist,
@@ -844,6 +933,8 @@ object RelationalQueries {
     "q18b_union_distinct" -> q18b_union_distinct,
     "q19_intersect" -> q19_intersect,
     "q19b_except" -> q19b_except,
+    "q19c_intersect_all" -> q19c_intersect_all,
+    "q19d_except_all" -> q19d_except_all,
     "q20_dedup_rows" -> q20_dedup_rows,
     "q20b_dedup_keyed" -> q20b_dedup_keyed)
 
@@ -876,7 +967,9 @@ object RelationalQueries {
     "q12_rollup" -> q12_rollup_sql,
     "q12b_cube" -> q12b_cube_sql,
     "q12c_grouping_sets" -> q12c_grouping_sets_sql,
+    "q11d_listagg" -> q11d_listagg_sql,
     "q12d_pivot" -> q12d_pivot_sql,
+    "q12e_unpivot" -> q12e_unpivot_sql,
     // q13_approx_distinct: HLL estimate — bench-only, no DuckDB oracle.
     "q14_window_rank" -> q14_window_rank_sql,
     "q14b_window_dist" -> q14b_window_dist_sql,
@@ -888,6 +981,8 @@ object RelationalQueries {
     "q18b_union_distinct" -> q18b_union_distinct_sql,
     "q19_intersect" -> q19_intersect_sql,
     "q19b_except" -> q19b_except_sql,
+    "q19c_intersect_all" -> q19c_intersect_all_sql,
+    "q19d_except_all" -> q19d_except_all_sql,
     "q20_dedup_rows" -> q20_dedup_rows_sql,
     "q20b_dedup_keyed" -> q20b_dedup_keyed_sql)
 }
