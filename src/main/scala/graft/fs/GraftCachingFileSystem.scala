@@ -213,14 +213,18 @@ class GraftCachingFileSystem extends FileSystem {
       onCacheError = () => wc.foreach(w => w.dropCopy(w.toCachePath(q))),
       onCloseLocal = bytes => {
         stats.bytesWritten.addAndGet(bytes)
+        var copyLive = false
         wc.foreach { w =>
           val cp = w.toCachePath(q)
-          if (w.cacheFs.exists(cp)) w.recordFile(cp, bytes)
+          if (w.cacheFs.exists(cp)) { w.recordFile(cp, bytes); copyLive = true }
         }
-        if (fsConf.asyncClose) {
-          // remote close hasn't happened yet: record the facts we know
-          // (length from the byte count) so read-your-writes works now;
-          // the write-cache copy serves the data meanwhile.
+        // Advertise the length early ONLY while a write-cache copy can
+        // actually serve it: if the cache side degraded (write or
+        // close-time error dropped the copy), a reader between here and
+        // the async upload's completion would get a length the remote
+        // can't back yet — let getFileStatus fall through to the remote
+        // instead.
+        if (fsConf.asyncClose && (wc.isEmpty || copyLive)) {
           metaCache.put(q.toString,
             MetaRecord(System.currentTimeMillis(), bytes, isDir = false))
         }

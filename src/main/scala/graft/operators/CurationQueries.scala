@@ -228,13 +228,16 @@ object CurationQueries {
   // answers set-membership-by-sketch. The exact join keeps the answer
   // identical to the plain semi join the oracle runs.)
   val q66_bloom_semijoin: Q = (s, dir) => {
+    // persisted: the filtered key projection feeds three consumers
+    // (cardinality count, bloom build, exact semi join) — one scan of
+    // orders, not three
     val keys = t(s, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey")
-    // size the sketch from the real cardinality (one cheap count over
-    // the filtered dimension) — a fixed capacity would silently
-    // saturate at larger SFs and the false-positive rate, and with it
-    // the shuffle volume, would quietly climb back toward 100%
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size the sketch from the real cardinality — a fixed capacity would
+    // silently saturate at larger SFs and the false-positive rate, and
+    // with it the shuffle volume, would quietly climb back toward 100%
     val bf = keys.stat.bloomFilter("o_orderkey",
       math.max(keys.count(), 1000L), 0.01)
     val mightContain = udf((k: Long) => bf.mightContain(k))
@@ -347,8 +350,11 @@ object CurationQueries {
       .select(col("c_custkey").as("u_custkey"),
         (col("c_acctbal") + 100.0).as("u_acctbal"),
         lit("UPGRADED").as("u_mktsegment"))
+    // negative key space: structurally disjoint from the (positive)
+    // base keys at ANY scale factor — a fixed offset would collide once
+    // the dimension outgrows it
     val inserts = base.filter(col("c_custkey") % 100 === 7)
-      .select((col("c_custkey") + 1000000L).as("k"),
+      .select((-col("c_custkey") - 1L).as("k"),
         lit(50.0).as("bal"),
         lit("NEW").as("seg"))
     base.join(broadcast(upgrades),
@@ -369,7 +375,7 @@ object CurationQueries {
       |    'UPGRADED' AS c_mktsegment
       |  FROM customer WHERE c_custkey % 10 = 0
       |  UNION ALL
-      |  SELECT c_custkey + 1000000, 50.0, 'NEW'
+      |  SELECT -c_custkey - 1, 50.0, 'NEW'
       |  FROM customer WHERE c_custkey % 100 = 7
       |)
       |SELECT COALESCE(u.c_mktsegment, b.c_mktsegment) AS seg,
