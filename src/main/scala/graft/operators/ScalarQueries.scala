@@ -247,6 +247,29 @@ object ScalarQueries {
       |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- 27b. VariantType (Spark 4 semi-structured path): parse_json
+  // ONCE per row into a binary variant, then typed variant_get
+  // extraction — vs q27's get_json_object, which re-parses the string
+  // per path. With many extracted paths over 100 TB of JSON the single
+  // parse is the difference between one decode and N. ----
+  val q27b_variant: Q = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", variant_get(col("v"), "$.k", "long"))
+      .withColumn("k_bucket", (floor(col("k") / 10) * 10).cast("long"))
+      .groupBy("event_type", "k_bucket")
+      .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"))
+      .orderBy("event_type", "k_bucket")
+
+  val q27b_variant_sql: String =
+    """SELECT event_type,
+      |  CAST(floor(CAST(json_extract_string(props, '$.k') AS BIGINT) / 10)
+      |    * 10 AS BIGINT) AS k_bucket,
+      |  count(*) AS cnt,
+      |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k
+      |FROM events GROUP BY 1, 2 ORDER BY event_type, k_bucket""".stripMargin
+
   // ---- 28. Subqueries (SQL path — Catalyst decorrelates) ----
   val q28_subquery_scalar: Q = (s, dir) => {
     Tables.registerAll(s, dir)
@@ -332,6 +355,7 @@ object ScalarQueries {
     "q25b_posexplode" -> q25b_posexplode,
     "q26_struct_map" -> q26_struct_map,
     "q27_json" -> q27_json,
+    "q27b_variant" -> q27b_variant,
     "q28_subquery_scalar" -> q28_subquery_scalar,
     "q28b_subquery_in" -> q28b_subquery_in,
     "q28c_subquery_correlated" -> q28c_subquery_correlated,
@@ -348,6 +372,7 @@ object ScalarQueries {
     "q25b_posexplode" -> q25b_posexplode_sql,
     "q26_struct_map" -> q26_struct_map_sql,
     "q27_json" -> q27_json_sql,
+    "q27b_variant" -> q27b_variant_sql,
     "q28_subquery_scalar" -> q28_subquery_scalar_sql,
     "q28b_subquery_in" -> q28b_subquery_in_sql,
     "q28c_subquery_correlated" -> q28c_subquery_correlated_sql,
