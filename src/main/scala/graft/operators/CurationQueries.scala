@@ -261,9 +261,11 @@ object CurationQueries {
 
   // ---- 67. Corpus-duplicated n-grams: for every doc, how much of it is
   // 5-grams that also occur in OTHER documents (RefinedWeb's duplicated-
-  // n-gram fraction). One shuffle on the gram to find multi-doc grams,
-  // one shuffle back on doc_id — both map-side-combined; no pairwise
-  // doc×doc work anywhere.
+  // n-gram fraction). The multi-doc test is a count window OVER the gram
+  // partition: the corpus gram pipeline runs ONCE and shuffles once on
+  // the gram (a groupBy-then-join-back would recompute the whole
+  // explode for the second join side), then one shuffle back on doc_id.
+  // No pairwise doc×doc work anywhere.
   val q67_dup_ngrams: Q = (s, dir) => {
     val grams = withToks(t(s, dir, "documents"))
       .select(col("doc_id"), col("lang"),
@@ -271,12 +273,11 @@ object CurationQueries {
         explode(gramsCol(5)).as("gram"))
       .distinct()
     // rows are distinct on (doc_id, gram) by construction, so the plain
-    // count IS the distinct doc count — no distinct-aggregate Expand
-    val shared = grams.groupBy("gram")
-      .agg(count(lit(1)).as("ndocs"))
+    // count over the gram partition IS the distinct doc count
+    grams
+      .withColumn("ndocs",
+        count(lit(1)).over(Window.partitionBy("gram")))
       .filter(col("ndocs") >= 2)
-      .select("gram")
-    grams.join(shared, Seq("gram"), "left_semi")
       .groupBy("doc_id", "lang", "n_grams")
       .agg(count(lit(1)).as("shared_grams"))
       .withColumn("dup_frac",
