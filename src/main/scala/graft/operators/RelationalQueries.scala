@@ -516,6 +516,29 @@ object RelationalQueries {
       |  count(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- 11e. Group-wise argmax via max-of-struct: struct comparison is
+  // lexicographic, so max(struct(price, key, date)) picks the highest
+  // price with a DETERMINISTIC total-order tiebreak — unlike max_by /
+  // arg_max, whose tie choice is engine- and partition-order-dependent.
+  // One partial-agg-friendly aggregation; no window, no self-join. ----
+  val q11e_argmax: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"),
+        count(lit(1)).as("cnt"))
+      .select(col("o_orderpriority"),
+        dround(col("m.o_totalprice"), 2).as("top_price"),
+        col("m.o_orderkey").as("top_key"),
+        col("cnt"))
+      .orderBy("o_orderpriority")
+
+  val q11e_argmax_sql: String =
+    """SELECT o_orderpriority,
+      |  round(max({'p': o_totalprice, 'k': o_orderkey}).p, 2) AS top_price,
+      |  max({'p': o_totalprice, 'k': o_orderkey}).k AS top_key,
+      |  count(*) AS cnt
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ---- 12e. UNPIVOT (melt): the inverse of q12d's pivot — wide measure
   // columns back to (key, measure, value) rows ----
   val q12e_unpivot: Q = (s, dir) =>
@@ -920,6 +943,7 @@ object RelationalQueries {
     "q12b_cube" -> q12b_cube,
     "q12c_grouping_sets" -> q12c_grouping_sets,
     "q11d_listagg" -> q11d_listagg,
+    "q11e_argmax" -> q11e_argmax,
     "q12d_pivot" -> q12d_pivot,
     "q12e_unpivot" -> q12e_unpivot,
     "q13_approx_distinct" -> q13_approx_distinct,
@@ -968,6 +992,7 @@ object RelationalQueries {
     "q12b_cube" -> q12b_cube_sql,
     "q12c_grouping_sets" -> q12c_grouping_sets_sql,
     "q11d_listagg" -> q11d_listagg_sql,
+    "q11e_argmax" -> q11e_argmax_sql,
     "q12d_pivot" -> q12d_pivot_sql,
     "q12e_unpivot" -> q12e_unpivot_sql,
     // q13_approx_distinct: HLL estimate — bench-only, no DuckDB oracle.
