@@ -96,11 +96,42 @@ object SqlQueries {
       |GROUP BY n.n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  // ---- 77. Recursive CTE (Spark 4 WITH RECURSIVE): funnel PATHS, not
+  // just stage counts — each recursion step extends a user's journey
+  // with the next stage's event inside a 2-day window. The strictly
+  // increasing timestamp + depth cap make the recursion finite (Spark's
+  // recursive CTEs support UNION ALL only, so acyclicity must come from
+  // the data, and here it does). Each iteration is one equi-join on
+  // user_id against the (broadcastable per-stage filtered) event set —
+  // the same per-round shape as the label-propagation loop in q58, but
+  // expressed declaratively. The identical SQL text runs on DuckDB.
+  private val funnelPathsText =
+    """WITH RECURSIVE chain(user_id, ts, depth) AS (
+      |  SELECT user_id, ts, 1 FROM events WHERE event_type = 'signup'
+      |  UNION ALL
+      |  SELECT c.user_id, e.ts, c.depth + 1
+      |  FROM chain c JOIN events e ON e.user_id = c.user_id
+      |   AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 2 DAY
+      |   AND e.event_type = CASE c.depth WHEN 1 THEN 'view'
+      |                                   WHEN 2 THEN 'click'
+      |                                   WHEN 3 THEN 'purchase' END
+      |  WHERE c.depth < 4
+      |)
+      |SELECT depth, count(*) AS paths,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      |FROM chain GROUP BY depth ORDER BY depth""".stripMargin
+
+  val q77_recursive_funnel: Q = (s, dir) => sql(s, dir, funnelPathsText)
+
+  val q77_recursive_funnel_sql: String = funnelPathsText
+
   val queries: Map[String, Q] = Map(
     "q71_sql_tpch_q3" -> q71_sql_tpch_q3,
-    "q72_sql_tpch_q5" -> q72_sql_tpch_q5)
+    "q72_sql_tpch_q5" -> q72_sql_tpch_q5,
+    "q77_recursive_funnel" -> q77_recursive_funnel)
 
   val oracles: Map[String, String] = Map(
     "q71_sql_tpch_q3" -> q71_sql_tpch_q3_sql,
-    "q72_sql_tpch_q5" -> q72_sql_tpch_q5_sql)
+    "q72_sql_tpch_q5" -> q72_sql_tpch_q5_sql,
+    "q77_recursive_funnel" -> q77_recursive_funnel_sql)
 }
