@@ -92,9 +92,13 @@ final class CachingOutputStream(
       // close (that would leak the remote stream and pin the moniker
       // forever) — same degrade-to-remote-only treatment as teeWrite
       if (cache != null) {
+        // NonFatal, not just IOException: cache FS wrappers surface
+        // closed-channel/illegal-state failures as RuntimeExceptions,
+        // and ANY of them aborting close() here would leak the remote
+        // stream and pin the moniker forever
         try cache.close()
         catch {
-          case _: java.io.IOException => cache = null; onCacheError()
+          case scala.util.control.NonFatal(_) => cache = null; onCacheError()
         }
       }
       val remoteClose: Runnable =

@@ -219,12 +219,12 @@ class GraftCachingFileSystem extends FileSystem {
           if (w.cacheFs.exists(cp)) { w.recordFile(cp, bytes); copyLive = true }
         }
         // Advertise the length early ONLY while a write-cache copy can
-        // actually serve it: if the cache side degraded (write or
-        // close-time error dropped the copy), a reader between here and
-        // the async upload's completion would get a length the remote
-        // can't back yet — let getFileStatus fall through to the remote
-        // instead.
-        if (fsConf.asyncClose && (wc.isEmpty || copyLive)) {
+        // actually serve it: with no copy (cache degraded mid-write or
+        // at close, path excluded, no write cache configured), a reader
+        // between here and the async upload's completion would get a
+        // length the remote can't back yet — let getFileStatus fall
+        // through to the remote instead.
+        if (fsConf.asyncClose && copyLive) {
           metaCache.put(q.toString,
             MetaRecord(System.currentTimeMillis(), bytes, isDir = false))
         }

@@ -228,9 +228,11 @@ object CurationQueries {
   // answers set-membership-by-sketch. The exact join keeps the answer
   // identical to the plain semi join the oracle runs.)
   val q66_bloom_semijoin: Q = (s, dir) => {
-    // persisted: the filtered key projection feeds three consumers
-    // (cardinality count, bloom build, exact semi join) — one scan of
-    // orders, not three
+    // persisted across the two model-building passes (cardinality count
+    // + bloom build), then released — the final semi join recomputes the
+    // cheap filtered scan rather than pinning storage memory for the
+    // rest of the session (query builders run inside shared sessions:
+    // Verify, the plan audit)
     val keys = t(s, dir, "orders")
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey")
@@ -238,8 +240,10 @@ object CurationQueries {
     // size the sketch from the real cardinality — a fixed capacity would
     // silently saturate at larger SFs and the false-positive rate, and
     // with it the shuffle volume, would quietly climb back toward 100%
-    val bf = keys.stat.bloomFilter("o_orderkey",
-      math.max(keys.count(), 1000L), 0.01)
+    val bf =
+      try keys.stat.bloomFilter("o_orderkey",
+        math.max(keys.count(), 1000L), 0.01)
+      finally keys.unpersist(blocking = false)
     val mightContain = udf((k: Long) => bf.mightContain(k))
     t(s, dir, "lineitem")
       .filter(mightContain(col("l_orderkey")))

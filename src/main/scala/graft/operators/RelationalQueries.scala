@@ -517,8 +517,8 @@ object RelationalQueries {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ---- 11e. Group-wise argmax via max-of-struct: struct comparison is
-  // lexicographic, so max(struct(price, key, date)) picks the highest
-  // price with a DETERMINISTIC total-order tiebreak — unlike max_by /
+  // lexicographic, so max(struct(price, key)) picks the highest price
+  // with a DETERMINISTIC tiebreak on the (unique) key — unlike max_by /
   // arg_max, whose tie choice is engine- and partition-order-dependent.
   // One partial-agg-friendly aggregation; no window, no self-join. ----
   val q11e_argmax: Q = (s, dir) =>

@@ -259,7 +259,9 @@ object ScalarQueries {
       .withColumn("k_bucket", (floor(col("k") / 10) * 10).cast("long"))
       .groupBy("event_type", "k_bucket")
       .agg(count(lit(1)).as("cnt"), sum("k").as("sum_k"))
-      .orderBy("event_type", "k_bucket")
+      // k_bucket is NULL for rows whose props lack '$.k'; Spark sorts
+      // NULLS FIRST by default, DuckDB NULLS LAST — pin it
+      .orderBy(col("event_type"), col("k_bucket").asc_nulls_last)
 
   val q27b_variant_sql: String =
     """SELECT event_type,
