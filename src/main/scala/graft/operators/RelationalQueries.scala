@@ -186,6 +186,34 @@ object RelationalQueries {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY day""".stripMargin
 
+  // ---- 3f. Small-file compaction: the maintenance op every long-lived
+  // 100 TB table needs. A fragmented write (64 shards here) is rewritten
+  // with coalesce(4) — a NARROW dependency that merges partitions
+  // without a shuffle (repartition(4) would shuffle every byte) — and
+  // the compacted table must read back byte-identical in content. The
+  // oracle aggregates the original table; file counts are asserted
+  // locally since DuckDB can't see them.
+  val q03f_compact: Q = (s, dir) => {
+    val frag = scratch("events_frag", dir)
+    val comp = scratch("events_comp", dir)
+    t(s, dir, "events").repartition(64)
+      .write.mode("overwrite").parquet(frag)
+    s.read.schema(Tables.events).parquet(frag)
+      .coalesce(4)
+      .write.mode("overwrite").parquet(comp)
+    s.read.schema(Tables.events).parquet(comp)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), dround(sum("value"), 2).as("total"),
+        countDistinct("user_id").cast("long").as("users"))
+      .orderBy("event_type")
+  }
+
+  val q03f_compact_sql: String =
+    """SELECT event_type, count(*) AS cnt,
+      |  round(sum(value), 2) + 0 AS total,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---- 4. Projection: select / rename / computed columns ----
   val q04_project: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -925,6 +953,7 @@ object RelationalQueries {
     "q03c_sink_csv" -> q03c_sink_csv,
     "q03d_sink_json" -> q03d_sink_json,
     "q03e_sink_partitioned" -> q03e_sink_partitioned,
+    "q03f_compact" -> q03f_compact,
     "q04_project" -> q04_project,
     "q05_filter" -> q05_filter,
     "q06_join_inner" -> q06_join_inner,
@@ -974,6 +1003,7 @@ object RelationalQueries {
     "q03c_sink_csv" -> q03c_sink_csv_sql,
     "q03d_sink_json" -> q03d_sink_json_sql,
     "q03e_sink_partitioned" -> q03e_sink_partitioned_sql,
+    "q03f_compact" -> q03f_compact_sql,
     "q04_project" -> q04_project_sql,
     "q05_filter" -> q05_filter_sql,
     "q06_join_inner" -> q06_join_inner_sql,

@@ -36,6 +36,17 @@ class PlanAuditSpec extends TestBase {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("q03f actually compacts: 64 fragment files in, at most 4 files out") {
+    SparkEntry.queries("q03f_compact")(spark, sfDir).collect()
+    def parts(tag: String): Int = {
+      val clean = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_scratch/$clean/$tag")
+        .listFiles().count(f => f.getName.startsWith("part-"))
+    }
+    assert(parts("events_frag") == 64, "fragmented write lost shards")
+    assert(parts("events_comp") <= 4, "compaction did not merge files")
+  }
+
   test("q03e's re-read prunes partitions: the event_type filter is a PartitionFilter") {
     // materialize the partitioned sink, then audit the re-read's scan
     val df = SparkEntry.queries("q03e_sink_partitioned")(spark, sfDir)
