@@ -146,6 +146,32 @@ object ScalarQueries {
       |  round(sum(greatest(o_totalprice, 50000)), 2) AS sum_floored
       |FROM orders GROUP BY 1, 2 ORDER BY bucket, st""".stripMargin
 
+  // ---- 24b. Missing-data handling (DataFrameNaFunctions): nulls are
+  // introduced deterministically (negative balances, one segment), then
+  // na.fill / na.replace / na.drop clean them — the mirror of the CASE
+  // expressions the oracle runs. All three stay inside one codegen'd
+  // projection; no NA API call adds a shuffle. ----
+  val q24b_na_handling: Q = (s, dir) =>
+    t(s, dir, "customer")
+      .withColumn("bal",
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")))
+      .withColumn("seg", nullif(col("c_mktsegment"), lit("BUILDING")))
+      .na.fill(Map("bal" -> 0.0))
+      .na.replace("seg", Map("HOUSEHOLD" -> "HH"))
+      .na.drop(Seq("seg"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("cnt"), dround(sum("bal"), 2).as("bal_sum"))
+      .orderBy("seg")
+
+  val q24b_na_handling_sql: String =
+    """SELECT CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 'HH'
+      |            ELSE c_mktsegment END AS seg,
+      |  count(*) AS cnt,
+      |  round(sum(CASE WHEN c_acctbal < 0 THEN 0 ELSE c_acctbal END), 2)
+      |    AS bal_sum
+      |FROM customer WHERE c_mktsegment <> 'BUILDING'
+      |GROUP BY 1 ORDER BY seg""".stripMargin
+
   // ---- 25. Array functions (embeddings.embedding: array<float>) ----
   val q25_array: Q = (s, dir) =>
     t(s, dir, "embeddings")
@@ -353,6 +379,7 @@ object ScalarQueries {
     "q22b_date_agg" -> q22b_date_agg,
     "q23_math" -> q23_math,
     "q24_conditional" -> q24_conditional,
+    "q24b_na_handling" -> q24b_na_handling,
     "q25_array" -> q25_array,
     "q25b_posexplode" -> q25b_posexplode,
     "q26_struct_map" -> q26_struct_map,
@@ -370,6 +397,7 @@ object ScalarQueries {
     "q22b_date_agg" -> q22b_date_agg_sql,
     "q23_math" -> q23_math_sql,
     "q24_conditional" -> q24_conditional_sql,
+    "q24b_na_handling" -> q24b_na_handling_sql,
     "q25_array" -> q25_array_sql,
     "q25b_posexplode" -> q25b_posexplode_sql,
     "q26_struct_map" -> q26_struct_map_sql,
