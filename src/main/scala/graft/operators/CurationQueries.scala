@@ -482,7 +482,103 @@ object CurationQueries {
       |SELECT doc_id, rn, term, score FROM ranked WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin
 
+  // ---- 78. Dictionary (label) encoding: map a string category to a
+  // dense integer code. The vocabulary is the distinct value set — tiny
+  // by definition — so the window that assigns codes runs over a
+  // handful of rows and the encoded table comes from a BROADCAST join;
+  // the fact table is never shuffled. (The naive spelling — dense_rank
+  // over the raw table — would sort everything in one partition.)
+  val q78_dict_encode: Q = (s, dir) => {
+    val vocab = t(s, dir, "documents").select("source").distinct()
+      .withColumn("code",
+        row_number().over(Window.orderBy("source")).cast("long") - 1L)
+    t(s, dir, "documents")
+      .join(broadcast(vocab), "source")
+      .groupBy("source", "code")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("chars"))
+      .orderBy("code")
+  }
+
+  val q78_dict_encode_sql: String =
+    """WITH vocab AS (
+      |  SELECT source,
+      |    row_number() OVER (ORDER BY source) - 1 AS code
+      |  FROM (SELECT DISTINCT source FROM documents)
+      |)
+      |SELECT d.source, v.code, count(*) AS docs,
+      |  CAST(sum(d.n_chars) AS BIGINT) AS chars
+      |FROM documents d JOIN vocab v USING (source)
+      |GROUP BY d.source, v.code ORDER BY code""".stripMargin
+
+  // ---- 79. Equi-depth binning: quartile boundaries come from ONE
+  // aggregate row (exact interpolated percentiles), broadcast back, and
+  // every order is assigned by plain comparisons — a single pass plus a
+  // one-row cross join, where the naive global ntile would sort the
+  // whole table in one partition.
+  val q79_equidepth: Q = (s, dir) => {
+    val bounds = t(s, dir, "orders").agg(
+      expr("percentile(o_totalprice, 0.25)").as("b1"),
+      expr("percentile(o_totalprice, 0.50)").as("b2"),
+      expr("percentile(o_totalprice, 0.75)").as("b3"))
+    t(s, dir, "orders").crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("o_totalprice") <= col("b1"), 1L)
+          .when(col("o_totalprice") <= col("b2"), 2L)
+          .when(col("o_totalprice") <= col("b3"), 3L)
+          .otherwise(4L))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"),
+        dround(min("o_totalprice"), 2).as("lo"),
+        dround(max("o_totalprice"), 2).as("hi"))
+      .orderBy("bucket")
+  }
+
+  val q79_equidepth_sql: String =
+    """WITH b AS (
+      |  SELECT quantile_cont(o_totalprice, 0.25) AS b1,
+      |    quantile_cont(o_totalprice, 0.50) AS b2,
+      |    quantile_cont(o_totalprice, 0.75) AS b3
+      |  FROM orders
+      |)
+      |SELECT CASE WHEN o_totalprice <= b1 THEN 1
+      |            WHEN o_totalprice <= b2 THEN 2
+      |            WHEN o_totalprice <= b3 THEN 3
+      |            ELSE 4 END AS bucket,
+      |  count(*) AS cnt,
+      |  round(min(o_totalprice), 2) AS lo,
+      |  round(max(o_totalprice), 2) AS hi
+      |FROM orders, b GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---- 80. Event-transition mining (first-order Markov counts): the
+  // previous event per user via lag over the user's timeline, then a
+  // transition-count aggregate. One shuffle on user_id for the window,
+  // one tiny agg on the (from, to) pair — the standard journey-analysis
+  // shape at any scale.
+  val q80_transitions: Q = (s, dir) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    t(s, dir, "events")
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q80_transitions_sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events
+      |)
+      |SELECT prev AS from_type, event_type AS to_type, count(*) AS cnt
+      |FROM seq WHERE prev IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q78_dict_encode" -> q78_dict_encode,
+    "q79_equidepth" -> q79_equidepth,
+    "q80_transitions" -> q80_transitions,
     "q74_upsert_merge" -> q74_upsert_merge,
     "q75_gapfill" -> q75_gapfill,
     "q76_tfidf" -> q76_tfidf,
@@ -495,6 +591,9 @@ object CurationQueries {
     "q68_stratified_sample" -> q68_stratified_sample)
 
   val oracles: Map[String, String] = Map(
+    "q78_dict_encode" -> q78_dict_encode_sql,
+    "q79_equidepth" -> q79_equidepth_sql,
+    "q80_transitions" -> q80_transitions_sql,
     "q74_upsert_merge" -> q74_upsert_merge_sql,
     "q75_gapfill" -> q75_gapfill_sql,
     "q76_tfidf" -> q76_tfidf_sql,
