@@ -17,7 +17,8 @@ class PlanAuditSpec extends TestBase {
     "q46b_ann_ivf",      // k=16 centroids broadcast for cell assignment
     "q54_source_sketch", // ~5 source sketches, pairwise
     "q10b_join_cross",   // the declared CROSS JOIN operator (dim x dim)
-    "q76_tfidf"          // ONE row (the corpus doc count) broadcast
+    "q76_tfidf",         // ONE row (the corpus doc count) broadcast
+    "q79_equidepth"      // ONE row (the percentile bounds) broadcast
   )
 
   test("no CartesianProduct anywhere; BNLJ only where designed") {
