@@ -445,11 +445,15 @@ object CurationQueries {
     val tf = docs
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.select(countDistinct("doc_id").as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
-    tf.join(df, "term").crossJoin(broadcast(n))
+    // document frequency as a count window over the term partition: tf
+    // rows are unique per (doc, term), so the partition count IS the
+    // doc frequency — and the token explode runs once, not once per
+    // side of a groupBy-then-join-back (same lesson as q67)
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(n))
       .withColumn("idf_scaled",
         round(log(col("n_docs").cast("double") / col("df")) * 1000000.0, 0)
           .cast("long"))
