@@ -495,7 +495,8 @@ object CurationQueries {
   val q78_dict_encode: Q = (s, dir) => {
     val vocab = t(s, dir, "documents").select("source").distinct()
       .withColumn("code",
-        row_number().over(Window.orderBy("source")).cast("long") - 1L)
+        row_number().over(Window.orderBy(col("source").asc_nulls_last))
+          .cast("long") - 1L)
     t(s, dir, "documents")
       .join(broadcast(vocab), "source")
       .groupBy("source", "code")
@@ -544,10 +545,10 @@ object CurationQueries {
       |    quantile_cont(o_totalprice, 0.75) AS b3
       |  FROM orders
       |)
-      |SELECT CASE WHEN o_totalprice <= b1 THEN 1
+      |SELECT CAST(CASE WHEN o_totalprice <= b1 THEN 1
       |            WHEN o_totalprice <= b2 THEN 2
       |            WHEN o_totalprice <= b3 THEN 3
-      |            ELSE 4 END AS bucket,
+      |            ELSE 4 END AS BIGINT) AS bucket,
       |  count(*) AS cnt,
       |  round(min(o_totalprice), 2) AS lo,
       |  round(max(o_totalprice), 2) AS hi

@@ -30,8 +30,9 @@ object RelationalQueries {
     Tables.load(s, dir, name)
 
   /** Scratch dir for source/sink round-trip queries (content is
-    * deterministic, derived solely from the driver's test data). */
-  private def scratch(tag: String, dir: String): String = {
+    * deterministic, derived solely from the driver's test data).
+    * private[graft]: PlanAuditSpec audits sink outputs on disk. */
+  private[graft] def scratch(tag: String, dir: String): String = {
     val clean = dir.replaceAll("[^A-Za-z0-9._-]", "_")
     s"${sys.props("java.io.tmpdir")}/graft_scratch/$clean/$tag"
   }

@@ -40,9 +40,10 @@ class PlanAuditSpec extends TestBase {
   test("q03f actually compacts: 64 fragment files in, at most 4 files out") {
     SparkEntry.queries("q03f_compact")(spark, sfDir).collect()
     def parts(tag: String): Int = {
-      val clean = sfDir.replaceAll("[^A-Za-z0-9._-]", "_")
-      new java.io.File(s"${sys.props("java.io.tmpdir")}/graft_scratch/$clean/$tag")
-        .listFiles().count(f => f.getName.startsWith("part-"))
+      val d = new java.io.File(operators.RelationalQueries.scratch(tag, sfDir))
+      val files = d.listFiles()
+      assert(files != null, s"scratch dir missing: $d")
+      files.count(_.getName.startsWith("part-"))
     }
     assert(parts("events_frag") == 64, "fragmented write lost shards")
     assert(parts("events_comp") <= 4, "compaction did not merge files")
