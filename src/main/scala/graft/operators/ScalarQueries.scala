@@ -172,6 +172,50 @@ object ScalarQueries {
       |FROM customer WHERE c_mktsegment <> 'BUILDING'
       |GROUP BY 1 ORDER BY seg""".stripMargin
 
+  // ---- 24c. FILTER-clause conditional aggregation: per-group metrics
+  // over different predicates in ONE pass (no self-joins, no separate
+  // scans per condition) — the idiomatic way to compute a metrics panel
+  // at scale. ----
+  val q24c_filtered_agg: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("cnt"),
+        count_if(col("l_quantity") > 25).as("big_qty"),
+        count_if(col("l_discount") === 0.0).as("no_disc"),
+        dround(sum(when(col("l_linestatus") === "F", col("l_extendedprice"))
+          .otherwise(lit(0.0))), 2).as("f_price"))
+      .orderBy("l_returnflag")
+
+  val q24c_filtered_agg_sql: String =
+    """SELECT l_returnflag, count(*) AS cnt,
+      |  count(*) FILTER (WHERE l_quantity > 25) AS big_qty,
+      |  count(*) FILTER (WHERE l_discount = 0.0) AS no_disc,
+      |  round(sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice
+      |            ELSE 0.0 END), 2) AS f_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- 21b. Edit-distance matching (levenshtein): fuzzy joins and
+  // canonicalization both reduce to it. Distances are integers —
+  // bit-identical across engines — and the candidate space is a small
+  // dimension crossed with itself, not the fact table. ----
+  val q21b_edit_distance: Q = (s, dir) => {
+    val names = t(s, dir, "nation").select(col("n_name").as("a"))
+    val names2 = t(s, dir, "nation").select(col("n_name").as("b"))
+    names.crossJoin(names2)
+      .filter(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+      .filter(col("dist") <= 6)
+      .orderBy("a", "b")
+  }
+
+  val q21b_edit_distance_sql: String =
+    """SELECT a, b, levenshtein(a, b) AS dist FROM (
+      |  SELECT n1.n_name AS a, n2.n_name AS b
+      |  FROM nation n1, nation n2 WHERE n1.n_name < n2.n_name
+      |) WHERE levenshtein(a, b) <= 6
+      |ORDER BY a, b""".stripMargin
+
   // ---- 25. Array functions (embeddings.embedding: array<float>) ----
   val q25_array: Q = (s, dir) =>
     t(s, dir, "embeddings")
@@ -380,6 +424,8 @@ object ScalarQueries {
     "q23_math" -> q23_math,
     "q24_conditional" -> q24_conditional,
     "q24b_na_handling" -> q24b_na_handling,
+    "q24c_filtered_agg" -> q24c_filtered_agg,
+    "q21b_edit_distance" -> q21b_edit_distance,
     "q25_array" -> q25_array,
     "q25b_posexplode" -> q25b_posexplode,
     "q26_struct_map" -> q26_struct_map,
@@ -398,6 +444,8 @@ object ScalarQueries {
     "q23_math" -> q23_math_sql,
     "q24_conditional" -> q24_conditional_sql,
     "q24b_na_handling" -> q24b_na_handling_sql,
+    "q24c_filtered_agg" -> q24c_filtered_agg_sql,
+    "q21b_edit_distance" -> q21b_edit_distance_sql,
     "q25_array" -> q25_array_sql,
     "q25b_posexplode" -> q25b_posexplode_sql,
     "q26_struct_map" -> q26_struct_map_sql,

@@ -18,7 +18,8 @@ class PlanAuditSpec extends TestBase {
     "q54_source_sketch", // ~5 source sketches, pairwise
     "q10b_join_cross",   // the declared CROSS JOIN operator (dim x dim)
     "q76_tfidf",         // ONE row (the corpus doc count) broadcast
-    "q79_equidepth"      // ONE row (the percentile bounds) broadcast
+    "q79_equidepth",     // ONE row (the percentile bounds) broadcast
+    "q21b_edit_distance" // 25-row nation dim crossed with itself
   )
 
   test("no CartesianProduct anywhere; BNLJ only where designed") {
