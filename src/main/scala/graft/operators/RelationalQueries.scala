@@ -475,6 +475,33 @@ object RelationalQueries {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY rf, ls""".stripMargin
 
+  // ---- 12f. grouping()/grouping_id(): disambiguate a rollup's subtotal
+  // rows from genuine NULL group values — the correct way to label
+  // super-aggregate rows (the coalesce-to-'ALL' in q12 would mislabel a
+  // real NULL key) ----
+  val q12f_grouping_id: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"),
+        grouping("o_orderstatus").cast("long").as("g_status"),
+        grouping("o_orderpriority").cast("long").as("g_prio"),
+        grouping_id().as("gid"))
+      .select(coalesce(col("o_orderstatus"), lit("-")).as("st"),
+        coalesce(col("o_orderpriority"), lit("-")).as("prio"),
+        col("g_status"), col("g_prio"), col("gid"), col("cnt"))
+      .orderBy("gid", "st", "prio")
+
+  val q12f_grouping_id_sql: String =
+    """SELECT coalesce(o_orderstatus, '-') AS st,
+      |  coalesce(o_orderpriority, '-') AS prio,
+      |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+      |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+      |    AS BIGINT) AS gid,
+      |  count(*) AS cnt
+      |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, st, prio""".stripMargin
+
   val q12b_cube: Q = (s, dir) =>
     t(s, dir, "orders")
       .cube("o_orderstatus", "o_orderpriority")
@@ -971,6 +998,7 @@ object RelationalQueries {
     "q11c_distinct_twophase" -> q11c_distinct_twophase,
     "q12_rollup" -> q12_rollup,
     "q12b_cube" -> q12b_cube,
+    "q12f_grouping_id" -> q12f_grouping_id,
     "q12c_grouping_sets" -> q12c_grouping_sets,
     "q11d_listagg" -> q11d_listagg,
     "q11e_argmax" -> q11e_argmax,
@@ -1021,6 +1049,7 @@ object RelationalQueries {
     "q11c_distinct_twophase" -> q11c_distinct_twophase_sql,
     "q12_rollup" -> q12_rollup_sql,
     "q12b_cube" -> q12b_cube_sql,
+    "q12f_grouping_id" -> q12f_grouping_id_sql,
     "q12c_grouping_sets" -> q12c_grouping_sets_sql,
     "q11d_listagg" -> q11d_listagg_sql,
     "q11e_argmax" -> q11e_argmax_sql,

@@ -172,6 +172,38 @@ object ScalarQueries {
       |FROM customer WHERE c_mktsegment <> 'BUILDING'
       |GROUP BY 1 ORDER BY seg""".stripMargin
 
+  // ---- 25c. Pairwise token-set overlap (array_intersect/union/except):
+  // adjacent documents joined on doc_id+1, set sizes as exact integers —
+  // the algebra behind every set-similarity metric, with no floating
+  // point anywhere. The adjacency join shuffles on the id only. ----
+  val q25c_token_overlap: Q = (s, dir) => {
+    val d = t(s, dir, "documents").select(col("doc_id"),
+      array_distinct(split(trim(col("text")), "\\s+")).as("ts"))
+    val b = d.select((col("doc_id") - 1).as("doc_id"), col("ts").as("ts2"))
+    d.join(b, "doc_id")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        size(array_intersect(col("ts"), col("ts2"))).cast("long").as("inter"),
+        size(array_union(col("ts"), col("ts2"))).cast("long").as("uni"),
+        size(array_except(col("ts"), col("ts2"))).cast("long").as("only_a"))
+      .orderBy("doc_id")
+  }
+
+  val q25c_token_overlap_sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_distinct(string_split_regex(trim(text), '\s+')) AS ts
+      |  FROM documents
+      |)
+      |SELECT a.doc_id,
+      |  CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) AS inter,
+      |  CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS BIGINT) AS uni,
+      |  CAST(len(list_filter(a.ts, x -> NOT list_contains(b.ts, x)))
+      |    AS BIGINT) AS only_a
+      |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+      |WHERE a.doc_id % 10 = 0
+      |ORDER BY a.doc_id""".stripMargin
+
   // ---- 24c. FILTER-clause conditional aggregation: per-group metrics
   // over different predicates in ONE pass (no self-joins, no separate
   // scans per condition) — the idiomatic way to compute a metrics panel
@@ -425,6 +457,7 @@ object ScalarQueries {
     "q24_conditional" -> q24_conditional,
     "q24b_na_handling" -> q24b_na_handling,
     "q24c_filtered_agg" -> q24c_filtered_agg,
+    "q25c_token_overlap" -> q25c_token_overlap,
     "q21b_edit_distance" -> q21b_edit_distance,
     "q25_array" -> q25_array,
     "q25b_posexplode" -> q25b_posexplode,
@@ -445,6 +478,7 @@ object ScalarQueries {
     "q24_conditional" -> q24_conditional_sql,
     "q24b_na_handling" -> q24b_na_handling_sql,
     "q24c_filtered_agg" -> q24c_filtered_agg_sql,
+    "q25c_token_overlap" -> q25c_token_overlap_sql,
     "q21b_edit_distance" -> q21b_edit_distance_sql,
     "q25_array" -> q25_array_sql,
     "q25b_posexplode" -> q25b_posexplode_sql,
