@@ -730,6 +730,40 @@ object RelationalQueries {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---- 15b. nth_value + IGNORE NULLS navigation: the 2nd order per
+  // customer, and the most recent non-null big-order price carried
+  // forward (lead/lag cover offsets; nth_value and IGNORE NULLS are the
+  // remaining navigation semantics) ----
+  val q15b_nth_value: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .filter(col("o_custkey") < 30)
+      .withColumn("big",
+        when(col("o_totalprice") > 200000, col("o_totalprice")))
+      .withColumn("second_price",
+        dround(coalesce(nth_value(col("o_totalprice"), 2).over(wFull),
+          lit(-1.0)), 2))
+      .withColumn("last_big",
+        dround(coalesce(
+          last(col("big"), ignoreNulls = true).over(wFull), lit(-1.0)), 2))
+      .select("o_custkey", "o_orderkey", "second_price", "last_big")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q15b_nth_value_sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  round(coalesce(nth_value(o_totalprice, 2) OVER w, -1), 2)
+      |    AS second_price,
+      |  round(coalesce(last_value(
+      |    CASE WHEN o_totalprice > 200000 THEN o_totalprice END
+      |    IGNORE NULLS) OVER w, -1), 2) AS last_big
+      |FROM orders WHERE o_custkey < 30
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   // ---- 16. Framed window aggregates: running sum / avg ----
   val q16_window_running: Q = (s, dir) => {
     val w = Window.partitionBy("o_custkey")
@@ -1008,6 +1042,7 @@ object RelationalQueries {
     "q14_window_rank" -> q14_window_rank,
     "q14b_window_dist" -> q14b_window_dist,
     "q15_window_lag" -> q15_window_lag,
+    "q15b_nth_value" -> q15b_nth_value,
     "q16_window_running" -> q16_window_running,
     "q16b_window_rangeframe" -> q16b_window_rangeframe,
     "q17_topk" -> q17_topk,
@@ -1059,6 +1094,7 @@ object RelationalQueries {
     "q14_window_rank" -> q14_window_rank_sql,
     "q14b_window_dist" -> q14b_window_dist_sql,
     "q15_window_lag" -> q15_window_lag_sql,
+    "q15b_nth_value" -> q15b_nth_value_sql,
     "q16_window_running" -> q16_window_running_sql,
     "q16b_window_rangeframe" -> q16b_window_rangeframe_sql,
     "q17_topk" -> q17_topk_sql,
