@@ -31,7 +31,7 @@ final class CachingOutputStream(
   private var cache: OutputStream = cacheInit.orNull
   private var count = 0L
   private var closed = false
-  private var remoteFailed = false
+  private var remoteError: Throwable = null
 
   private def teeWrite(body: OutputStream => Unit): Unit = {
     if (cache != null) {
@@ -53,7 +53,7 @@ final class CachingOutputStream(
     try body
     catch {
       case e: Throwable =>
-        remoteFailed = true
+        remoteError = e
         try { if (cache != null) cache.close() } catch { case _: Throwable => }
         cache = null
         onRemoteError()
@@ -80,13 +80,18 @@ final class CachingOutputStream(
   override def close(): Unit = {
     if (!closed) {
       closed = true
-      if (remoteFailed) {
+      if (remoteError != null) {
         // the remote already failed mid-write and onRemoteError dropped
         // every local claim; recording local facts now would resurrect a
-        // phantom meta/file-list entry nothing could ever clean up. Just
-        // release the remote handle quietly.
+        // phantom meta/file-list entry nothing could ever clean up.
+        // Release the remote handle, then rethrow (ADVICE r3): a caller
+        // that suppressed the write-path exception and relies on close()
+        // to signal commit failure must not observe success while the
+        // remote holds a truncated file.
         try remote.close() catch { case _: Throwable => }
-        return
+        throw new java.io.IOException(
+          "stream already failed remotely; nothing was committed",
+          remoteError)
       }
       // a close-time failure of the CACHE side must not abort the remote
       // close (that would leak the remote stream and pin the moniker

@@ -38,7 +38,7 @@ class PlanAuditSpec extends TestBase {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
-  test("q03f actually compacts: 64 fragment files in, at most 4 files out") {
+  test("q03f actually compacts: many fragment files in, at most 4 files out") {
     SparkEntry.queries("q03f_compact")(spark, sfDir).collect()
     def parts(tag: String): Int = {
       val d = new java.io.File(operators.RelationalQueries.scratch(tag, sfDir))
@@ -46,8 +46,36 @@ class PlanAuditSpec extends TestBase {
       assert(files != null, s"scratch dir missing: $d")
       files.count(_.getName.startsWith("part-"))
     }
-    assert(parts("events_frag") == 64, "fragmented write lost shards")
+    // lower bound, not ==64: Spark emits no part file for an empty
+    // partition, so a shrunken fixture must not fail the audit spuriously
+    assert(parts("events_frag") > 4, "fragmented write not fragmented")
     assert(parts("events_comp") <= 4, "compaction did not merge files")
+  }
+
+  test("q62 must not hint-broadcast a corpus-derived side") {
+    // the held-out gram set scales with the corpus; a hard broadcast()
+    // hint would pin a plan that OOMs at 100x (VERDICT r3 #3). AQE may
+    // still CHOOSE a broadcast when the side measures small — the audit
+    // forbids only the explicit hint in the logical plan.
+    val analyzed = SparkEntry.queries("q62_decontaminate")(spark, sfDir)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("ResolvedHint"),
+      s"q62 carries an explicit join hint:\n$analyzed")
+  }
+
+  test("q66 builds its bloom inside the plan: lazy, capped, subquery-fed") {
+    // construction must run NO Spark jobs (the r3 shape counted + built
+    // the sketch eagerly at DataFrame-build time)
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    val df = SparkEntry.queries("q66_bloom_semijoin")(spark, sfDir)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    assert(after == before, "q66 construction triggered eager Spark jobs")
+    // the probe must be the native bloom expression fed by a scalar
+    // subquery, so the sketch is built by distributed partial aggregation
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    assert(plan.contains("bloom_filter_agg"),
+      s"sketch not built by in-plan aggregation:\n$plan")
   }
 
   test("q03e's re-read prunes partitions: the event_type filter is a PartitionFilter") {

@@ -51,6 +51,17 @@ class FlakyRemoteFileSystem extends RawLocalFileSystem {
     val inner = super.create(f, permission, overwrite, bufferSize,
       replication, blockSize, progress)
     new FSDataOutputStream(new java.io.FilterOutputStream(inner) {
+      // both overloads carry the injection (ADVICE r3): FilterOutputStream
+      // forwards write(int) straight to the inner stream, so covering only
+      // the array overload would silently bypass the fault for
+      // single-byte writers
+      override def write(b: Int): Unit = {
+        if (FlakyRemoteState.failNextCreateWrite.getAndSet(false)) {
+          try inner.close() catch { case _: Throwable => }
+          throw new IOException("injected remote create-write failure")
+        }
+        inner.write(b)
+      }
       override def write(b: Array[Byte], off: Int, len: Int): Unit = {
         if (FlakyRemoteState.failNextCreateWrite.getAndSet(false)) {
           try inner.close() catch { case _: Throwable => }
@@ -142,7 +153,14 @@ class RemoteFailureSpec extends AnyFunSuite {
     FlakyRemoteState.failNextCreateWrite.set(true)
     val out = fs.create(p, true)
     intercept[IOException] { out.write(d) }
-    out.close() // the caller's finally-close after the failure
+    // the caller's finally-close after the failure must ALSO fail (a
+    // caller that suppresses write-path errors and trusts close() to
+    // signal the commit must not see success on a truncated remote),
+    // and the original remote failure must be attached as the cause
+    val closeErr = intercept[IOException] { out.close() }
+    assert(closeErr.getCause != null &&
+      closeErr.getCause.getMessage.contains("injected remote create-write"),
+      s"close() did not carry the original remote failure: $closeErr")
 
     val wc = fs.writeCacheRef.get
     val cp = wc.toCachePath(p)
