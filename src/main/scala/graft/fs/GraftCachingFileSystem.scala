@@ -59,7 +59,8 @@ class GraftCachingFileSystem extends FileSystem {
     }
     remoteFs.initialize(remoteUri, conf)
     pageCache = new PageCache(fsConf.memCacheBytes, fsConf.diskCacheBytes,
-      fsConf.diskCacheDir, stats)
+      fsConf.diskCacheDir, stats, fsConf.pageSize,
+      offheap = fsConf.dataCacheType == "OFFHEAP")
     metaCache = new MetaCache(stats)
     if (fsConf.writeCacheEnabled) {
       val wcFs = new RawLocalFileSystem()

@@ -27,7 +27,8 @@ final case class GraftFsConf(
     asyncClose: Boolean,
     dataCacheMode: String,
     minSizeThreshold: Long,
-    dataCacheExclude: Seq[String])
+    dataCacheExclude: Seq[String],
+    dataCacheType: String)
 
 object GraftFsConf {
   val Prefix = "graft.fs."
@@ -62,7 +63,12 @@ object GraftFsConf {
     minSizeThreshold = c.getLong(s"${Prefix}cache.minsize.threshold", 100L << 20),
     dataCacheExclude = Option(c.get(s"${Prefix}data.cache.exclude.list"))
       .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
-      .getOrElse(Seq.empty))
+      .getOrElse(Seq.empty),
+    // memory-tier storage for data pages: OFFHEAP (default — reference
+    // parity, SidecarDataCacheType.java:20-48: pooled direct segments,
+    // multi-GB caches stay off the GC heap) or HEAP (plain arrays,
+    // zero-copy hits for small caches)
+    dataCacheType = c.get(s"${Prefix}data.cache.type", "OFFHEAP").toUpperCase)
   }
 
   /** Write-cache eviction watermarks (hard-coded in the reference too:

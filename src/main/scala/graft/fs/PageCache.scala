@@ -20,8 +20,15 @@ object PageKey {
 
 /** Two-tier page cache: an LRU byte-budgeted memory tier whose victims
   * spill to an LRU disk tier (the reference's offheap->file victim
-  * tiering, SidecarCachingFileSystem.java:916-929, simplified to
-  * heap+disk).
+  * tiering, SidecarCachingFileSystem.java:916-929).
+  *
+  * The memory tier is mode-selectable (`graft.fs.data.cache.type`):
+  * `offheap` (default, reference parity — SidecarDataCacheType.java:20-48)
+  * stores pages in pooled `ByteBuffer.allocateDirect` segments so a
+  * multi-GB per-executor cache lives outside the GC heap; `heap` keeps
+  * plain byte arrays (zero-copy hits, right for small caches). Both
+  * modes share identical budgets/LRU/admission, so hit rates are
+  * mode-independent.
   *
   * Lock-striped: keys hash into `NumShards` independent shards, each an
   * access-ordered LinkedHashMap pair guarded by its own monitor with
@@ -31,7 +38,17 @@ object PageKey {
   * MD5-based keys distribute uniformly.
   */
 final class PageCache(memCapacity: Long, diskCapacity: Long, diskDir: String,
-    stats: Statistics) {
+    stats: Statistics, pageSize: Long = 1L << 20, offheap: Boolean = false) {
+
+  // free-list cap = the whole byte budget in segments: everything the
+  // shards can collectively release can be re-acquired without a fresh
+  // allocation, and idle direct memory never exceeds ~2x budget
+  private[fs] val pool: DirectPagePool =
+    if (offheap)
+      new DirectPagePool(
+        math.min(pageSize, Int.MaxValue.toLong).toInt,
+        math.max(1, (memCapacity / math.max(pageSize, 1)).toInt))
+    else null
 
   // one stripe per ~4 MiB of memory budget, capped at 16: production
   // budgets (256 MiB default) get full striping, tiny test budgets
@@ -40,7 +57,7 @@ final class PageCache(memCapacity: Long, diskCapacity: Long, diskDir: String,
     math.max(1, math.min(16, (memCapacity / (4L << 20)).toInt))
   private val shards = Array.tabulate(NumShards)(_ =>
     new PageShard(math.max(memCapacity / NumShards, 1),
-      diskCapacity / NumShards, diskDir, stats))
+      diskCapacity / NumShards, diskDir, stats, pool))
 
   new File(diskDir).mkdirs()
 
@@ -98,11 +115,13 @@ final class PageCache(memCapacity: Long, diskCapacity: Long, diskDir: String,
 }
 
 /** One stripe of the page cache — the original single-lock two-tier LRU,
-  * now scoped to 1/NumShards of the key space and budgets. */
+  * now scoped to 1/NumShards of the key space and budgets. `pool` null
+  * means heap mode; non-null stores page bytes in pooled direct
+  * segments (see DirectPagePool). */
 private final class PageShard(memCapacity: Long, diskCapacity: Long,
-    diskDir: String, stats: Statistics) {
+    diskDir: String, stats: Statistics, pool: DirectPagePool) {
 
-  private val mem = new java.util.LinkedHashMap[PageKey, Array[Byte]](64, 0.75f, true)
+  private val mem = new java.util.LinkedHashMap[PageKey, PageRef](64, 0.75f, true)
   private var memBytes = 0L
   // disk tier index: key -> file length (file name derived from key)
   private val disk = new java.util.LinkedHashMap[PageKey, Long](64, 0.75f, true)
@@ -113,7 +132,7 @@ private final class PageShard(memCapacity: Long, diskCapacity: Long,
 
   def get(k: PageKey): Option[Array[Byte]] = synchronized {
     val m = mem.get(k)
-    if (m != null) Some(m)
+    if (m != null) Some(m.bytes)
     else if (disk.containsKey(k)) {
       val f = diskFile(k)
       if (!f.exists()) { removeDisk(k); None }
@@ -149,14 +168,18 @@ private final class PageShard(memCapacity: Long, diskCapacity: Long,
   }
 
   private def putMem(k: PageKey, data: Array[Byte]): Unit = {
-    mem.put(k, data)
+    mem.put(k, PageRef.store(data, pool))
     memBytes += data.length
     while (memBytes > memCapacity && !mem.isEmpty) {
       val it = mem.entrySet().iterator()
       val eldest = it.next()
       it.remove()
       memBytes -= eldest.getValue.length
-      spillToDisk(eldest.getKey, eldest.getValue)
+      // copy out BEFORE release: the disk write must not read a segment
+      // already recycled to a concurrent put (same lock today, but the
+      // order is the invariant worth keeping obvious)
+      spillToDisk(eldest.getKey, eldest.getValue.bytes)
+      eldest.getValue.release()
     }
   }
 
@@ -186,11 +209,12 @@ private final class PageShard(memCapacity: Long, diskCapacity: Long,
 
   def invalidate(k: PageKey): Unit = synchronized {
     val m = mem.remove(k)
-    if (m != null) memBytes -= m.length
+    if (m != null) { memBytes -= m.length; m.release() }
     if (disk.containsKey(k)) { removeDisk(k); diskFile(k).delete() }
   }
 
   def clear(): Unit = synchronized {
+    mem.values().asScala.foreach(_.release())
     mem.clear(); memBytes = 0
     disk.keySet().asScala.toSeq.foreach(k => diskFile(k).delete())
     disk.clear(); diskBytes = 0
@@ -201,9 +225,15 @@ private final class PageShard(memCapacity: Long, diskCapacity: Long,
   def pageCount: Int = synchronized(mem.size() + disk.size())
 
   /** Persistence helper: spill the memory tier, return this shard's disk
-    * index entries. */
+    * index entries. Memory refs are released afterwards — save() runs at
+    * shutdown, and in offheap mode the direct segments must not outlive
+    * the cache they belong to. */
   def spillAllAndIndex(): Seq[(PageKey, Long)] = synchronized {
-    mem.entrySet().asScala.toSeq.foreach(e => spillToDisk(e.getKey, e.getValue))
+    mem.entrySet().asScala.toSeq.foreach { e =>
+      spillToDisk(e.getKey, e.getValue.bytes)
+      e.getValue.release()
+    }
+    mem.clear(); memBytes = 0
     disk.entrySet().asScala.toSeq.map(e => (e.getKey, e.getValue))
   }
 
