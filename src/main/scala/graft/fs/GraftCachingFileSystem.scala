@@ -111,7 +111,10 @@ class GraftCachingFileSystem extends FileSystem {
     val key = q.toString
     metaCache.get(key) match {
       case Some(m) if !fsConf.remoteMutable =>
-        new FileStatus(m.length, m.isDir, 1, fsConf.pageSize, m.modTime, q)
+        // hot facts from the cache; owner/permission/block size backfill
+        // lazily with one remote RPC on first access (CachedFileStatus)
+        new CachedFileStatus(m.length, m.isDir, fsConf.pageSize, m.modTime, q,
+          gp => remoteFs.getFileStatus(toRemotePath(gp)))
       case cached =>
         val rs = remoteFs.getFileStatus(toRemotePath(f))
         val rec = MetaRecord(rs.getModificationTime, rs.getLen, rs.isDirectory)
@@ -122,7 +125,10 @@ class GraftCachingFileSystem extends FileSystem {
               old.length, fsConf.pageSize)
         }
         metaCache.put(key, rec)
-        new FileStatus(rec.length, rec.isDir, 1, fsConf.pageSize, rec.modTime, q)
+        // the RPC already happened — carry its full field set for free
+        new FileStatus(rec.length, rec.isDir, rs.getReplication,
+          rs.getBlockSize, rec.modTime, rs.getAccessTime, rs.getPermission,
+          rs.getOwner, rs.getGroup, q)
     }
   }
 

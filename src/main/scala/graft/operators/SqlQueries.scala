@@ -105,12 +105,21 @@ object SqlQueries {
   // user_id against the (broadcastable per-stage filtered) event set —
   // the same per-round shape as the label-propagation loop in q58, but
   // expressed declaratively. The identical SQL text runs on DuckDB.
+  //
+  // funnel_events pre-filters to the four funnel types ONCE: the CASE
+  // predicate in the recursive step depends on the join row so it can
+  // never reach the scan, but the IN-list is constant and Catalyst
+  // pushes it into each iteration's parquet scan — every round reads
+  // the ~4-type subset instead of the full event log.
   private val funnelPathsText =
-    """WITH RECURSIVE chain(user_id, ts, depth) AS (
-      |  SELECT user_id, ts, 1 FROM events WHERE event_type = 'signup'
+    """WITH RECURSIVE funnel_events AS (
+      |  SELECT user_id, ts, event_type FROM events
+      |  WHERE event_type IN ('signup', 'view', 'click', 'purchase')
+      |), chain(user_id, ts, depth) AS (
+      |  SELECT user_id, ts, 1 FROM funnel_events WHERE event_type = 'signup'
       |  UNION ALL
       |  SELECT c.user_id, e.ts, c.depth + 1
-      |  FROM chain c JOIN events e ON e.user_id = c.user_id
+      |  FROM chain c JOIN funnel_events e ON e.user_id = c.user_id
       |   AND e.ts > c.ts AND e.ts <= c.ts + INTERVAL 2 DAY
       |   AND e.event_type = CASE c.depth WHEN 1 THEN 'view'
       |                                   WHEN 2 THEN 'click'

@@ -35,6 +35,33 @@ class SketchSpec extends TestBase {
     }
   }
 
+  test("q13 HLL relative error <= 2% at the bench scale (sf0.1)") {
+    // CORRECTNESS-adjacent bound for the one declared rows-only §2B row:
+    // DuckDB's HLL sketch differs so q13 can't hash-match, but the
+    // estimate quality is assertable. HLL++ is deterministic given the
+    // data, so this is a stable assertion, not a flake (q13 runs at
+    // rsd 0.01 — the 0.05 default measured 2.4% error on one group).
+    val bench = "/root/testdata/sf0.1"
+    assume(new java.io.File(bench, "lineitem.parquet").exists())
+    val est = operators.RelationalQueries.q13_approx_distinct(spark, bench)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = Tables.load(spark, bench, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("p"),
+        countDistinct(col("l_orderkey")).as("o"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, (p, o)) =>
+      val (ep, eo) = est(k)
+      assert(math.abs(ep - p).toDouble / p <= 0.02,
+        s"$k parts: est $ep vs exact $p (err ${math.abs(ep - p).toDouble / p})")
+      assert(math.abs(eo - o).toDouble / o <= 0.02,
+        s"$k orders: est $eo vs exact $o (err ${math.abs(eo - o).toDouble / o})")
+    }
+  }
+
   test("IVF ANN achieves usable recall against exact top-k") {
     def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("qid", "nid").collect()

@@ -2,7 +2,7 @@ package graft.fs
 
 import java.net.URI
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
@@ -294,5 +294,51 @@ class CachingFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!d.record(700))  // gap breaks the run
     d.reset()
     assert(!d.record(0))
+  }
+
+  test("cached status backfills owner/permissions lazily with exactly one remote RPC") {
+    val fs = newFs("lazy",
+      "graft.fs.remote.impl" -> classOf[CountingRemoteFileSystem].getName)
+    val p = graftPath("lazy.bin")
+    writeFile(fs, p, PageSz, 7)
+    fs.getFileStatus(p) // warm the meta record
+    CountingRemoteState.statusCalls.set(0)
+
+    val st = fs.getFileStatus(p)
+    // hot facts (length/mtime/isDir) serve from the 17-byte record: no HEAD
+    assert(st.getLen == PageSz)
+    assert(st.getModificationTime > 0)
+    assert(!st.isDirectory)
+    assert(CountingRemoteState.statusCalls.get() == 0,
+      "hot facts must not touch the remote")
+
+    val raw = new RawLocalFileSystem()
+    raw.initialize(java.net.URI.create("file:///"), new Configuration(false))
+    val expected = raw.getFileStatus(new Path(s"$remoteDir/lazy.bin"))
+
+    // first lazy-field access = exactly one backfill RPC, true remote owner
+    assert(st.getOwner == expected.getOwner)
+    assert(CountingRemoteState.statusCalls.get() == 1,
+      "owner access must backfill with one RPC")
+    // further lazy fields reuse the memoized source status
+    assert(st.getGroup == expected.getGroup)
+    assert(st.getPermission == expected.getPermission)
+    assert(st.getBlockSize == expected.getBlockSize)
+    assert(CountingRemoteState.statusCalls.get() == 1,
+      "backfill must be memoized")
+  }
+}
+
+object CountingRemoteState {
+  val statusCalls = new java.util.concurrent.atomic.AtomicLong
+}
+
+/** A "remote" that counts HEAD (getFileStatus) calls — proves the meta
+  * cache serves hot facts RPC-free and the lazy backfill pays exactly
+  * one. */
+class CountingRemoteFileSystem extends RawLocalFileSystem {
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus = {
+    CountingRemoteState.statusCalls.incrementAndGet()
+    super.getFileStatus(f)
   }
 }
