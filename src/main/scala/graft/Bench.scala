@@ -55,12 +55,14 @@ object Bench {
           spark.catalog.clearCache()
         }
       }
-      // best of 2: first-touch effects (codegen at this sf's row width,
-      // checkpoint dirs, JIT) can dominate a single sample — steady-state
-      // throughput is what the number is for
-      val r1 = once()
-      val r2 = if (r1 >= 0) once() else -1.0
-      name -> (if (r1 < 0 || r2 < 0) -1.0 else math.min(r1, r2))
+      // median of 3: first-touch effects (codegen at this sf's row width,
+      // checkpoint dirs, JIT) can dominate a single sample, and best-of-2
+      // proved too noisy for round-over-round attribution (r4 flagged a
+      // "2.15x q77 regression" that a median-of-3 re-measure showed was
+      // pure run variance) — the median is robust to one bad sample in
+      // either direction
+      val samples = Iterator.continually(once()).take(3).toSeq
+      name -> (if (samples.exists(_ < 0)) -1.0 else samples.sorted.apply(1))
     }
     // The driver's stdout capture window is ~2.9 KB and the 112-query map
     // is ~3.5 KB — three rounds of parsed:null. Contract split: stdout gets
@@ -74,9 +76,9 @@ object Bench {
     val failed = results.count(_._2 < 0)
     val slowest = results.sortBy(-_._2).take(10)
     val shortLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":2,"n_queries":${results.size},"n_failed":$failed,"queries":${jsonMap(slowest)},"queries_full":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":3,"n_queries":${results.size},"n_failed":$failed,"queries":${jsonMap(slowest)},"queries_full":"bench_out.json","sf":"$sfDir"}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":2,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":3,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullLine + "\n")
     catch { case _: Throwable => }
     // stop Spark BEFORE printing so no stray executor/log line lands after

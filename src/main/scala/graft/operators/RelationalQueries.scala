@@ -623,15 +623,18 @@ object RelationalQueries {
       |ORDER BY l_returnflag, measure""".stripMargin
 
   // ---- 13. Approx distinct (HLL) — bench-only, excluded from oracle ----
-  // rsd 0.01 (vs the 0.05 default): ~10k registers / a few KB per group
-  // — still a constant-size mergeable sketch at any scale, and the
-  // tighter bound is what SketchSpec asserts (<= 2% relative error at
-  // sf0.1; the 5% default measured 2.4% on one group there).
+  // Datasketches HLL (hll_sketch_agg, lgConfigK=14 => 16k buckets, ~10 KB
+  // constant-size mergeable sketch) instead of HLL++: a measured sweep at
+  // sf0.1 put lg=14 at 0.51% max error in 0.36 s vs HLL++ rsd=0.01 at
+  // 0.73% in 1.58 s — 4x faster at better accuracy for the same <= 2%
+  // SketchSpec bound. (HLL++ rsd=0.02 measured 3.3% error there, so the
+  // "quarter-cost same-bound" knob does not exist for HLL++; the
+  // algorithm swap is the actual cheap path.)
   val q13_approx_distinct: Q = (s, dir) =>
     t(s, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))").as("approx_parts"),
+        expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 14))").as("approx_orders"))
       .orderBy("l_returnflag")
 
   // ---- 14. Window ranking ----

@@ -38,9 +38,10 @@ class SketchSpec extends TestBase {
   test("q13 HLL relative error <= 2% at the bench scale (sf0.1)") {
     // CORRECTNESS-adjacent bound for the one declared rows-only §2B row:
     // DuckDB's HLL sketch differs so q13 can't hash-match, but the
-    // estimate quality is assertable. HLL++ is deterministic given the
-    // data, so this is a stable assertion, not a flake (q13 runs at
-    // rsd 0.01 — the 0.05 default measured 2.4% error on one group).
+    // estimate quality is assertable. The Datasketches HLL sketch is
+    // deterministic given the data, so this is a stable assertion, not a
+    // flake (q13 runs hll_sketch_agg at lgConfigK=14 — measured 0.51%
+    // max error at sf0.1, well inside the 2% bound).
     val bench = "/root/testdata/sf0.1"
     assume(new java.io.File(bench, "lineitem.parquet").exists())
     val est = operators.RelationalQueries.q13_approx_distinct(spark, bench)
