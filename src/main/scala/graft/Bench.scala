@@ -75,10 +75,57 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val slowest = results.sortBy(-_._2).take(10)
+
+    // ---- bench_fs: the caching-FS observable at bench scale (BASELINE.md
+    // §4, previously proven at unit scale only). A read-path query subset
+    // runs twice through graft:// over this sf dir: the first pass faults
+    // pages in from the remote tier, the second must serve from the page
+    // cache — second-pass remote bytes ~0 IS the sidecar cache contract.
+    val fsSection = try {
+      val scratch = java.nio.file.Files.createTempDirectory("graft_bench_fs")
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.set("fs.graft.impl", classOf[graft.fs.GraftCachingFileSystem].getName)
+      hc.set("graft.fs.disk.cache.dir", s"$scratch/pages")
+      hc.set("graft.fs.write.cache.dir", s"$scratch/wc")
+      hc.setLong("graft.fs.memory.cache.size", 512L << 20)
+      hc.set("graft.fs.data.cache.mode", "ALL")
+      val fsDir = s"graft://local$sfDir"
+      val fsQs = Seq("q01_scan_parquet", "q05_filter", "q06_join_inner",
+        "q11_agg_pricing", "q17_topk", "q45_knn_brute", "q48_langid",
+        "q52_sessionize")
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        fsQs.foreach(n => SparkEntry.queries(n)(spark, fsDir).limit(2000000).collect())
+        spark.catalog.clearCache()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = pass()
+      val inst = graft.fs.GraftCachingFileSystem.instanceFor("graft://local/")
+      val mid = inst.map(_.stats.snapshot).getOrElse(Map.empty[String, Long])
+      val warm = pass()
+      val end = inst.map(_.stats.snapshot).getOrElse(Map.empty[String, Long])
+      def d(k: String) = end.getOrElse(k, 0L) - mid.getOrElse(k, 0L)
+      // per-pass tier attribution: cold serves from remote fetches
+      // (user bytes split remote/prefetch by span accounting;
+      // remoteReadNanos is the unambiguous "remote I/O happened"
+      // signal), warm must be pure page-cache with ZERO remote time
+      def tiers(get: String => Long): String =
+        s"""{"remote_ns":${get("remoteReadNanos")}""" +
+          s""","remote_bytes":${get("bytesFromRemote")}""" +
+          s""","prefetch_bytes":${get("bytesFromPrefetch")}""" +
+          s""","page_cache_bytes":${get("bytesFromPageCache")}}"""
+      s""","bench_fs":{"n_queries":${fsQs.size},"cold_s":${fmt(cold)},"warm_s":${fmt(warm)}""" +
+        s""","cold_pass":${tiers(k => mid.getOrElse(k, 0L))}""" +
+        s""","second_pass":${tiers(d)}}"""
+    } catch {
+      case e: Throwable =>
+        s""","bench_fs":{"err":"${e.toString.take(120).replace('"', '\'')}"}"""
+    }
+
     val shortLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":3,"n_queries":${results.size},"n_failed":$failed,"queries":${jsonMap(slowest)},"queries_full":"bench_out.json","sf":"$sfDir"}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":3,"queries":${jsonMap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":3,"queries":${jsonMap(results)}$fsSection,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullLine + "\n")
     catch { case _: Throwable => }
     // stop Spark BEFORE printing so no stray executor/log line lands after

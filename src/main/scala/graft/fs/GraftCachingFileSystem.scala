@@ -496,12 +496,14 @@ class GraftCachingFileSystem extends FileSystem {
     pageCache.save(new File(stateDir, "pagecache.idx"))
     metaCache.save(new File(stateDir, "meta.bin"))
     writeCache.foreach(_.save(new File(stateDir, "filelist.bin")))
+    stats.save(new File(stateDir, "stats.bin"))
   }
 
   private def loadState(): Unit = {
     pageCache.load(new File(stateDir, "pagecache.idx"))
     metaCache.load(new File(stateDir, "meta.bin"))
     writeCache.foreach(_.load(new File(stateDir, "filelist.bin")))
+    stats.load(new File(stateDir, "stats.bin"))
   }
 
   override def close(): Unit = {

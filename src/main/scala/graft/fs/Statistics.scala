@@ -49,6 +49,26 @@ final class Statistics extends Serializable {
   def snapshot: Map[String, Long] =
     counters.map { case (k, v) => k -> v.get }
 
+  // ---- persistence (reference parity: SidecarCachingFileSystem.java
+  // saves stats alongside the caches on shutdown and reloads them on
+  // init, so tier counters are cumulative across process restarts) ----
+
+  def save(f: java.io.File): Unit = {
+    val out = new java.io.ObjectOutputStream(new java.io.FileOutputStream(f))
+    try out.writeObject(snapshot) finally out.close()
+  }
+
+  /** Restore a saved snapshot into the live counters. Runs at initialize,
+    * before any traffic, so `set` (not `add`) is the correct merge. */
+  def load(f: java.io.File): Unit = {
+    if (!f.exists()) return
+    val in = new java.io.ObjectInputStream(new java.io.FileInputStream(f))
+    try {
+      val saved = in.readObject().asInstanceOf[Map[String, Long]]
+      saved.foreach { case (k, v) => counters.get(k).foreach(_.set(v)) }
+    } finally in.close()
+  }
+
   override def toString: String =
     snapshot.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
       .mkString("Statistics(", ", ", ")")

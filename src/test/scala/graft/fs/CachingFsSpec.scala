@@ -204,15 +204,24 @@ class CachingFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     in1.readFully(0, buf)
     in1.close()
     fs1.saveState()
+    val saved = fs1.stats.snapshot
 
     val fs2 = newFs("t8", "graft.fs.cache.persistent" -> "true",
       "graft.fs.write.cache.enabled" -> "false")
+    // stats reload before any traffic: fs2 resumes fs1's cumulative
+    // counters (reference behavior — stats persist with the caches)
+    assert(fs2.stats.bytesRead.get == saved("bytesRead"),
+      s"stats did not survive restart: ${fs2.stats}")
     val in2 = fs2.open(p)
     in2.readFully(0, buf)
     in2.close()
     assert(buf.zipWithIndex.forall { case (x, i) => x == expectedByte(i, 8) })
-    assert(fs2.stats.bytesFromRemote.get == 0,
+    // cache-local reload: the restart added zero NEW remote bytes...
+    assert(fs2.stats.bytesFromRemote.get == saved("bytesFromRemote"),
       s"reload did not serve from cache: ${fs2.stats}")
+    // ...while the cumulative read counters kept growing from fs1's base
+    assert(fs2.stats.bytesRead.get == saved("bytesRead") + FileSz,
+      s"cumulative bytesRead wrong after restart: ${fs2.stats}")
   }
 
   test("concurrent readers see consistent bytes") {

@@ -69,4 +69,58 @@ class ZipfWorkloadSpec extends AnyFunSuite {
     // the cold tail must also be real (not everything fits)
     assert(s.bytesFromRemote.get > 0)
   }
+
+  test("offheap direct allocation stays <= 2x the memory budget under zipf churn") {
+    // end-to-end bound on the DirectPagePool claim (PageCache pool cap
+    // math): the under-provisioned memory tier cycles pages constantly
+    // (evictions) and file rewrites invalidate whole key ranges, yet
+    // total direct segments EVER allocated must stay within live budget
+    // + free-list cap = 2x the byte budget — i.e. churn recycles
+    // segments instead of allocating fresh ones
+    val budget = (NPages / 4) * PageSz.toLong
+    val c = new Configuration(false)
+    c.setLong("graft.fs.data.page.size", PageSz)
+    c.setLong("graft.fs.io.buffer.size", PageSz)
+    c.setLong("graft.fs.memory.cache.size", budget)
+    c.setLong("graft.fs.disk.cache.size", 0)
+    c.set("graft.fs.disk.cache.dir", root.resolve("churn_pages").toString)
+    c.set("graft.fs.write.cache.enabled", "false")
+    c.set("graft.fs.data.cache.type", "OFFHEAP")
+    val fs = new GraftCachingFileSystem
+    fs.initialize(URI.create("graft://zipfchurn/"), c)
+
+    val p = new Path(s"graft://zipfchurn${root.toString}/churn.bin")
+    val rnd = new Random(7)
+    val zipf = new Zipf(NPages, 0.9, rnd)
+    val buf = new Array[Byte](512)
+    val out0 = fs.create(p, true)
+    out0.write(Array.tabulate(NPages * PageSz)(i => (i % 251).toByte))
+    out0.close()
+    (0 until 4).foreach { gen =>
+      // read churn: 4x over-subscription keeps the LRU evicting (each
+      // eviction must release its segment back to the pool)
+      val in = fs.open(p)
+      (1 to 5000).foreach { _ =>
+        val page = zipf.next()
+        val off = page.toLong * PageSz + rnd.nextInt(PageSz - buf.length)
+        in.readFully(off, buf)
+      }
+      in.close()
+      // invalidation churn: append drops EVERY cached page of the file
+      // (all segments release at once), and the next generation's reads
+      // repopulate the tier under new page keys
+      val app = fs.append(p)
+      app.write(Array.fill(PageSz)(gen.toByte))
+      app.close()
+    }
+
+    val pc = fs.pageCacheRef
+    assert(pc.pool != null, "offheap mode did not build a segment pool")
+    val allocated = pc.pool.allocatedSegments.get * PageSz.toLong
+    // sanity: the workload really exercised the tier (filled the budget)
+    assert(allocated >= budget, s"tier never filled: $allocated of $budget")
+    assert(allocated <= 2 * budget,
+      s"direct allocation $allocated exceeds 2x budget $budget " +
+        s"(segments=${pc.pool.allocatedSegments.get}, stats=${fs.stats})")
+  }
 }
