@@ -38,30 +38,36 @@ object Bench {
     // with empty storage memory
     spark.catalog.clearCache()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        try {
-          // large per-row outputs: count() after a forced projection would
-          // still skip work, so cap materialization instead of pruning it
-          fn(spark, sfDir).limit(2000000).collect()
-          (System.nanoTime() - t0) / 1e9
-        } catch {
-          // a crashed query must not masquerade as a fast success
-          case _: Throwable => -1.0
-        } finally {
-          // per-query storage hygiene: persisted inputs must not bleed
-          // into (or slow) the next query's measurement
-          spark.catalog.clearCache()
-        }
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try {
+        // large per-row outputs: count() after a forced projection would
+        // still skip work, so cap materialization instead of pruning it
+        fn(spark, sfDir).limit(2000000).collect()
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        // a crashed query must not masquerade as a fast success
+        case _: Throwable => -1.0
+      } finally {
+        // per-query storage hygiene: persisted inputs must not bleed
+        // into (or slow) the next query's measurement
+        spark.catalog.clearCache()
       }
-      // median of 3: first-touch effects (codegen at this sf's row width,
-      // checkpoint dirs, JIT) can dominate a single sample, and best-of-2
-      // proved too noisy for round-over-round attribution (r4 flagged a
-      // "2.15x q77 regression" that a median-of-3 re-measure showed was
-      // pure run variance) — the median is robust to one bad sample in
-      // either direction
-      val samples = Iterator.continually(once()).take(3).toSeq
+    }
+    // median of 3, PASS-INTERLEAVED: three full sweeps of the suite with
+    // a GC settle between sweeps, median per query across sweeps.
+    // Back-to-back samples share their neighborhood (a GC wave or memory
+    // pressure from the previous query inflates all three together — a
+    // measured 1.8x drift on q11b survived back-to-back median-of-3);
+    // sweep-separated samples are minutes apart, so transient pressure
+    // hits at most one of the three and the median discards it.
+    val sweeps = (1 to 3).map { _ =>
+      System.gc() // settle: start each sweep from a clean heap
+      named.map { case (name, fn) => name -> once(fn) }.toMap
+    }
+    val results = named.map { case (name, _) =>
+      val samples = sweeps.map(_(name))
       name -> (if (samples.exists(_ < 0)) -1.0 else samples.sorted.apply(1))
     }
     // The driver's stdout capture window is ~2.9 KB and the 112-query map
@@ -101,6 +107,9 @@ object Bench {
       }
       val cold = pass()
       val inst = graft.fs.GraftCachingFileSystem.instanceFor("graft://local/")
+      // a missing instance would make every tier delta 0 and fake a
+      // "zero remote bytes" pass — fail loudly instead
+      require(inst.nonEmpty, "graft:// instance not registered after cold pass")
       val mid = inst.map(_.stats.snapshot).getOrElse(Map.empty[String, Long])
       val warm = pass()
       val end = inst.map(_.stats.snapshot).getOrElse(Map.empty[String, Long])

@@ -503,7 +503,11 @@ class GraftCachingFileSystem extends FileSystem {
     pageCache.load(new File(stateDir, "pagecache.idx"))
     metaCache.load(new File(stateDir, "meta.bin"))
     writeCache.foreach(_.load(new File(stateDir, "filelist.bin")))
-    stats.load(new File(stateDir, "stats.bin"))
+    // counters are auxiliary: a stale/corrupt stats file must not stop
+    // the FS from initializing (the caches above ARE the data and stay
+    // strict; losing counter history is an acceptable degradation)
+    try stats.load(new File(stateDir, "stats.bin"))
+    catch { case _: Exception => }
   }
 
   override def close(): Unit = {
