@@ -45,4 +45,22 @@ class PartitionInvarianceSpec extends TestBase {
       }
     }
   }
+
+  // The rows-only sketch queries escape the oracle gate, which makes
+  // them exactly the place a partitioning dependence could hide. Their
+  // math is commutative-by-construction (HLL max-per-bucket, minhash
+  // min, simhash integer sums, IVF centroid sums over deterministic
+  // seeds), so the same invariance must hold.
+  (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
+    .foreach { name =>
+      test(s"$name (rows-only) invariant to input splits and shuffle fan-out") {
+        val base = rows(name)
+        withConf(AltConf) {
+          val alt = rows(name)
+          assert(alt == base,
+            s"$name output depends on partitioning: " +
+              s"${alt.diff(base).take(3)} vs ${base.diff(alt).take(3)}")
+        }
+      }
+    }
 }
