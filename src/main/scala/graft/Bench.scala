@@ -57,6 +57,10 @@ object Bench {
     }
     // median of 3, PASS-INTERLEAVED: three full sweeps of the suite with
     // a GC settle between sweeps, median per query across sweeps.
+    // NOTE for round-over-round comparison: rounds <= 5 reported
+    // best-of-2, which biases LOW vs an unbiased median — expect a
+    // small uniform upward shift in per-query numbers at the switch,
+    // not a regression.
     // Back-to-back samples share their neighborhood (a GC wave or memory
     // pressure from the previous query inflates all three together — a
     // measured 1.8x drift on q11b survived back-to-back median-of-3);

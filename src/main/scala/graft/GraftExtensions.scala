@@ -84,5 +84,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("srp_bucket", 1)(es)
         graft.functions.TextHashExprs.SrpBucket(es.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("z_value"),
+      info("z_value",
+        "z_value(a, b) - 64-bit Morton code of two bigint columns " +
+          "(Z-order layout key)"),
+      (es: Seq[Expression]) => {
+        arity("z_value", 2)(es)
+        graft.functions.ZOrder.ZValue(es.head, es(1))
+      }))
   }
 }

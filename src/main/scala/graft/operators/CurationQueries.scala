@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Det.dround
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -597,7 +597,54 @@ object CurationQueries {
       |FROM seq WHERE prev IS NOT NULL
       |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin
 
+  // ---- 81. Z-order layout: cluster a fact table on TWO columns at once
+  // so a scan filtered on either skips most files via parquet min/max
+  // stats. A single-column sort bounds one dimension only — every file
+  // spans the full domain of the other; the Morton interleave
+  // (graft.functions.ZOrder, codegen'd) bounds both. The write is one
+  // range-shuffle on the z-value (RangePartitioner samples ~20k keys —
+  // constant driver traffic at any SF) + an in-partition sort; the
+  // per-column bounds are ONE broadcast row (the q79 pattern). The
+  // box-filtered read-back is the demonstration query; ZOrderSpec
+  // asserts the layout property itself (per-file bounding boxes shrink
+  // in BOTH dimensions vs the global domain).
+  val q81_zorder_layout: Q = (s, dir) => {
+    import graft.functions.ZOrder.z_value
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val mm = li.agg(
+      min("l_orderkey").as("ok_min"), max("l_orderkey").as("ok_max"),
+      min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"))
+    // normalize each column to the full unsigned-32-bit grid: z-order
+    // locality needs both dimensions on comparable scales
+    def norm(c: Column, lo: Column, hi: Column): Column =
+      (((c - lo).cast("double") /
+        greatest((hi - lo).cast("double"), lit(1.0))) *
+        lit(4294967295.0)).cast("long")
+    val out = RelationalQueries.scratch("q81_zorder", dir)
+    li.crossJoin(broadcast(mm))
+      .withColumn("z",
+        z_value(norm(col("l_orderkey"), col("ok_min"), col("ok_max")),
+          norm(col("l_partkey"), col("pk_min"), col("pk_max"))))
+      .repartitionByRange(8, col("z"))
+      .sortWithinPartitions("z")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .filter(col("l_orderkey").between(100, 2000) &&
+        col("l_partkey").between(50, 1500))
+      .orderBy("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+  }
+
+  val q81_zorder_layout_sql: String =
+    """SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 100 AND 2000
+      |  AND l_partkey BETWEEN 50 AND 1500
+      |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q81_zorder_layout" -> q81_zorder_layout,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
     "q80_transitions" -> q80_transitions,
@@ -613,6 +660,7 @@ object CurationQueries {
     "q68_stratified_sample" -> q68_stratified_sample)
 
   val oracles: Map[String, String] = Map(
+    "q81_zorder_layout" -> q81_zorder_layout_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,
     "q79_equidepth" -> q79_equidepth_sql,
     "q80_transitions" -> q80_transitions_sql,
