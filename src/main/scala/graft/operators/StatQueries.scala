@@ -1,0 +1,265 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Det.dround
+import graft.functions.FreqItemsAgg.freq_items_sketch
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical / sampling operators for the training-data pipeline:
+  * deterministic sampling, sketch-based heavy hitters, sample-based
+  * quantiles, robust (MAD) outlier detection, and bigram language-model
+  * statistics.
+  *
+  * The sampling family is built on ONE primitive — bottom-k by a
+  * content-derived hash (a KMV/min-hash sample). Unlike `TABLESAMPLE` or
+  * `rand()`-based sampling it is deterministic under any partitioning,
+  * any executor count, and any retry (the sample is a pure function of
+  * the data), so it is reproducible at 100 TB AND oracle-checkable: the
+  * DuckDB oracle states the identical bottom-k selection. The plan shape
+  * is a TakeOrderedAndProject — each task keeps its local k smallest
+  * hashes, the driver merges k-sized heaps — no full sort, no global
+  * shuffle of the fact table.
+  */
+object StatQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** md5 over the row's unique key — (l_orderkey, l_linenumber,
+    * l_partkey, l_suppkey) for lineitem — the sampling hash. Hashing the
+    * KEY (not the payload) keeps duplicate payload values independently
+    * sampled; md5 because both engines render it identically. */
+  private def sampleHash(cols: Column*): Column =
+    md5(concat_ws("|", cols.map(_.cast("string")): _*))
+
+  private def lineitemHash: Column =
+    sampleHash(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+      col("l_suppkey"))
+
+  private val LineitemHashSql: String =
+    """md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+      |      CAST(l_linenumber AS VARCHAR) || '|' ||
+      |      CAST(l_partkey AS VARCHAR) || '|' ||
+      |      CAST(l_suppkey AS VARCHAR))""".stripMargin
+
+  private val SampleK = 500
+
+  // ---- 82. Deterministic uniform sample: bottom-k by key hash ----
+  val q82_sample_bottomk: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .withColumn("hk", lineitemHash)
+      .select("hk", "l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice")
+      .orderBy("hk")
+      .limit(SampleK)
+
+  val q82_sample_bottomk_sql: String =
+    s"""SELECT $LineitemHashSql AS hk,
+      |  l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |FROM lineitem ORDER BY hk LIMIT $SampleK""".stripMargin
+
+  // ---- 83. Heavy hitters: top-10 terms per language via the native
+  // frequent-items sketch aggregate (bounded-memory Misra-Gries; see
+  // FreqItemsAgg for the scale + accuracy contract). The fixture
+  // vocabulary (31 terms/lang) sits far under the 2048-counter map, so
+  // every estimate is exact and the DuckDB count(*) oracle hash-matches;
+  // SketchSpec separately drives an undersized map through the eviction
+  // regime and asserts the Misra-Gries bounds. ----
+  val q83_heavy_hitters: Q = (s, dir) => {
+    val terms = t(s, dir, "documents")
+      .select(col("lang"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("term"))
+    terms.groupBy("lang")
+      .agg(freq_items_sketch(col("term"), 2048).as("fi"))
+      .select(col("lang"), explode(col("fi")).as("f"))
+      .select(col("lang"), col("f.term").as("term"), col("f.est").as("cnt"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 10)
+      .select("lang", "rn", "term", "cnt")
+      .orderBy("lang", "rn")
+  }
+
+  val q83_heavy_hitters_sql: String =
+    """WITH terms AS (
+      |  SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents
+      |), tc AS (
+      |  SELECT lang, term, count(*) AS cnt FROM terms
+      |  WHERE len(term) > 0 GROUP BY 1, 2
+      |), ranked AS (
+      |  SELECT lang, term, cnt, row_number() OVER
+      |    (PARTITION BY lang ORDER BY cnt DESC, term) AS rn
+      |  FROM tc
+      |)
+      |SELECT lang, rn, term, cnt FROM ranked WHERE rn <= 10
+      |ORDER BY lang, rn""".stripMargin
+
+  // ---- 84. Sample-based quantiles: rank picks over the deterministic
+  // bottom-k sample. The classic constant-memory quantile path at
+  // corpus scale — the k-row sample is the only thing that leaves the
+  // scan (KMV sampling error O(1/sqrt(k)); SketchSpec asserts the rank
+  // error vs the exact percentiles). The rank window runs over exactly
+  // SampleK rows by construction, so the single-partition sort is
+  // constant work at any SF. ----
+  val q84_sample_quantiles: Q = (s, dir) => {
+    val sample = t(s, dir, "lineitem")
+      .withColumn("hk", lineitemHash)
+      .select("l_extendedprice", "hk")
+      .orderBy("hk")
+      .limit(SampleK)
+    val w = Window.orderBy(col("l_extendedprice"), col("hk"))
+    sample.withColumn("rn", row_number().over(w))
+      .filter(col("rn").isin(SampleK / 4, SampleK / 2, 3 * SampleK / 4,
+        19 * SampleK / 20))
+      .withColumn("p",
+        when(col("rn") === SampleK / 4, 0.25)
+          .when(col("rn") === SampleK / 2, 0.5)
+          .when(col("rn") === 3 * SampleK / 4, 0.75)
+          .otherwise(0.95))
+      .select(col("p"), col("l_extendedprice").as("q"))
+      .orderBy("p")
+  }
+
+  val q84_sample_quantiles_sql: String =
+    s"""WITH sample AS (
+      |  SELECT l_extendedprice,
+      |    $LineitemHashSql AS hk
+      |  FROM lineitem ORDER BY hk LIMIT $SampleK
+      |), ranked AS (
+      |  SELECT l_extendedprice, row_number() OVER
+      |    (ORDER BY l_extendedprice, hk) AS rn
+      |  FROM sample
+      |)
+      |SELECT CAST(CASE rn WHEN ${SampleK / 4} THEN 0.25
+      |                    WHEN ${SampleK / 2} THEN 0.5
+      |                    WHEN ${3 * SampleK / 4} THEN 0.75
+      |                    ELSE 0.95 END AS DOUBLE) AS p,
+      |  l_extendedprice AS q
+      |FROM ranked
+      |WHERE rn IN (${SampleK / 4}, ${SampleK / 2}, ${3 * SampleK / 4},
+      |  ${19 * SampleK / 20})
+      |ORDER BY p""".stripMargin
+
+  // ---- 85. Robust outliers: median/MAD per event type. Both the
+  // median and the MAD are DISCRETE rank picks (actual data values, no
+  // interpolation arithmetic), so Spark and DuckDB see bit-identical
+  // inputs to the 3-MAD cut and the boundary can never flip between
+  // engines or partitionings. Per-group stats are one tiny broadcast
+  // row each (the q79 pattern); the events table is never collected. ----
+  val q85_outlier_mad: Q = (s, dir) => {
+    val ev = t(s, dir, "events").select("event_id", "event_type", "value")
+    val cnt = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val wv = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    val med = ev.withColumn("rn", row_number().over(wv))
+      .join(broadcast(cnt), "event_type")
+      .filter(col("rn") === ceil(col("n") * 0.5))
+      .select(col("event_type"), col("value").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .withColumn("ad", abs(col("value") - col("med")))
+    val wa = Window.partitionBy("event_type")
+      .orderBy(col("ad"), col("event_id"))
+    val mad = dev.withColumn("rn", row_number().over(wa))
+      .join(broadcast(cnt), "event_type")
+      .filter(col("rn") === ceil(col("n") * 0.5))
+      .select(col("event_type"), col("ad").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .filter(col("ad") > lit(3.0) * col("mad"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_out"), dround(max("ad"), 4).as("max_dev"))
+      .orderBy("event_type")
+  }
+
+  val q85_outlier_mad_sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, value FROM events
+      |), cnt AS (
+      |  SELECT event_type, count(*) AS n FROM ev GROUP BY 1
+      |), medr AS (
+      |  SELECT event_type, value, row_number() OVER
+      |    (PARTITION BY event_type ORDER BY value, event_id) AS rn
+      |  FROM ev
+      |), med AS (
+      |  SELECT m.event_type, m.value AS med FROM medr m JOIN cnt c
+      |    ON m.event_type = c.event_type
+      |  WHERE m.rn = CAST(ceil(c.n * 0.5) AS BIGINT)
+      |), dev AS (
+      |  SELECT e.event_id, e.event_type, abs(e.value - m.med) AS ad
+      |  FROM ev e JOIN med m ON e.event_type = m.event_type
+      |), madr AS (
+      |  SELECT event_type, ad, row_number() OVER
+      |    (PARTITION BY event_type ORDER BY ad, event_id) AS rn
+      |  FROM dev
+      |), mad AS (
+      |  SELECT d.event_type, d.ad AS mad FROM madr d JOIN cnt c
+      |    ON d.event_type = c.event_type
+      |  WHERE d.rn = CAST(ceil(c.n * 0.5) AS BIGINT)
+      |)
+      |SELECT d.event_type, count(*) AS n_out,
+      |  round(max(d.ad), 4) + 0 AS max_dev
+      |FROM dev d JOIN mad m ON d.event_type = m.event_type
+      |WHERE d.ad > 3.0 * m.mad
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- 86. Bigram language-model statistics: P(w2 | w1) over the
+  // corpus. One shuffle on (w1, w2) for the bigram counts; the unigram
+  // prefix totals are a second map-side-combined agg whose result is
+  // vocabulary-sized — broadcast back for the conditional probability.
+  // ----
+  val q86_bigram_lm: Q = (s, dir) => {
+    val pairs = t(s, dir, "documents")
+      .select(split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("tot"))
+    big.join(broadcast(uni), "w1")
+      .withColumn("p", dround(col("cnt").cast("double") / col("tot"), 4))
+      .filter(col("cnt") >= 10)
+      .select("w1", "w2", "cnt", "p")
+      .orderBy("w1", "w2")
+  }
+
+  val q86_bigram_lm_sql: String =
+    """WITH pairs AS (
+      |  SELECT unnest([{'w1': ws[i], 'w2': ws[i+1]}
+      |    FOR i IN range(1, len(ws))]) AS bg
+      |  FROM (SELECT string_split(lower(text), ' ') AS ws FROM documents)
+      |  WHERE len(ws) >= 2
+      |), p2 AS (
+      |  SELECT bg.w1 AS w1, bg.w2 AS w2 FROM pairs
+      |), bic AS (
+      |  SELECT w1, w2, count(*) AS cnt FROM p2 GROUP BY 1, 2
+      |), unic AS (
+      |  SELECT w1, count(*) AS tot FROM p2 GROUP BY 1
+      |)
+      |SELECT b.w1, b.w2, b.cnt,
+      |  round(CAST(b.cnt AS DOUBLE) / u.tot, 4) + 0 AS p
+      |FROM bic b JOIN unic u USING (w1)
+      |WHERE b.cnt >= 10
+      |ORDER BY w1, w2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q82_sample_bottomk" -> q82_sample_bottomk,
+    "q83_heavy_hitters" -> q83_heavy_hitters,
+    "q84_sample_quantiles" -> q84_sample_quantiles,
+    "q85_outlier_mad" -> q85_outlier_mad,
+    "q86_bigram_lm" -> q86_bigram_lm)
+
+  val oracles: Map[String, String] = Map(
+    "q82_sample_bottomk" -> q82_sample_bottomk_sql,
+    "q83_heavy_hitters" -> q83_heavy_hitters_sql,
+    "q84_sample_quantiles" -> q84_sample_quantiles_sql,
+    "q85_outlier_mad" -> q85_outlier_mad_sql,
+    "q86_bigram_lm" -> q86_bigram_lm_sql)
+}
