@@ -933,19 +933,22 @@ object RelationalQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   // Deterministic keep-first dedup (dropDuplicates has nondeterministic
-  // keep semantics — the window + rn=1 form pins the survivor; this is
-  // also the shape that scales: one shuffle on the dedup key).
-  val q20b_dedup_keyed: Q = (s, dir) => {
-    // (l_orderkey, l_linenumber, l_partkey, l_suppkey) is a unique key in
-    // the data — the window order pins exactly one survivor per order.
-    val w = Window.partitionBy("l_orderkey")
-      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+  // keep semantics). The survivor is the lexicographic min of
+  // (l_linenumber, l_partkey, l_suppkey) per key, computed as min over a
+  // STRUCT (struct comparison is field-ordered), not as a row_number
+  // window: the agg form partial-aggregates map-side, so the exchange
+  // carries ONE candidate row per key instead of every duplicate, and no
+  // per-partition sort ever runs — the shape that survives a corpus
+  // where one key holds a million copies.
+  val q20b_dedup_keyed: Q = (s, dir) =>
     t(s, dir, "lineitem")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .groupBy("l_orderkey")
+      .agg(min(struct(col("l_linenumber"), col("l_partkey"),
+        col("l_suppkey"), col("l_quantity"))).as("f"))
+      .select(col("l_orderkey"), col("f.l_linenumber").as("l_linenumber"),
+        col("f.l_partkey").as("l_partkey"),
+        col("f.l_quantity").as("l_quantity"))
       .orderBy("l_orderkey")
-  }
 
   val q20b_dedup_keyed_sql: String =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity

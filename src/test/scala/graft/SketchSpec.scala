@@ -78,6 +78,55 @@ class SketchSpec extends TestBase {
     assert(recall > 0.25, s"recall $recall")
   }
 
+  test("freq-items sketch honors Misra-Gries bounds in the eviction regime") {
+    // q83 runs the sketch in its exact regime (fixture vocabulary <<
+    // map capacity) and is oracle-checked; this drives the OTHER regime —
+    // an undersized 8-counter map over the full term stream — and
+    // asserts the documented degradation contract: lb <= true <= ub for
+    // every returned item, and the top exact terms still surface
+    // (NO_FALSE_NEGATIVES above the error threshold).
+    import graft.functions.FreqItemsAgg.freq_items_sketch
+    val terms = Tables.load(spark, sfDir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val exact = terms.groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val got = terms.agg(freq_items_sketch(col("term"), 8).as("fi"))
+      .select(explode(col("fi")).as("f"))
+      .select("f.term", "f.est", "f.lb", "f.ub")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (term, est, lb, ub) =>
+      val truth = exact(term)
+      assert(lb <= truth && truth <= ub,
+        s"$term: true $truth outside [$lb, $ub]")
+      assert(lb <= est && est <= ub, s"$term: est $est outside [$lb, $ub]")
+    }
+    // Misra-Gries max error with an 8-slot map is bounded by ~N * 3.5/8
+    // (library constant); anything truly heavier than that must appear.
+    val returned = got.map(_._1).toSet
+    val threshold = n * 3.5 / 8
+    exact.filter(_._2 > threshold).keys.foreach { heavy =>
+      assert(returned.contains(heavy), s"heavy item $heavy missing")
+    }
+  }
+
+  test("q84 sample quantiles land within the KMV sampling rank-error bound") {
+    val li = Tables.load(spark, sfDir, "lineitem")
+    val n = li.count().toDouble
+    val est = operators.StatQueries.q84_sample_quantiles(spark, sfDir)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1))
+    assert(est.map(_._1).toSeq == Seq(0.25, 0.5, 0.75, 0.95))
+    est.foreach { case (p, q) =>
+      val rank = li.filter(col("l_extendedprice") <= q).count() / n
+      // k=500 uniform sample: rank std err sqrt(p(1-p)/500) <= 0.023;
+      // allow ~4 sigma
+      assert(math.abs(rank - p) < 0.1, s"p=$p: sample rank $rank")
+    }
+  }
+
   test("sketch aggregate merges deterministically across partition counts") {
     val one = SketchQueries.q54_source_sketch(spark, sfDir)
       .collect().map(_.toSeq).toSeq
