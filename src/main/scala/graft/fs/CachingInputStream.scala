@@ -125,6 +125,81 @@ final class CachingInputStream(
   override def readFully(position: Long, b: Array[Byte]): Unit =
     readFully(position, b, 0, b.length)
 
+  // ---- vectored reads (Hadoop 3.4 PositionedReadable API) ----
+  //
+  // Spark's parquet reader issues its column-chunk ranges through
+  // readVectored when `parquet.hadoop.vectored.io.enabled` is set — at
+  // 100 TB this is the dominant scan entry point. The default interface
+  // implementation would pread each range independently; here nearby
+  // ranges (footer + adjacent column chunks) coalesce into one span per
+  // gap window, so a cold file pays one tier-cascade pass per span and a
+  // warm file serves every range from the page cache with no remote RPC.
+  // Reads complete synchronously (the cascade is local-cache-fast and
+  // already amplifies remote fetches to aligned 4 MiB spans); failures
+  // surface through each range's future per the API contract.
+
+  /** Ranges closer than this coalesce into one read (one page: a gap
+    * smaller than a page would re-read the same cached page anyway). */
+  override def minSeekForVectorReads(): Int =
+    math.min(pageSize, Int.MaxValue.toLong).toInt
+
+  /** Bound on a coalesced span: the I/O buffer, so a span costs at most
+    * one external fetch per constituent page run. */
+  override def maxReadSizeForVectorReads(): Int =
+    math.min(conf.ioBufferSize, Int.MaxValue.toLong).toInt
+
+  override def readVectored(
+      ranges: java.util.List[_ <: org.apache.hadoop.fs.FileRange],
+      allocate: java.util.function.IntFunction[ByteBuffer]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val rs = ranges.asScala.toList
+    rs.foreach { r =>
+      if (r.getOffset < 0 || r.getLength < 0)
+        throw new EOFException(
+          s"readVectored(${r.getOffset},${r.getLength}): negative range")
+      if (r.getOffset + r.getLength > fileLen)
+        throw new EOFException(
+          s"readVectored(${r.getOffset},${r.getLength}) past EOF $fileLen")
+    }
+    val sorted = rs.sortBy(_.getOffset)
+    sorted.iterator.sliding(2).withPartial(false).foreach { w =>
+      if (w.head.getOffset + w.head.getLength > w.last.getOffset)
+        throw new IllegalArgumentException("readVectored: overlapping ranges")
+    }
+    // greedy left-to-right coalescing under the gap + span-size caps
+    val groups = sorted.foldLeft(List.empty[List[org.apache.hadoop.fs.FileRange]]) {
+      case (acc @ g :: rest, r) =>
+        val gEnd = g.head.getOffset + g.head.getLength // head = rightmost
+        val newEnd = r.getOffset + r.getLength
+        if (r.getOffset - gEnd <= minSeekForVectorReads() &&
+            newEnd - g.last.getOffset <= maxReadSizeForVectorReads())
+          (r :: g) :: rest
+        else List(r) :: acc
+      case (Nil, r) => List(List(r))
+    }.map(_.reverse).reverse
+    groups.foreach { g =>
+      val start = g.head.getOffset
+      val end = g.map(r => r.getOffset + r.getLength).max
+      val futures = g.map { r =>
+        val f = new java.util.concurrent.CompletableFuture[ByteBuffer]()
+        r.setData(f)
+        r -> f
+      }
+      try {
+        val span = new Array[Byte]((end - start).toInt)
+        readFully(start, span, 0, span.length)
+        futures.foreach { case (r, f) =>
+          val bb = allocate.apply(r.getLength)
+          bb.put(span, (r.getOffset - start).toInt, r.getLength)
+          bb.flip()
+          f.complete(bb)
+        }
+      } catch {
+        case e: Throwable => futures.foreach(_._2.completeExceptionally(e))
+      }
+    }
+  }
+
   // ---- core tier cascade ----
 
   // Hadoop's PositionedReadable contract allows concurrent positioned
