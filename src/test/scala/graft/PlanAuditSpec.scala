@@ -94,6 +94,34 @@ class PlanAuditSpec extends TestBase {
       s"funnel IN-list not on the recursive-side scan:\n$plan")
   }
 
+  test("q82/q84 sample selection plans a TakeOrderedAndProject, not a global sort") {
+    // bottom-k by hash must keep k rows per task and merge k-sized heaps
+    // — a full Exchange+Sort of the fact table would be the 100 TB
+    // regression this audit exists to catch
+    Seq("q82_sample_bottomk", "q84_sample_quantiles").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name lost its top-k shape:\n$plan")
+    }
+  }
+
+  test("q83's frequency sketch partial-aggregates map-side") {
+    val plan = SparkEntry.queries("q83_heavy_hitters")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_freq_items_sketch"),
+      s"freq-items sketch not partial-aggregated before the exchange:\n$plan")
+  }
+
+  test("q20b dedup partial-aggregates: no window sort, one candidate per key map-side") {
+    val plan = SparkEntry.queries("q20b_dedup_keyed")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q20b regressed to a window sort:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"q20b struct-min not partial-aggregated:\n$plan")
+  }
+
   test("q03e's re-read prunes partitions: the event_type filter is a PartitionFilter") {
     // materialize the partitioned sink, then audit the re-read's scan
     val df = SparkEntry.queries("q03e_sink_partitioned")(spark, sfDir)
