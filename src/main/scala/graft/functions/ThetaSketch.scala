@@ -5,10 +5,10 @@ import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Uni
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge.{column, expression}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{AbstractDataType, BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Theta-sketch distinct-count set algebra (Apache DataSketches).
@@ -84,15 +84,16 @@ object ThetaExprs {
     * construction, and a distinct COUNT is integral by meaning. */
   private[functions] def est(d: Double): Long = math.round(d)
 
-  abstract class ThetaBinary extends BinaryExpression
-    with CodegenFallback with ExpectsInputTypes {
-    override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType, BinaryType)
+  // (ExpectsInputTypes is unusable here: AbstractDataType went
+  // private[sql] in Spark 4. These expressions are only constructed by
+  // our own builders over theta_sketch_agg output, which is BinaryType
+  // by construction.)
+  abstract class ThetaBinary extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
   }
 
   case class ThetaEstimate(child: Expression) extends UnaryExpression
-    with CodegenFallback with ExpectsInputTypes {
-    override def inputTypes: Seq[AbstractDataType] = Seq(BinaryType)
+    with CodegenFallback {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(v: Any): Any =
       est(sketch(v).getEstimate)

@@ -249,17 +249,75 @@ object StatQueries {
       |WHERE b.cnt >= 10
       |ORDER BY w1, w2""".stripMargin
 
+  // ---- 87. Theta-sketch distinct-count set algebra: how many distinct
+  // bigrams does each language pair share? HLL can answer |A| and
+  // |A u B| only; the theta sketch retains its KMV hash sample, so
+  // intersection and difference estimates come from the SAME per-group
+  // aggregation pass — no second scan, no pairwise re-aggregation. The
+  // pairwise combine runs over #groups^2/2 sketch pairs (driver-scale),
+  // never over the corpus. Exact while each pair union retains < 2^15
+  // hashes (the fixture's bigram space, oracle-checked bit-for-bit);
+  // documented ~1/sqrt(2^15) KMV error beyond (SketchSpec drives the
+  // sampling regime with an undersized sketch). ----
+  val q87_theta_setops: Q = (s, dir) => {
+    import graft.functions.ThetaSketchFuncs._
+    val bgs = t(s, dir, "documents")
+      .select(col("lang"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("lang"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1)))).as("bg"))
+    val sk = bgs.groupBy("lang").agg(theta_sketch_agg(col("bg"), 15).as("th"))
+    val a = sk.select(col("lang").as("lang_a"), col("th").as("th_a"))
+    val b = sk.select(col("lang").as("lang_b"), col("th").as("th_b"))
+    a.join(broadcast(b), col("lang_a") < col("lang_b"))
+      .select(col("lang_a"), col("lang_b"),
+        theta_estimate(col("th_a")).as("n_a"),
+        theta_estimate(col("th_b")).as("n_b"),
+        theta_intersect_estimate(col("th_a"), col("th_b")).as("n_shared"),
+        theta_anotb_estimate(col("th_a"), col("th_b")).as("n_only_a"),
+        theta_union_estimate(col("th_a"), col("th_b")).as("n_union"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  val q87_theta_setops_sql: String =
+    """WITH bg AS (
+      |  SELECT DISTINCT lang, bgr AS bg FROM (
+      |    SELECT lang, unnest([ws[i] || ' ' || ws[i+1]
+      |      FOR i IN range(1, len(ws))]) AS bgr
+      |    FROM (SELECT lang, string_split(lower(text), ' ') AS ws
+      |          FROM documents)
+      |    WHERE len(ws) >= 2
+      |  )
+      |), c AS (
+      |  SELECT lang, count(*) AS n FROM bg GROUP BY 1
+      |), i AS (
+      |  SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS shared
+      |  FROM bg a JOIN bg b ON a.bg = b.bg AND a.lang < b.lang
+      |  GROUP BY 1, 2
+      |)
+      |SELECT ca.lang AS lang_a, cb.lang AS lang_b, ca.n AS n_a, cb.n AS n_b,
+      |  coalesce(i.shared, 0) AS n_shared,
+      |  ca.n - coalesce(i.shared, 0) AS n_only_a,
+      |  ca.n + cb.n - coalesce(i.shared, 0) AS n_union
+      |FROM c ca JOIN c cb ON ca.lang < cb.lang
+      |LEFT JOIN i ON i.lang_a = ca.lang AND i.lang_b = cb.lang
+      |ORDER BY lang_a, lang_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q82_sample_bottomk" -> q82_sample_bottomk,
     "q83_heavy_hitters" -> q83_heavy_hitters,
     "q84_sample_quantiles" -> q84_sample_quantiles,
     "q85_outlier_mad" -> q85_outlier_mad,
-    "q86_bigram_lm" -> q86_bigram_lm)
+    "q86_bigram_lm" -> q86_bigram_lm,
+    "q87_theta_setops" -> q87_theta_setops)
 
   val oracles: Map[String, String] = Map(
     "q82_sample_bottomk" -> q82_sample_bottomk_sql,
     "q83_heavy_hitters" -> q83_heavy_hitters_sql,
     "q84_sample_quantiles" -> q84_sample_quantiles_sql,
     "q85_outlier_mad" -> q85_outlier_mad_sql,
-    "q86_bigram_lm" -> q86_bigram_lm_sql)
+    "q86_bigram_lm" -> q86_bigram_lm_sql,
+    "q87_theta_setops" -> q87_theta_setops_sql)
 }

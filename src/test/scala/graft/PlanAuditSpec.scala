@@ -19,7 +19,8 @@ class PlanAuditSpec extends TestBase {
     "q10b_join_cross",   // the declared CROSS JOIN operator (dim x dim)
     "q76_tfidf",         // ONE row (the corpus doc count) broadcast
     "q79_equidepth",     // ONE row (the percentile bounds) broadcast
-    "q21b_edit_distance" // 25-row nation dim crossed with itself
+    "q21b_edit_distance", // 25-row nation dim crossed with itself
+    "q87_theta_setops"   // #langs sketch rows, pairwise (theta combine)
   )
 
   test("no CartesianProduct anywhere; BNLJ only where designed") {

@@ -127,6 +127,51 @@ class SketchSpec extends TestBase {
     }
   }
 
+  test("theta sketch estimates hold in the sampling regime (undersized k)") {
+    // q87 runs exact (fixture bigram space << 2^15) and is oracle-checked;
+    // this drives lgK=5 (32 nominal entries) over ~960 distinct bigrams —
+    // deep in the KMV sampling regime — and asserts the relative-error
+    // contract plus set-algebra consistency between the estimators.
+    import graft.functions.ThetaSketchFuncs._
+    val bgs = Tables.load(spark, sfDir, "documents")
+      .select(col("lang"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("lang"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1)))).as("bg"))
+    val exact = bgs.select("lang", "bg").distinct()
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sk = bgs.groupBy("lang")
+      .agg(theta_sketch_agg(col("bg"), 5).as("th"))
+    val ests = sk.select(col("lang"), theta_estimate(col("th")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ests.keySet == exact.keySet)
+    ests.foreach { case (lang, e) =>
+      val truth = exact(lang)
+      // KMV RSE ~ 1/sqrt(k-1) ~ 18% at k=32; allow ~4 sigma
+      assert(math.abs(e - truth).toDouble / truth < 0.75,
+        s"$lang: theta est $e vs exact $truth")
+    }
+    // algebra consistency on one pair: |A u B| == |A| + |B| - |A n B|
+    // must hold for the ESTIMATORS (they share the retained-hash sample)
+    val a = sk.limit(1).select(col("th").as("th_a"))
+    val b = sk.orderBy(col("lang").desc).limit(1).select(col("th").as("th_b"))
+    val row = a.crossJoin(b).select(
+      theta_estimate(col("th_a")).as("na"),
+      theta_estimate(col("th_b")).as("nb"),
+      theta_intersect_estimate(col("th_a"), col("th_b")).as("ni"),
+      theta_union_estimate(col("th_a"), col("th_b")).as("nu"),
+      theta_anotb_estimate(col("th_a"), col("th_b")).as("nd"))
+      .collect().head
+    val (na, nb, ni, nu, nd) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(ni >= 0 && nu >= math.max(na, nb))
+    assert(math.abs((na - ni) - nd) <= math.max(2L, (0.2 * na).toLong),
+      s"AnotB $nd inconsistent with |A|-|AnB| = ${na - ni}")
+  }
+
   test("sketch aggregate merges deterministically across partition counts") {
     val one = SketchQueries.q54_source_sketch(spark, sfDir)
       .collect().map(_.toSeq).toSeq
