@@ -151,7 +151,12 @@ object StatQueries {
   // interpolation arithmetic), so Spark and DuckDB see bit-identical
   // inputs to the 3-MAD cut and the boundary can never flip between
   // engines or partitionings. Per-group stats are one tiny broadcast
-  // row each (the q79 pattern); the events table is never collected. ----
+  // row each (the q79 pattern); the events table is never collected.
+  // Scale note: EXACT rank selection sorts each group within one
+  // reducer — inherent to exact medians (same contract as q61's exact
+  // percentiles). At corpus scale with few huge groups, swap the rank
+  // pick for approx_percentile or the q84 KMV sample; the MAD algebra
+  // downstream is unchanged. ----
   val q85_outlier_mad: Q = (s, dir) => {
     val ev = t(s, dir, "events").select("event_id", "event_type", "value")
     val cnt = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
