@@ -93,5 +93,55 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("z_value", 2)(es)
         graft.functions.ZOrder.ZValue(es.head, es(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("freq_items_sketch"),
+      info("freq_items_sketch",
+        "freq_items_sketch(item) - frequent-items (Misra-Gries) aggregate; " +
+          "array<struct<term,est,lb,ub>> sorted by est desc"),
+      (es: Seq[Expression]) => {
+        arity("freq_items_sketch", 1)(es)
+        graft.functions.FreqItemsSketchAgg(es.head, 2048)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("theta_sketch_agg"),
+      info("theta_sketch_agg",
+        "theta_sketch_agg(item) - theta distinct-count sketch aggregate " +
+          "(compact sketch bytes)"),
+      (es: Seq[Expression]) => {
+        arity("theta_sketch_agg", 1)(es)
+        graft.functions.ThetaSketchAgg(es.head, 15)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("theta_estimate"),
+      info("theta_estimate",
+        "theta_estimate(sketch) - distinct estimate of a theta sketch"),
+      (es: Seq[Expression]) => {
+        arity("theta_estimate", 1)(es)
+        graft.functions.ThetaExprs.ThetaEstimate(es.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("theta_intersect_estimate"),
+      info("theta_intersect_estimate",
+        "theta_intersect_estimate(a, b) - |A n B| estimate of two theta sketches"),
+      (es: Seq[Expression]) => {
+        arity("theta_intersect_estimate", 2)(es)
+        graft.functions.ThetaExprs.ThetaIntersectEstimate(es.head, es(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("theta_union_estimate"),
+      info("theta_union_estimate",
+        "theta_union_estimate(a, b) - |A u B| estimate of two theta sketches"),
+      (es: Seq[Expression]) => {
+        arity("theta_union_estimate", 2)(es)
+        graft.functions.ThetaExprs.ThetaUnionEstimate(es.head, es(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("theta_anotb_estimate"),
+      info("theta_anotb_estimate",
+        "theta_anotb_estimate(a, b) - |A \\ B| estimate of two theta sketches"),
+      (es: Seq[Expression]) => {
+        arity("theta_anotb_estimate", 2)(es)
+        graft.functions.ThetaExprs.ThetaAnotBEstimate(es.head, es(1))
+      }))
   }
 }

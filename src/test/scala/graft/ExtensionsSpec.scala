@@ -40,6 +40,28 @@ class ExtensionsSpec extends TestBase {
       assert(hashes.getInt(1) == graft.functions.TextHash.NumBands)
       assert(hashes.getLong(2) ==
         graft.functions.TextHash.simhash64("hello world"))
+
+      // round-6 sketch surface: frequency + theta set algebra in SQL
+      val fi = s2.sql(
+        """SELECT freq_items_sketch(x) AS fi
+          |FROM VALUES ('a'), ('a'), ('b') t(x)""".stripMargin)
+        .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+      assert(fi.map(r => r.getString(0) -> r.getLong(1)).toList ==
+        List("a" -> 2L, "b" -> 1L))
+
+      val th = s2.sql(
+        """WITH s AS (
+          |  SELECT theta_sketch_agg(x) AS a FROM VALUES ('p'), ('q'), ('r') t(x)
+          |), t AS (
+          |  SELECT theta_sketch_agg(x) AS b FROM VALUES ('q'), ('r'), ('s') t(x)
+          |)
+          |SELECT theta_estimate(a) AS na,
+          |       theta_intersect_estimate(a, b) AS ni,
+          |       theta_union_estimate(a, b) AS nu,
+          |       theta_anotb_estimate(a, b) AS nd
+          |FROM s, t""".stripMargin).collect()(0)
+      assert(th.getLong(0) == 3 && th.getLong(1) == 2 &&
+        th.getLong(2) == 4 && th.getLong(3) == 1)
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
