@@ -154,10 +154,12 @@ final class CachingInputStream(
     import scala.jdk.CollectionConverters._
     val rs = ranges.asScala.toList
     rs.foreach { r =>
-      if (r.getOffset < 0 || r.getLength < 0)
-        throw new EOFException(
-          s"readVectored(${r.getOffset},${r.getLength}): negative range")
-      if (r.getOffset + r.getLength > fileLen)
+      // per Hadoop's VectoredReadUtils contract: malformed length is an
+      // IllegalArgumentException; EOFException is for offset problems
+      if (r.getLength < 0)
+        throw new IllegalArgumentException(
+          s"readVectored(${r.getOffset},${r.getLength}): negative length")
+      if (r.getOffset < 0 || r.getOffset + r.getLength > fileLen)
         throw new EOFException(
           s"readVectored(${r.getOffset},${r.getLength}) past EOF $fileLen")
     }

@@ -5,10 +5,11 @@ import org.apache.datasketches.theta.{CompactSketch, SetOperation, Sketches, Uni
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge.{column, expression}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Theta-sketch distinct-count set algebra (Apache DataSketches).
@@ -28,6 +29,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracle checks bit-for-bit via q87), and degrade to the documented
   * KMV relative error ~1/sqrt(2^lgK) beyond (SketchSpec drives an
   * undersized-k sketch through the sampling regime).
+  *
+  * Null/empty semantics: NULLs are excluded (standard aggregate
+  * behavior) and the DataSketches library additionally rejects the
+  * EMPTY string — `theta_sketch_agg` treats "" like NULL, so a column
+  * containing "" estimates one below COUNT(DISTINCT). Callers counting
+  * tokenizer output should filter empties (as q83 does) or map them to
+  * a sentinel.
   */
 case class ThetaSketchAgg(
     child: Expression,
@@ -40,12 +48,22 @@ case class ThetaSketchAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
 
+  // SQL-reachable via GraftExtensions: reject wrong-typed input at
+  // analysis time, not as an executor-side ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"theta_sketch_agg requires a STRING argument, got ${child.dataType.sql}")
+
   override def createAggregationBuffer(): Union =
     SetOperation.builder().setLogNominalEntries(lgK).buildUnion()
 
   override def update(buf: Union, input: InternalRow): Union = {
     val v = child.eval(input)
-    if (v != null) buf.update(v.asInstanceOf[UTF8String].toString)
+    // getBytes feeds the murmur hash the same UTF-8 bytes update(String)
+    // would re-encode — identical sketch, no per-row transcode. The
+    // library rejects empty input ("" behaves like NULL; see class doc).
+    if (v != null) buf.update(v.asInstanceOf[UTF8String].getBytes)
     buf
   }
 
@@ -84,17 +102,28 @@ object ThetaExprs {
     * construction, and a distinct COUNT is integral by meaning. */
   private[functions] def est(d: Double): Long = math.round(d)
 
-  // (ExpectsInputTypes is unusable here: AbstractDataType went
-  // private[sql] in Spark 4. These expressions are only constructed by
-  // our own builders over theta_sketch_agg output, which is BinaryType
-  // by construction.)
+  // (ExpectsInputTypes is unusable here — AbstractDataType went
+  // private[sql] in Spark 4 — so the input contract is enforced via
+  // checkInputDataTypes: these are SQL-reachable through
+  // GraftExtensions, and a wrong-typed argument must fail analysis,
+  // not throw ClassCastException on an executor.)
   abstract class ThetaBinary extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == BinaryType && right.dataType == BinaryType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two BINARY theta sketches, got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
   }
 
   case class ThetaEstimate(child: Expression) extends UnaryExpression
     with CodegenFallback {
     override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"theta_estimate requires a BINARY theta sketch, got ${child.dataType.sql}")
     override protected def nullSafeEval(v: Any): Any =
       est(sketch(v).getEstimate)
     override protected def withNewChildInternal(c: Expression): ThetaEstimate =
@@ -105,8 +134,20 @@ object ThetaExprs {
   case class ThetaUnionEstimate(left: Expression, right: Expression)
     extends ThetaBinary {
     override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val u = SetOperation.builder().buildUnion()
-      u.union(sketch(a)); u.union(sketch(b))
+      val sa = sketch(a); val sb = sketch(b)
+      // The union gadget's OWN nominal-entry cap would downsample past
+      // its k even when both operands are exact (the builder default is
+      // 2^12 = 4096 — SMALLER than the agg's 2^15 default, silently
+      // breaking the exact-regime contract). Size it to cover both
+      // operands' retained sets so the union never discards a hash the
+      // operands kept: exact inputs stay exact through the union.
+      val need = math.max(1L, sa.getRetainedEntries(true).toLong +
+        sb.getRetainedEntries(true).toLong)
+      val lgK = math.min(26, 64 - java.lang.Long.numberOfLeadingZeros(
+        need * 2 - 1))
+      val u = SetOperation.builder()
+        .setLogNominalEntries(math.max(lgK, 4)).buildUnion()
+      u.union(sa); u.union(sb)
       est(u.getResult.getEstimate)
     }
     override protected def withNewChildrenInternal(

@@ -212,15 +212,30 @@ object StatQueries {
       |WHERE d.ad > 3.0 * m.mad
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** (lang, ws) word arrays for the bigram family: space-tokenized
+    * lowercase documents with at least one bigram. Shared by q86, q87
+    * and SketchSpec so tokenization can never silently diverge between
+    * the queries and the spec's exact baseline. */
+  private[graft] def langWordArrays(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+
+  /** (lang, bg) bigram strings per document occurrence. */
+  private[graft] def langBigrams(s: SparkSession, dir: String): DataFrame =
+    langWordArrays(s, dir)
+      .select(col("lang"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1)))).as("bg"))
+
   // ---- 86. Bigram language-model statistics: P(w2 | w1) over the
   // corpus. One shuffle on (w1, w2) for the bigram counts; the unigram
   // prefix totals are a second map-side-combined agg whose result is
   // vocabulary-sized — broadcast back for the conditional probability.
   // ----
   val q86_bigram_lm: Q = (s, dir) => {
-    val pairs = t(s, dir, "documents")
-      .select(split(lower(col("text")), " ").as("ws"))
-      .filter(size(col("ws")) >= 2)
+    val pairs = langWordArrays(s, dir)
       .select(explode(transform(
         sequence(lit(1), size(col("ws")) - 1),
         i => struct(element_at(col("ws"), i).as("w1"),
@@ -266,14 +281,8 @@ object StatQueries {
   // sampling regime with an undersized sketch). ----
   val q87_theta_setops: Q = (s, dir) => {
     import graft.functions.ThetaSketchFuncs._
-    val bgs = t(s, dir, "documents")
-      .select(col("lang"), split(lower(col("text")), " ").as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("lang"), explode(transform(
-        sequence(lit(1), size(col("ws")) - 1),
-        i => concat_ws(" ", element_at(col("ws"), i),
-          element_at(col("ws"), i + 1)))).as("bg"))
-    val sk = bgs.groupBy("lang").agg(theta_sketch_agg(col("bg"), 15).as("th"))
+    val sk = langBigrams(s, dir)
+      .groupBy("lang").agg(theta_sketch_agg(col("bg"), 15).as("th"))
     val a = sk.select(col("lang").as("lang_a"), col("th").as("th_a"))
     val b = sk.select(col("lang").as("lang_b"), col("th").as("th_b"))
     a.join(broadcast(b), col("lang_a") < col("lang_b"))

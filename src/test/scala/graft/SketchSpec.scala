@@ -133,13 +133,8 @@ class SketchSpec extends TestBase {
     // deep in the KMV sampling regime — and asserts the relative-error
     // contract plus set-algebra consistency between the estimators.
     import graft.functions.ThetaSketchFuncs._
-    val bgs = Tables.load(spark, sfDir, "documents")
-      .select(col("lang"), split(lower(col("text")), " ").as("ws"))
-      .filter(size(col("ws")) >= 2)
-      .select(col("lang"), explode(transform(
-        sequence(lit(1), size(col("ws")) - 1),
-        i => concat_ws(" ", element_at(col("ws"), i),
-          element_at(col("ws"), i + 1)))).as("bg"))
+    // same tokenization as q86/q87 by construction (shared helper)
+    val bgs = operators.StatQueries.langBigrams(spark, sfDir)
     val exact = bgs.select("lang", "bg").distinct()
       .groupBy("lang").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
