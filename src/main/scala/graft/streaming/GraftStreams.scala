@@ -47,6 +47,27 @@ object GraftStreams {
       .select(names.map(col): _*)
   }
 
+  /** Streaming windowed heavy hitters: top-5 users per hour window via
+    * the frequent-items sketch aggregate (FreqItemsAgg). The sketch
+    * buffer lives in the state store like any agg buffer — bounded at
+    * maxMapSize counters per window regardless of user cardinality, so
+    * per-window state stays constant at stream scale where an exact
+    * per-user count map would grow with distinct users. The sketch
+    * output is pre-sorted (est desc, term asc), so top-5 is a stateless
+    * `slice` + `posexplode` — no window function (unsupported on
+    * streams) needed. */
+  def windowedTopUsers(events: DataFrame): DataFrame = {
+    import graft.functions.FreqItemsAgg.freq_items_sketch
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(freq_items_sketch(col("user_id").cast("string"), 1024).as("fi"))
+      .select(col("window.start").as("win_start"),
+        posexplode(slice(col("fi"), 1, 5)).as(Seq("rk", "f")))
+      .select(col("win_start"), (col("rk") + 1).as("rank"),
+        col("f.term").as("user_id"), col("f.est").as("cnt"))
+  }
+
   /** Streaming exact dedup: drop duplicate event_ids, keeping state only
     * within the watermark horizon — the unbounded-stream form of exact
     * dedup (state size bounded by events-per-watermark-window, not by

@@ -37,6 +37,29 @@ class StreamingSpec extends TestBase {
     assert(streamed == batch)
   }
 
+  test("streamed windowed heavy hitters equal the batch result") {
+    // the sketch agg runs in its exact regime here (distinct users per
+    // window << 1024 counters), so stream must equal batch row-for-row;
+    // at stream scale the same query holds constant per-window state
+    val stream = GraftStreams.eventsStream(spark, eventsDir)
+    val q = GraftStreams.windowedTopUsers(stream)
+      .writeStream
+      .format("memory")
+      .queryName("top_users")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("top_users")
+      .orderBy("win_start", "rank")
+      .collect().map(_.toSeq).toSeq
+    val batch = GraftStreams.windowedTopUsers(
+      Tables.load(spark, sfDir, "events"))
+      .orderBy("win_start", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stream-static enrichment equals the batch join") {
     val stream = GraftStreams.eventsStream(spark, eventsDir)
     val customers = Tables.load(spark, sfDir, "customer")
