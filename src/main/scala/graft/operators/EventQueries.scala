@@ -184,7 +184,50 @@ object EventQueries {
       | AND p.ts > s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
       |ORDER BY s.user_id, signup_id, purchase_id""".stripMargin
 
+  // ---- 88. OHLC time-bucket downsampling: compact a raw event stream
+  // to per-(user, hour) open/high/low/close rows — the standard
+  // telemetry/market compaction. ONE map-side-combined aggregation:
+  // open and close are argmin/argmax computed as min/max over a
+  // (ts, event_id, value) STRUCT (lexicographic; event_id is unique so
+  // the pick is total-ordered and partition-invariant) — no sort, no
+  // window, no self-join, so the shape holds when one bucket has a
+  // billion events. The DuckDB oracle spells the same argmin via
+  // row_number CTEs. ----
+  val q88_ohlc_downsample: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("o"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("c"),
+        min("value").as("low"), max("value").as("high"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"), col("hr"),
+        col("o.value").as("open"), col("c.value").as("close"),
+        col("low"), col("high"), col("n"))
+      .orderBy("user_id", "hr")
+
+  val q88_ohlc_downsample_sql: String =
+    """WITH r AS (
+      |  SELECT user_id, date_trunc('hour', ts) AS hr, value,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |      ORDER BY ts, event_id) AS rf,
+      |    row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |      ORDER BY ts DESC, event_id DESC) AS rl
+      |  FROM events
+      |), agg AS (
+      |  SELECT user_id, hr, min(value) AS low, max(value) AS high,
+      |    count(*) AS n
+      |  FROM r GROUP BY 1, 2
+      |)
+      |SELECT a.user_id, a.hr, f.value AS open, l.value AS close,
+      |  a.low, a.high, a.n
+      |FROM agg a
+      |JOIN r f ON f.user_id = a.user_id AND f.hr = a.hr AND f.rf = 1
+      |JOIN r l ON l.user_id = a.user_id AND l.hr = a.hr AND l.rl = 1
+      |ORDER BY a.user_id, a.hr""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q88_ohlc_downsample" -> q88_ohlc_downsample,
     "q59_interval_join" -> q59_interval_join,
     "q52_sessionize" -> q52_sessionize,
     "q53_asof_join" -> q53_asof_join,
@@ -192,6 +235,7 @@ object EventQueries {
     "q56_retention" -> q56_retention)
 
   val oracles: Map[String, String] = Map(
+    "q88_ohlc_downsample" -> q88_ohlc_downsample_sql,
     "q59_interval_join" -> q59_interval_join_sql,
     "q52_sessionize" -> q52_sessionize_sql,
     "q53_asof_join" -> q53_asof_join_sql,
