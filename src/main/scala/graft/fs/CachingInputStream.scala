@@ -159,7 +159,8 @@ final class CachingInputStream(
       if (r.getLength < 0)
         throw new IllegalArgumentException(
           s"readVectored(${r.getOffset},${r.getLength}): negative length")
-      if (r.getOffset < 0 || r.getOffset + r.getLength > fileLen)
+      // overflow-safe form of offset + length > fileLen
+      if (r.getOffset < 0 || r.getOffset > fileLen - r.getLength)
         throw new EOFException(
           s"readVectored(${r.getOffset},${r.getLength}) past EOF $fileLen")
     }

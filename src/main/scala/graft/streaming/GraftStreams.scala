@@ -56,14 +56,16 @@ object GraftStreams {
     * output is pre-sorted (est desc, term asc), so top-5 is a stateless
     * `slice` + `posexplode` — no window function (unsupported on
     * streams) needed. */
-  def windowedTopUsers(events: DataFrame): DataFrame = {
+  def windowedTopUsers(events: DataFrame, maxMapSize: Int = 1024,
+      k: Int = 5): DataFrame = {
     import graft.functions.FreqItemsAgg.freq_items_sketch
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"))
-      .agg(freq_items_sketch(col("user_id").cast("string"), 1024).as("fi"))
+      .agg(freq_items_sketch(col("user_id").cast("string"), maxMapSize)
+        .as("fi"))
       .select(col("window.start").as("win_start"),
-        posexplode(slice(col("fi"), 1, 5)).as(Seq("rk", "f")))
+        posexplode(slice(col("fi"), 1, k)).as(Seq("rk", "f")))
       .select(col("win_start"), (col("rk") + 1).as("rank"),
         col("f.term").as("user_id"), col("f.est").as("cnt"))
   }

@@ -38,9 +38,19 @@ class StreamingSpec extends TestBase {
   }
 
   test("streamed windowed heavy hitters equal the batch result") {
-    // the sketch agg runs in its exact regime here (distinct users per
-    // window << 1024 counters), so stream must equal batch row-for-row;
-    // at stream scale the same query holds constant per-window state
+    // the sketch agg runs in its exact regime here, so stream must equal
+    // batch row-for-row; at stream scale the same query holds constant
+    // per-window state. Guard the regime assumption explicitly: past
+    // ~0.75*maxMapSize distinct users per window the eviction regime
+    // makes estimates merge-order-dependent and row-equality would be
+    // an (unexplained) flake, so fail loudly here instead.
+    import org.apache.spark.sql.functions.{col, countDistinct, date_trunc}
+    val maxUsersPerWindow = Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")))
+      .agg(countDistinct(col("user_id")).as("u"))
+      .agg(org.apache.spark.sql.functions.max("u")).collect()(0).getLong(0)
+    assert(maxUsersPerWindow < 768,
+      s"fixture outgrew the sketch's exact regime ($maxUsersPerWindow users/window); raise maxMapSize")
     val stream = GraftStreams.eventsStream(spark, eventsDir)
     val q = GraftStreams.windowedTopUsers(stream)
       .writeStream

@@ -114,6 +114,22 @@ class VectoredReadSpec extends AnyFunSuite with BeforeAndAfterAll {
           FileRange.createFileRange(50, 100)).asJava,
         (n: Int) => ByteBuffer.allocate(n))
     }
+    // Hadoop VectoredReadUtils contract: malformed length is
+    // IllegalArgumentException, offset problems are EOFException
+    intercept[IllegalArgumentException] {
+      in.readVectored(List(FileRange.createFileRange(0, -1)).asJava,
+        (n: Int) => ByteBuffer.allocate(n))
+    }
+    intercept[java.io.EOFException] {
+      in.readVectored(List(FileRange.createFileRange(-5, 10)).asJava,
+        (n: Int) => ByteBuffer.allocate(n))
+    }
+    // offset + length Long-overflow must still be past-EOF, not a pass
+    intercept[java.io.EOFException] {
+      in.readVectored(
+        List(FileRange.createFileRange(Long.MaxValue - 50, 100)).asJava,
+        (n: Int) => ByteBuffer.allocate(n))
+    }
     in.close()
     fs.close()
   }
