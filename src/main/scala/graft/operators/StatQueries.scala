@@ -319,7 +319,57 @@ object StatQueries {
       |LEFT JOIN i ON i.lang_a = ca.lang AND i.lang_b = cb.lang
       |ORDER BY lang_a, lang_b""".stripMargin
 
+  // ---- 89. Snapshot diff (CDC between crawls): classify every doc_id
+  // across two corpus snapshots as added / removed / changed /
+  // unchanged by comparing content hashes. The shape is ONE full-outer
+  // sort-merge join co-partitioned on the key — both snapshots shuffle
+  // exactly once, the hash compare is per-row, and the verdict rollup
+  // is a map-side-combined count. This is how a 100 TB crawl delta is
+  // computed without re-reading unchanged content downstream. The two
+  // snapshots are deterministic slices of the fixture: A = doc_id%3!=0,
+  // B = doc_id%5!=0 with every doc_id%7==0 doc "re-crawled" (content
+  // suffixed), so all four verdicts occur. ----
+  val q89_snapshot_diff: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("ha"))
+    val b = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), md5(
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("hb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") =!= col("hb"), "changed")
+          .otherwise("unchanged").as("verdict"))
+      .groupBy("verdict")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"),
+        max("doc_id").as("max_id"))
+      .orderBy("verdict")
+  }
+
+  val q89_snapshot_diff_sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, md5(text) AS ha FROM documents WHERE doc_id % 3 <> 0
+      |), b AS (
+      |  SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+      |                          ELSE text END) AS hb
+      |  FROM documents WHERE doc_id % 5 <> 0
+      |), d AS (
+      |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |    CASE WHEN a.ha IS NULL THEN 'added'
+      |         WHEN b.hb IS NULL THEN 'removed'
+      |         WHEN a.ha <> b.hb THEN 'changed'
+      |         ELSE 'unchanged' END AS verdict
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      |)
+      |SELECT verdict, count(*) AS n, min(doc_id) AS min_id,
+      |  max(doc_id) AS max_id
+      |FROM d GROUP BY 1 ORDER BY verdict""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q89_snapshot_diff" -> q89_snapshot_diff,
     "q82_sample_bottomk" -> q82_sample_bottomk,
     "q83_heavy_hitters" -> q83_heavy_hitters,
     "q84_sample_quantiles" -> q84_sample_quantiles,
@@ -328,6 +378,7 @@ object StatQueries {
     "q87_theta_setops" -> q87_theta_setops)
 
   val oracles: Map[String, String] = Map(
+    "q89_snapshot_diff" -> q89_snapshot_diff_sql,
     "q82_sample_bottomk" -> q82_sample_bottomk_sql,
     "q83_heavy_hitters" -> q83_heavy_hitters_sql,
     "q84_sample_quantiles" -> q84_sample_quantiles_sql,
