@@ -127,9 +127,41 @@ object Bench {
           s""","remote_bytes":${get("bytesFromRemote")}""" +
           s""","prefetch_bytes":${get("bytesFromPrefetch")}""" +
           s""","page_cache_bytes":${get("bytesFromPageCache")}}"""
+      // warm vectored read straight through the FS API — the parquet
+      // scan entry point under parquet.hadoop.vectored.io.enabled: 64
+      // gapped ranges against the warmed page cache must be pure
+      // cache-local (zero incremental remote bytes)
+      val vp = new org.apache.hadoop.fs.Path(s"$fsDir/lineitem.parquet")
+      val pFile = {
+        val vfs = vp.getFileSystem(hc)
+        val st = vfs.listStatus(vp).filter(_.getPath.getName.endsWith(".parquet"))
+        if (st.nonEmpty) st.head.getPath else vp
+      }
+      val vfs = pFile.getFileSystem(hc)
+      val vlen = vfs.getFileStatus(pFile).getLen
+      val vBefore = inst.map(_.stats.snapshot).getOrElse(Map.empty[String, Long])
+      val vt0 = System.nanoTime()
+      val vin = vfs.open(pFile)
+      val stride = math.max(1L, vlen / 64)
+      val ranges = (0 until 64).flatMap { i =>
+        val off = i * stride
+        // cap at the stride so ranges stay disjoint on tiny files
+        val n = math.min(math.min(64L << 10, stride), vlen - off)
+        if (n > 0) Some(org.apache.hadoop.fs.FileRange.createFileRange(off, n.toInt))
+        else None
+      }
+      vin.readVectored(java.util.Arrays.asList(ranges: _*),
+        (n: Int) => java.nio.ByteBuffer.allocate(n))
+      ranges.foreach(_.getData.get())
+      vin.close()
+      val vectoredS = (System.nanoTime() - vt0) / 1e9
+      val vAfter = inst.map(_.stats.snapshot).getOrElse(Map.empty[String, Long])
+      val vRemote = vAfter.getOrElse("bytesFromRemote", 0L) -
+        vBefore.getOrElse("bytesFromRemote", 0L)
       s""","bench_fs":{"n_queries":${fsQs.size},"cold_s":${fmt(cold)},"warm_s":${fmt(warm)}""" +
         s""","cold_pass":${tiers(k => mid.getOrElse(k, 0L))}""" +
-        s""","second_pass":${tiers(d)}}"""
+        s""","second_pass":${tiers(d)}""" +
+        s""","vectored_warm_s":${fmt(vectoredS)},"vectored_remote_bytes":$vRemote}"""
     } catch {
       case e: Throwable =>
         s""","bench_fs":{"err":"${e.toString.take(120).replace('"', '\'')}"}"""
