@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.Det.dround
 import graft.functions.MinHashAgg.minhash_sketch
 import graft.functions.VectorExprs.cosine_similarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -50,16 +50,32 @@ object SketchQueries {
       .orderBy("src_a", "src_b")
   }
 
+  /** Per-row centroid scores, sorted best-first: the centroid table is
+    * MODEL STATE (k×dim doubles), so it rides into the projection as an
+    * array literal and scoring is a per-row `transform` + `sort_array`
+    * — ZERO joins, shuffles or window sorts over the corpus (the
+    * scan-assign shape of a real IVF build; the previous form exploded
+    * k rows per vector through a per-vector window sort). Ties break to
+    * the lowest cid (ncid is the negated id, sorted descending),
+    * matching the old (sim desc, cid) window order exactly. */
+  private def cellScores(cents: Seq[(Int, Seq[Double])], v: Column): Column =
+    sort_array(transform(typedlit(cents), c =>
+      struct(cosine_similarity(v, c.getField("_2")).as("sim"),
+        (c.getField("_1") * -1).as("ncid"))), asc = false)
+
+  private def nearestCell(cents: Seq[(Int, Seq[Double])], v: Column): Column =
+    cellScores(cents, v).getItem(0).getField("ncid") * -1
+
   /** Spherical k-means (Lloyd) for the IVF coarse quantizer: assign each
     * vector to its max-cosine centroid, recompute cell means, normalize.
     * Seeds are deterministic (the first k vectors). Centroids are model
     * state — k×dim doubles — so the per-round collect is legitimate
-    * driver traffic (the same k rows every cluster job must broadcast),
-    * not a distributed-operator smell; each round is one broadcast join
-    * + one shuffle of k×dim partial sums.
+    * driver traffic, not a distributed-operator smell; each round is one
+    * map-only assignment projection + one k-row shuffle of partial sums
+    * (map-side combine leaves at most k rows per task).
     */
   private[operators] def kmeansCentroids(s: SparkSession, e: DataFrame,
-      k: Int, iters: Int): DataFrame = {
+      k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     import s.implicits._
     // scanned once per Lloyd round + once for seeds: cache the cast
     val vd = e.select(col("vec_id"),
@@ -69,16 +85,13 @@ object SketchQueries {
       .orderBy("vec_id").collect().zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
     // degenerate input (no vectors under the seed ids): no centroids, no
-    // rounds — the caller's joins simply produce no assignments
-    if (cents.isEmpty) { vd.unpersist(blocking = false); return cents.toDF("cid", "ce") }
+    // rounds — the caller produces no assignments
+    if (cents.isEmpty) { vd.unpersist(blocking = false); return cents }
     // the dimension comes free with the seed collect — no separate job
     val dim = cents.head._2.length
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy("vec_id").orderBy(col("sim").desc, col("cid"))
-      val means = vd.join(broadcast(cents.toDF("cid", "ce")))
-        .withColumn("sim", cosine_similarity(col("v"), col("ce")))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      val means = vd
+        .withColumn("cid", nearestCell(cents, col("v")))
         .groupBy("cid")
         .agg(array((0 until dim).map(i => avg(col("v").getItem(i))): _*).as("m"))
       val updated = means.collect().map { r =>
@@ -90,7 +103,7 @@ object SketchQueries {
       cents = cents.map { case (cid, ce) => (cid, updated.getOrElse(cid, ce)) }
     }
     vd.unpersist(blocking = false)
-    cents.toDF("cid", "ce")
+    cents
   }
 
   // ---- 46b. IVF (inverted-file) approximate nearest neighbors ----
@@ -98,29 +111,29 @@ object SketchQueries {
   // deterministic seeds) — cells reflect the data distribution, not an
   // arbitrary sample.
   val q46b_ann_ivf: Q = (s, dir) => {
+    import s.implicits._
     val e = t(s, dir, "embeddings")
-    val centroids = kmeansCentroids(s, e, k = 16, iters = 3)
+    val cents = kmeansCentroids(s, e, k = 16, iters = 3)
+    if (cents.isEmpty)
+      Seq.empty[(Long, Long, Long, Double)].toDF("qid", "rn", "nid", "sim")
+    else q46bWithCentroids(e, cents)
+  }
 
-    // invert: each corpus vector -> nearest centroid cell
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("cdist").desc, col("cid"))
-    val assigned = e.join(broadcast(centroids))
-      .withColumn("cdist", cosine_similarity(col("embedding"), col("ce")))
-      .withColumn("rn", row_number().over(assignW))
-      .filter(col("rn") === 1)
+  private def q46bWithCentroids(e: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    def dv(c: Column): Column = transform(c, x => x.cast("double"))
+
+    // invert: each corpus vector -> nearest centroid cell (map-only)
+    val assigned = e
       .select(col("vec_id").as("nid"), col("embedding").as("ne"),
-        col("cid").as("cell"))
+        nearestCell(cents, dv(col("embedding"))).as("cell"))
 
-    // queries probe their 2 nearest cells
-    val probeW = Window.partitionBy("vec_id")
-      .orderBy(col("cdist").desc, col("cid"))
+    // queries probe their 2 nearest cells (map-only: top-2 of the same
+    // sorted per-row score array)
     val probes = e.filter(col("vec_id") < 10)
-      .join(broadcast(centroids))
-      .withColumn("cdist", cosine_similarity(col("embedding"), col("ce")))
-      .withColumn("rn", row_number().over(probeW))
-      .filter(col("rn") <= 2)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("cid").as("cell"))
+        posexplode(slice(cellScores(cents, dv(col("embedding"))), 1, 2)))
+      .select(col("qid"), col("qe"), (col("col.ncid") * -1).as("cell"))
 
     val rankW = Window.partitionBy("qid")
       .orderBy(col("sim_raw").desc, col("nid"))

@@ -98,6 +98,36 @@ class VectoredReadSpec extends AnyFunSuite with BeforeAndAfterAll {
     fs.close()
   }
 
+  test("concurrent vectored reads on one stream are safe and exact") {
+    // PositionedReadable allows concurrent positioned reads on a single
+    // stream (async parquet I/O does this); vectored reads must uphold
+    // the same contract through the synchronized tier cascade
+    val fs = newFs("v4")
+    val p = graftPath("vec4.bin")
+    writeFile(fs, p, FileSz)
+    val in = fs.open(p)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (0 until 16).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          override def call(): Unit = {
+            val ranges = (0 until 8).map(i =>
+              FileRange.createFileRange(
+                ((t * 31 + i * 17) % 200) * 1024L + t, 700)).toList
+            in.readVectored(ranges.asJava,
+              (n: Int) => ByteBuffer.allocate(n))
+            ranges.foreach(check)
+          }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally {
+      pool.shutdownNow()
+      in.close()
+      fs.close()
+    }
+  }
+
   test("vectored read rejects past-EOF and overlapping ranges") {
     val fs = newFs("v3")
     val p = graftPath("vec3.bin")
