@@ -214,7 +214,67 @@ object TextQueries {
       |WHERE rn = 1
       |GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- 90. Token-distribution entropy + KL divergence per language:
+  // the distribution-shift diagnostics a corpus pipeline runs per slice
+  // (is this shard's unigram distribution drifting from the corpus?).
+  // Shapes: token counts are ONE map-side-combined shuffle; the
+  // per-lang totals and the corpus distribution are vocabulary-sized —
+  // broadcast back. Float determinism: each per-term contribution is
+  // scaled x1e6 and rounded to a BIGINT **before** the sum (the q76
+  // trick), so the aggregate is integer arithmetic — summation order
+  // (= partitioning) cannot move the result, and DuckDB matches
+  // bit-for-bit. ----
+  val q90_entropy_kl: Q = (s, dir) => {
+    val toks = t(s, dir, "documents")
+      .select(col("lang"),
+        explode(split(lower(col("text")), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val lc = toks.groupBy("lang", "term").agg(count(lit(1)).as("cnt"))
+    val lt = lc.groupBy("lang").agg(sum("cnt").as("tot"))
+    val cc = toks.groupBy("term").agg(count(lit(1)).as("ccnt"))
+    val ct = cc.agg(sum("ccnt").as("ctot"))
+    val p = col("cnt").cast("double") / col("tot")
+    val q = col("ccnt").cast("double") / col("ctot")
+    lc.join(broadcast(lt), "lang")
+      .join(broadcast(cc), "term")
+      .crossJoin(broadcast(ct))
+      .select(col("lang"),
+        round(-p * log(p) * 1e6, 0).cast("long").as("h_term"),
+        round(p * log(p / q) * 1e6, 0).cast("long").as("kl_term"))
+      .groupBy("lang")
+      .agg(sum("h_term").as("entropy_u6"), sum("kl_term").as("kl_u6"))
+      .orderBy("lang")
+  }
+
+  val q90_entropy_kl_sql: String =
+    """WITH toks AS (
+      |  SELECT lang, t.term FROM (
+      |    SELECT lang, unnest(string_split(lower(text), ' ')) AS term
+      |    FROM documents
+      |  ) t WHERE len(term) > 0
+      |), lc AS (
+      |  SELECT lang, term, count(*) AS cnt FROM toks GROUP BY 1, 2
+      |), lt AS (
+      |  SELECT lang, sum(cnt) AS tot FROM lc GROUP BY 1
+      |), cc AS (
+      |  SELECT term, count(*) AS ccnt FROM toks GROUP BY 1
+      |), ct AS (
+      |  SELECT sum(ccnt) AS ctot FROM cc
+      |), terms AS (
+      |  SELECT lc.lang,
+      |    CAST(round(-(CAST(cnt AS DOUBLE) / tot) *
+      |      ln(CAST(cnt AS DOUBLE) / tot) * 1e6, 0) AS BIGINT) AS h_term,
+      |    CAST(round((CAST(cnt AS DOUBLE) / tot) *
+      |      ln((CAST(cnt AS DOUBLE) / tot) /
+      |         (CAST(ccnt AS DOUBLE) / ctot)) * 1e6, 0) AS BIGINT) AS kl_term
+      |  FROM lc JOIN lt USING (lang) JOIN cc USING (term) CROSS JOIN ct
+      |)
+      |SELECT lang, CAST(sum(h_term) AS BIGINT) AS entropy_u6,
+      |  CAST(sum(kl_term) AS BIGINT) AS kl_u6
+      |FROM terms GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q90_entropy_kl" -> q90_entropy_kl,
     "q48_langid" -> q48_langid,
     "q49_quality" -> q49_quality,
     "q50_token_count" -> q50_token_count,
@@ -222,6 +282,7 @@ object TextQueries {
     "q70_pipeline" -> q70_pipeline)
 
   val oracles: Map[String, String] = Map(
+    "q90_entropy_kl" -> q90_entropy_kl_sql,
     "q48_langid" -> q48_langid_sql,
     "q49_quality" -> q49_quality_sql,
     "q50_token_count" -> q50_token_count_sql,

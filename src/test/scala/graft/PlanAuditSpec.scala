@@ -18,6 +18,7 @@ class PlanAuditSpec extends TestBase {
     "q54_source_sketch", // ~5 source sketches, pairwise
     "q10b_join_cross",   // the declared CROSS JOIN operator (dim x dim)
     "q76_tfidf",         // ONE row (the corpus doc count) broadcast
+    "q90_entropy_kl",    // ONE row (the corpus token total) broadcast
     "q79_equidepth",     // ONE row (the percentile bounds) broadcast
     "q21b_edit_distance", // 25-row nation dim crossed with itself
     "q87_theta_setops"   // #langs sketch rows, pairwise (theta combine)
