@@ -136,6 +136,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.ThetaExprs.ThetaUnionEstimate(es.head, es(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("kll_sketch_agg"),
+      info("kll_sketch_agg",
+        "kll_sketch_agg(value) - mergeable KLL quantile sketch aggregate " +
+          "over a DOUBLE column (compact sketch bytes)"),
+      (es: Seq[Expression]) => {
+        arity("kll_sketch_agg", 1)(es)
+        graft.functions.KllSketchAgg(es.head, 200)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantile"),
+      info("kll_quantile",
+        "kll_quantile(sketch, rank) - value at normalized rank of a KLL sketch"),
+      (es: Seq[Expression]) => {
+        arity("kll_quantile", 2)(es)
+        graft.functions.KllExprs.KllQuantile(es.head, es(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("kll_rank"),
+      info("kll_rank",
+        "kll_rank(sketch, value) - normalized rank of a value in a KLL sketch"),
+      (es: Seq[Expression]) => {
+        arity("kll_rank", 2)(es)
+        graft.functions.KllExprs.KllRank(es.head, es(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("theta_anotb_estimate"),
       info("theta_anotb_estimate",
         "theta_anotb_estimate(a, b) - |A \\ B| estimate of two theta sketches"),

@@ -643,7 +643,66 @@ object CurationQueries {
       |  AND l_partkey BETWEEN 50 AND 1500
       |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""".stripMargin
 
+  // ---- 94. Source mixing: resample the corpus toward a target source
+  // distribution (upweight curated sources, downweight crawl — the
+  // data-mixing step every pretraining pipeline runs). Per-source
+  // acceptance rates come from a 20-row aggregate (rate_s = min(1,
+  // target_share_s * budget / n_s)); the acceptance decision is a
+  // DETERMINISTIC md5 bucket of the doc key against the source's rate —
+  // a pure function of the data (reproducible under any partitioning,
+  // executor count, or retry; no RNG seed to lose) and therefore
+  // oracle-checkable. Shapes: one map-side-combined count, one
+  // broadcast of the 20-row rate table, one scan-speed filter — the
+  // fact table shuffles zero times.
+  val q94_source_mix: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val cnt = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      .withColumn("w",
+        when(col("source").isin("src0", "src1", "src2", "src3"), 4.0)
+          .otherwise(1.0))
+    val tot = cnt.agg(sum("n").as("nn"), sum("w").as("sw"))
+    val rates = cnt.crossJoin(broadcast(tot))
+      .withColumn("rate", least(lit(1.0),
+        col("w") / col("sw") * floor(col("nn") * 0.5) / col("n")))
+      .withColumn("thr", floor(col("rate") * 1e6).cast("long"))
+      .select("source", "n", "rate", "thr")
+    docs.join(broadcast(rates), "source")
+      .withColumn("bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 1000000L)
+      .filter(col("bucket") < col("thr"))
+      .groupBy("source")
+      .agg(min("n").as("n_docs"), dround(min("rate"), 6).as("rate"),
+        count(lit(1)).as("kept"))
+      .orderBy("source")
+  }
+
+  val q94_source_mix_sql: String =
+    """WITH cnt AS (
+      |  SELECT source, count(*) AS n,
+      |    CAST(CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+      |         THEN 4 ELSE 1 END AS DOUBLE) AS w
+      |  FROM documents GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(sum(n) AS DOUBLE) AS nn, sum(w) AS sw FROM cnt
+      |), rates AS (
+      |  SELECT source, n,
+      |    least(CAST(1 AS DOUBLE), w / sw * floor(nn * 0.5) / n) AS rate,
+      |    CAST(floor(least(CAST(1 AS DOUBLE),
+      |      w / sw * floor(nn * 0.5) / n) * 1e6) AS BIGINT) AS thr
+      |  FROM cnt CROSS JOIN tot
+      |), kept AS (
+      |  SELECT d.source, r.n, r.rate
+      |  FROM documents d JOIN rates r ON d.source = r.source
+      |  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 1000000 < r.thr
+      |)
+      |SELECT source, min(n) AS n_docs, round(min(rate), 6) + 0 AS rate,
+      |  count(*) AS kept
+      |FROM kept GROUP BY 1 ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q94_source_mix" -> q94_source_mix,
     "q81_zorder_layout" -> q81_zorder_layout,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
@@ -660,6 +719,7 @@ object CurationQueries {
     "q68_stratified_sample" -> q68_stratified_sample)
 
   val oracles: Map[String, String] = Map(
+    "q94_source_mix" -> q94_source_mix_sql,
     "q81_zorder_layout" -> q81_zorder_layout_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,
     "q79_equidepth" -> q79_equidepth_sql,

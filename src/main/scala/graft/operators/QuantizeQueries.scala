@@ -68,7 +68,18 @@ object QuantizeQueries {
   // join + grouped min, so a round costs O(|edges|) shuffled bytes and
   // the loop runs graph-diameter times (near-dup clusters are tiny, so
   // 2-4 rounds; at 100 TB you'd checkpoint between rounds).
-  val q58_dedup_clusters: Q = (s, dir) => {
+  val q58_dedup_clusters: Q = (s, dir) =>
+    clusterLabels(s, dir)
+      .groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("size"), max("node").as("max_member"))
+      .orderBy("cluster")
+
+  /** (node, label) connected-component labels over the verified near-dup
+    * pair graph — the shared core of q58 (cluster stats) and q95
+    * (leakage-safe splits). Only documents that appear in at least one
+    * near-dup pair are labeled; singletons default to their own id at
+    * the call site. */
+  private[operators] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
     val edges = DedupQueries.q43b_lsh_verified(s, dir)
       .select(col("ia"), col("ib"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -117,13 +128,12 @@ object QuantizeQueries {
       labels = mat.select("node", "label")
       rounds += 1
     }
-    // the final round's checkpoint stays live for the aggregation below
-    // and is reclaimed by the ContextCleaner; the loop inputs are done:
+    // the final round's checkpoint stays live for the consumer's
+    // aggregation and is reclaimed by the ContextCleaner; the loop
+    // inputs are done:
     edges.unpersist(blocking = false)
     bidir.unpersist(blocking = false)
-    labels.groupBy(col("label").as("cluster"))
-      .agg(count(lit(1)).as("size"), max("node").as("max_member"))
-      .orderBy("cluster")
+    labels
   }
 
   // DuckDB oracle: transitive closure by recursive CTE over the same
@@ -157,6 +167,87 @@ object QuantizeQueries {
       |)
       |SELECT cluster, count(*) AS size, max(node) AS max_member
       |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin
+
+  // ---- 95. Leakage-safe train/test split: assign splits at near-dup
+  // CLUSTER granularity, not per document. A per-document hash split
+  // (q64) leaks when two near-duplicates land in different splits — the
+  // test set then contains paraphrases of training documents, the
+  // classic contamination bug benchmark decontamination exists to
+  // catch. Here the split key is the connected-component label from the
+  // verified near-dup graph (singletons = their own id), so an entire
+  // duplicate cluster moves as one unit and NO near-dup pair can span
+  // the train/test boundary — structurally, not statistically (the
+  // split is a function of the cluster id). Shapes on top of the q58
+  // labeler: one left join of docs to the (tiny, O(near-dup nodes))
+  // label table — broadcast — and a 3-row rollup. `sum(n_clusters)`
+  // across splits equals the corpus's total cluster count exactly
+  // because no cluster spans splits; the oracle re-derives the same
+  // invariant through DuckDB's recursive CTE.
+  val q95_cluster_split: Q = (s, dir) => {
+    val labels = clusterLabels(s, dir)
+      .withColumnRenamed("node", "doc_id")
+    val docs = t(s, dir, "documents").select("doc_id", "n_chars")
+    docs.join(broadcast(labels), Seq("doc_id"), "left_outer")
+      .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+      .withColumn("bucket",
+        conv(substring(md5(col("cluster").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10)
+      .withColumn("split",
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("cluster").cast("long").as("n_clusters"),
+        sum("n_chars").as("chars"))
+      .orderBy("split")
+  }
+
+  // Oracle: the q58 recursive-CTE transitive closure produces the same
+  // cluster labels; docs outside any near-dup pair keep their own id.
+  val q95_cluster_split_sql: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |     for i in generate_series(1, len(ws) - 2)])) AS s
+      |  FROM tok WHERE len(ws) >= 3
+      |), sz AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+      |), inter AS (
+      |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT ia, ib FROM inter
+      |  JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) > 0.5
+      |), bidir AS (
+      |  SELECT ia, ib FROM pairs UNION ALL SELECT ib, ia FROM pairs
+      |), reach(a, b) AS (
+      |  SELECT ia, ib FROM bidir
+      |  UNION
+      |  SELECT r.a, e.ib FROM reach r JOIN bidir e ON r.b = e.ia
+      |), labels AS (
+      |  SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a
+      |), assigned AS (
+      |  SELECT d.doc_id, d.n_chars,
+      |    coalesce(l.cluster, d.doc_id) AS cluster
+      |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+      |), b AS (
+      |  SELECT n_chars, cluster,
+      |    CAST(concat('0x', substr(md5(CAST(cluster AS VARCHAR)), 1, 4))
+      |      AS BIGINT) % 10 AS bucket
+      |  FROM assigned
+      |)
+      |SELECT CASE WHEN bucket < 8 THEN 'train'
+      |            WHEN bucket = 8 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  count(*) AS n_docs,
+      |  CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars
+      |FROM b GROUP BY 1 ORDER BY split""".stripMargin
 
   // ---- 73. Label centroids (mean-pooled embeddings per class): the
   // building block behind class prototypes, IVF coarse quantizers and
@@ -193,10 +284,12 @@ object QuantizeQueries {
   val queries: Map[String, Q] = Map(
     "q57_quantize_int8" -> q57_quantize_int8,
     "q58_dedup_clusters" -> q58_dedup_clusters,
+    "q95_cluster_split" -> q95_cluster_split,
     "q73_label_centroids" -> q73_label_centroids)
 
   val oracles: Map[String, String] = Map(
     "q57_quantize_int8" -> q57_quantize_int8_sql,
     "q58_dedup_clusters" -> q58_dedup_clusters_sql,
+    "q95_cluster_split" -> q95_cluster_split_sql,
     "q73_label_centroids" -> q73_label_centroids_sql)
 }

@@ -368,7 +368,103 @@ object StatQueries {
       |  max(doc_id) AS max_id
       |FROM d GROUP BY 1 ORDER BY verdict""".stripMargin
 
+  // ---- 92. Perplexity filtering: score every document by its average
+  // negative log-likelihood under the corpus bigram LM (the CCNet-style
+  // quality filter — a document whose bigrams are improbable under the
+  // corpus distribution is boilerplate, spam, or the wrong language).
+  // Shapes: the LM is q86's two map-side-combined aggs; scoring joins
+  // doc bigrams to the LM on (w1, w2) — an equi-join that shuffles the
+  // bigram stream once (no broadcast hint: at corpus scale the LM is
+  // itself large; AQE broadcasts it when it is small). The top-k
+  // outlier pick is a TakeOrderedAndProject, never a global sort.
+  // Float determinism: per-bigram -ln(p) is scaled x1e6 and rounded to
+  // BIGINT before summing (the q76/q90 trick), so the per-doc sum is
+  // integer arithmetic and partitioning cannot move it.
+  val q92_perplexity: Q = (s, dir) => {
+    val pairs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(transform(
+        sequence(lit(1), size(col("ws")) - 1),
+        i => struct(element_at(col("ws"), i).as("w1"),
+          element_at(col("ws"), i + 1).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("tot"))
+    val lm = big.join(uni, "w1")
+      .withColumn("nll_u6",
+        round(-log(col("cnt").cast("double") / col("tot")) * 1e6, 0)
+          .cast("long"))
+      .select("w1", "w2", "nll_u6")
+    pairs.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bg"), sum("nll_u6").as("sum_nll"))
+      .select(col("doc_id"), col("lang"), col("n_bg"),
+        round(col("sum_nll").cast("double") / col("n_bg"), 0)
+          .cast("long").as("avg_nll_u6"))
+      .orderBy(col("avg_nll_u6").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q92_perplexity_sql: String =
+    """WITH ws AS (
+      |  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT doc_id, lang, unnest([{'w1': ws[i], 'w2': ws[i+1]}
+      |    FOR i IN range(1, len(ws))]) AS bg
+      |  FROM ws WHERE len(ws) >= 2
+      |), p2 AS (
+      |  SELECT doc_id, lang, bg.w1 AS w1, bg.w2 AS w2 FROM pairs
+      |), bic AS (
+      |  SELECT w1, w2, count(*) AS cnt FROM p2 GROUP BY 1, 2
+      |), unic AS (
+      |  SELECT w1, count(*) AS tot FROM p2 GROUP BY 1
+      |), lm AS (
+      |  SELECT b.w1, b.w2, CAST(round(
+      |      -ln(CAST(b.cnt AS DOUBLE) / u.tot) * 1e6, 0) AS BIGINT)
+      |    AS nll_u6
+      |  FROM bic b JOIN unic u USING (w1)
+      |), scored AS (
+      |  SELECT p.doc_id, p.lang, count(*) AS n_bg,
+      |    sum(m.nll_u6) AS sum_nll
+      |  FROM p2 p JOIN lm m ON p.w1 = m.w1 AND p.w2 = m.w2
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_id, lang, CAST(n_bg AS BIGINT) AS n_bg,
+      |  CAST(round(CAST(sum_nll AS DOUBLE) / n_bg, 0) AS BIGINT)
+      |    AS avg_nll_u6
+      |FROM scored
+      |ORDER BY avg_nll_u6 DESC, doc_id LIMIT 20""".stripMargin
+
+  // ---- 93. Mergeable streaming quantiles: per-event-type KLL sketch
+  // over `value`. The 100 TB quantile path — q61 sorts each group
+  // exactly, q84 samples; KLL gives a PROVEN worst-case rank error
+  // (~1.33% of N at k=200) in O(k log(N/k)) memory with sketch-merge
+  // partial aggregation, so the shuffle carries one ~2 KB sketch per
+  // group per mapper regardless of row count. Rows-only by declared
+  // design (KLL compaction is randomized, like Spark's own
+  // approx_percentile); KllSketchSpec asserts the rank-error bound vs
+  // the exact distribution, under multiple partitionings. ----
+  val q93_kll_quantiles: Q = (s, dir) => {
+    import graft.functions.KllFuncs._
+    val sk = t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(kll_sketch_agg(col("value"), 200).as("sk"),
+        count(lit(1)).as("n"))
+    sk.select(col("event_type"), col("n"),
+      dround(kll_quantile(col("sk"), lit(0.25)), 4).as("p25"),
+      dround(kll_quantile(col("sk"), lit(0.5)), 4).as("p50"),
+      dround(kll_quantile(col("sk"), lit(0.75)), 4).as("p75"),
+      dround(kll_quantile(col("sk"), lit(0.95)), 4).as("p95"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q92_perplexity" -> q92_perplexity,
+    "q93_kll_quantiles" -> q93_kll_quantiles,
     "q89_snapshot_diff" -> q89_snapshot_diff,
     "q82_sample_bottomk" -> q82_sample_bottomk,
     "q83_heavy_hitters" -> q83_heavy_hitters,
@@ -378,6 +474,7 @@ object StatQueries {
     "q87_theta_setops" -> q87_theta_setops)
 
   val oracles: Map[String, String] = Map(
+    "q92_perplexity" -> q92_perplexity_sql,
     "q89_snapshot_diff" -> q89_snapshot_diff_sql,
     "q82_sample_bottomk" -> q82_sample_bottomk_sql,
     "q83_heavy_hitters" -> q83_heavy_hitters_sql,

@@ -273,7 +273,101 @@ object TextQueries {
       |  CAST(sum(kl_term) AS BIGINT) AS kl_u6
       |FROM terms GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- 91. PII detection + redaction: mask emails, phone numbers and
+  // IPv4 addresses before a corpus ships to training. One codegen'd
+  // projection per document (three regexp_replace passes + three
+  // regexp_extract_all counts) — scan-speed at any SF, no shuffle until
+  // the tiny per-segment rollup. The fixture corpus contains no PII, so
+  // the input is a deterministic contact-card string derived from the
+  // customer table (same technique as q89's synthesized snapshots); the
+  // REDACTION operator itself is exactly what would run over a real
+  // crawl. `n_residual` re-scans the redacted text with the same
+  // patterns — it must come back 0, making "redaction actually
+  // removed the PII" an oracle-checked invariant rather than a claim.
+  // Regexes are restricted to the syntax Java and RE2 share (character
+  // classes, bounded repetition; no backrefs/lookarounds), so Spark and
+  // DuckDB see identical semantics.
+  private val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhonePat = "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  private val IpPat = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  val q91_pii_redact: Q = (s, dir) => {
+    val contact = concat(
+      lit("Reach "), col("c_name"), lit(" at "),
+      lower(regexp_replace(col("c_name"), "#", "")),
+      lit("-"), col("c_custkey").cast("string"),
+      lit("@mail"), col("c_nationkey").cast("string"),
+      lit(".example.com or +1-"),
+      lpad(((col("c_custkey") * 7) % 1000).cast("string"), 3, "0"),
+      lit("-555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" from 10."), (col("c_custkey") % 256).cast("string"),
+      lit("."), (col("c_nationkey") % 256).cast("string"),
+      lit("."), ((col("c_custkey") * 3) % 256).cast("string"))
+    val red = t(s, dir, "customer")
+      .withColumn("txt", contact)
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace(col("txt"),
+          EmailPat, "[EMAIL]"), PhonePat, "[PHONE]"), IpPat, "[IP]"))
+      .withColumn("n_email",
+        size(regexp_extract_all(col("txt"), lit(EmailPat), lit(0)))
+          .cast("long"))
+      .withColumn("n_phone",
+        size(regexp_extract_all(col("txt"), lit(PhonePat), lit(0)))
+          .cast("long"))
+      .withColumn("n_ip",
+        size(regexp_extract_all(col("txt"), lit(IpPat), lit(0)))
+          .cast("long"))
+      .withColumn("residual",
+        when(col("redacted").rlike(EmailPat) ||
+          col("redacted").rlike(PhonePat) ||
+          col("redacted").rlike(IpPat), 1L).otherwise(0L))
+    red.groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_rows"), sum("n_email").as("n_email"),
+        sum("n_phone").as("n_phone"), sum("n_ip").as("n_ip"),
+        sum("residual").as("n_residual"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q91_pii_redact_sql: String =
+    """WITH src AS (
+      |  SELECT c_mktsegment,
+      |    'Reach ' || c_name || ' at ' ||
+      |    lower(regexp_replace(c_name, '#', '', 'g')) || '-' ||
+      |    CAST(c_custkey AS VARCHAR) ||
+      |    '@mail' || CAST(c_nationkey AS VARCHAR) ||
+      |    '.example.com or +1-' ||
+      |    lpad(CAST((c_custkey * 7) % 1000 AS VARCHAR), 3, '0') ||
+      |    '-555-' ||
+      |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+      |    ' from 10.' || CAST(c_custkey % 256 AS VARCHAR) ||
+      |    '.' || CAST(c_nationkey % 256 AS VARCHAR) ||
+      |    '.' || CAST((c_custkey * 3) % 256 AS VARCHAR) AS txt
+      |  FROM customer
+      |), red AS (
+      |  SELECT c_mktsegment, txt,
+      |    regexp_replace(regexp_replace(regexp_replace(txt,
+      |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+      |      '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+      |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '[IP]', 'g') AS redacted
+      |  FROM src
+      |)
+      |SELECT c_mktsegment, count(*) AS n_rows,
+      |  CAST(sum(len(regexp_extract_all(txt,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))) AS BIGINT) AS n_email,
+      |  CAST(sum(len(regexp_extract_all(txt,
+      |    '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}'))) AS BIGINT) AS n_phone,
+      |  CAST(sum(len(regexp_extract_all(txt,
+      |    '([0-9]{1,3}\.){3}[0-9]{1,3}'))) AS BIGINT) AS n_ip,
+      |  CAST(sum(CASE WHEN
+      |      regexp_matches(redacted, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')
+      |      OR regexp_matches(redacted, '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}')
+      |      OR regexp_matches(redacted, '([0-9]{1,3}\.){3}[0-9]{1,3}')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_residual
+      |FROM red GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q91_pii_redact" -> q91_pii_redact,
     "q90_entropy_kl" -> q90_entropy_kl,
     "q48_langid" -> q48_langid,
     "q49_quality" -> q49_quality,
@@ -282,6 +376,7 @@ object TextQueries {
     "q70_pipeline" -> q70_pipeline)
 
   val oracles: Map[String, String] = Map(
+    "q91_pii_redact" -> q91_pii_redact_sql,
     "q90_entropy_kl" -> q90_entropy_kl_sql,
     "q48_langid" -> q48_langid_sql,
     "q49_quality" -> q49_quality_sql,

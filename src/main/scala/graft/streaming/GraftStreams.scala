@@ -70,6 +70,27 @@ object GraftStreams {
         col("f.term").as("user_id"), col("f.est").as("cnt"))
   }
 
+  /** Streaming windowed quantiles: the KLL sketch aggregate inside a
+    * watermarked tumbling window. Per-window state is ONE ~2 KB sketch
+    * per (window, event_type) group regardless of event volume —
+    * exactly like the batch q93, the sketch buffer merges map-side and
+    * lives in the state store. StreamingSpec asserts stream == batch
+    * row-for-row: the micro-batch boundaries change merge ORDER, and
+    * KLL only compacts past capacity, so under-capacity windows are
+    * exact and batch-boundary-invariant. */
+  def windowedQuantiles(events: DataFrame): DataFrame = {
+    import graft.functions.KllFuncs._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(kll_sketch_agg(col("value"), 200).as("sk"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n"),
+        round(kll_quantile(col("sk"), lit(0.5)), 4).as("p50"),
+        round(kll_quantile(col("sk"), lit(0.95)), 4).as("p95"))
+  }
+
   /** Streaming exact dedup: drop duplicate event_ids, keeping state only
     * within the watermark horizon — the unbounded-stream form of exact
     * dedup (state size bounded by events-per-watermark-window, not by

@@ -62,6 +62,18 @@ class ExtensionsSpec extends TestBase {
           |FROM s, t""".stripMargin).collect()(0)
       assert(th.getLong(0) == 3 && th.getLong(1) == 2 &&
         th.getLong(2) == 4 && th.getLong(3) == 1)
+
+      // KLL quantile surface: below capacity the sketch is exact, so
+      // the SQL answers are deterministic.
+      val kll = s2.sql(
+        """WITH s AS (
+          |  SELECT kll_sketch_agg(CAST(x AS DOUBLE)) AS sk
+          |  FROM range(1, 101) t(x)
+          |)
+          |SELECT kll_quantile(sk, 0.5D) AS q50,
+          |       kll_rank(sk, 50.0D) AS r50
+          |FROM s""".stripMargin).collect()(0)
+      assert(kll.getDouble(0) == 50.0 && kll.getDouble(1) == 0.5)
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)

@@ -51,7 +51,14 @@ class PartitionInvarianceSpec extends TestBase {
   // math is commutative-by-construction (HLL max-per-bucket, minhash
   // min, simhash integer sums, IVF centroid sums over deterministic
   // seeds), so the same invariance must hold.
-  (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted
+  //
+  // q93 is the one deliberate exception: KLL compaction flips a random
+  // coin per level (like Spark's own approx_percentile), so exact row
+  // equality across partitionings is not part of its contract — the
+  // partition-invariant guarantee is the rank-error BOUND, which
+  // KllSketchSpec asserts under the same alternate partitioning.
+  (SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet - "q93_kll_quantiles")
+    .toSeq.sorted
     .foreach { name =>
       test(s"$name (rows-only) invariant to input splits and shuffle fan-out") {
         val base = rows(name)

@@ -21,7 +21,9 @@ class PlanAuditSpec extends TestBase {
     "q90_entropy_kl",    // ONE row (the corpus token total) broadcast
     "q79_equidepth",     // ONE row (the percentile bounds) broadcast
     "q21b_edit_distance", // 25-row nation dim crossed with itself
-    "q87_theta_setops"   // #langs sketch rows, pairwise (theta combine)
+    "q87_theta_setops",  // #langs sketch rows, pairwise (theta combine)
+    "q94_source_mix"     // ONE row (corpus totals) broadcast into the
+                         // 20-row rate table
   )
 
   test("no CartesianProduct anywhere; BNLJ only where designed") {

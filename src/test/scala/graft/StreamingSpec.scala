@@ -70,6 +70,37 @@ class StreamingSpec extends TestBase {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streamed windowed KLL quantiles equal the batch result") {
+    // under-capacity KLL retains every item, so quantiles are exact and
+    // merge-order- (= micro-batch-boundary-) invariant; past capacity
+    // the randomized compaction would make row equality a flake, so
+    // guard the regime like the heavy-hitters test does.
+    import org.apache.spark.sql.functions.{col, count, date_trunc}
+    val maxPerGroup = Tables.load(spark, sfDir, "events")
+      .groupBy(date_trunc("hour", col("ts")), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .agg(org.apache.spark.sql.functions.max("c")).collect()(0).getLong(0)
+    assert(maxPerGroup < 200,
+      s"fixture outgrew the sketch's exact regime ($maxPerGroup rows/group); raise k")
+    val stream = GraftStreams.eventsStream(spark, eventsDir)
+    val q = GraftStreams.windowedQuantiles(stream)
+      .writeStream
+      .format("memory")
+      .queryName("win_quantiles")
+      .outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("win_quantiles")
+      .orderBy("win_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    val batch = GraftStreams.windowedQuantiles(
+      Tables.load(spark, sfDir, "events"))
+      .orderBy("win_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("stream-static enrichment equals the batch join") {
     val stream = GraftStreams.eventsStream(spark, eventsDir)
     val customers = Tables.load(spark, sfDir, "customer")
