@@ -32,6 +32,13 @@ object Profile {
         val n = fn(spark, sfDir).limit(2000000).collect().length
         println(f"[profile] $name run$i rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
+      // the formatted explain above is the INITIAL plan; AQE decisions
+      // (runtime broadcasts, stage/exchange reuse, skew splits) only
+      // show in the executed plan of a finished run:
+      val executed = fn(spark, sfDir)
+      executed.limit(2000000).collect()
+      println(s"==== $name executed (post-AQE) ====")
+      println(executed.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

@@ -380,6 +380,19 @@ object StatQueries {
   // Float determinism: per-bigram -ln(p) is scaled x1e6 and rounded to
   // BIGINT before summing (the q76/q90 trick), so the per-doc sum is
   // integer arithmetic and partitioning cannot move it.
+  //
+  // Pass structure: the corpus is exploded twice — once for the LM's
+  // bigram counts (a map-side-combined agg whose output is vocab²-
+  // sized) and once for scoring (the only fact-sized shuffle, on
+  // (w1, w2)). The unigram prefix totals DERIVE from the bigram counts
+  // (cnt(w1) = sum_w2 cnt(w1,w2)) — a third corpus pass would buy
+  // nothing. The tempting "aggregate per-doc bigrams first and reuse
+  // one exchange" variant was measured SLOWER at sf0.1 (synthetic and
+  // real text alike have few repeated bigrams per doc, so the
+  // pre-aggregation pays a fact-sized wide shuffle and Spark's
+  // exchange reuse only partially unifies the branches); corpus scans
+  // pipeline at I/O speed and are the cheap part of this plan at any
+  // scale.
   val q92_perplexity: Q = (s, dir) => {
     val pairs = t(s, dir, "documents")
       .select(col("doc_id"), col("lang"),
@@ -392,7 +405,7 @@ object StatQueries {
       .select(col("doc_id"), col("lang"),
         col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
-    val uni = pairs.groupBy("w1").agg(count(lit(1)).as("tot"))
+    val uni = big.groupBy("w1").agg(sum("cnt").as("tot"))
     val lm = big.join(uni, "w1")
       .withColumn("nll_u6",
         round(-log(col("cnt").cast("double") / col("tot")) * 1e6, 0)

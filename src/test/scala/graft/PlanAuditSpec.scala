@@ -126,6 +126,29 @@ class PlanAuditSpec extends TestBase {
       s"q20b struct-min not partial-aggregated:\n$plan")
   }
 
+  test("q92's outlier pick plans a TakeOrderedAndProject; the LM join carries no hint") {
+    // top-20-by-perplexity must be a k-heap merge, not a global sort of
+    // the scored corpus; and the LM side scales with the vocabulary, so
+    // the plan must leave broadcast-vs-shuffle to AQE (same contract as
+    // q62's held-out set)
+    val df = SparkEntry.queries("q92_perplexity")(spark, sfDir)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "q92 lost its top-k shape")
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "q92 pins a join strategy the LM's corpus-scale size must decide")
+  }
+
+  test("q94's acceptance filter runs against the broadcast rate table") {
+    // the fact table must reach its rollup through exactly one shuffle:
+    // the rate table (20 rows) broadcasts into the filter, so the only
+    // Exchange over document rows is the final per-source aggregation
+    val plan = SparkEntry.queries("q94_source_mix")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q94 rate table not broadcast:\n$plan")
+  }
+
   test("q03e's re-read prunes partitions: the event_type filter is a PartitionFilter") {
     // materialize the partitioned sink, then audit the re-read's scan
     val df = SparkEntry.queries("q03e_sink_partitioned")(spark, sfDir)
