@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$name requires exactly $n argument(s), got ${es.length}")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // opt-in COUNT(DISTINCT) -> HLL rewrite; inert until
+    // spark.graft.approxDistinct.enabled=true (see ApproxDistinctRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",

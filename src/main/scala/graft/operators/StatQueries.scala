@@ -452,6 +452,42 @@ object StatQueries {
       |FROM scored
       |ORDER BY avg_nll_u6 DESC, doc_id LIMIT 20""".stripMargin
 
+  // ---- 96. Weighted sampling without replacement (Efraimidis-Spirakis
+  // A-ES): sample 100 documents with inclusion probability proportional
+  // to weight (n_chars — longer documents carry more training tokens).
+  // Each row's rank key is u^(1/w) — maximized equivalently as
+  // ln(u)/w — with the uniform u derived from an md5 bucket of the doc
+  // key, NOT rand(): the sample is a pure function of the data
+  // (reproducible under any partitioning/retry, oracle-checkable), and
+  // the top-k pick plans as TakeOrderedAndProject (k-heap per task, no
+  // global sort) exactly like q82. This is the quality-weighted
+  // sampling step of a data-mixing pipeline, where "weight" is a
+  // quality or domain score. ----
+  val q96_weighted_sample: Q = (s, dir) => {
+    val SampleN = 100
+    t(s, dir, "documents")
+      .withColumn("u",
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") + 1L).cast("double") / lit(4294967296.0))
+      .withColumn("skey",
+        dround(log(col("u")) / col("n_chars").cast("double"), 9))
+      .select("doc_id", "source", "n_chars", "skey")
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(SampleN)
+  }
+
+  val q96_weighted_sample_sql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id, source, n_chars,
+      |    round(ln(CAST(CAST(concat('0x',
+      |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1
+      |      AS DOUBLE) / 4294967296.0)
+      |      / CAST(n_chars AS DOUBLE), 9) + 0 AS skey
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, n_chars, skey FROM keyed
+      |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin
+
   // ---- 93. Mergeable streaming quantiles: per-event-type KLL sketch
   // over `value`. The 100 TB quantile path — q61 sorts each group
   // exactly, q84 samples; KLL gives a PROVEN worst-case rank error
@@ -478,6 +514,7 @@ object StatQueries {
   val queries: Map[String, Q] = Map(
     "q92_perplexity" -> q92_perplexity,
     "q93_kll_quantiles" -> q93_kll_quantiles,
+    "q96_weighted_sample" -> q96_weighted_sample,
     "q89_snapshot_diff" -> q89_snapshot_diff,
     "q82_sample_bottomk" -> q82_sample_bottomk,
     "q83_heavy_hitters" -> q83_heavy_hitters,
@@ -488,6 +525,7 @@ object StatQueries {
 
   val oracles: Map[String, String] = Map(
     "q92_perplexity" -> q92_perplexity_sql,
+    "q96_weighted_sample" -> q96_weighted_sample_sql,
     "q89_snapshot_diff" -> q89_snapshot_diff_sql,
     "q82_sample_bottomk" -> q82_sample_bottomk_sql,
     "q83_heavy_hitters" -> q83_heavy_hitters_sql,

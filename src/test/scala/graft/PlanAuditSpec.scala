@@ -102,7 +102,8 @@ class PlanAuditSpec extends TestBase {
     // bottom-k by hash must keep k rows per task and merge k-sized heaps
     // — a full Exchange+Sort of the fact table would be the 100 TB
     // regression this audit exists to catch
-    Seq("q82_sample_bottomk", "q84_sample_quantiles").foreach { name =>
+    Seq("q82_sample_bottomk", "q84_sample_quantiles",
+      "q96_weighted_sample").foreach { name =>
       val plan = SparkEntry.queries(name)(spark, sfDir)
         .queryExecution.executedPlan.toString
       assert(plan.contains("TakeOrderedAndProject"),
