@@ -34,11 +34,13 @@ object Profile {
       }
       // the formatted explain above is the INITIAL plan; AQE decisions
       // (runtime broadcasts, stage/exchange reuse, skew splits) only
-      // show in the executed plan of a finished run:
-      val executed = fn(spark, sfDir)
-      executed.limit(2000000).collect()
+      // show in the executed plan of a finished run — and only on the
+      // SAME QueryExecution that ran (a fresh .limit(...) would execute
+      // its own copy and leave this one un-finalized)
+      val limited = fn(spark, sfDir).limit(2000000)
+      limited.collect()
       println(s"==== $name executed (post-AQE) ====")
-      println(executed.queryExecution.executedPlan.toString)
+      println(limited.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }

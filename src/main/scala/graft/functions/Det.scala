@@ -24,4 +24,21 @@ object Det {
     // oracle SQL pairs any round() that can yield -0.0 with "+ 0".
     round(c * lit(p), 0) / lit(p) + lit(0.0)
   }
+
+  /** Deterministic uniform bucket: the first `hexDigits` hex chars of
+    * md5(key) as a non-negative long — the engine's standard replacement
+    * for `rand()` wherever a sampling/splitting decision must be a pure
+    * function of the data (reproducible under any partitioning, executor
+    * count, or retry) AND replicable by the DuckDB oracle:
+    *
+    * {{{ CAST(concat('0x', substr(md5(CAST(k AS VARCHAR)), 1, N)) AS BIGINT) }}}
+    *
+    * Used by the hash split (q64), source mixing (q94), cluster split
+    * (q95) and weighted sampling (q96); callers apply their own modulus
+    * or scale. Max 15 hex digits (long range). */
+  def md5Bucket(key: Column, hexDigits: Int): Column = {
+    require(hexDigits > 0 && hexDigits <= 15, s"hexDigits: $hexDigits")
+    conv(substring(md5(key.cast("string")), 1, hexDigits), 16, 10)
+      .cast("long")
+  }
 }

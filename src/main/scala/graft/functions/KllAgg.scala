@@ -86,10 +86,19 @@ object KllExprs {
 
   /** kll_quantile(sketch, rank) — the value at normalized rank `rank`
     * (INCLUSIVE search criteria, the library default). Runs post-agg on
-    * group-count-sized rows, so CodegenFallback costs nothing. */
+    * group-count-sized rows, so CodegenFallback costs nothing.
+    *
+    * NULL semantics (both exprs are SQL-reachable via GraftExtensions,
+    * so misuse must not crash an executor): an EMPTY sketch — the agg
+    * output of an all-NULL or zero-row group — answers NULL, matching
+    * Spark's own approx_percentile; a rank outside [0, 1] answers NULL
+    * rather than throwing the library's SketchesArgumentException
+    * mid-query (Spark's non-ANSI convention for out-of-domain scalar
+    * arguments, e.g. element_at). */
   case class KllQuantile(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
       if (left.dataType == BinaryType && right.dataType == DoubleType)
         TypeCheckResult.TypeCheckSuccess
@@ -99,7 +108,8 @@ object KllExprs {
     override protected def nullSafeEval(sk: Any, rank: Any): Any = {
       val s = KllDoublesSketch.heapify(
         Memory.wrap(sk.asInstanceOf[Array[Byte]]))
-      s.getQuantile(rank.asInstanceOf[Double])
+      val r = rank.asInstanceOf[Double]
+      if (s.isEmpty || r < 0.0 || r > 1.0) null else s.getQuantile(r)
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): KllQuantile = copy(l, r)
@@ -108,10 +118,12 @@ object KllExprs {
 
   /** kll_rank(sketch, value) — the normalized rank of `value`; the
     * inverse of kll_quantile, used by the spec to state the KLL
-    * error-bound contract directly. */
+    * error-bound contract directly. NULL on an empty sketch (see
+    * [[KllQuantile]]). */
   case class KllRank(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def checkInputDataTypes(): TypeCheckResult =
       if (left.dataType == BinaryType && right.dataType == DoubleType)
         TypeCheckResult.TypeCheckSuccess
@@ -121,7 +133,7 @@ object KllExprs {
     override protected def nullSafeEval(sk: Any, value: Any): Any = {
       val s = KllDoublesSketch.heapify(
         Memory.wrap(sk.asInstanceOf[Array[Byte]]))
-      s.getRank(value.asInstanceOf[Double])
+      if (s.isEmpty) null else s.getRank(value.asInstanceOf[Double])
     }
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): KllRank = copy(l, r)

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.Det.dround
+import graft.functions.Det.{dround, md5Bucket}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -153,7 +153,7 @@ object CurationQueries {
   val q64_hash_split: Q = (s, dir) =>
     t(s, dir, "documents")
       .withColumn("bucket",
-        conv(substring(md5(col("text")), 1, 4), 16, 10).cast("long") % 100)
+        md5Bucket(col("text"), 4) % 100)
       .withColumn("split",
         when(col("bucket") < 98, "train")
           .when(col("bucket") === 98, "val")
@@ -668,8 +668,7 @@ object CurationQueries {
       .select("source", "n", "rate", "thr")
     docs.join(broadcast(rates), "source")
       .withColumn("bucket",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") % 1000000L)
+        md5Bucket(col("doc_id"), 8) % 1000000L)
       .filter(col("bucket") < col("thr"))
       .groupBy("source")
       .agg(min("n").as("n_docs"), dround(min("rate"), 6).as("rate"),

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.Det.dround
+import graft.functions.Det.{dround, md5Bucket}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -136,9 +136,13 @@ object QuantizeQueries {
     labels
   }
 
-  // DuckDB oracle: transitive closure by recursive CTE over the same
-  // exact near-dup edge set (q43's SQL), then min reachable label.
-  val q58_dedup_clusters_sql: String =
+  /** DuckDB transitive closure over the exact near-dup edge set (q43's
+    * SQL): the shared CTE prefix of the q58 and q95 oracles, ending in
+    * `labels(node, cluster)`. ONE copy, interpolated into both oracle
+    * strings, mirroring the Scala-side `clusterLabels` — shingle size
+    * and the 0.5 Jaccard threshold can never silently diverge between
+    * the two checks. */
+  private val ClosureCtes: String =
     """WITH RECURSIVE tok AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
       |), sh AS (
@@ -164,7 +168,12 @@ object QuantizeQueries {
       |  SELECT r.a, e.ib FROM reach r JOIN bidir e ON r.b = e.ia
       |), labels AS (
       |  SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a
-      |)
+      |)""".stripMargin
+
+  // DuckDB oracle: transitive closure by recursive CTE over the same
+  // exact near-dup edge set (q43's SQL), then min reachable label.
+  val q58_dedup_clusters_sql: String =
+    s"""$ClosureCtes
       |SELECT cluster, count(*) AS size, max(node) AS max_member
       |FROM labels GROUP BY cluster ORDER BY cluster""".stripMargin
 
@@ -190,8 +199,7 @@ object QuantizeQueries {
     docs.join(broadcast(labels), Seq("doc_id"), "left_outer")
       .withColumn("cluster", coalesce(col("label"), col("doc_id")))
       .withColumn("bucket",
-        conv(substring(md5(col("cluster").cast("string")), 1, 4), 16, 10)
-          .cast("long") % 10)
+        md5Bucket(col("cluster"), 4) % 10)
       .withColumn("split",
         when(col("bucket") < 8, "train")
           .when(col("bucket") === 8, "val")
@@ -206,32 +214,7 @@ object QuantizeQueries {
   // Oracle: the q58 recursive-CTE transitive closure produces the same
   // cluster labels; docs outside any near-dup pair keep their own id.
   val q95_cluster_split_sql: String =
-    """WITH RECURSIVE tok AS (
-      |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
-      |), sh AS (
-      |  SELECT doc_id, unnest(list_distinct(
-      |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
-      |     for i in generate_series(1, len(ws) - 2)])) AS s
-      |  FROM tok WHERE len(ws) >= 3
-      |), sz AS (
-      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
-      |), inter AS (
-      |  SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2
-      |), pairs AS (
-      |  SELECT ia, ib FROM inter
-      |  JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
-      |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) > 0.5
-      |), bidir AS (
-      |  SELECT ia, ib FROM pairs UNION ALL SELECT ib, ia FROM pairs
-      |), reach(a, b) AS (
-      |  SELECT ia, ib FROM bidir
-      |  UNION
-      |  SELECT r.a, e.ib FROM reach r JOIN bidir e ON r.b = e.ia
-      |), labels AS (
-      |  SELECT a AS node, least(a, min(b)) AS cluster FROM reach GROUP BY a
-      |), assigned AS (
+    s"""$ClosureCtes, assigned AS (
       |  SELECT d.doc_id, d.n_chars,
       |    coalesce(l.cluster, d.doc_id) AS cluster
       |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.node

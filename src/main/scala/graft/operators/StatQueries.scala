@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.Det.dround
+import graft.functions.Det.{dround, md5Bucket}
 import graft.functions.FreqItemsAgg.freq_items_sketch
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -467,8 +467,8 @@ object StatQueries {
     val SampleN = 100
     t(s, dir, "documents")
       .withColumn("u",
-        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
-          .cast("long") + 1L).cast("double") / lit(4294967296.0))
+        (md5Bucket(col("doc_id"), 8) + 1L).cast("double") /
+          lit(4294967296.0))
       .withColumn("skey",
         dround(log(col("u")) / col("n_chars").cast("double"), 9))
       .select("doc_id", "source", "n_chars", "skey")

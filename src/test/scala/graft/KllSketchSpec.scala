@@ -87,6 +87,26 @@ class KllSketchSpec extends TestBase {
     assert(df.getDouble(3) == 0.5)
   }
 
+  test("empty sketch (all-NULL group) and out-of-range rank answer NULL, not an exception") {
+    import spark.implicits._
+    // an all-NULL group still aggregates to a valid (empty) sketch; the
+    // post-agg expressions must answer NULL like approx_percentile, not
+    // throw the library's SketchesArgumentException on an executor
+    val r = Seq[Option[Double]](None, None).toDF("v")
+      .agg(kll_sketch_agg(col("v"), 200).as("sk"))
+      .select(
+        kll_quantile(col("sk"), lit(0.5)).as("q"),
+        kll_rank(col("sk"), lit(1.0)).as("r"))
+      .collect()(0)
+    assert(r.isNullAt(0) && r.isNullAt(1))
+    val bad = (1 to 10).map(_.toDouble).toDF("v")
+      .agg(kll_sketch_agg(col("v"), 200).as("sk"))
+      .select(kll_quantile(col("sk"), lit(1.5)).as("q"),
+        kll_quantile(col("sk"), lit(-0.1)).as("q2"))
+      .collect()(0)
+    assert(bad.isNullAt(0) && bad.isNullAt(1))
+  }
+
   test("kll_sketch_agg rejects non-DOUBLE input at analysis time") {
     import spark.implicits._
     val df = Seq("a", "b").toDF("s")
