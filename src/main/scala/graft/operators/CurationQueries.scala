@@ -700,7 +700,55 @@ object CurationQueries {
       |  count(*) AS kept
       |FROM kept GROUP BY 1 ORDER BY source""".stripMargin
 
+  // ---- 97. Sliding-window chunking with overlap: split every document
+  // into fixed-size token chunks that overlap by `Overlap` tokens — the
+  // context-window preparation step of a RAG/pretraining pipeline
+  // (overlap keeps sentences that straddle a boundary retrievable from
+  // both sides). Chunk starts advance by stride = ChunkSize - Overlap
+  // while they still add new content (start <= n - Overlap); the final
+  // chunk clamps at the document end. Everything is array HOFs inside
+  // one codegen'd projection + one inline explode — scan speed, no
+  // shuffle until the total-order output sort. Each chunk carries its
+  // md5 so downstream chunk-level dedup (q40's shape) can run without
+  // re-reading text.
+  val q97_chunk_overlap: Q = (s, dir) => {
+    val ChunkSize = 32
+    val Overlap = 8
+    val stride = ChunkSize - Overlap
+    withToks(t(s, dir, "documents"))
+      .withColumn("n", size(col("toks")))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(1),
+          greatest(col("n") - Overlap, lit(1)), lit(stride))).as("start"))
+      .withColumn("chunk",
+        slice(col("toks"), col("start"), lit(ChunkSize)))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        size(col("chunk")).cast("long").as("n_toks"),
+        element_at(col("chunk"), 1).as("first_tok"),
+        element_at(col("chunk"), -1).as("last_tok"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy("doc_id", "start")
+  }
+
+  val q97_chunk_overlap_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+      |  FROM documents
+      |), st AS (
+      |  SELECT doc_id, t,
+      |    unnest(range(1, greatest(len(t) - 8, 1) + 1, 24)) AS start
+      |  FROM toks
+      |), chunks AS (
+      |  SELECT doc_id, start, t[start : start + 31] AS chunk FROM st
+      |)
+      |SELECT doc_id, CAST(start AS BIGINT) AS start,
+      |  CAST(len(chunk) AS BIGINT) AS n_toks,
+      |  chunk[1] AS first_tok, chunk[-1] AS last_tok,
+      |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+      |FROM chunks ORDER BY doc_id, start""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q97_chunk_overlap" -> q97_chunk_overlap,
     "q94_source_mix" -> q94_source_mix,
     "q81_zorder_layout" -> q81_zorder_layout,
     "q78_dict_encode" -> q78_dict_encode,
@@ -718,6 +766,7 @@ object CurationQueries {
     "q68_stratified_sample" -> q68_stratified_sample)
 
   val oracles: Map[String, String] = Map(
+    "q97_chunk_overlap" -> q97_chunk_overlap_sql,
     "q94_source_mix" -> q94_source_mix_sql,
     "q81_zorder_layout" -> q81_zorder_layout_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,
