@@ -32,6 +32,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in COUNT(DISTINCT) -> HLL rewrite; inert until
     // spark.graft.approxDistinct.enabled=true (see ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
+    // native as-of join physical operator (AsOfJoinPlan -> AsOfJoinExec);
+    // AsOfJoin.asof also self-registers via spark.experimental
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",

@@ -105,6 +105,25 @@ object EventQueries {
       |   WHERE o_custkey = user_id AND o_orderdate <= ts) AS last_order_date
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---- 53b. The SAME as-of join through the native physical operator
+  // (graft.plans.AsOfJoinExec: custom LogicalPlan + Strategy +
+  // SparkPlan — the (c)-tier extension point). One co-partitioned
+  // two-pointer merge per key: each side shuffles ONCE on its own key
+  // and sorts ONCE by (key, time); no union-widened rows, no window
+  // buffer. Identical oracle to q53 — two physical paths, one answer.
+  val q53b_asof_native: Q = (s, dir) => {
+    val events = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val orders = t(s, dir, "orders").select("o_custkey", "o_orderdate")
+    graft.plans.AsOfJoin.asof(events, orders,
+      Seq(events("user_id")), Seq(orders("o_custkey")),
+      events("ts"), orders("o_orderdate"))
+      .select(col("event_id"), col("user_id"),
+        col("o_orderdate").as("last_order_date"))
+      .orderBy("event_id")
+  }
+
+  val q53b_asof_native_sql: String = q53_asof_join_sql
+
   // ---- 55. Funnel analysis: signup -> purchase conversion ----
   // One shuffle on user_id, then per-user min-timestamps; conversion =
   // first purchase strictly after first signup. No self-join of the
@@ -231,6 +250,7 @@ object EventQueries {
     "q59_interval_join" -> q59_interval_join,
     "q52_sessionize" -> q52_sessionize,
     "q53_asof_join" -> q53_asof_join,
+    "q53b_asof_native" -> q53b_asof_native,
     "q55_funnel" -> q55_funnel,
     "q56_retention" -> q56_retention)
 
@@ -239,6 +259,7 @@ object EventQueries {
     "q59_interval_join" -> q59_interval_join_sql,
     "q52_sessionize" -> q52_sessionize_sql,
     "q53_asof_join" -> q53_asof_join_sql,
+    "q53b_asof_native" -> q53b_asof_native_sql,
     "q55_funnel" -> q55_funnel_sql,
     "q56_retention" -> q56_retention_sql)
 }

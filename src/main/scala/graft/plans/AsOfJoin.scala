@@ -1,0 +1,192 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.TimestampType
+
+/** Native AS-OF (point-in-time) join — the engine's demonstration of
+  * the full custom-operator extension tier: a logical node, a planner
+  * strategy, and a physical [[AsOfJoinExec]] that executes a single
+  * co-partitioned merge pass.
+  *
+  * Semantics: for every left row, attach the right row with the same
+  * key whose time is the LATEST time <= the left row's time (nulls on
+  * no match) — `pandas.merge_asof` / ASOF JOIN with an inclusive
+  * backward bound. Rows with a NULL key or NULL time never match.
+  * Among right rows tied on (key, time) the last in sort order wins;
+  * callers needing a deterministic payload on ties should
+  * disambiguate the time (the q53 surface projects only the time
+  * itself, which ties cannot change).
+  *
+  * Why a custom operator when q53 already composes the same answer
+  * from primitives (union + last-ignoreNulls window)? The composed
+  * form pays: both sides union into ONE shuffle whose rows carry the
+  * superset schema of both inputs, then a window pass re-sorts the
+  * merged stream. The native operator keeps each side its own
+  * (smaller) shuffle, sorts each side once, and then streams a
+  * two-pointer merge with O(1) state per key — no window buffer, no
+  * widened rows, no post-filter. Both plans are one-shuffle-per-side
+  * at 100 TB; the native one moves strictly fewer bytes per row and
+  * is the shape real engines (kdb, QuestDB, Flink temporal join) give
+  * this operator.
+  *
+  * Execution contract (what EnsureRequirements provides): both
+  * children hash-clustered on their keys into compatible
+  * partitionings, each sorted by (keys..., time ASC NULLS FIRST). The
+  * merge consumes each partition's iterators exactly once — right
+  * rows with null keys/times sort first and are consumed as
+  * non-matches, so pointer progress is monotonic.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression)
+  extends BinaryNode {
+
+  require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
+    "as-of join needs matching non-empty key lists")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      l: LogicalPlan, r: LogicalPlan): AsOfJoinPlan = copy(left = l, right = r)
+}
+
+/** Planner strategy: lowers [[AsOfJoinPlan]] to [[AsOfJoinExec]].
+  * Injected via `spark.sql.extensions=graft.GraftExtensions` or picked
+  * up lazily by [[AsOfJoin.asof]] through `spark.experimental`. */
+object GraftStrategies extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression)
+  extends BinaryExecNode {
+
+  require(leftTime.dataType == TimestampType &&
+    rightTime.dataType == TimestampType,
+    s"as-of join times must be TIMESTAMP (cast in the caller); got " +
+      s"${leftTime.dataType} / ${rightTime.dataType}")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // co-partition both sides on their keys (the SortMergeJoin contract:
+  // EnsureRequirements makes the two ClusteredDistributions compatible
+  // by hashing each side on its keys with a shared partition count)
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  // rows stream out in the left child's partition + sort order
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] =
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val keyTypes = leftKeys.map(_.dataType)
+    val out = output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
+      val lTimeProj = UnsafeProjection.create(Seq(leftTime), lOut)
+      val rTimeProj = UnsafeProjection.create(Seq(rightTime), rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val resultProj = UnsafeProjection.create(out, out)
+      val nullRight = new GenericInternalRow(rOut.size)
+      val joined = new JoinedRow
+      val rBuf = rIter.buffered
+      // the latest consumed matching right row (copied: iterators reuse
+      // row buffers) and the key it matched under
+      var matchRow: InternalRow = null
+      var matchKey: UnsafeRow = null
+      lIter.map { l =>
+        val lk = lKeyProj(l)
+        val ltRow = lTimeProj(l)
+        if (lk.anyNull || ltRow.isNullAt(0)) {
+          // null keys/times never match; null-first sort puts these
+          // left rows ahead of any right consumption for their key
+          resultProj(joined(l, nullRight))
+        } else {
+          val lt = ltRow.getLong(0)
+          var advance = true
+          while (advance && rBuf.hasNext) {
+            val hk = rKeyProj(rBuf.head)
+            val hkNull = hk.anyNull
+            val c = if (hkNull) -1 else keyOrd.compare(hk, lk)
+            if (c < 0) {
+              rBuf.next() // smaller (or null) key: consume, no match
+            } else if (c == 0) {
+              val tr = rTimeProj(rBuf.head)
+              if (tr.isNullAt(0)) {
+                rBuf.next() // null time sorts first: consume, no match
+              } else if (tr.getLong(0) <= lt) {
+                matchRow = rBuf.next().copy()
+                matchKey = hk.copy()
+              } else {
+                advance = false // same key, future time: stop
+              }
+            } else {
+              advance = false // right is past this key
+            }
+          }
+          val hit = matchRow != null && matchKey != null &&
+            keyOrd.compare(matchKey, lk) == 0
+          resultProj(joined(l, if (hit) matchRow else nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: SparkPlan, r: SparkPlan): AsOfJoinExec = copy(left = l, right = r)
+}
+
+/** DataFrame-level entry point. */
+object AsOfJoin {
+
+  /** Left as-of join: every `left` row + the matching `right` row with
+    * the latest `rightTime <= leftTime` for equal keys (nulls if none).
+    * Times must be castable to timestamp (cast applied here). Lazily
+    * registers the planner strategy on the session, so it works on any
+    * session — `spark.sql.extensions=graft.GraftExtensions` is the
+    * config-only alternative. */
+  def asof(left: DataFrame, right: DataFrame,
+      leftKeys: Seq[Column], rightKeys: Seq[Column],
+      leftTime: Column, rightTime: Column): DataFrame = {
+    val spark = left.sparkSession
+    GraftSqlBridge.ensureStrategy(spark, GraftStrategies)
+    // eager conversion: a hand-built plan needs real catalyst exprs
+    // with dataTypes, not the lazy ColumnNodeExpression wrappers
+    val e = (c: Column) => GraftSqlBridge.expressionOf(spark, c)
+    GraftSqlBridge.ofRows(spark, AsOfJoinPlan(
+      GraftSqlBridge.analyzed(left),
+      GraftSqlBridge.analyzed(right),
+      leftKeys.map(e), rightKeys.map(e),
+      e(leftTime.cast("timestamp")), e(rightTime.cast("timestamp"))))
+  }
+}

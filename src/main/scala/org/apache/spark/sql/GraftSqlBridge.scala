@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Bridge into Spark 4's package-private Column<->Expression converters.
   * Extension libraries that define native Catalyst expressions need this
@@ -9,6 +10,32 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Build a DataFrame from a logical plan (Dataset.ofRows is
+    * private[sql]) — the entry point for custom logical operators. */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan behind a DataFrame (resolved attributes,
+    * usable as a custom operator's child). */
+  def analyzed(df: Dataset[_]): LogicalPlan = df.queryExecution.analyzed
+
+  /** Session-aware EAGER Column -> catalyst Expression conversion.
+    * `expression(c)` (ExpressionUtils) wraps API-built nodes like
+    * `.cast(...)` in a lazy ColumnNodeExpression whose dataType reads
+    * NullType — fine when fed back through Dataset.select (the analyzer
+    * converts it), fatal inside a hand-built LogicalPlan that needs
+    * real dataTypes at planning time. */
+  def expressionOf(spark: SparkSession, c: Column): Expression =
+    spark.asInstanceOf[classic.SparkSession].expression(c)
+
+  /** Idempotently add a planner strategy to the session (the
+    * programmatic twin of GraftExtensions.injectPlannerStrategy). */
+  def ensureStrategy(spark: SparkSession, s: execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s))
+      exp.extraStrategies = exp.extraStrategies :+ s
+  }
 
   /** Release the storage blocks behind a `localCheckpoint()`ed Dataset.
     * The checkpoint's RDD is only reachable through the private LogicalRDD
