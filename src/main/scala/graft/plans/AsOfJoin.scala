@@ -54,6 +54,22 @@ case class AsOfJoinPlan(
 
   require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
+  // no analyzer coercion runs on a hand-built node: mismatched key
+  // types would hash each side's logically-equal keys to different
+  // partitions AND mis-read the right key bytes under the left-typed
+  // ordering — silently wrong results, so fail construction instead
+  // (callers cast explicitly, as with the time columns)
+  require(leftKeys.map(_.dataType) == rightKeys.map(_.dataType),
+    s"as-of join key types must match pairwise; got " +
+      s"${leftKeys.map(_.dataType.simpleString).mkString(",")} vs " +
+      s"${rightKeys.map(_.dataType.simpleString).mkString(",")}")
+  // NormalizeFloatingNumbers only instruments built-in joins, so -0.0
+  // vs 0.0 / NaN keys would break co-partitioning here; as-of keys are
+  // identifiers, so reject the type rather than half-support it
+  require(!leftKeys.exists(k => k.dataType == org.apache.spark.sql.types.FloatType
+      || k.dataType == org.apache.spark.sql.types.DoubleType),
+    "as-of join keys must not be FLOAT/DOUBLE (no -0.0/NaN normalization " +
+      "runs on this node); cast to a discrete type")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -124,6 +140,29 @@ case class AsOfJoinExec(
       // row buffers) and the key it matched under
       var matchRow: InternalRow = null
       var matchKey: UnsafeRow = null
+      // projected view of the CURRENT right head, cached so a parked
+      // pointer (many left rows against one future-time head — the
+      // dense-left case) pays one projection per head, not per left
+      // row. The projection buffers stay valid until the projections
+      // are re-applied, which happens only on refresh after a consume.
+      var headCached = false
+      var headKey: UnsafeRow = null
+      var headKeyNull = false
+      var headTimeNull = false
+      var headTime = 0L
+      def refreshHead(): Unit = if (!headCached) {
+        val h = rBuf.head
+        headKey = rKeyProj(h)
+        headKeyNull = headKey.anyNull
+        val tr = rTimeProj(h)
+        headTimeNull = tr.isNullAt(0)
+        headTime = if (headTimeNull) 0L else tr.getLong(0)
+        headCached = true
+      }
+      def consumeHead(): InternalRow = {
+        headCached = false
+        rBuf.next()
+      }
       lIter.map { l =>
         val lk = lKeyProj(l)
         val ltRow = lTimeProj(l)
@@ -135,18 +174,16 @@ case class AsOfJoinExec(
           val lt = ltRow.getLong(0)
           var advance = true
           while (advance && rBuf.hasNext) {
-            val hk = rKeyProj(rBuf.head)
-            val hkNull = hk.anyNull
-            val c = if (hkNull) -1 else keyOrd.compare(hk, lk)
+            refreshHead()
+            val c = if (headKeyNull) -1 else keyOrd.compare(headKey, lk)
             if (c < 0) {
-              rBuf.next() // smaller (or null) key: consume, no match
+              consumeHead() // smaller (or null) key: consume, no match
             } else if (c == 0) {
-              val tr = rTimeProj(rBuf.head)
-              if (tr.isNullAt(0)) {
-                rBuf.next() // null time sorts first: consume, no match
-              } else if (tr.getLong(0) <= lt) {
-                matchRow = rBuf.next().copy()
-                matchKey = hk.copy()
+              if (headTimeNull) {
+                consumeHead() // null time sorts first: consume, no match
+              } else if (headTime <= lt) {
+                matchKey = headKey.copy()
+                matchRow = consumeHead().copy()
               } else {
                 advance = false // same key, future time: stop
               }

@@ -30,11 +30,16 @@ object GraftSqlBridge {
     spark.asInstanceOf[classic.SparkSession].expression(c)
 
   /** Idempotently add a planner strategy to the session (the
-    * programmatic twin of GraftExtensions.injectPlannerStrategy). */
+    * programmatic twin of GraftExtensions.injectPlannerStrategy).
+    * Synchronized on the ExperimentalMethods instance: extraStrategies
+    * is shared mutable session state, and an unsynchronized
+    * check-then-act would let a concurrent writer's append be lost. */
   def ensureStrategy(spark: SparkSession, s: execution.SparkStrategy): Unit = {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
-    if (!exp.extraStrategies.contains(s))
-      exp.extraStrategies = exp.extraStrategies :+ s
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(s))
+        exp.extraStrategies = exp.extraStrategies :+ s
+    }
   }
 
   /** Release the storage blocks behind a `localCheckpoint()`ed Dataset.

@@ -68,6 +68,25 @@ class AsOfJoinSpec extends TestBase {
     out.foreach { r => assert(r.getInt(1) == (r.getLong(0) % 24).toInt) }
   }
 
+  test("mismatched key types and floating-point keys are rejected at construction") {
+    // no analyzer coercion runs on a hand-built node, so a type
+    // mismatch would silently mis-partition — it must fail loudly
+    val left = Seq((1, 1L, ts("2024-01-01 00:00:00"))).toDF("ik", "lk", "t")
+    val right = Seq((1L, ts("2024-01-01 00:00:00"), "v")).toDF("rk", "rt", "v")
+    val mismatch = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(left, right, Seq(left("ik")), Seq(right("rk")),
+        left("t"), right("rt"))
+    }
+    assert(mismatch.getMessage.contains("key types must match"))
+    val fleft = Seq((1.0, ts("2024-01-01 00:00:00"))).toDF("fk", "t")
+    val fright = Seq((1.0, ts("2024-01-01 00:00:00"), "v")).toDF("fk", "rt", "v")
+    val float = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(fleft, fright, Seq(fleft("fk")), Seq(fright("fk")),
+        fleft("t"), fright("rt"))
+    }
+    assert(float.getMessage.contains("FLOAT/DOUBLE"))
+  }
+
   test("the physical plan is the native merge: AsOfJoin node, no Window, no Union") {
     val plan = SparkEntry.queries("q53b_asof_native")(spark, sfDir)
       .queryExecution.executedPlan.toString
