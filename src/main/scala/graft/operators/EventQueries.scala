@@ -52,6 +52,50 @@ object EventQueries {
       .orderBy("user_id", "session_idx")
   }
 
+  // ---- 52b. The same sessionization through Spark's NATIVE
+  // session_window aggregation (SessionWindowing + merging session
+  // state in the agg, instead of q52's lag->flag->running-sum window
+  // chain). One shuffle on (user_id); sessions merge inside the
+  // aggregate — no per-user sort-and-scan window pass. Boundary
+  // convention: session_window closes a session when the next event is
+  // >= gap after the previous (an event at exactly start+gap begins a
+  // NEW session), so the oracle states >= where q52's states >; the
+  // fixture's ms-random timestamps make exact-boundary collisions
+  // practically impossible, but the conventions are kept aligned
+  // anyway. Sessions are identified by their start time (min ts), not
+  // an index.
+  val q52b_session_window: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$GapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_millis(max("ts")) - unix_millis(min("ts"))).as("duration_ms"),
+        dround(sum("value"), 2).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("n_events"), col("duration_ms"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  val q52b_session_window_sql: String =
+    s"""WITH flagged AS (
+       |  SELECT user_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) >= ${GapMinutes * 60 * 1000}
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+       |), numbered AS (
+       |  SELECT user_id, ts, value,
+       |    sum(new_session) OVER
+       |      (PARTITION BY user_id ORDER BY ts
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM flagged
+       |)
+       |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+       |  CAST(epoch_ms(max(ts)) - epoch_ms(min(ts)) AS BIGINT) AS duration_ms,
+       |  round(sum(value), 2) AS sum_value
+       |FROM numbered GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
   val q52_sessionize_sql: String =
     s"""WITH flagged AS (
        |  SELECT user_id, event_id, ts, value,
@@ -249,6 +293,7 @@ object EventQueries {
     "q88_ohlc_downsample" -> q88_ohlc_downsample,
     "q59_interval_join" -> q59_interval_join,
     "q52_sessionize" -> q52_sessionize,
+    "q52b_session_window" -> q52b_session_window,
     "q53_asof_join" -> q53_asof_join,
     "q53b_asof_native" -> q53b_asof_native,
     "q55_funnel" -> q55_funnel,
@@ -258,6 +303,7 @@ object EventQueries {
     "q88_ohlc_downsample" -> q88_ohlc_downsample_sql,
     "q59_interval_join" -> q59_interval_join_sql,
     "q52_sessionize" -> q52_sessionize_sql,
+    "q52b_session_window" -> q52b_session_window_sql,
     "q53_asof_join" -> q53_asof_join_sql,
     "q53b_asof_native" -> q53b_asof_native_sql,
     "q55_funnel" -> q55_funnel_sql,
