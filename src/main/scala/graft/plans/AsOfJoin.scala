@@ -121,7 +121,15 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     val lOut = left.output
     val rOut = right.output
     val keyTypes = leftKeys.map(_.dataType)
@@ -169,6 +177,7 @@ case class AsOfJoinExec(
         if (lk.anyNull || ltRow.isNullAt(0)) {
           // null keys/times never match; null-first sort puts these
           // left rows ahead of any right consumption for their key
+          numOutputRows += 1
           resultProj(joined(l, nullRight))
         } else {
           val lt = ltRow.getLong(0)
@@ -193,6 +202,8 @@ case class AsOfJoinExec(
           }
           val hit = matchRow != null && matchKey != null &&
             keyOrd.compare(matchKey, lk) == 0
+          numOutputRows += 1
+          if (hit) numMatched += 1
           resultProj(joined(l, if (hit) matchRow else nullRight))
         }
       }
