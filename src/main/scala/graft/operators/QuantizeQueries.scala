@@ -187,8 +187,13 @@ object QuantizeQueries {
   // duplicate cluster moves as one unit and NO near-dup pair can span
   // the train/test boundary — structurally, not statistically (the
   // split is a function of the cluster id). Shapes on top of the q58
-  // labeler: one left join of docs to the (tiny, O(near-dup nodes))
-  // label table — broadcast — and a 3-row rollup. `sum(n_clusters)`
+  // labeler: one doc_id equi-join of docs to the label table and a
+  // 3-row rollup. The label side is O(near-dup nodes) — on a real
+  // crawl that is a constant FRACTION of the corpus (30-50% pre-dedup
+  // is typical), so it is deliberately NOT hint-broadcast: the join
+  // shuffles on doc_id and AQE still picks a broadcast when the
+  // measured size is small (PlanAuditSpec enforces no ResolvedHint
+  // here, same contract as q62/q92). `sum(n_clusters)`
   // across splits equals the corpus's total cluster count exactly
   // because no cluster spans splits; the oracle re-derives the same
   // invariant through DuckDB's recursive CTE.
@@ -196,7 +201,7 @@ object QuantizeQueries {
     val labels = clusterLabels(s, dir)
       .withColumnRenamed("node", "doc_id")
     val docs = t(s, dir, "documents").select("doc_id", "n_chars")
-    docs.join(broadcast(labels), Seq("doc_id"), "left_outer")
+    docs.join(labels, Seq("doc_id"), "left_outer")
       .withColumn("cluster", coalesce(col("label"), col("doc_id")))
       .withColumn("bucket",
         md5Bucket(col("cluster"), 4) % 10)

@@ -232,8 +232,13 @@ object StatQueries {
   // ---- 86. Bigram language-model statistics: P(w2 | w1) over the
   // corpus. One shuffle on (w1, w2) for the bigram counts; the unigram
   // prefix totals are a second map-side-combined agg whose result is
-  // vocabulary-sized — broadcast back for the conditional probability.
-  // ----
+  // vocabulary-sized. A web-scale vocabulary (typos, URLs, code) is
+  // effectively unbounded — 1e8-1e9 terms at 100 TB — so the
+  // probability join is hint-free: both sides are already w1-keyed
+  // aggregates, one exchange each co-partitions them, and AQE still
+  // broadcasts when the measured unigram table is actually small
+  // (PlanAuditSpec enforces no ResolvedHint, same contract as q92's
+  // LM join). ----
   val q86_bigram_lm: Q = (s, dir) => {
     val pairs = langWordArrays(s, dir)
       .select(explode(transform(
@@ -243,7 +248,7 @@ object StatQueries {
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
     val uni = pairs.groupBy("w1").agg(count(lit(1)).as("tot"))
-    big.join(broadcast(uni), "w1")
+    big.join(uni, "w1")
       .withColumn("p", dround(col("cnt").cast("double") / col("tot"), 4))
       .filter(col("cnt") >= 10)
       .select("w1", "w2", "cnt", "p")

@@ -217,9 +217,15 @@ object TextQueries {
   // ---- 90. Token-distribution entropy + KL divergence per language:
   // the distribution-shift diagnostics a corpus pipeline runs per slice
   // (is this shard's unigram distribution drifting from the corpus?).
-  // Shapes: token counts are ONE map-side-combined shuffle; the
-  // per-lang totals and the corpus distribution are vocabulary-sized —
-  // broadcast back. Float determinism: each per-term contribution is
+  // Shapes: token counts are ONE map-side-combined shuffle. The
+  // per-lang totals (`lt`, one row per language) and the grand total
+  // (`ct`, one row) are bounded — those broadcasts are safe at any
+  // scale. The per-term corpus counts (`cc`) are vocabulary-sized and
+  // thus unbounded on a web corpus, so that join is hint-free: `lc`
+  // and `cc` are both term-keyed aggregates, an unhinted equi-join
+  // co-partitions them in one exchange each, and AQE still broadcasts
+  // when the measured size is small (PlanAuditSpec enforces no
+  // corpus-side ResolvedHint). Float determinism: each per-term contribution is
   // scaled x1e6 and rounded to a BIGINT **before** the sum (the q76
   // trick), so the aggregate is integer arithmetic — summation order
   // (= partitioning) cannot move the result, and DuckDB matches
@@ -236,7 +242,7 @@ object TextQueries {
     val p = col("cnt").cast("double") / col("tot")
     val q = col("ccnt").cast("double") / col("ctot")
     lc.join(broadcast(lt), "lang")
-      .join(broadcast(cc), "term")
+      .join(cc, "term")
       .crossJoin(broadcast(ct))
       .select(col("lang"),
         round(-p * log(p) * 1e6, 0).cast("long").as("h_term"),

@@ -160,4 +160,30 @@ class PlanAuditSpec extends TestBase {
         .contains("event_type"),
       s"event_type filter did not reach PartitionFilters:\n$plan")
   }
+
+  test("q95/q86/q90 corpus-scale joins carry no broadcast hint") {
+    import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
+    // q95's near-dup label table is a constant FRACTION of the corpus
+    // (30-50% pre-dedup is typical) and q86's unigram vocabulary is
+    // unbounded on web text — neither may pin a broadcast; AQE decides
+    // at runtime from the measured size (the q62/q92 contract).
+    Seq("q95_cluster_split", "q86_bigram_lm").foreach { name =>
+      val hints = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+      assert(hints.isEmpty,
+        s"$name pins a join strategy on a corpus-scale side:\n$hints")
+    }
+    // q90 keeps exactly two bounded hints — `lt` (one row per language)
+    // and `ct` (one row, the corpus total). The vocabulary-sized
+    // per-term counts (`cc`) must join hint-free. Identify the hinted
+    // subtrees by their output columns so a hint sneaking onto the
+    // term-keyed side fails regardless of plan-text formatting.
+    val q90Hints = SparkEntry.queries("q90_entropy_kl")(spark, sfDir)
+      .queryExecution.analyzed.collect { case h: ResolvedHint => h }
+    val hinted = q90Hints.map(_.child.output.map(_.name).toSet)
+    assert(q90Hints.size == 2 &&
+      hinted.forall(cols => cols.subsetOf(Set("lang", "tot", "ctot"))),
+      s"q90 may hint only the bounded lang-totals and grand-total sides; " +
+        s"found hinted outputs: $hinted")
+  }
 }
