@@ -4,8 +4,8 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types.TimestampType
@@ -15,14 +15,20 @@ import org.apache.spark.sql.types.TimestampType
   * strategy, and a physical [[AsOfJoinExec]] that executes a single
   * co-partitioned merge pass.
   *
-  * Semantics: for every left row, attach the right row with the same
-  * key whose time is the LATEST time <= the left row's time (nulls on
-  * no match) — `pandas.merge_asof` / ASOF JOIN with an inclusive
-  * backward bound. Rows with a NULL key or NULL time never match.
-  * Among right rows tied on (key, time) the last in sort order wins;
-  * callers needing a deterministic payload on ties should
-  * disambiguate the time (the q53 surface projects only the time
-  * itself, which ties cannot change).
+  * Semantics (the `pandas.merge_asof` surface): for every left row,
+  * attach one right row with the same key, chosen by `direction`:
+  *  - `backward` (default): the LATEST right time <= the left time
+  *    (inclusive);
+  *  - `forward`: the EARLIEST right time >= the left time (inclusive);
+  *  - `nearest`: whichever of the two candidates has the smaller
+  *    absolute time distance; equal distances resolve backward.
+  * An optional `toleranceUs` (microseconds, -1 = unbounded) rejects
+  * candidates farther than the bound in the chosen direction. Rows
+  * with a NULL key or NULL time never match. Among right rows tied on
+  * (key, time) the last in sort order wins for backward, the first
+  * for forward; callers needing a deterministic payload on ties
+  * should disambiguate the time (the q53 surface projects only the
+  * time itself, which ties cannot change).
   *
   * Why a custom operator when q53 already composes the same answer
   * from primitives (union + last-ignoreNulls window)? The composed
@@ -49,11 +55,17 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    direction: String = AsOfJoin.Backward,
+    toleranceUs: Long = -1L)
   extends BinaryNode {
 
   require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
     "as-of join needs matching non-empty key lists")
+  require(AsOfJoin.Directions.contains(direction),
+    s"as-of join direction must be one of ${AsOfJoin.Directions.mkString("/")}; got '$direction'")
+  require(toleranceUs >= 0L || toleranceUs == -1L,
+    s"as-of join tolerance must be non-negative microseconds (or -1 = unbounded); got $toleranceUs")
   // no analyzer coercion runs on a hand-built node: mismatched key
   // types would hash each side's logically-equal keys to different
   // partitions AND mis-read the right key bytes under the left-typed
@@ -83,8 +95,8 @@ case class AsOfJoinPlan(
   * up lazily by [[AsOfJoin.asof]] through `spark.experimental`. */
 object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
     case _ => Nil
   }
 }
@@ -95,7 +107,9 @@ case class AsOfJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression)
+    rightTime: Expression,
+    direction: String = AsOfJoin.Backward,
+    toleranceUs: Long = -1L)
   extends BinaryExecNode {
 
   require(leftTime.dataType == TimestampType &&
@@ -134,6 +148,8 @@ case class AsOfJoinExec(
     val rOut = right.output
     val keyTypes = leftKeys.map(_.dataType)
     val out = output
+    val dir = direction
+    val tolUs = toleranceUs
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rightKeys, rOut)
@@ -144,10 +160,17 @@ case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rOut.size)
       val joined = new JoinedRow
       val rBuf = rIter.buffered
+      // forward keeps an equal-time head UNconsumed (it is the forward
+      // candidate, inclusive, and may serve many left rows); backward
+      // and nearest consume it as the backward candidate (distance 0
+      // always wins the nearest comparison, ties resolve backward)
+      val consumeEqualTime = dir != AsOfJoin.Forward
       // the latest consumed matching right row (copied: iterators reuse
-      // row buffers) and the key it matched under
+      // row buffers), the key it matched under, and its time (for the
+      // tolerance bound and the nearest-distance comparison)
       var matchRow: InternalRow = null
       var matchKey: UnsafeRow = null
+      var matchTime = 0L
       // projected view of the CURRENT right head, cached so a parked
       // pointer (many left rows against one future-time head — the
       // dense-left case) pays one projection per head, not per left
@@ -190,21 +213,42 @@ case class AsOfJoinExec(
             } else if (c == 0) {
               if (headTimeNull) {
                 consumeHead() // null time sorts first: consume, no match
-              } else if (headTime <= lt) {
+              } else if (headTime < lt || (headTime == lt && consumeEqualTime)) {
                 matchKey = headKey.copy()
+                matchTime = headTime
                 matchRow = consumeHead().copy()
               } else {
-                advance = false // same key, future time: stop
+                advance = false // same key, at/past the left time: stop
               }
             } else {
               advance = false // right is past this key
             }
           }
-          val hit = matchRow != null && matchKey != null &&
-            keyOrd.compare(matchKey, lk) == 0
+          // backward candidate: the latest consumed right row, if its
+          // key still equals this left row's and it is inside tolerance
+          val bwOk = dir != AsOfJoin.Forward &&
+            matchRow != null && matchKey != null &&
+            keyOrd.compare(matchKey, lk) == 0 &&
+            (tolUs < 0L || lt - matchTime <= tolUs)
+          // forward candidate: the unconsumed head — the first right
+          // row at this key with time >= lt (> lt under nearest, where
+          // equal times were consumed backward). Left times ascend, so
+          // leaving it in place lets it serve later left rows too.
+          val fwOk = dir != AsOfJoin.Backward && rBuf.hasNext && {
+            refreshHead()
+            !headKeyNull && !headTimeNull &&
+              keyOrd.compare(headKey, lk) == 0 && headTime >= lt &&
+              (tolUs < 0L || headTime - lt <= tolUs)
+          }
+          val useForward =
+            if (dir == AsOfJoin.Forward) fwOk
+            else fwOk && (!bwOk || headTime - lt < lt - matchTime)
+          val hit = useForward || bwOk
           numOutputRows += 1
           if (hit) numMatched += 1
-          resultProj(joined(l, if (hit) matchRow else nullRight))
+          val rRow =
+            if (useForward) rBuf.head else if (bwOk) matchRow else nullRight
+          resultProj(joined(l, rRow))
         }
       }
     }
@@ -217,24 +261,58 @@ case class AsOfJoinExec(
 /** DataFrame-level entry point. */
 object AsOfJoin {
 
-  /** Left as-of join: every `left` row + the matching `right` row with
-    * the latest `rightTime <= leftTime` for equal keys (nulls if none).
-    * Times must be castable to timestamp (cast applied here). Lazily
-    * registers the planner strategy on the session, so it works on any
-    * session — `spark.sql.extensions=graft.GraftExtensions` is the
-    * config-only alternative. */
+  val Backward = "backward"
+  val Forward = "forward"
+  val Nearest = "nearest"
+  val Directions: Set[String] = Set(Backward, Forward, Nearest)
+
+  /** Left as-of join: every `left` row + the matching `right` row for
+    * equal keys, picked by `direction` (latest `rightTime <= leftTime`
+    * by default; see [[AsOfJoinPlan]] for forward/nearest and the tie
+    * rules), nulls if none. `tolerance` bounds how far the match may
+    * be in the chosen direction. Times must be castable to timestamp
+    * (cast applied here). Lazily registers the planner strategy on the
+    * session, so it works on any session —
+    * `spark.sql.extensions=graft.GraftExtensions` is the config-only
+    * alternative. */
   def asof(left: DataFrame, right: DataFrame,
       leftKeys: Seq[Column], rightKeys: Seq[Column],
-      leftTime: Column, rightTime: Column): DataFrame = {
+      leftTime: Column, rightTime: Column,
+      direction: String = Backward,
+      tolerance: Option[java.time.Duration] = None): DataFrame = {
+    require(tolerance.forall(d => !d.isNegative),
+      s"as-of join tolerance must be non-negative; got $tolerance")
     val spark = left.sparkSession
     GraftSqlBridge.ensureStrategy(spark, GraftStrategies)
     // eager conversion: a hand-built plan needs real catalyst exprs
     // with dataTypes, not the lazy ColumnNodeExpression wrappers
     val e = (c: Column) => GraftSqlBridge.expressionOf(spark, c)
+    val lPlan = GraftSqlBridge.analyzed(left)
+    var rPlan = GraftSqlBridge.analyzed(right)
+    var rKeyExprs = rightKeys.map(e)
+    var rTimeExpr = e(rightTime.cast("timestamp"))
+    // Self-join / shared-lineage dedup: Spark's DeduplicateRelations
+    // only instruments built-in nodes, so a right side sharing exprIds
+    // with the left (asof(df, df, ...)) would emit duplicate
+    // attributes downstream and resolve key/time refs ambiguously.
+    // Re-alias every right attribute under a fresh exprId and remap
+    // the right-side expressions onto the new ids — right key/time
+    // Columns always bind to the (re-aliased) right side.
+    if (lPlan.outputSet.intersect(rPlan.outputSet).nonEmpty) {
+      val fresh = rPlan.output.map(a => Alias(a, a.name)())
+      val mapping = rPlan.output.map(_.exprId).zip(fresh.map(_.toAttribute)).toMap
+      rPlan = Project(fresh, rPlan)
+      def remap(x: Expression): Expression = x.transform {
+        case a: Attribute if mapping.contains(a.exprId) => mapping(a.exprId)
+      }
+      rKeyExprs = rKeyExprs.map(remap)
+      rTimeExpr = remap(rTimeExpr)
+    }
     GraftSqlBridge.ofRows(spark, AsOfJoinPlan(
-      GraftSqlBridge.analyzed(left),
-      GraftSqlBridge.analyzed(right),
-      leftKeys.map(e), rightKeys.map(e),
-      e(leftTime.cast("timestamp")), e(rightTime.cast("timestamp"))))
+      lPlan, rPlan,
+      leftKeys.map(e), rKeyExprs,
+      e(leftTime.cast("timestamp")), rTimeExpr,
+      direction,
+      tolerance.map(d => d.toNanos / 1000L).getOrElse(-1L)))
   }
 }

@@ -35,9 +35,16 @@ object GraftSqlBridge {
     * is shared mutable session state, and an unsynchronized
     * check-then-act would let a concurrent writer's append be lost. */
   def ensureStrategy(spark: SparkSession, s: execution.SparkStrategy): Unit = {
-    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    val exp = cs.experimental
     exp.synchronized {
-      if (!exp.extraStrategies.contains(s))
+      // a session built with spark.sql.extensions=graft.GraftExtensions
+      // already carries the strategy via injectPlannerStrategy — adding
+      // it to extraStrategies too would make the planner evaluate
+      // duplicate candidates for every plan
+      val present = exp.extraStrategies.contains(s) ||
+        cs.sessionState.planner.extraPlanningStrategies.contains(s)
+      if (!present)
         exp.extraStrategies = exp.extraStrategies :+ s
     }
   }
