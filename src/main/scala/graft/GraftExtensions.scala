@@ -35,6 +35,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // native as-of join physical operator (AsOfJoinPlan -> AsOfJoinExec);
     // AsOfJoin.asof also self-registers via spark.experimental
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    // pure-SQL as-of surface: LEFT JOIN ... ON asof_match(...) is
+    // rewritten into AsOfJoinPlan right after resolution (see AsOfSql)
+    ext.injectPostHocResolutionRule(_ => graft.plans.AsOfMarkerRewrite)
+    ext.injectFunction((
+      FunctionIdentifier("asof_match"),
+      info("asof_match",
+        "asof_match(lkey, rkey, ltime, rtime[, direction[, tolerance]]) - " +
+          "as-of join marker; the entire ON condition of a LEFT JOIN. " +
+          "direction: 'backward' (default) | 'forward' | 'nearest'; " +
+          "tolerance: day-time INTERVAL literal"),
+      (es: Seq[Expression]) => {
+        if (es.length < 4 || es.length > 6)
+          throw new IllegalArgumentException(
+            s"asof_match requires 4-6 arguments, got ${es.length}")
+        graft.plans.AsOfMatchMarker(es)
+      }))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",

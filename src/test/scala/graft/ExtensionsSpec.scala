@@ -79,4 +79,61 @@ class ExtensionsSpec extends TestBase {
       SparkSession.setActiveSession(orig)
     }
   }
+
+  test("as-of join runs from pure SQL text via asof_match (same answer as q53)") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      Tables.load(s2, sfDir, "events").createOrReplaceTempView("ev")
+      Tables.load(s2, sfDir, "orders").createOrReplaceTempView("ord")
+      val sql = s2.sql(
+        """SELECT l.event_id, l.user_id, r.o_orderdate AS last_order_date
+          |FROM ev l LEFT JOIN ord r
+          |  ON asof_match(l.user_id, r.o_custkey, l.ts, r.o_orderdate)
+          |ORDER BY event_id""".stripMargin)
+      // the SQL path must plan the native merge operator
+      assert(sql.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+        "asof_match did not lower to the native as-of operator")
+      val viaSql = sql.collect().map(_.toSeq).toSeq
+      // same oracle as q53/q53b: the composed union+window formulation
+      val composed = SparkEntry.queries("q53_asof_join")(s2, sfDir)
+        .collect().map(_.toSeq).toSeq
+      assert(viaSql.nonEmpty && viaSql == composed)
+
+      // direction + tolerance literals parse and restrict matches
+      val tol = s2.sql(
+        """SELECT count(r.o_orderdate) AS n
+          |FROM ev l LEFT JOIN ord r
+          |  ON asof_match(l.user_id, r.o_custkey, l.ts, r.o_orderdate,
+          |                'backward', INTERVAL '1' DAY)""".stripMargin)
+        .collect()(0).getLong(0)
+      val untol = viaSql.count(_(2) != null).toLong
+      assert(tol < untol, s"1-day tolerance did not reduce matches ($tol vs $untol)")
+
+      // misuse fails at analysis with the usage message, not at runtime
+      val inner = intercept[Exception] {
+        s2.sql(
+          """SELECT * FROM ev l JOIN ord r
+            |  ON asof_match(l.user_id, r.o_custkey, l.ts, r.o_orderdate)""".stripMargin)
+          .queryExecution.analyzed
+      }
+      assert(inner.getMessage.contains("LEFT JOIN"))
+      val misplaced = intercept[Exception] {
+        s2.sql(
+          """SELECT * FROM ev l LEFT JOIN ord r
+            |  ON asof_match(l.user_id, r.o_custkey, l.ts, r.o_orderdate)
+            |     AND l.value > 0""".stripMargin)
+          .queryExecution.analyzed
+      }
+      assert(misplaced.getMessage.contains("outside a supported join condition"))
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
 }
