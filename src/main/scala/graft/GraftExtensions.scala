@@ -160,11 +160,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("kll_sketch_agg"),
       info("kll_sketch_agg",
-        "kll_sketch_agg(value) - mergeable KLL quantile sketch aggregate " +
-          "over a DOUBLE column (compact sketch bytes)"),
+        "kll_sketch_agg(value[, k]) - mergeable KLL quantile sketch " +
+          "aggregate over a DOUBLE column (compact sketch bytes). " +
+          "k is a literal int, default 200 (~1.33% worst-case rank error); " +
+          "larger k = lower error, more memory"),
       (es: Seq[Expression]) => {
-        arity("kll_sketch_agg", 1)(es)
-        graft.functions.KllSketchAgg(es.head, 200)
+        if (es.isEmpty || es.length > 2)
+          throw new IllegalArgumentException(
+            s"kll_sketch_agg requires 1 or 2 arguments, got ${es.length}")
+        val k = es.lift(1) match {
+          case None => 200
+          case Some(org.apache.spark.sql.catalyst.expressions.Literal(
+            i: Int, org.apache.spark.sql.types.IntegerType)) => i
+          case Some(other) => throw new IllegalArgumentException(
+            s"kll_sketch_agg k must be a literal INT, got '$other'")
+        }
+        // Datasketches KLL bounds; reject at analysis, not on executors
+        if (k < 8 || k > 65535)
+          throw new IllegalArgumentException(
+            s"kll_sketch_agg k must be in [8, 65535], got $k")
+        graft.functions.KllSketchAgg(es.head, k)
       }))
     ext.injectFunction((
       FunctionIdentifier("kll_quantile"),

@@ -474,8 +474,12 @@ object StatQueries {
       .withColumn("u",
         (md5Bucket(col("doc_id"), 8) + 1L).cast("double") /
           lit(4294967296.0))
+      // greatest(w, 1): a zero-length doc would make the key -Inf (or
+      // NaN when u = 1, since ln(1)/0 = 0/0), and NaN sorts LARGEST in
+      // both Spark and DuckDB — a zero-weight row must not win a slot
       .withColumn("skey",
-        dround(log(col("u")) / col("n_chars").cast("double"), 9))
+        dround(log(col("u")) /
+          greatest(col("n_chars").cast("double"), lit(1.0)), 9))
       .select("doc_id", "source", "n_chars", "skey")
       .orderBy(col("skey").desc, col("doc_id"))
       .limit(SampleN)
@@ -487,7 +491,7 @@ object StatQueries {
       |    round(ln(CAST(CAST(concat('0x',
       |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1
       |      AS DOUBLE) / 4294967296.0)
-      |      / CAST(n_chars AS DOUBLE), 9) + 0 AS skey
+      |      / CAST(greatest(n_chars, 1) AS DOUBLE), 9) + 0 AS skey
       |  FROM documents
       |)
       |SELECT doc_id, source, n_chars, skey FROM keyed

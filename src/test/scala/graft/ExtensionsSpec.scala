@@ -74,6 +74,22 @@ class ExtensionsSpec extends TestBase {
           |       kll_rank(sk, 50.0D) AS r50
           |FROM s""".stripMargin).collect()(0)
       assert(kll.getDouble(0) == 50.0 && kll.getDouble(1) == 0.5)
+
+      // optional k argument (ADVICE r6): a literal int selects the
+      // sketch size; out-of-range and non-literal k fail at analysis
+      val kll2 = s2.sql(
+        """WITH s AS (
+          |  SELECT kll_sketch_agg(CAST(x AS DOUBLE), 400) AS sk
+          |  FROM range(1, 101) t(x)
+          |)
+          |SELECT kll_quantile(sk, 0.5D) AS q50 FROM s""".stripMargin)
+        .collect()(0).getDouble(0)
+      assert(kll2 == 50.0)
+      val badK = intercept[Exception] {
+        s2.sql("SELECT kll_sketch_agg(CAST(x AS DOUBLE), 4) FROM range(10) t(x)")
+          .queryExecution.analyzed
+      }
+      assert(badK.getMessage.contains("[8, 65535]"))
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
