@@ -190,6 +190,107 @@ object GraftStreams {
       .toDF()
   }
 
+  // ---- streaming temporal (as-of) join -------------------------------
+
+  case class TemporalIn(user_id: Long, side: Int, event_id: Long,
+      t: Timestamp)
+  case class PendingLeft(event_id: Long, tsUs: Long)
+  /** Per-key join state: left events not yet finalized by the watermark
+    * + the right version times seen so far (pruned to the latest one
+    * at-or-below the watermark plus any newer ones). */
+  case class TemporalJoinState(lefts: List[PendingLeft], rightUs: List[Long])
+  case class TemporalOut(event_id: Long, user_id: Long, event_ts: Timestamp,
+      last_right_ts: Option[Timestamp])
+
+  private def tsToUs(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def usToTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Streaming temporal (as-of) join: attach to every left event the
+    * LATEST right version with `rt <= ts` for the same key — the
+    * unbounded-stream form of the native batch as-of join
+    * (graft.plans.AsOfJoinExec) and the streaming pattern Flink calls a
+    * temporal join.
+    *
+    * `left` must expose (user_id, event_id, ts); `right` (user_id, rt).
+    *
+    * Shape: both sides watermark, union into ONE keyed state per key
+    * (so a key's events and versions meet on the same task — one
+    * shuffle each side, like the batch operator). Left events buffer in
+    * state until the watermark passes their event time — only then can
+    * no earlier right version still arrive, so the match is FINAL (an
+    * eager emit would be wrong under out-of-order arrival, not just
+    * late). Right state prunes to the newest version at-or-below the
+    * watermark (still the backward match for every future left event)
+    * plus versions ahead of it: per key that is O(lefts within the
+    * watermark horizon + 1 + in-flight right versions) — bounded at any
+    * stream length. Rows with event-time timeouts flush buffered lefts
+    * when the watermark advances without new data for the key. */
+  def temporalAsOfJoin(spark: SparkSession, left: DataFrame,
+      right: DataFrame): DataFrame = {
+    import spark.implicits._
+    val l = left
+      .select(col("user_id"), lit(1).as("side"), col("event_id"),
+        col("ts").as("t"))
+      .withWatermark("t", "10 minutes")
+    val r = right
+      .select(col("user_id"), lit(0).as("side"), lit(-1L).as("event_id"),
+        col("rt").as("t"))
+      .withWatermark("t", "10 minutes")
+    l.unionByName(r).as[TemporalIn]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TemporalJoinState, TemporalOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[TemporalIn],
+         state: GroupState[TemporalJoinState]) =>
+          val wmMs = state.getCurrentWatermarkMs()
+          val st0 = state.getOption.getOrElse(TemporalJoinState(Nil, Nil))
+          val st1 =
+            if (state.hasTimedOut) st0
+            else rows.foldLeft(st0) { (st, row) =>
+              if (row.t == null) st // null times never match / never emit
+              else if (row.side == 1)
+                st.copy(lefts =
+                  PendingLeft(row.event_id, tsToUs(row.t)) :: st.lefts)
+              else st.copy(rightUs = tsToUs(row.t) :: st.rightUs)
+            }
+          // finalize lefts the watermark has passed; match backward
+          val (ready, pending) =
+            st1.lefts.partition(_.tsUs <= wmMs * 1000L)
+          val out = ready.sortBy(l => (l.tsUs, l.event_id)).map { pl =>
+            val m = st1.rightUs.filter(_ <= pl.tsUs) match {
+              case Nil => None
+              case xs => Some(xs.max)
+            }
+            TemporalOut(pl.event_id, user, usToTs(pl.tsUs), m.map(usToTs))
+          }
+          // prune rights: the newest at-or-below the watermark still
+          // backward-matches every future left, older ones never will
+          val newestOld = st1.rightUs.filter(_ <= wmMs * 1000L) match {
+            case Nil => Nil
+            case xs => List(xs.max)
+          }
+          val st2 = TemporalJoinState(pending,
+            newestOld ++ st1.rightUs.filter(_ > wmMs * 1000L))
+          if (st2.lefts.isEmpty && st2.rightUs.isEmpty) state.remove()
+          else {
+            state.update(st2)
+            // re-arm only when lefts wait on the watermark; right-only
+            // state is the retained dimension version, kept without a
+            // timer (exactly what a temporal join must remember)
+            if (st2.lefts.nonEmpty)
+              state.setTimeoutTimestamp(math.max(
+                st2.lefts.map(_.tsUs).min / 1000L + 1L, wmMs + 1L))
+          }
+          out.iterator
+      }
+      .toDF()
+  }
+
   case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
   /** Spark 4 `transformWithState` processor: one ValueState record per

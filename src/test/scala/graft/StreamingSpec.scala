@@ -209,6 +209,61 @@ class StreamingSpec extends TestBase {
     }
   }
 
+  test("streaming temporal as-of join equals the batch as-of join (q53)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // Append mode only emits lefts the watermark has FINALIZED, so both
+    // sides get a far-future sentinel row staged as a later file: the
+    // sentinel batches push both watermarks past all real data and the
+    // triggered no-data batch flushes every buffered left event.
+    val evDir = java.nio.file.Files.createTempDirectory("graft_stream_taj_ev")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      evDir.resolve("events.parquet"))
+    val ordDir = java.nio.file.Files.createTempDirectory("graft_stream_taj_ord")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
+      ordDir.resolve("orders.parquet"))
+    val maxUs = Tables.load(spark, sfDir, "events")
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    val farUs = maxUs + 2L * 3600 * 1000000
+    val evRaw = StructType(Seq( // the on-disk shape: ts is INT64 nanos
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.createDataFrame(
+      java.util.List.of(Row(-1L, farUs * 1000L, -1L, "sentinel", 0.0, "")),
+      evRaw).coalesce(1).write.mode("append").parquet(evDir.toString)
+    spark.createDataFrame(
+      java.util.List.of(Row(-1L, -1L, "F", 0.0,
+        new java.sql.Timestamp(farUs / 1000L), "0-none")),
+      Tables.schemas("orders"))
+      .coalesce(1).write.mode("append").parquet(ordDir.toString)
+
+    val leftStream = GraftStreams.eventsStream(spark, evDir.toString,
+      maxFilesPerTrigger = 1)
+      .select("user_id", "event_id", "ts")
+    val rightStream = spark.readStream
+      .schema(Tables.schemas("orders"))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(ordDir.toString)
+      .select(col("o_custkey").as("user_id"), col("o_orderdate").as("rt"))
+    val q = GraftStreams.temporalAsOfJoin(spark, leftStream, rightStream)
+      .writeStream.format("memory").queryName("temporal_asof")
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("temporal_asof")
+      .filter(col("event_id") >= 0) // drop the sentinel's own left row
+      .select(col("event_id"), col("user_id"), col("last_right_ts"))
+      .orderBy("event_id").collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q53_asof_join")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} rows != batch ${batch.size}")
+  }
+
   test("stateful streaming sessionization emits sessions") {
     val stream = GraftStreams.eventsStream(spark, eventsDir)
     val q = GraftStreams.sessionize(spark, stream)
