@@ -153,6 +153,12 @@ final class CachingInputStream(
       allocate: java.util.function.IntFunction[ByteBuffer]): Unit = {
     import scala.jdk.CollectionConverters._
     val rs = ranges.asScala.toList
+    // integration observable: a parquet scan with
+    // parquet.hadoop.vectored.io.enabled must move these counters
+    // (asserted in ParquetVectoredScanSpec), proving the vectored path
+    // is actually exercised end-to-end, not just contract-tested
+    stats.vectoredReads.incrementAndGet()
+    stats.vectoredRanges.addAndGet(rs.size.toLong)
     rs.foreach { r =>
       // per Hadoop's VectoredReadUtils contract: malformed length is an
       // IllegalArgumentException; EOFException is for offset problems

@@ -24,6 +24,8 @@ final class Statistics extends Serializable {
   val filesEvicted = new AtomicLong
   val pagesEvictedToDisk = new AtomicLong
   val remoteReadNanos = new AtomicLong
+  val vectoredReads = new AtomicLong
+  val vectoredRanges = new AtomicLong
 
   def reset(): Unit = counters.values.foreach(_.set(0))
 
@@ -44,7 +46,9 @@ final class Statistics extends Serializable {
     "filesWritten" -> filesWritten,
     "filesEvicted" -> filesEvicted,
     "pagesEvictedToDisk" -> pagesEvictedToDisk,
-    "remoteReadNanos" -> remoteReadNanos)
+    "remoteReadNanos" -> remoteReadNanos,
+    "vectoredReads" -> vectoredReads,
+    "vectoredRanges" -> vectoredRanges)
 
   def snapshot: Map[String, Long] =
     counters.map { case (k, v) => k -> v.get }
