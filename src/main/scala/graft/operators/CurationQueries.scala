@@ -608,6 +608,15 @@ object CurationQueries {
   // box-filtered read-back is the demonstration query; ZOrderSpec
   // asserts the layout property itself (per-file bounding boxes shrink
   // in BOTH dimensions vs the global domain).
+  //
+  // The partition count is DERIVED: ceil(input size estimate /
+  // spark.graft.zorder.targetFileBytes) — the bytes-per-file knob a
+  // real z-order writer exposes (default 128 MiB, the parquet-scan
+  // partition norm). File count thus scales with the data instead of
+  // being a demo constant: ~1 file at fixture SFs, ~800 files for a
+  // 100 GB table, never a fixed fan-out that under- or over-shards at
+  // the other end of the scale. ZOrderSpec shrinks the knob to drive a
+  // multi-file layout on the small fixture.
   val q81_zorder_layout: Q = (s, dir) => {
     import graft.functions.ZOrder.z_value
     val li = t(s, dir, "lineitem")
@@ -622,11 +631,18 @@ object CurationQueries {
         greatest((hi - lo).cast("double"), lit(1.0))) *
         lit(4294967295.0)).cast("long")
     val out = RelationalQueries.scratch("q81_zorder", dir)
+    val targetFileBytes = s.conf.getOption("spark.graft.zorder.targetFileBytes")
+      .map(_.toLong).getOrElse(128L << 20)
+    require(targetFileBytes > 0,
+      s"spark.graft.zorder.targetFileBytes must be positive; got $targetFileBytes")
+    val inputBytes = li.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = (inputBytes + targetFileBytes - 1) / targetFileBytes
+    val nParts = nFiles.min(BigInt(1 << 20)).max(BigInt(1)).toInt
     li.crossJoin(broadcast(mm))
       .withColumn("z",
         z_value(norm(col("l_orderkey"), col("ok_min"), col("ok_max")),
           norm(col("l_partkey"), col("pk_min"), col("pk_max"))))
-      .repartitionByRange(8, col("z"))
+      .repartitionByRange(nParts, col("z"))
       .sortWithinPartitions("z")
       .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
       .write.mode("overwrite").parquet(out)

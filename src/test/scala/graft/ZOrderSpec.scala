@@ -47,7 +47,13 @@ class ZOrderSpec extends TestBase {
   }
 
   test("z-order layout bounds per-file boxes in BOTH dimensions") {
-    SparkEntry.queries("q81_zorder_layout")(spark, sfDir).collect()
+    // shrink the bytes-per-file knob so the derived partition count
+    // yields a multi-file layout on the small fixture (production
+    // default is 128 MiB; the COUNT derivation, not the knob value, is
+    // what scales to 100 TB)
+    spark.conf.set("spark.graft.zorder.targetFileBytes", (4L << 10).toString)
+    try SparkEntry.queries("q81_zorder_layout")(spark, sfDir).collect()
+    finally spark.conf.unset("spark.graft.zorder.targetFileBytes")
     val out = operators.RelationalQueries.scratch("q81_zorder", sfDir)
     val files = spark.read.parquet(out)
       .groupBy(input_file_name().as("f"))
