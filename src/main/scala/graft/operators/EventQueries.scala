@@ -168,6 +168,71 @@ object EventQueries {
 
   val q53b_asof_native_sql: String = q53_asof_join_sql
 
+  // ---- 53c. FORWARD as-of with a tolerance: the next order within 7
+  // days after each event (the "what did the user do next" direction —
+  // label attribution, next-touch analysis). Exercises the native
+  // operator's forward merge (the unconsumed head serves many left
+  // rows) and the tolerance bound, both oracle-checked: DuckDB
+  // re-derives the earliest order in (ts, ts + 7d] per event via a
+  // correlated min subquery.
+  val q53c_asof_forward: Q = (s, dir) => {
+    val events = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val orders = t(s, dir, "orders").select("o_custkey", "o_orderdate")
+    graft.plans.AsOfJoin.asof(events, orders,
+      Seq(events("user_id")), Seq(orders("o_custkey")),
+      events("ts"), orders("o_orderdate"),
+      direction = graft.plans.AsOfJoin.Forward,
+      tolerance = Some(java.time.Duration.ofDays(7)))
+      .select(col("event_id"), col("user_id"),
+        col("o_orderdate").as("next_order_date"))
+      .orderBy("event_id")
+  }
+
+  val q53c_asof_forward_sql: String =
+    """SELECT event_id, user_id,
+      |  (SELECT min(o_orderdate) FROM orders
+      |   WHERE o_custkey = user_id AND o_orderdate >= ts
+      |     AND o_orderdate <= ts + INTERVAL 7 DAY) AS next_order_date
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---- 53d. NEAREST as-of: the order closest in time to each event,
+  // either direction, ties resolved backward (the documented rule).
+  // The oracle re-derives both candidates and picks by absolute
+  // distance — a full re-implementation of the nearest semantics in
+  // DuckDB SQL, so the operator's tie and one-sided edges are all
+  // hash-checked.
+  val q53d_asof_nearest: Q = (s, dir) => {
+    val events = t(s, dir, "events").select("event_id", "user_id", "ts")
+    val orders = t(s, dir, "orders").select("o_custkey", "o_orderdate")
+    graft.plans.AsOfJoin.asof(events, orders,
+      Seq(events("user_id")), Seq(orders("o_custkey")),
+      events("ts"), orders("o_orderdate"),
+      direction = graft.plans.AsOfJoin.Nearest)
+      .select(col("event_id"), col("user_id"),
+        col("o_orderdate").as("nearest_order_date"))
+      .orderBy("event_id")
+  }
+
+  val q53d_asof_nearest_sql: String =
+    """WITH cand AS (
+      |  SELECT e.event_id, e.user_id,
+      |    (SELECT max(o_orderdate) FROM orders
+      |     WHERE o_custkey = e.user_id AND o_orderdate <= e.ts) AS bw,
+      |    (SELECT min(o_orderdate) FROM orders
+      |     WHERE o_custkey = e.user_id AND o_orderdate > e.ts) AS fw,
+      |    e.ts AS ts
+      |  FROM events e
+      |)
+      |SELECT event_id, user_id,
+      |  CASE
+      |    WHEN bw IS NULL THEN fw
+      |    WHEN fw IS NULL THEN bw
+      |    WHEN (epoch_ms(fw) - epoch_ms(ts)) < (epoch_ms(ts) - epoch_ms(bw))
+      |      THEN fw
+      |    ELSE bw
+      |  END AS nearest_order_date
+      |FROM cand ORDER BY event_id""".stripMargin
+
   // ---- 55. Funnel analysis: signup -> purchase conversion ----
   // One shuffle on user_id, then per-user min-timestamps; conversion =
   // first purchase strictly after first signup. No self-join of the
@@ -296,6 +361,8 @@ object EventQueries {
     "q52b_session_window" -> q52b_session_window,
     "q53_asof_join" -> q53_asof_join,
     "q53b_asof_native" -> q53b_asof_native,
+    "q53c_asof_forward" -> q53c_asof_forward,
+    "q53d_asof_nearest" -> q53d_asof_nearest,
     "q55_funnel" -> q55_funnel,
     "q56_retention" -> q56_retention)
 
@@ -306,6 +373,8 @@ object EventQueries {
     "q52b_session_window" -> q52b_session_window_sql,
     "q53_asof_join" -> q53_asof_join_sql,
     "q53b_asof_native" -> q53b_asof_native_sql,
+    "q53c_asof_forward" -> q53c_asof_forward_sql,
+    "q53d_asof_nearest" -> q53d_asof_nearest_sql,
     "q55_funnel" -> q55_funnel_sql,
     "q56_retention" -> q56_retention_sql)
 }
