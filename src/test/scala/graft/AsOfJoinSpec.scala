@@ -227,10 +227,13 @@ class AsOfJoinSpec extends TestBase {
   }
 
   test("the physical plan is the native merge: AsOfJoin node, no Window, no Union") {
-    val plan = SparkEntry.queries("q53b_asof_native")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("AsOfJoin"), s"native node missing:\n$plan")
-    assert(!plan.contains("Window"), s"window crept back in:\n$plan")
-    assert(!plan.contains("Union"), s"union crept back in:\n$plan")
+    Seq("q53b_asof_native", "q53c_asof_forward", "q53d_asof_nearest")
+      .foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        assert(plan.contains("AsOfJoin"), s"$name native node missing:\n$plan")
+        assert(!plan.contains("Window"), s"$name window crept back in:\n$plan")
+        assert(!plan.contains("Union"), s"$name union crept back in:\n$plan")
+      }
   }
 }
