@@ -354,7 +354,92 @@ object EventQueries {
       |JOIN r l ON l.user_id = a.user_id AND l.hr = a.hr AND l.rl = 1
       |ORDER BY a.user_id, a.hr""".stripMargin
 
+  // ---- 98. Binned range join: a point-in-interval join with NO equi
+  // key. "For each flagged user's session (±15 min halo), count the
+  // concurrent events corpus-wide" — the incident-investigation /
+  // interval-overlap shape (IP→geo range lookup, telemetry windows are
+  // the same join). Spark has no native range-join optimization: the
+  // naive formulation is a broadcast-nested-loop (driver-bound at
+  // scale) or a cartesian. The standard rewrite (Databricks calls it a
+  // binned range join) makes it an EQUI join: quantize time into
+  // fixed-width bins, explode each interval over the bins it covers,
+  // map each point to its single bin, equi-join on bin, then apply the
+  // exact range predicate as a residual. Each qualifying (interval,
+  // point) pair meets in exactly ONE bin (the point's), so no dedup
+  // pass is needed. Both sides scale with the corpus (the interval
+  // side is a constant fraction of users — not broadcastable at
+  // 100 TB); the bin join shuffles both by bin key and survives any
+  // scale-up, with cost O(data + matches) instead of O(|L|·|R|).
+  // Bin width (30 min) ~ typical interval width: each interval
+  // explodes to 2-3 bins; timestamps are positive so the
+  // floor-divide bin is exact in double math (ms values < 2^53). ----
+  private val RangeBinMs = 30L * 60 * 1000
+  private val HaloMs = 15L * 60 * 1000
+
+  val q98_range_join_binned: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    // q52's gaps-and-islands sessionization, restricted to the flagged
+    // 10% of users, each session widened by the halo
+    val sessions = ev.filter(col("user_id") % 10 === 0)
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_millis(col("ts")) - unix_millis(col("prev_ts"))
+            > GapMinutes * 60L * 1000L, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg((unix_millis(min("ts")) - HaloMs).as("w_start"),
+        (unix_millis(max("ts")) + HaloMs).as("w_end"))
+    val iv = sessions.withColumn("bin",
+      explode(sequence(
+        floor(col("w_start") / RangeBinMs).cast("long"),
+        floor(col("w_end") / RangeBinMs).cast("long"))))
+    val pts = ev.select(unix_millis(col("ts")).as("pt"), col("value"),
+      floor(unix_millis(col("ts")) / RangeBinMs).cast("long").as("p_bin"))
+    iv.join(pts,
+        iv("bin") === pts("p_bin") &&
+          col("pt") >= col("w_start") && col("pt") <= col("w_end"))
+      .groupBy("user_id", "session_idx", "w_start", "w_end")
+      .agg(count(lit(1)).as("n_concurrent"),
+        dround(sum("value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val q98_range_join_binned_sql: String =
+    s"""WITH g AS (
+       |  SELECT user_id, event_id, ts,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w)
+       |              > ${GapMinutes * 60 * 1000}
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events WHERE user_id % 10 = 0
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+       |), n AS (
+       |  SELECT user_id, ts,
+       |    CAST(sum(new_session) OVER
+       |      (PARTITION BY user_id ORDER BY ts, event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS session_idx
+       |  FROM g
+       |), sess AS (
+       |  SELECT user_id, session_idx,
+       |    CAST(epoch_ms(min(ts)) - $HaloMs AS BIGINT) AS w_start,
+       |    CAST(epoch_ms(max(ts)) + $HaloMs AS BIGINT) AS w_end
+       |  FROM n GROUP BY user_id, session_idx
+       |)
+       |SELECT s.user_id, s.session_idx, s.w_start, s.w_end,
+       |  count(*) AS n_concurrent, round(sum(e.value), 2) AS sum_value
+       |FROM sess s JOIN events e
+       |  ON epoch_ms(e.ts) >= s.w_start AND epoch_ms(e.ts) <= s.w_end
+       |GROUP BY 1, 2, 3, 4
+       |ORDER BY s.user_id, s.session_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q98_range_join_binned" -> q98_range_join_binned,
     "q88_ohlc_downsample" -> q88_ohlc_downsample,
     "q59_interval_join" -> q59_interval_join,
     "q52_sessionize" -> q52_sessionize,
@@ -367,6 +452,7 @@ object EventQueries {
     "q56_retention" -> q56_retention)
 
   val oracles: Map[String, String] = Map(
+    "q98_range_join_binned" -> q98_range_join_binned_sql,
     "q88_ohlc_downsample" -> q88_ohlc_downsample_sql,
     "q59_interval_join" -> q59_interval_join_sql,
     "q52_sessionize" -> q52_sessionize_sql,

@@ -186,4 +186,21 @@ class PlanAuditSpec extends TestBase {
       s"q90 may hint only the bounded lang-totals and grand-total sides; " +
         s"found hinted outputs: $hinted")
   }
+
+  test("q98's no-equi-key range join runs as a bin EQUI join, not a nested loop") {
+    // The naive point-in-interval formulation has no equality to hash
+    // on — Spark would plan BNLJ (or a cartesian), which is O(|L|·|R|)
+    // and driver-bound at scale. The bin rewrite must surface a real
+    // equi-join (hash or merge) keyed on the quantized bin, with the
+    // exact range bound as a residual condition inside the same join.
+    val plan = SparkEntry.queries("q98_range_join_binned")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"q98 lost its equi-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"q98 fell back to a nested loop:\n$plan")
+    assert(plan.contains("bin"), s"bin key missing from the plan:\n$plan")
+  }
 }
