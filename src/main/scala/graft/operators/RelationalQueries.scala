@@ -988,6 +988,53 @@ object RelationalQueries {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ---- 99. Bucketed co-located join (shuffle elimination by table
+  // layout). The other 100 TB join defense, complementary to q60's
+  // salting: pay the shuffle ONCE at write time — both tables are
+  // bucketed (hash-partitioned into a fixed file layout) and sorted on
+  // the join key — and every subsequent join on that key reads
+  // co-located buckets with NO Exchange on either side. At 100 TB this
+  // turns the recurring dominant cost of a fact⋈fact join (re-shuffling
+  // both sides per query) into a one-time layout decision; bucket count
+  // scales by cluster width, 8 here for local[32]. The bucket files are
+  // plain parquet at an explicit path (external table) — the catalog
+  // entry carries only the layout metadata. Correctness is
+  // layout-invariant: the oracle is the plain join.
+  // PlanAuditSpec asserts the exchange-free SMJ with broadcast disabled.
+  private[graft] def bucketedPair(s: SparkSession, dir: String): (String, String) = {
+    val suf = java.lang.Integer.toHexString(dir.hashCode)
+    val ot = s"graft_bucketed_orders_$suf"
+    val ct = s"graft_bucketed_customer_$suf"
+    // idempotent per session+dir: re-bucketing on every call would make
+    // each bench iteration pay the write
+    if (!s.catalog.tableExists(ot)) {
+      t(s, dir, "orders").write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", scratch("bucketed_orders", dir))
+        .saveAsTable(ot)
+      t(s, dir, "customer").write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", scratch("bucketed_customer", dir))
+        .saveAsTable(ct)
+    }
+    (ot, ct)
+  }
+
+  val q99_bucketed_join: Q = (s, dir) => {
+    val (ot, ct) = bucketedPair(s, dir)
+    s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        dround(sum("o_totalprice"), 2).as("sum_total"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q99_bucketed_join_sql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS sum_total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // ---- 61. Exact percentiles (interpolated, = DuckDB quantile_cont) ----
   // Both extendedprice percentiles share ONE aggregation buffer (array
   // form) — the buffer is a per-group value-count map, so halving buffer
@@ -1016,6 +1063,7 @@ object RelationalQueries {
   val queries: Map[String, Q] = Map(
     "q60_salted_join" -> q60_salted_join,
     "q61_percentile" -> q61_percentile,
+    "q99_bucketed_join" -> q99_bucketed_join,
     "q01_scan_parquet" -> q01_scan_parquet,
     "q02_scan_csv" -> q02_scan_csv,
     "q02b_scan_json" -> q02b_scan_json,
@@ -1068,6 +1116,7 @@ object RelationalQueries {
   val oracles: Map[String, String] = Map(
     "q60_salted_join" -> q60_salted_join_sql,
     "q61_percentile" -> q61_percentile_sql,
+    "q99_bucketed_join" -> q99_bucketed_join_sql,
     "q01_scan_parquet" -> q01_scan_parquet_sql,
     "q02_scan_csv" -> q02_scan_csv_sql,
     "q02b_scan_json" -> q02b_scan_json_sql,

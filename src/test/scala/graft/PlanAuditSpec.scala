@@ -203,4 +203,27 @@ class PlanAuditSpec extends TestBase {
       s"q98 fell back to a nested loop:\n$plan")
     assert(plan.contains("bin"), s"bin key missing from the plan:\n$plan")
   }
+
+  test("q99's bucketed tables join with ZERO exchange on either side") {
+    // The whole point of the bucketed layout: the write already
+    // hash-partitioned both tables into matching bucket files, so the
+    // join must read them co-located — a SortMergeJoin with no
+    // ShuffleExchange below it. Broadcast is disabled for the check
+    // (AQE broadcasting the small side would ALSO be exchange-free on
+    // one side only, and would hide a lost bucket layout).
+    import org.apache.spark.sql.functions.col
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (ot, ct) = operators.RelationalQueries.bucketedPair(spark, sfDir)
+      val plan = spark.table(ot)
+        .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join re-shuffled — layout metadata lost:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan did not use the bucket layout:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
 }
