@@ -617,6 +617,73 @@ object CurationQueries {
   // 100 GB table, never a fixed fan-out that under- or over-shards at
   // the other end of the scale. ZOrderSpec shrinks the knob to drive a
   // multi-file layout on the small fixture.
+  // ---- 100. File-skipping manifest (min/max data skipping). The
+  // lakehouse scan-planning pattern (what Delta/Iceberg manifests do)
+  // on plain parquet: the WRITE records a tiny per-file (min, max)
+  // stats table next to the clustered data; the READ consults only the
+  // manifest — O(#files), driver-resident by design, exactly like a
+  // Delta log replay — to decide which files can possibly contain
+  // matching rows, and hands Spark the surviving file list. Parquet
+  // row-group stats already skip WITHIN a file; the manifest skips
+  // whole files without opening them, which at 100 TB is the
+  // difference between listing+footer-reading a million files and
+  // reading a few hundred. Clustering (range partition + sort on the
+  // skip column) is what makes the boxes tight — the same reason q81
+  // z-orders. Correctness is layout-invariant: the oracle is the plain
+  // full-scan filter. ManifestSkipSpec asserts files are actually
+  // skipped and that an empty-intersection range prunes to zero.
+  private val SkipLo = 100L
+  private val SkipHi = 2000L
+
+  /** Write the clustered layout and its manifest; returns (dataDir, manifestDir). */
+  private[graft] def manifestLayout(s: SparkSession, dir: String): (String, String) = {
+    val out = RelationalQueries.scratch("q100_layout", dir)
+    val man = RelationalQueries.scratch("q100_manifest", dir)
+    t(s, dir, "lineitem")
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+      .repartitionByRange(16, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(out)
+    // the manifest is built distributed (one partial-agg scan) and
+    // persisted WITH the data — readers never touch the data to plan
+    s.read.parquet(out)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .coalesce(1).write.mode("overwrite").parquet(man)
+    (out, man)
+  }
+
+  /** Manifest read: the file list whose [lo, hi] box intersects [qlo, qhi],
+    * plus the total file count. O(#files) rows on the driver — this IS
+    * the manifest-planning step, not a data collect. */
+  private[graft] def manifestPrune(s: SparkSession, man: String,
+      qlo: Long, qhi: Long): (Seq[String], Int) = {
+    val rows = s.read.parquet(man).collect()
+    val kept = rows.filter { r =>
+      r.getAs[Number]("hi").longValue >= qlo &&
+        r.getAs[Number]("lo").longValue <= qhi
+    }.map(_.getAs[String]("file")).toSeq
+    (kept, rows.length)
+  }
+
+  val q100_manifest_skip: Q = (s, dir) => {
+    val (out, man) = manifestLayout(s, dir)
+    val (kept, _) = manifestPrune(s, man, SkipLo, SkipHi)
+    val src =
+      if (kept.isEmpty) s.read.parquet(out).where(lit(false))
+      else s.read.parquet(kept: _*)
+    src.filter(col("l_orderkey").between(SkipLo, SkipHi))
+      .agg(count(lit(1)).as("n_rows"),
+        dround(sum("l_quantity"), 2).as("sum_qty"),
+        dround(sum("l_extendedprice"), 2).as("sum_price"))
+  }
+
+  val q100_manifest_skip_sql: String =
+    s"""SELECT count(*) AS n_rows,
+       |  round(sum(l_quantity), 2) AS sum_qty,
+       |  round(sum(l_extendedprice), 2) AS sum_price
+       |FROM lineitem WHERE l_orderkey BETWEEN $SkipLo AND $SkipHi""".stripMargin
+
   val q81_zorder_layout: Q = (s, dir) => {
     import graft.functions.ZOrder.z_value
     val li = t(s, dir, "lineitem")
@@ -767,6 +834,7 @@ object CurationQueries {
     "q97_chunk_overlap" -> q97_chunk_overlap,
     "q94_source_mix" -> q94_source_mix,
     "q81_zorder_layout" -> q81_zorder_layout,
+    "q100_manifest_skip" -> q100_manifest_skip,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
     "q80_transitions" -> q80_transitions,
@@ -785,6 +853,7 @@ object CurationQueries {
     "q97_chunk_overlap" -> q97_chunk_overlap_sql,
     "q94_source_mix" -> q94_source_mix_sql,
     "q81_zorder_layout" -> q81_zorder_layout_sql,
+    "q100_manifest_skip" -> q100_manifest_skip_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,
     "q79_equidepth" -> q79_equidepth_sql,
     "q80_transitions" -> q80_transitions_sql,

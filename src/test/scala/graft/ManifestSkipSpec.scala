@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.CurationQueries
+import org.apache.spark.sql.functions._
+
+/** File-skipping manifest (q100): the min/max stats table written with
+  * the layout must let the reader skip whole files — and must never
+  * skip a file that could hold a matching row. The second property is
+  * what the DuckDB oracle proves (pruned read == full-scan filter);
+  * this spec proves the first (files actually get skipped) plus the
+  * boundary cases the fixed query range cannot reach.
+  */
+class ManifestSkipSpec extends TestBase {
+
+  private lazy val layout = CurationQueries.manifestLayout(spark, sfDir)
+
+  test("the query range keeps a strict subset of files") {
+    val (_, man) = layout
+    val (kept, total) = CurationQueries.manifestPrune(spark, man, 100L, 2000L)
+    assert(total >= 8, s"clustered layout produced only $total files")
+    assert(kept.nonEmpty, "pruned everything — the range overlaps the data")
+    assert(kept.size < total,
+      s"no files skipped (kept ${kept.size} of $total) — manifest useless")
+  }
+
+  test("pruned read equals the full-scan filter, row for row") {
+    val (out, man) = layout
+    val (kept, _) = CurationQueries.manifestPrune(spark, man, 100L, 2000L)
+    val pruned = spark.read.parquet(kept: _*)
+      .filter(col("l_orderkey").between(100, 2000))
+    val full = spark.read.parquet(out)
+      .filter(col("l_orderkey").between(100, 2000))
+    assert(pruned.count() == full.count())
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
+  test("an empty-intersection range prunes to zero files") {
+    val (_, man) = layout
+    val (kept, _) = CurationQueries.manifestPrune(spark, man, -500L, -1L)
+    assert(kept.isEmpty, s"kept $kept for a range below the domain")
+  }
+
+  test("a boundary-touching range keeps the boundary file (no false skip)") {
+    val (out, man) = layout
+    // the global max key sits in exactly one file; a point query on it
+    // must keep that file
+    val maxKey = spark.read.parquet(out).agg(max("l_orderkey")).head.getLong(0)
+    val (kept, total) = CurationQueries.manifestPrune(spark, man, maxKey, maxKey)
+    assert(kept.nonEmpty && kept.size < total)
+    val n = spark.read.parquet(kept: _*)
+      .filter(col("l_orderkey") === maxKey).count()
+    assert(n > 0, "boundary row lost by pruning")
+  }
+}
