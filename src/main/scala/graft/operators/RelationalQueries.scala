@@ -148,6 +148,26 @@ object RelationalQueries {
       |FROM customer WHERE c_acctbal > 0
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // XML via Spark 4's NATIVE xml datasource (spark-xml was merged into
+  // core): same splittable-source scan pipeline as csv/json — rowTag
+  // framing, schema projected at read. Supplier is the one base table
+  // without a sink query; the roundtrip proves both directions.
+  val q03g_sink_xml: Q = (s, dir) => {
+    val p = scratch("supplier_xml", dir)
+    t(s, dir, "supplier").filter(col("s_acctbal") > 0)
+      .write.mode("overwrite").option("rowTag", "supplier").xml(p)
+    s.read.schema(Tables.supplier).option("rowTag", "supplier").xml(p)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("cnt"), dround(sum("s_acctbal"), 2).as("bal"))
+      .orderBy("s_nationkey")
+  }
+
+  val q03g_sink_xml_sql: String =
+    """SELECT s_nationkey, count(*) AS cnt,
+      |  round(sum(s_acctbal), 2) AS bal
+      |FROM supplier WHERE s_acctbal > 0
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
   val q03d_sink_json: Q = (s, dir) => {
     val p = scratch("part_json", dir)
     t(s, dir, "part").filter(col("p_size") > 20)
@@ -1072,6 +1092,7 @@ object RelationalQueries {
     "q03b_sink_orc" -> q03b_sink_orc,
     "q03c_sink_csv" -> q03c_sink_csv,
     "q03d_sink_json" -> q03d_sink_json,
+    "q03g_sink_xml" -> q03g_sink_xml,
     "q03e_sink_partitioned" -> q03e_sink_partitioned,
     "q03f_compact" -> q03f_compact,
     "q04_project" -> q04_project,
@@ -1125,6 +1146,7 @@ object RelationalQueries {
     "q03b_sink_orc" -> q03b_sink_orc_sql,
     "q03c_sink_csv" -> q03c_sink_csv_sql,
     "q03d_sink_json" -> q03d_sink_json_sql,
+    "q03g_sink_xml" -> q03g_sink_xml_sql,
     "q03e_sink_partitioned" -> q03e_sink_partitioned_sql,
     "q03f_compact" -> q03f_compact_sql,
     "q04_project" -> q04_project_sql,
