@@ -326,6 +326,54 @@ object GraftStreams {
     }
   }
 
+  /** Idempotent keyed upsert sink — the foreachBatch exactly-once
+    * pattern. Structured Streaming replays a failed micro-batch with
+    * the SAME batchId and contents; a non-transactional sink must make
+    * apply() idempotent itself. This sink uses the versioned-state +
+    * commit-ledger shape (the contract behind a Delta/Iceberg MERGE
+    * txn log): state version `v<batchId>` is written FIRST, the commit
+    * marker SECOND, and readers see only marker-committed versions —
+    * so a replayed batch either finds its marker (skip) or
+    * deterministically rewrites the identical version and re-marks.
+    * The merge itself is last-writer-wins per user_id ordered by
+    * (ts, event_id) — a total order, so apply order and retries cannot
+    * change the result. The local full-state rewrite stands in for a
+    * table-format MERGE at scale; the ledger/versioning contract is
+    * what carries over unchanged. */
+  final class IdempotentUpsertSink(spark: SparkSession, root: String) {
+    import org.apache.spark.sql.expressions.Window
+    private def commitDir = new java.io.File(root, "_commits")
+    private def committed: Seq[Long] = {
+      val fs = commitDir.listFiles()
+      if (fs == null) Nil else fs.map(_.getName.toLong).toSeq.sorted
+    }
+
+    /** Newest committed state, if any batch has committed yet. */
+    def latest: Option[DataFrame] =
+      committed.lastOption.map(v => spark.read.parquet(s"$root/v$v"))
+
+    def apply(batch: DataFrame, batchId: Long): Unit = {
+      if (committed.contains(batchId)) return // replay of an applied batch
+      val byKey = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val merged = latest.map(_.unionByName(batch)).getOrElse(batch)
+        .withColumn("rn", row_number().over(byKey))
+        .filter(col("rn") === 1).drop("rn")
+      merged.coalesce(1).write.mode("overwrite").parquet(s"$root/v$batchId")
+      commitDir.mkdirs()
+      java.nio.file.Files.createFile(commitDir.toPath.resolve(batchId.toString))
+    }
+  }
+
+  /** Maintain the latest event per user in an external keyed store,
+    * exactly-once, via the sink above. */
+  def upsertLatestPerUser(events: DataFrame, sink: IdempotentUpsertSink)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.select("user_id", "event_id", "ts", "value")
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) => sink.apply(b, id) }
+      .start()
+
   /** Lifetime per-user running totals over an unbounded event stream
     * (transformWithState; requires the RocksDB state store provider —
     * see StreamingSpec for the session conf). */

@@ -280,4 +280,46 @@ class StreamingSpec extends TestBase {
     assert(spark.table("sessions").columns.toSeq ==
       Seq("user_id", "session_start", "n_events", "sum_value"))
   }
+
+  test("foreachBatch upsert sink: exactly-once state, replay-proof") {
+    import org.apache.spark.sql.expressions.Window
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_upsert").toString
+    val sink = new GraftStreams.IdempotentUpsertSink(spark, root)
+    val stream = GraftStreams.eventsStream(spark, eventsDir)
+    val q = GraftStreams.upsertLatestPerUser(stream, sink)
+    try q.processAllAvailable() finally q.stop()
+
+    def state(): Seq[Seq[Any]] = sink.latest.get
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+
+    // 1. final state == batch latest-event-per-user
+    val byKey = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val want = Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts", "value")
+      .withColumn("rn", row_number().over(byKey))
+      .filter(col("rn") === 1).drop("rn")
+      .orderBy("user_id").collect().map(_.toSeq).toSeq
+    val got = state()
+    assert(got.nonEmpty && got == want)
+
+    // 2. replaying an already-committed batchId — even with different
+    // data — must be a no-op (the ledger, not the data, decides)
+    val committedId = new java.io.File(root, "_commits")
+      .listFiles().map(_.getName.toLong).max
+    val garbage = Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts", "value").limit(5)
+      .withColumn("value", lit(-1.0))
+    sink.apply(garbage, committedId)
+    assert(state() == want, "replay of a committed batch mutated state")
+
+    // 3. crash-window replay: marker lost AFTER the version was
+    // written — re-applying the same batch must converge to the same
+    // state (deterministic rewrite + re-mark)
+    val lastBatch = spark.read.parquet(s"$root/v$committedId")
+    assert(new java.io.File(s"$root/_commits/$committedId").delete())
+    sink.apply(lastBatch, committedId)
+    assert(state() == want, "crash-replay did not converge")
+  }
 }
