@@ -226,10 +226,64 @@ object Bench {
         s""","bench_approx":{"err":"${e.toString.take(120).replace('"', '\'')}"}"""
     }
 
+    // ---- bench_range: the opt-in keyless-range-join bin rewrite
+    // (RangeJoinRewriteSpec proves semantics; this measures the
+    // nested-loop -> bin-equi-join win at bench scale). ~1% of events
+    // define ±10 min windows; count all events inside each — no equi
+    // key, so the off-plan is Spark's BNLJ fallback.
+    val rangeSection = try {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      try {
+        val s2 = SparkSession.builder()
+          .master(s"local[$cpus]")
+          .config("spark.sql.shuffle.partitions", cpus)
+          .withExtensions(new graft.GraftExtensions)
+          .getOrCreate()
+        import org.apache.spark.sql.functions._
+        def rq() = {
+          val ev = graft.Tables.load(s2, sfDir, "events")
+          val iv = ev.filter(col("event_id") % 97 === 0)
+            .select(col("event_id").as("iv_id"),
+              (unix_millis(col("ts")) - 600000L).as("lo"),
+              (unix_millis(col("ts")) + 600000L).as("hi"))
+          val pts = ev.select(unix_millis(col("ts")).as("pt"))
+          iv.join(pts, col("pt") >= col("lo") && col("pt") <= col("hi"))
+            .groupBy("iv_id").agg(count(lit(1)).as("n"))
+        }
+        def time3(): Double = {
+          val ss = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            rq().collect()
+            (System.nanoTime() - t0) / 1e9
+          }
+          ss.sorted.apply(1)
+        }
+        s2.conf.unset("spark.graft.rangeJoin.binSize")
+        val offBnlj = rq().queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin")
+        val offS = time3()
+        s2.conf.set("spark.graft.rangeJoin.binSize", "600000")
+        val onPlan = rq().queryExecution.executedPlan.toString
+        val onEqui = !onPlan.contains("BroadcastNestedLoopJoin") &&
+          onPlan.contains("__graft_bin")
+        val onS = time3()
+        s2.conf.unset("spark.graft.rangeJoin.binSize")
+        s""","bench_range":{"off_s":${fmt(offS)},"on_s":${fmt(onS)}""" +
+          s""","off_bnlj":$offBnlj,"on_equi":$onEqui}"""
+      } finally {
+        SparkSession.setDefaultSession(spark)
+        SparkSession.setActiveSession(spark)
+      }
+    } catch {
+      case e: Throwable =>
+        s""","bench_range":{"err":"${e.toString.take(120).replace('"', '\'')}"}"""
+    }
+
     val shortLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":3,"n_queries":${results.size},"n_failed":$failed,"queries":${jsonMap(slowest)},"queries_full":"bench_out.json","sf":"$sfDir"}"""
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":3,"queries":${jsonMap(results)},"queries_min":${jsonMap(mins)}$fsSection$approxSection,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":3,"queries":${jsonMap(results)},"queries_min":${jsonMap(mins)}$fsSection$approxSection$rangeSection,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullLine + "\n")
     catch { case _: Throwable => }
     // stop Spark BEFORE printing so no stray executor/log line lands after

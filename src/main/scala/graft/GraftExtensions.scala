@@ -32,6 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // opt-in COUNT(DISTINCT) -> HLL rewrite; inert until
     // spark.graft.approxDistinct.enabled=true (see ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
+    ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRewrite())
     // native as-of join physical operator (AsOfJoinPlan -> AsOfJoinExec);
     // AsOfJoin.asof also self-registers via spark.experimental
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
