@@ -653,6 +653,35 @@ object CurationQueries {
     (out, man)
   }
 
+  /** Incremental manifest maintenance: append a new batch of rows as
+    * new files and extend the manifest with ONLY the new files' stats —
+    * the existing manifest entries are never rescanned (the Delta
+    * append-commit shape; rebuilding a 100 TB table's manifest per
+    * batch would cost a full scan). The new batch is clustered the same
+    * way so its boxes stay tight. */
+  private[graft] def manifestAppend(s: SparkSession, layout: (String, String),
+      batch: DataFrame): Unit = {
+    val (out, man) = layout
+    def files(): Set[String] = {
+      val fs = new java.io.File(out).listFiles()
+      (if (fs == null) Array.empty[java.io.File] else fs)
+        .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    }
+    val before = files()
+    batch
+      .repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("append").parquet(out)
+    // stats for ONLY the files this append created (identified by
+    // directory listing — no data read); existing entries untouched
+    val added = (files() -- before).toSeq.map(n => s"$out/$n")
+    if (added.nonEmpty)
+      s.read.parquet(added: _*)
+        .groupBy(col("_metadata.file_path").as("file"))
+        .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+        .coalesce(1).write.mode("append").parquet(man)
+  }
+
   /** Manifest read: the file list whose [lo, hi] box intersects [qlo, qhi],
     * plus the total file count. O(#files) rows on the driver — this IS
     * the manifest-planning step, not a data collect. */

@@ -1040,6 +1040,23 @@ object RelationalQueries {
     (ot, ct)
   }
 
+  /** Re-attach an existing bucketed layout in a session whose catalog
+    * does not know it (new cluster, in-memory catalog restart). The
+    * bucket FILES carry no layout metadata — without the catalog entry
+    * Spark reads them as plain parquet and silently re-shuffles every
+    * join, which is the expensive failure mode of bucketing in
+    * operation. `CREATE TABLE ... USING parquet CLUSTERED BY ...
+    * LOCATION ...` restores the layout contract over the same files;
+    * PlanAuditSpec proves the re-registered table still joins
+    * exchange-free. */
+  private[graft] def reattachBucketed(s: SparkSession, table: String,
+      path: String, schemaDdl: String, key: String): Unit =
+    s.sql(
+      s"""CREATE TABLE IF NOT EXISTS $table ($schemaDdl)
+         |USING parquet
+         |CLUSTERED BY ($key) SORTED BY ($key) INTO 8 BUCKETS
+         |LOCATION '$path'""".stripMargin)
+
   val q99_bucketed_join: Q = (s, dir) => {
     val (ot, ct) = bucketedPair(s, dir)
     s.table(ot).join(s.table(ct), col("o_custkey") === col("c_custkey"))

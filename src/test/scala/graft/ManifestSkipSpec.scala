@@ -40,6 +40,34 @@ class ManifestSkipSpec extends TestBase {
     assert(kept.isEmpty, s"kept $kept for a range below the domain")
   }
 
+  test("incremental append extends the manifest without touching old entries") {
+    val (out, man) = layout
+    val manBefore = spark.read.parquet(man)
+      .collect().map(_.toSeq).toSet
+    val maxKey = spark.read.parquet(out)
+      .agg(max("l_orderkey")).head.getLong(0)
+    // a batch entirely ABOVE the current key domain, so its files are
+    // distinguishable in the manifest
+    val batch = Tables.load(spark, sfDir, "lineitem")
+      .select((col("l_orderkey") + maxKey + 1000L).as("l_orderkey"),
+        col("l_quantity"), col("l_extendedprice"))
+      .limit(5000)
+    CurationQueries.manifestAppend(spark, (out, man), batch)
+    val manAfter = spark.read.parquet(man).collect()
+    // old entries survive byte-identical; new entries exist and cover
+    // only the shifted key range
+    assert(manBefore.subsetOf(manAfter.map(_.toSeq).toSet))
+    val fresh = manAfter.map(_.toSeq).toSet -- manBefore
+    assert(fresh.nonEmpty)
+    assert(fresh.forall(_(1).asInstanceOf[Long] > maxKey),
+      s"new manifest entries leak into the old key range: $fresh")
+    // a query in the new range prunes to new files only
+    val (kept, total) = CurationQueries.manifestPrune(
+      spark, man, maxKey + 1000L, maxKey + 2000L)
+    assert(total == manAfter.length)
+    assert(kept.nonEmpty && kept.size < total)
+  }
+
   test("a boundary-touching range keeps the boundary file (no false skip)") {
     val (out, man) = layout
     // the global max key sits in exactly one file; a point query on it

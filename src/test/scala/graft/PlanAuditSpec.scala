@@ -226,4 +226,39 @@ class PlanAuditSpec extends TestBase {
         s"scan did not use the bucket layout:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
   }
+
+  test("a dropped-and-reattached bucketed layout still joins exchange-free") {
+    // Bucket FILES carry no layout metadata: lose the catalog entry
+    // (cluster restart with an in-memory catalog) and Spark reads the
+    // same files as plain parquet, silently re-shuffling every join.
+    // reattachBucketed restores the layout contract over the files.
+    import org.apache.spark.sql.functions.col
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (ot, ct) = operators.RelationalQueries.bucketedPair(spark, sfDir)
+      def joined = spark.table(ot)
+        .join(spark.table(ct), col("o_custkey") === col("c_custkey"))
+      val want = joined.count()
+      val oPath = operators.RelationalQueries.scratch("bucketed_orders", sfDir)
+      val cPath = operators.RelationalQueries.scratch("bucketed_customer", sfDir)
+      spark.sql(s"DROP TABLE $ot") // external: files survive
+      spark.sql(s"DROP TABLE $ct")
+      // the hazard: plain re-reads of the same files DO shuffle
+      val plain = spark.read.parquet(oPath)
+        .join(spark.read.parquet(cPath),
+          col("o_custkey") === col("c_custkey"))
+        .queryExecution.executedPlan.toString
+      assert(plain.contains("Exchange"),
+        "plain parquet read unexpectedly kept the bucket layout")
+      operators.RelationalQueries.reattachBucketed(spark, ot, oPath,
+        Tables.orders.toDDL, "o_custkey")
+      operators.RelationalQueries.reattachBucketed(spark, ct, cPath,
+        Tables.customer.toDDL, "c_custkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"reattached bucketed join re-shuffled:\n$plan")
+      assert(joined.count() == want)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+  }
 }
