@@ -183,6 +183,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.KllSketchAgg(es.head, k)
       }))
     ext.injectFunction((
+      FunctionIdentifier("top_k_rows"),
+      info("top_k_rows",
+        "top_k_rows(struct, k[, largest]) - bounded-heap top-k aggregate: " +
+          "array of the k extreme structs under field-by-field ordering, " +
+          "best first. k a literal int; largest a literal boolean " +
+          "(default true). Map-side partial keeps <= k rows per group"),
+      (es: Seq[Expression]) => {
+        if (es.length < 2 || es.length > 3)
+          throw new IllegalArgumentException(
+            s"top_k_rows requires 2 or 3 arguments, got ${es.length}")
+        val k = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+            i: Int, org.apache.spark.sql.types.IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"top_k_rows k must be a literal INT, got '$other'")
+        }
+        val largest = es.lift(2) match {
+          case None => true
+          case Some(org.apache.spark.sql.catalyst.expressions.Literal(
+            b: Boolean, org.apache.spark.sql.types.BooleanType)) => b
+          case Some(other) => throw new IllegalArgumentException(
+            s"top_k_rows largest must be a literal BOOLEAN, got '$other'")
+        }
+        graft.functions.TopKRowsAgg(es.head, k, largest)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kll_quantile"),
       info("kll_quantile",
         "kll_quantile(sketch, rank) - value at normalized rank of a KLL sketch"),

@@ -1097,10 +1097,43 @@ object RelationalQueries {
       |  round(quantile_cont(l_quantity, 0.25), 2) AS q1_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- 101. Top-k per group via the native bounded-heap aggregate
+  // (TopKRowsAgg). The window idiom (q14's row_number <= k) shuffles
+  // every surviving row to its group partition and sorts there; this
+  // plans an ObjectHashAggregate whose MAP-SIDE partial keeps at most k
+  // rows per group, so the exchange carries <= k rows per (group,
+  // mapper) — shuffle proportional to the answer, not the corpus. The
+  // trailing unique-key fields make the result deterministic and the
+  // DuckDB window restatement (all fields DESC) exact. ----
+  val q101_topk_group: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(graft.functions.TopKAgg.top_k_rows(
+        struct(col("l_extendedprice"), col("l_orderkey"),
+          col("l_linenumber"), col("l_partkey"), col("l_suppkey")),
+        3).as("tk"))
+      .select(col("l_returnflag"), posexplode(col("tk")))
+      .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.l_extendedprice").as("price"),
+        col("col.l_orderkey").as("okey"))
+      .orderBy("l_returnflag", "rn")
+
+  val q101_topk_group_sql: String =
+    """WITH ranked AS (
+      |  SELECT l_returnflag, l_extendedprice, l_orderkey,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_extendedprice DESC, l_orderkey DESC,
+      |               l_linenumber DESC, l_partkey DESC, l_suppkey DESC)
+      |      AS rn
+      |  FROM lineitem)
+      |SELECT l_returnflag, rn, l_extendedprice AS price, l_orderkey AS okey
+      |FROM ranked WHERE rn <= 3 ORDER BY l_returnflag, rn""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q60_salted_join" -> q60_salted_join,
     "q61_percentile" -> q61_percentile,
     "q99_bucketed_join" -> q99_bucketed_join,
+    "q101_topk_group" -> q101_topk_group,
     "q01_scan_parquet" -> q01_scan_parquet,
     "q02_scan_csv" -> q02_scan_csv,
     "q02b_scan_json" -> q02b_scan_json,
@@ -1155,6 +1188,7 @@ object RelationalQueries {
     "q60_salted_join" -> q60_salted_join_sql,
     "q61_percentile" -> q61_percentile_sql,
     "q99_bucketed_join" -> q99_bucketed_join_sql,
+    "q101_topk_group" -> q101_topk_group_sql,
     "q01_scan_parquet" -> q01_scan_parquet_sql,
     "q02_scan_csv" -> q02_scan_csv_sql,
     "q02b_scan_json" -> q02b_scan_json_sql,

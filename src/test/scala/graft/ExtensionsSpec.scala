@@ -90,6 +90,23 @@ class ExtensionsSpec extends TestBase {
           .queryExecution.analyzed
       }
       assert(badK.getMessage.contains("[8, 65535]"))
+
+      // round-7 top-k surface: bounded-heap top-k from plain SQL, both
+      // directions; k must be a literal int
+      val tk = s2.sql(
+        """SELECT top_k_rows(struct(v, id), 2) AS hi,
+          |       top_k_rows(struct(v, id), 2, false) AS lo
+          |FROM VALUES (5, 1), (5, 2), (9, 3), (1, 4) t(v, id)""".stripMargin)
+        .collect()(0)
+      def pairs(i: Int) = tk.getSeq[org.apache.spark.sql.Row](i)
+        .map(r => (r.getInt(0), r.getInt(1))).toList
+      assert(pairs(0) == List((9, 3), (5, 2)), s"hi = ${pairs(0)}")
+      assert(pairs(1) == List((1, 4), (5, 1)), s"lo = ${pairs(1)}")
+      val badTk = intercept[Exception] {
+        s2.sql("SELECT top_k_rows(struct(x), x) FROM range(10) t(x)")
+          .queryExecution.analyzed
+      }
+      assert(badTk.getMessage.contains("literal INT"))
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)

@@ -118,6 +118,18 @@ class PlanAuditSpec extends TestBase {
       s"freq-items sketch not partial-aggregated before the exchange:\n$plan")
   }
 
+  test("q101 top-k per group: bounded-heap agg partial map-side, no window sort") {
+    // the window idiom would shuffle EVERY row to its group partition
+    // and sort there; the aggregate form must ship <= k rows per
+    // (group, mapper) through the exchange
+    val plan = SparkEntry.queries("q101_topk_group")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowGroupLimit") && !plan.contains("Window"),
+      s"q101 planned a window sort:\n$plan")
+    assert(plan.contains("partial_top_k_rows"),
+      s"top-k heap not partial-aggregated before the exchange:\n$plan")
+  }
+
   test("q20b dedup partial-aggregates: no window sort, one candidate per key map-side") {
     val plan = SparkEntry.queries("q20b_dedup_keyed")(spark, sfDir)
       .queryExecution.executedPlan.toString
