@@ -209,6 +209,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.TopKRowsAgg(es.head, k, largest)
       }))
     ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      info("bloom_agg",
+        "bloom_agg(key[, expectedItems[, fpp]]) - bloom-filter aggregate " +
+          "over an integral or string key column; returns the sketch's " +
+          "portable bytes (file-skipping manifests, membership pruning). " +
+          "Defaults: expectedItems 4096, fpp 0.01"),
+      (es: Seq[Expression]) => {
+        if (es.isEmpty || es.length > 3)
+          throw new IllegalArgumentException(
+            s"bloom_agg requires 1 to 3 arguments, got ${es.length}")
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+        val n = es.lift(1) match {
+          case None => 4096L
+          case Some(Literal(i: Int, IntegerType)) => i.toLong
+          case Some(Literal(l: Long, LongType)) => l
+          case Some(other) => throw new IllegalArgumentException(
+            s"bloom_agg expectedItems must be a literal integer, got '$other'")
+        }
+        val fpp = es.lift(2) match {
+          case None => 0.01
+          case Some(Literal(d: Double, DoubleType)) => d
+          // a bare SQL literal like 0.01 arrives as a Decimal
+          case Some(Literal(d: org.apache.spark.sql.types.Decimal, _)) =>
+            d.toDouble
+          case Some(other) => throw new IllegalArgumentException(
+            s"bloom_agg fpp must be a literal double, got '$other'")
+        }
+        graft.functions.BloomFilterBuildAgg(es.head, n, fpp)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kll_quantile"),
       info("kll_quantile",
         "kll_quantile(sketch, rank) - value at normalized rank of a KLL sketch"),

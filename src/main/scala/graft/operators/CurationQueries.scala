@@ -713,6 +713,73 @@ object CurationQueries {
        |  round(sum(l_extendedprice), 2) AS sum_price
        |FROM lineitem WHERE l_orderkey BETWEEN $SkipLo AND $SkipHi""".stripMargin
 
+  // ---- 102. Bloom-filter file skipping (point lookups on a column the
+  // layout is NOT clustered by). q100's min/max boxes only skip on the
+  // clustered column; a point lookup on an uncorrelated key (here
+  // event_id, in a layout hash-clustered by user_id) finds every box
+  // spanning the whole domain — min/max keeps ALL files. The manifest
+  // therefore also carries a per-file bloom sketch of the key column
+  // (BloomFilterBuildAgg, ~5 KiB/file at 1% fpp): the reader keeps only
+  // files whose bloom might contain a probe key — the one true file
+  // plus an fpp fraction — and filters exactly after the pruned scan,
+  // so a false positive costs a read, never a wrong row, and a false
+  // skip cannot happen (bloom has no false negatives). This is the
+  // Parquet/ORC bloom idea lifted to FILE granularity: whole files are
+  // skipped from the manifest alone, no footers opened. BloomSkipSpec
+  // asserts min/max keeps everything, bloom prunes, and absent probes
+  // stay under the fpp bound. ----
+  private[graft] val BloomKeys = Seq(7L, 907L)
+
+  /** Write the user-clustered layout and its bloom manifest. */
+  private[graft] def bloomLayout(s: SparkSession, dir: String): (String, String) = {
+    import graft.functions.BloomAgg.bloom_agg
+    val out = RelationalQueries.scratch("q102_layout", dir)
+    val man = RelationalQueries.scratch("q102_bloom", dir)
+    t(s, dir, "events")
+      .repartition(8, col("user_id")) // clustered for user queries,
+      .write.mode("overwrite").parquet(out) // NOT for event_id lookups
+    s.read.parquet(out)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min("event_id").as("lo"), max("event_id").as("hi"),
+        bloom_agg(col("event_id"), 16384L, 0.01).as("bloom"))
+      .coalesce(1).write.mode("overwrite").parquet(man)
+    (out, man)
+  }
+
+  /** Manifest planning for a point-lookup key set: (bloom-kept files,
+    * min/max-kept files, total). Driver-resident O(#files), like
+    * manifestPrune. */
+  private[graft] def bloomPrune(s: SparkSession, man: String,
+      keys: Seq[Long]): (Seq[String], Seq[String], Int) = {
+    val rows = s.read.parquet(man).collect()
+    val byBloom = rows.filter { r =>
+      val bytes = r.getAs[Array[Byte]]("bloom")
+      keys.exists(graft.functions.BloomAgg.mightContainLong(bytes, _))
+    }.map(_.getAs[String]("file")).toSeq
+    val byMinMax = rows.filter { r =>
+      keys.exists(k => r.getAs[Number]("hi").longValue >= k &&
+        r.getAs[Number]("lo").longValue <= k)
+    }.map(_.getAs[String]("file")).toSeq
+    (byBloom, byMinMax, rows.length)
+  }
+
+  val q102_bloom_skip: Q = (s, dir) => {
+    val (out, man) = bloomLayout(s, dir)
+    val (kept, _, _) = bloomPrune(s, man, BloomKeys)
+    val src =
+      if (kept.isEmpty) s.read.parquet(out).where(lit(false))
+      else s.read.parquet(kept: _*)
+    src.filter(col("event_id").isin(BloomKeys: _*))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        dround(col("value"), 2).as("val"))
+      .orderBy("event_id")
+  }
+
+  val q102_bloom_skip_sql: String =
+    s"""SELECT event_id, user_id, event_type, round(value, 2) + 0 AS val
+       |FROM events WHERE event_id IN (${BloomKeys.mkString(", ")})
+       |ORDER BY event_id""".stripMargin
+
   val q81_zorder_layout: Q = (s, dir) => {
     import graft.functions.ZOrder.z_value
     val li = t(s, dir, "lineitem")
@@ -864,6 +931,7 @@ object CurationQueries {
     "q94_source_mix" -> q94_source_mix,
     "q81_zorder_layout" -> q81_zorder_layout,
     "q100_manifest_skip" -> q100_manifest_skip,
+    "q102_bloom_skip" -> q102_bloom_skip,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
     "q80_transitions" -> q80_transitions,
@@ -883,6 +951,7 @@ object CurationQueries {
     "q94_source_mix" -> q94_source_mix_sql,
     "q81_zorder_layout" -> q81_zorder_layout_sql,
     "q100_manifest_skip" -> q100_manifest_skip_sql,
+    "q102_bloom_skip" -> q102_bloom_skip_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,
     "q79_equidepth" -> q79_equidepth_sql,
     "q80_transitions" -> q80_transitions_sql,

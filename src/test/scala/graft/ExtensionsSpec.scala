@@ -107,6 +107,15 @@ class ExtensionsSpec extends TestBase {
           .queryExecution.analyzed
       }
       assert(badTk.getMessage.contains("literal INT"))
+
+      // bloom aggregate from SQL: bytes out, membership via the reader
+      // helper; absent key rejected
+      val bl = s2.sql(
+        """SELECT bloom_agg(x, 64, 0.01) AS b
+          |FROM VALUES (1), (2), (3) t(x)""".stripMargin)
+        .collect()(0).getAs[Array[Byte]](0)
+      assert(graft.functions.BloomAgg.mightContainLong(bl, 2L))
+      assert(!graft.functions.BloomAgg.mightContainLong(bl, 424242L))
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
