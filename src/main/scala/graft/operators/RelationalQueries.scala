@@ -1097,6 +1097,40 @@ object RelationalQueries {
       |  round(quantile_cont(l_quantity, 0.25), 2) AS q1_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- 103. Schema evolution across write batches. A 100 TB table is
+  // never rewritten when a column is added: old files keep the narrow
+  // schema forever and the READER reconciles. Batch 1 is written before
+  // `o_orderstatus` existed; batch 2 carries it. `mergeSchema` unions
+  // the per-file schemas at planning time (name-based resolution, the
+  // Delta/Iceberg evolution contract on plain parquet), old rows
+  // surface NULL for the unseen column, and the query backfills the
+  // declared default. The batch directories double as a partition
+  // column, so batch-targeted reads still prune. ----
+  val q103_schema_evolution: Q = (s, dir) => {
+    val p = scratch("q103_evolved", dir)
+    val o = t(s, dir, "orders")
+    // v1: the schema before the status column existed
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$p/batch=1")
+    // v2: evolved schema (adds o_orderstatus)
+    o.filter(col("o_orderkey") % 2 =!= 0)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+      .write.mode("overwrite").parquet(s"$p/batch=2")
+    s.read.option("mergeSchema", "true").parquet(p)
+      .withColumn("status", coalesce(col("o_orderstatus"), lit("UNKNOWN")))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_orders"),
+        dround(sum("o_totalprice"), 2).as("total"))
+      .orderBy("status")
+  }
+
+  val q103_schema_evolution_sql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'UNKNOWN'
+      |            ELSE o_orderstatus END AS status,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      |FROM orders GROUP BY 1 ORDER BY status""".stripMargin
+
   // ---- 101. Top-k per group via the native bounded-heap aggregate
   // (TopKRowsAgg). The window idiom (q14's row_number <= k) shuffles
   // every surviving row to its group partition and sorts there; this
@@ -1134,6 +1168,7 @@ object RelationalQueries {
     "q61_percentile" -> q61_percentile,
     "q99_bucketed_join" -> q99_bucketed_join,
     "q101_topk_group" -> q101_topk_group,
+    "q103_schema_evolution" -> q103_schema_evolution,
     "q01_scan_parquet" -> q01_scan_parquet,
     "q02_scan_csv" -> q02_scan_csv,
     "q02b_scan_json" -> q02b_scan_json,
@@ -1189,6 +1224,7 @@ object RelationalQueries {
     "q61_percentile" -> q61_percentile_sql,
     "q99_bucketed_join" -> q99_bucketed_join_sql,
     "q101_topk_group" -> q101_topk_group_sql,
+    "q103_schema_evolution" -> q103_schema_evolution_sql,
     "q01_scan_parquet" -> q01_scan_parquet_sql,
     "q02_scan_csv" -> q02_scan_csv_sql,
     "q02b_scan_json" -> q02b_scan_json_sql,

@@ -173,6 +173,29 @@ class PlanAuditSpec extends TestBase {
       s"event_type filter did not reach PartitionFilters:\n$plan")
   }
 
+  test("q103's evolved layout: merged schema unions columns, batch reads still prune") {
+    import org.apache.spark.sql.functions.col
+    // run the query once to materialize the two-batch layout
+    SparkEntry.queries("q103_schema_evolution")(spark, sfDir).collect()
+    val p = operators.RelationalQueries.scratch("q103_evolved", sfDir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(p)
+    // the union schema exposes the evolved column to ALL rows
+    assert(merged.columns.contains("o_orderstatus") &&
+      merged.columns.contains("batch"))
+    // a batch-targeted read is a partition prune, not a full scan
+    val one = merged.filter(col("batch") === 2)
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("batch"),
+      s"batch filter did not reach PartitionFilters:\n$plan")
+    // old-batch rows surface NULL for the unseen column (reader-side
+    // reconciliation, no rewrite)
+    val nulls = merged.filter(col("batch") === 1 &&
+      col("o_orderstatus").isNotNull).count()
+    assert(nulls == 0)
+  }
+
   test("q95/q86/q90 corpus-scale joins carry no broadcast hint") {
     import org.apache.spark.sql.catalyst.plans.logical.ResolvedHint
     // q95's near-dup label table is a constant FRACTION of the corpus
