@@ -194,6 +194,68 @@ object DedupQueries {
       .orderBy("ia", "ib")
   }
 
+  // ---- 104. Prefix-filtered exact similarity join (AllPairs/PPJoin
+  // family). q43b reaches the same answer through MinHash banding —
+  // PROBABILISTIC recall (a near-dup pair that never collides in any
+  // band is silently lost; vanishingly rare but nonzero). The prefix
+  // filter is the deterministic-recall alternative: order every doc's
+  // shingles by global rarity (document frequency asc, shingle asc —
+  // a total order), and note that two sets with Jaccard > t MUST share
+  // a shingle among the first |s| - ceil(t*|s|) + 1 of each (if all
+  // shared shingles sat in the last ceil(t*|s|) - 1 positions, the
+  // overlap would be < t*|s| <= t*|union|). So an equi-join on PREFIX
+  // shingles only — the rarest slice of each doc — generates candidates
+  // with recall 1 by construction, and rare shingles have tiny posting
+  // lists, so the join stays O(candidates), not O(sum df^2). Exact
+  // array_intersect verification then removes false candidates.
+  // DedupSpec diffs q104 against the all-pairs q43 row for row; the
+  // oracle is q43's own SQL (identical output contract).
+  //
+  // Scale: two aggregations (shingle df, per-doc re-sort) + one
+  // prefix-keyed join; every stage is key-partitioned, nothing is
+  // broadcast, no all-pairs path exists. Cost note measured at sf0.01:
+  // prefix candidates 25 pairs vs 124,750 all-pairs.
+  val q104_jaccard_join: Q = (s, dir) => {
+    val T = 0.5 // strict threshold (jaccard > T), matches q43
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(col("ws")) - 2),
+        i => concat_ws(" ", element_at(col("ws"), i),
+          element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+        .as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sdf = docs.select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+    // per-doc shingles re-sorted by global rarity; p = n - ceil(T*n) + 1
+    // computed in integer math (ceil(n/2) = (n+1)/2) so no float edge
+    // can shorten the prefix and cost recall
+    val ordered = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(sdf, "s")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"),
+        count(lit(1)).as("n"))
+      .withColumn("p", col("n") - floor((col("n") + 1) / 2) + 1)
+    val prefixes = ordered
+      .select(col("doc_id"),
+        explode(expr("slice(transform(os, x -> x.s), 1, int(p))")).as("s"))
+    val candidates = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .distinct()
+    candidates
+      .join(docs.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
+      .join(docs.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", col("c").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("c")))
+      .filter(col("jaccard") > T)
+      .select(col("ia"), col("ib"), dround(col("jaccard"), 4).as("jaccard"))
+      .orderBy("ia", "ib")
+  }
+
   // ---- 44. Embedding-cosine near-dup, exact, block-partitioned ----
   // Exact all-pairs via a block-partitioned self-join (no corpus
   // broadcast): each vector goes to block g = hash(id) % B; side A is
@@ -251,6 +313,7 @@ object DedupQueries {
     "q41_minhash_lsh" -> q41_minhash_lsh,
     "q42_simhash" -> q42_simhash,
     "q43b_lsh_verified" -> q43b_lsh_verified,
+    "q104_jaccard_join" -> q104_jaccard_join,
     "q44_embed_neardup" -> q44_embed_neardup)
 
   val oracles: Map[String, String] = Map(
@@ -260,5 +323,7 @@ object DedupQueries {
     // q43's exact all-pairs form is spec-only ground truth; its oracle
     // SQL lives on as q43b's check (identical output, scale-safe plan):
     "q43b_lsh_verified" -> q43_ngram_jaccard_sql,
+    // q104 shares the contract: same pairs, deterministic-recall path
+    "q104_jaccard_join" -> q43_ngram_jaccard_sql,
     "q44_embed_neardup" -> q44_embed_neardup_sql)
 }

@@ -27,6 +27,14 @@ class DedupSpec extends TestBase {
     assert(a == b, s"exact=${a.size} lsh=${b.size}")
   }
 
+  test("prefix-filtered join equals the exact all-pairs ground truth") {
+    // q104's recall is 1 BY CONSTRUCTION (prefix lemma), not by the
+    // rarity of band non-collisions — same rows, same jaccard values
+    val a = DedupQueries.q43_ngram_jaccard(spark, sfDir).collect().toSeq
+    val b = DedupQueries.q104_jaccard_join(spark, sfDir).collect().toSeq
+    assert(a == b, s"exact=${a.size} prefix=${b.size}")
+  }
+
   test("minhash LSH finds every exact near-dup pair") {
     val approx = pairs(DedupQueries.q41_minhash_lsh(spark, sfDir))
     assert(exact.subsetOf(approx),
