@@ -713,6 +713,109 @@ object CurationQueries {
        |  round(sum(l_extendedprice), 2) AS sum_price
        |FROM lineitem WHERE l_orderkey BETWEEN $SkipLo AND $SkipHi""".stripMargin
 
+  // ---- 105. Copy-on-write MERGE at file granularity. The Delta/
+  // Iceberg upsert shape on plain parquet: the manifest (q100) names
+  // the only files whose key boxes intersect the update batch's key
+  // range; ONLY those files are rewritten (read surviving rows, union
+  // the batch, write replacement files), every other file — at 100 TB,
+  // the overwhelming majority — is untouched bytes. The manifest then
+  // drops the replaced entries and appends the new files' stats, so
+  // skipping keeps working after the merge. Batch keys join the
+  // impacted files' rows as a plain anti join (no broadcast hint — the
+  // batch is corpus-derived). CowMergeSpec asserts untouched files stay
+  // byte-identical, replaced files are gone, and the manifest matches
+  // the directory. ----
+  private[graft] def cowLayout(s: SparkSession, dir: String): (String, String) = {
+    val out = RelationalQueries.scratch("q105_layout", dir)
+    val man = RelationalQueries.scratch("q105_manifest", dir)
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+      .coalesce(1).write.mode("overwrite").parquet(man)
+    (out, man)
+  }
+
+  /** Upsert `batch` (same schema as the layout, unique `key`) into the
+    * layout, rewriting only manifest-impacted files. */
+  private[graft] def cowMerge(s: SparkSession, layout: (String, String),
+      batch: DataFrame, key: String): Unit = {
+    val (out, man) = layout
+    // planning: the batch's key envelope (one small agg), then the
+    // manifest names the files that can hold matching keys
+    val env = batch.agg(min(key), max(key)).head
+    val (impacted, _) =
+      manifestPrune(s, man, env.getLong(0), env.getLong(1))
+    def files(): Set[String] = {
+      val fs = new java.io.File(out).listFiles()
+      (if (fs == null) Array.empty[java.io.File] else fs)
+        .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    }
+    val before = files()
+    // survivors = impacted rows whose key is NOT updated; plain anti
+    // join (batch scales with the corpus — no hint, AQE decides)
+    val replacement =
+      (if (impacted.isEmpty) batch.limit(0)
+       else s.read.parquet(impacted: _*)
+         .join(batch.select(key).distinct(), Seq(key), "left_anti"))
+        .unionByName(batch)
+    replacement
+      .repartitionByRange(2, col(key)).sortWithinPartitions(key)
+      .write.mode("append").parquet(out)
+    val added = (files() -- before).toSeq.map(n => s"$out/$n")
+    // swap: drop the replaced files, then swap the manifest entries.
+    // The manifest is O(#files) and driver-resident by design, so the
+    // entry edit is a collect + rewrite (the Delta log-compaction shape).
+    impacted.foreach { p =>
+      val f = new java.io.File(new java.net.URI(p).getPath)
+      require(f.delete(), s"could not remove replaced file $f")
+    }
+    val keptEntries = s.read.parquet(man)
+      .filter(!col("file").isin(impacted: _*)).collect().toSeq
+    val addedStats = s.read.parquet(added: _*)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(key).as("lo"), max(key).as("hi")).collect().toSeq
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame((keptEntries ++ addedStats).asJava,
+        s.read.parquet(man).schema)
+      .coalesce(1).write.mode("overwrite").parquet(man)
+  }
+
+  val q105_cow_merge: Q = (s, dir) => {
+    val (out, man) = cowLayout(s, dir)
+    val o = t(s, dir, "orders")
+    val updates = o.filter(col("o_orderkey").between(1000, 3000))
+      .select(col("o_orderkey"), col("o_custkey"),
+        dround(col("o_totalprice") * 1.1, 2).as("o_totalprice"))
+    val inserts = o.filter(col("o_orderkey").between(1, 5))
+      .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+    cowMerge(s, (out, man), updates.unionByName(inserts), "o_orderkey")
+    s.read.parquet(out)
+      .agg(count(lit(1)).as("n_rows"),
+        dround(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+  }
+
+  val q105_cow_merge_sql: String =
+    """WITH merged AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey BETWEEN 1000 AND 3000
+      |         THEN round(o_totalprice * 1.1, 2)
+      |         ELSE o_totalprice END AS price
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT -o_orderkey AS o_orderkey, o_totalprice AS price
+      |  FROM orders WHERE o_orderkey BETWEEN 1 AND 5
+      |)
+      |SELECT count(*) AS n_rows, round(sum(price), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM merged""".stripMargin
+
   // ---- 102. Bloom-filter file skipping (point lookups on a column the
   // layout is NOT clustered by). q100's min/max boxes only skip on the
   // clustered column; a point lookup on an uncorrelated key (here
@@ -932,6 +1035,7 @@ object CurationQueries {
     "q81_zorder_layout" -> q81_zorder_layout,
     "q100_manifest_skip" -> q100_manifest_skip,
     "q102_bloom_skip" -> q102_bloom_skip,
+    "q105_cow_merge" -> q105_cow_merge,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
     "q80_transitions" -> q80_transitions,
@@ -952,6 +1056,7 @@ object CurationQueries {
     "q81_zorder_layout" -> q81_zorder_layout_sql,
     "q100_manifest_skip" -> q100_manifest_skip_sql,
     "q102_bloom_skip" -> q102_bloom_skip_sql,
+    "q105_cow_merge" -> q105_cow_merge_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,
     "q79_equidepth" -> q79_equidepth_sql,
     "q80_transitions" -> q80_transitions_sql,
