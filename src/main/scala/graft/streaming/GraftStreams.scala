@@ -374,6 +374,83 @@ object GraftStreams {
       .foreachBatch { (b: DataFrame, id: Long) => sink.apply(b, id) }
       .start()
 
+  /** Timer-driven sessionization on the transformWithState v2 API —
+    * the capability the v1 sessionize() above cannot express cleanly:
+    * session CLOSURE is an event-time TIMER (registered at
+    * lastTs + gap, re-armed as the session extends, fired by watermark
+    * advance), not a timeout piggybacked on the next invocation. One
+    * ValueState record + at most one live timer per active user;
+    * state and timers both watermark-bounded. Emissions are identical
+    * to sessionize() on the same stream — StreamingSpec proves it. */
+  class TimerSessionProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, SessionEvent, SessionOut] {
+    @transient private var sess:
+      org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[SessionEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = if (sess.exists()) Some(sess.get()) else None
+      // the session's closure timer tracks lastTs; drop the stale one
+      cur.foreach(s => getHandle.deleteTimer(s.lastTs + GapMs))
+      val out = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastTs <= GapMs =>
+            cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            out += SessionOut(user, new Timestamp(s.start), s.n, s.sum)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        sess.update(s)
+        getHandle.registerTimer(s.lastTs + GapMs)
+      }
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(user: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expired: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[SessionOut] = {
+      // only the CURRENT closure timer may close the session (a stale
+      // timer that raced deletion must not)
+      if (sess.exists() &&
+          sess.get().lastTs + GapMs == expired.getExpiryTimeInMs()) {
+        val s = sess.get()
+        sess.clear()
+        Iterator.single(SessionOut(user, new Timestamp(s.start), s.n, s.sum))
+      } else Iterator.empty
+    }
+  }
+
+  /** sessionize() on the v2 arbitrary-state API: same gap semantics,
+    * same output, timer-driven closure. */
+  def sessionizeV2(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[SessionEvent]
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState[SessionOut](new TimerSessionProcessor,
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+      .toDF()
+  }
+
   /** Lifetime per-user running totals over an unbounded event stream
     * (transformWithState; requires the RocksDB state store provider —
     * see StreamingSpec for the session conf). */

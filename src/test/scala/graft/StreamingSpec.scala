@@ -281,6 +281,77 @@ class StreamingSpec extends TestBase {
       Seq("user_id", "session_start", "n_events", "sum_value"))
   }
 
+  test("timer sessionization (transformWithState) matches v1 and the batch gap logic") {
+    // three time-ordered files arriving one per trigger: the watermark
+    // advances between batches, so closure TIMERS actually fire and
+    // Append-mode sessions are emitted (a single file would leave every
+    // session in state, as the v1 test notes)
+    val d = java.nio.file.Files.createTempDirectory("graft_tws_sess")
+    // the fixture stores ts as a RAW int64 of nanos (eventsStream reads
+    // it as LongType and rebuilds the timestamp); slice files must
+    // match that physical shape, not Spark's logical timestamp types
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("ts", expr("unix_micros(ts) * 1000L"))
+    def cutNs(d: String): Long =
+      java.time.Instant.parse(s"${d}T00:00:00Z").getEpochSecond * 1000000000L
+    val (c1, c2) = (cutNs("2024-01-11"), cutNs("2024-01-21"))
+    Seq(("a", col("ts") < c1),
+        ("b", col("ts") >= c1 && col("ts") < c2),
+        ("c", col("ts") >= c2)).foreach { case (name, pred) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_slice_$name")
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = d.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      // strictly increasing mtimes fix the arrival order
+      dst.toFile.setLastModified(System.currentTimeMillis()
+        + (name.head - 'a') * 2000L)
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def run(tag: String,
+          f: (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame)
+            => org.apache.spark.sql.DataFrame): Set[(Long, java.sql.Timestamp, Long, Double)] = {
+        val q = f(spark,
+          GraftStreams.eventsStream(spark, d.toString, maxFilesPerTrigger = 1))
+          .writeStream.format("memory").queryName(tag)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        spark.table(tag).collect().map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getLong(2), r.getDouble(3))).toSet
+      }
+      val v1 = run("v1_sessions", GraftStreams.sessionize)
+      val v2 = run("tws_sessions", GraftStreams.sessionizeV2)
+      assert(v2.nonEmpty, "no timers fired — watermark never advanced")
+      assert(v2 == v1,
+        s"v2-only: ${(v2 -- v1).take(3)}; v1-only: ${(v1 -- v2).take(3)}")
+      // every closed session agrees with the oracle-checked batch gap
+      // logic (q52): same (user, start, count), sum within fp noise
+      // SessionState keeps millis (ts.getTime); truncate the batch's
+      // micro-precision starts to the same grain for the key compare
+      val batch = SparkEntry.queries("q52_sessionize")(spark, sfDir)
+        .collect().map { r =>
+          val start = r.getAs[java.sql.Timestamp]("session_start")
+          (r.getLong(0), new java.sql.Timestamp(start.getTime),
+            r.getAs[Long]("n_events")) -> r.getAs[Double]("sum_value")
+        }.toMap
+      v2.foreach { case (u, start, n, sum) =>
+        val key = (u, start, n)
+        assert(batch.contains(key), s"streamed session $key not in batch")
+        assert(math.abs(batch(key) - sum) < 0.005, s"sum mismatch for $key")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("foreachBatch upsert sink: exactly-once state, replay-proof") {
     import org.apache.spark.sql.expressions.Window
     val root = java.nio.file.Files
