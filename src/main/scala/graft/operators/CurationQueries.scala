@@ -356,6 +356,23 @@ object CurationQueries {
       |) WHERE rn <= 20
       |ORDER BY lang, rn, doc_id""".stripMargin
 
+  // ---- 68b. The same stratified sample through the bounded-heap
+  // top-k aggregate (TopKRowsAgg, smallest-k): q68's window form
+  // exchanges every document to its stratum's partition and sorts
+  // there; this form ships at most 20 rows per (stratum, mapper) —
+  // the per-group sample at corpus scale. Same selection (bottom-20 by
+  // content hash), same oracle. ----
+  val q68b_stratified_agg: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .withColumn("h", md5(col("text")))
+      .groupBy("lang")
+      .agg(graft.functions.TopKAgg.top_k_rows(
+        struct(col("h"), col("doc_id")), 20, largest = false).as("tk"))
+      .select(col("lang"), posexplode(col("tk")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rn"),
+        col("col.doc_id").as("doc_id"), col("col.h").as("h"))
+      .orderBy("lang", "rn", "doc_id")
+
   // ---- 74. SCD upsert (MERGE emulation): apply an update/insert batch
   // to a dimension as (base BROADCAST-LEFT-JOIN updates, column-wise
   // coalesce) ⊎ inserts — the engine-agnostic form of MERGE INTO.
@@ -648,7 +665,8 @@ object CurationQueries {
     // persisted WITH the data — readers never touch the data to plan
     s.read.parquet(out)
       .groupBy(col("_metadata.file_path").as("file"))
-      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"),
+        count(lit(1)).as("n_rows"))
       .coalesce(1).write.mode("overwrite").parquet(man)
     (out, man)
   }
@@ -678,7 +696,8 @@ object CurationQueries {
     if (added.nonEmpty)
       s.read.parquet(added: _*)
         .groupBy(col("_metadata.file_path").as("file"))
-        .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+        .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"),
+          count(lit(1)).as("n_rows"))
         .coalesce(1).write.mode("append").parquet(man)
   }
 
@@ -694,6 +713,48 @@ object CurationQueries {
     }.map(_.getAs[String]("file")).toSeq
     (kept, rows.length)
   }
+
+  // ---- 106. Stats-only (metadata-only) aggregation. A count over a
+  // key range does not need to READ a file whose box lies entirely
+  // inside the range — the manifest's per-file n_rows already answers
+  // it (the Delta "stats-only query" optimization: SELECT count(*)
+  // answered from the log). Only BOUNDARY files — boxes that straddle
+  // a range edge — are scanned and filtered exactly. At 100 TB a
+  // wide-range count touches a handful of boundary files instead of
+  // the covered terabytes. The split is driver-side O(#files) like all
+  // manifest planning; ManifestSkipSpec asserts most files are
+  // answered from stats alone and none are read twice. ----
+  /** (rows answered from stats alone, boundary files to scan, #covered files). */
+  private[graft] def statsOnlySplit(s: SparkSession, man: String,
+      qlo: Long, qhi: Long): (Long, Seq[String], Int) = {
+    val rows = s.read.parquet(man).collect()
+    val (covered, boundary) = rows
+      .filter { r => // intersecting files only
+        r.getAs[Number]("hi").longValue >= qlo &&
+          r.getAs[Number]("lo").longValue <= qhi
+      }
+      .partition { r => // fully inside: stats answer, no read
+        r.getAs[Number]("lo").longValue >= qlo &&
+          r.getAs[Number]("hi").longValue <= qhi
+      }
+    (covered.map(_.getAs[Number]("n_rows").longValue).sum,
+      boundary.map(_.getAs[String]("file")).toSeq, covered.length)
+  }
+
+  val q106_stats_only_count: Q = (s, dir) => {
+    val (out, man) = manifestLayout(s, dir)
+    val (statsRows, boundaryFiles, _) =
+      statsOnlySplit(s, man, SkipLo, SkipHi)
+    val boundary =
+      if (boundaryFiles.isEmpty) s.read.parquet(out).where(lit(false))
+      else s.read.parquet(boundaryFiles: _*)
+    boundary.filter(col("l_orderkey").between(SkipLo, SkipHi))
+      .agg((count(lit(1)) + lit(statsRows)).as("n_rows"))
+  }
+
+  val q106_stats_only_count_sql: String =
+    s"""SELECT count(*) AS n_rows
+       |FROM lineitem WHERE l_orderkey BETWEEN $SkipLo AND $SkipHi""".stripMargin
 
   val q100_manifest_skip: Q = (s, dir) => {
     val (out, man) = manifestLayout(s, dir)
@@ -1036,6 +1097,8 @@ object CurationQueries {
     "q100_manifest_skip" -> q100_manifest_skip,
     "q102_bloom_skip" -> q102_bloom_skip,
     "q105_cow_merge" -> q105_cow_merge,
+    "q106_stats_only_count" -> q106_stats_only_count,
+    "q68b_stratified_agg" -> q68b_stratified_agg,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
     "q80_transitions" -> q80_transitions,
@@ -1057,6 +1120,9 @@ object CurationQueries {
     "q100_manifest_skip" -> q100_manifest_skip_sql,
     "q102_bloom_skip" -> q102_bloom_skip_sql,
     "q105_cow_merge" -> q105_cow_merge_sql,
+    "q106_stats_only_count" -> q106_stats_only_count_sql,
+    // q68b: same selection as q68, bounded-heap agg instead of a window
+    "q68b_stratified_agg" -> q68_stratified_sample_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,
     "q79_equidepth" -> q79_equidepth_sql,
     "q80_transitions" -> q80_transitions_sql,

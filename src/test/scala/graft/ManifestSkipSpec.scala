@@ -68,6 +68,28 @@ class ManifestSkipSpec extends TestBase {
     assert(kept.nonEmpty && kept.size < total)
   }
 
+  test("stats-only count: covered files answered from the manifest, boundary files read") {
+    val (out, man) = layout
+    val (statsRows, boundaryFiles, nCovered) =
+      CurationQueries.statsOnlySplit(spark, man, 100L, 2000L)
+    // the wide range fully covers most boxes — those are METADATA-only
+    assert(nCovered > 0 && statsRows > 0,
+      s"no file answered from stats alone (covered=$nCovered)")
+    val total = spark.read.parquet(man).count()
+    assert(boundaryFiles.size < nCovered,
+      s"boundary ${boundaryFiles.size} vs covered $nCovered of $total — " +
+        "the stats-only path carries no weight on this fixture")
+    // exactness: stats + boundary scan == the full-scan answer
+    val boundaryCount =
+      if (boundaryFiles.isEmpty) 0L
+      else spark.read.parquet(boundaryFiles: _*)
+        .filter(col("l_orderkey").between(100L, 2000L)).count()
+    val full = spark.read.parquet(out)
+      .filter(col("l_orderkey").between(100L, 2000L)).count()
+    assert(statsRows + boundaryCount == full,
+      s"$statsRows (stats) + $boundaryCount (boundary) != $full")
+  }
+
   test("a boundary-touching range keeps the boundary file (no false skip)") {
     val (out, man) = layout
     // the global max key sits in exactly one file; a point query on it
