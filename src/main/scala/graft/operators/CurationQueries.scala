@@ -671,6 +671,14 @@ object CurationQueries {
     (out, man)
   }
 
+  /** The data files currently in a layout directory (names only; no
+    * data read — this is commit bookkeeping, not planning). */
+  private[graft] def partFiles(dir: String): Set[String] = {
+    val fs = new java.io.File(dir).listFiles()
+    (if (fs == null) Array.empty[java.io.File] else fs)
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+  }
+
   /** Incremental manifest maintenance: append a new batch of rows as
     * new files and extend the manifest with ONLY the new files' stats —
     * the existing manifest entries are never rescanned (the Delta
@@ -680,19 +688,14 @@ object CurationQueries {
   private[graft] def manifestAppend(s: SparkSession, layout: (String, String),
       batch: DataFrame): Unit = {
     val (out, man) = layout
-    def files(): Set[String] = {
-      val fs = new java.io.File(out).listFiles()
-      (if (fs == null) Array.empty[java.io.File] else fs)
-        .filter(_.getName.startsWith("part-")).map(_.getName).toSet
-    }
-    val before = files()
+    val before = partFiles(out)
     batch
       .repartitionByRange(4, col("l_orderkey"))
       .sortWithinPartitions("l_orderkey")
       .write.mode("append").parquet(out)
     // stats for ONLY the files this append created (identified by
     // directory listing — no data read); existing entries untouched
-    val added = (files() -- before).toSeq.map(n => s"$out/$n")
+    val added = (partFiles(out) -- before).toSeq.map(n => s"$out/$n")
     if (added.nonEmpty)
       s.read.parquet(added: _*)
         .groupBy(col("_metadata.file_path").as("file"))
@@ -811,12 +814,7 @@ object CurationQueries {
     val env = batch.agg(min(key), max(key)).head
     val (impacted, _) =
       manifestPrune(s, man, env.getLong(0), env.getLong(1))
-    def files(): Set[String] = {
-      val fs = new java.io.File(out).listFiles()
-      (if (fs == null) Array.empty[java.io.File] else fs)
-        .filter(_.getName.startsWith("part-")).map(_.getName).toSet
-    }
-    val before = files()
+    val before = partFiles(out)
     // survivors = impacted rows whose key is NOT updated; plain anti
     // join (batch scales with the corpus — no hint, AQE decides)
     val replacement =
@@ -827,7 +825,7 @@ object CurationQueries {
     replacement
       .repartitionByRange(2, col(key)).sortWithinPartitions(key)
       .write.mode("append").parquet(out)
-    val added = (files() -- before).toSeq.map(n => s"$out/$n")
+    val added = (partFiles(out) -- before).toSeq.map(n => s"$out/$n")
     // swap: drop the replaced files, then swap the manifest entries.
     // The manifest is O(#files) and driver-resident by design, so the
     // entry edit is a collect + rewrite (the Delta log-compaction shape).
@@ -876,6 +874,250 @@ object CurationQueries {
       |SELECT count(*) AS n_rows, round(sum(price), 2) AS total,
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       |FROM merged""".stripMargin
+
+  // ---- 107. Merge-on-read DELETE via position deletion vectors. The
+  // complement of q105's copy-on-write: a delete whose matches are
+  // SCATTERED across files (here every 7th key) would force COW to
+  // rewrite essentially every file. Merge-on-read instead writes NO
+  // data bytes at all — it records (file, row position) pairs in a
+  // deletion-vector table (the Iceberg v2 position-delete shape; the
+  // positions come from parquet's `_metadata.row_index`, so the DV is
+  // stable as long as the file is, which the layout guarantees). The
+  // reader anti-joins the DV on (file, pos): both sides co-partition on
+  // the same key, the DV side is O(#deletes), no hint — AQE broadcasts
+  // it while it is small. Compaction later applies the DVs to ONLY the
+  // files they name and clears them — deletes are batched into one
+  // rewrite instead of one rewrite per delete. MorDeleteSpec asserts
+  // the delete leaves every data file byte-identical, the MOR read
+  // equals the filtered restatement, and compaction converges. ----
+  private[graft] def morLayout(s: SparkSession, dir: String): (String, String) = {
+    val out = RelationalQueries.scratch("q107_layout", dir)
+    val dv = RelationalQueries.scratch("q107_dv", dir)
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(out)
+    // start from an empty deletion-vector table (schema declared, so
+    // readers never special-case "no deletes yet")
+    s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        morDvSchema)
+      .write.mode("overwrite").parquet(dv)
+    (out, dv)
+  }
+
+  private[graft] val morDvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType)))
+
+  /** DELETE WHERE pred, as position deletes: no data file is touched;
+    * the matching rows' (file, row_index) pairs append to the DV table. */
+  private[graft] def morDelete(s: SparkSession, layout: (String, String),
+      pred: Column): Unit = {
+    val (out, dv) = layout
+    s.read.parquet(out)
+      .filter(pred)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"))
+      .write.mode("append").parquet(dv)
+  }
+
+  /** Merge-on-read scan: live rows = data ANTI JOIN dv ON (file, pos). */
+  private[graft] def morRead(s: SparkSession, layout: (String, String)): DataFrame = {
+    val (out, dv) = layout
+    s.read.parquet(out)
+      .withColumn("file", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .join(s.read.parquet(dv), Seq("file", "pos"), "left_anti")
+      .drop("file", "pos")
+  }
+
+  /** Apply accumulated DVs: rewrite ONLY the files the DV table names
+    * (survivor rows re-clustered), then clear the DVs. */
+  private[graft] def morCompact(s: SparkSession, layout: (String, String),
+      key: String): Unit = {
+    val (out, dv) = layout
+    val dvDf = s.read.parquet(dv)
+    val impacted = dvDf.select("file").distinct().collect()
+      .map(_.getString(0)).toSeq
+    if (impacted.nonEmpty) {
+      val before = partFiles(out)
+      s.read.parquet(impacted: _*)
+        .withColumn("file", col("_metadata.file_path"))
+        .withColumn("pos", col("_metadata.row_index"))
+        .join(dvDf, Seq("file", "pos"), "left_anti")
+        .drop("file", "pos")
+        .repartitionByRange(2, col(key)).sortWithinPartitions(key)
+        .write.mode("append").parquet(out)
+      require(partFiles(out) != before, "compaction wrote no survivors")
+      impacted.foreach { p =>
+        val f = new java.io.File(new java.net.URI(p).getPath)
+        require(f.delete(), s"could not remove compacted file $f")
+      }
+      s.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), morDvSchema)
+        .write.mode("overwrite").parquet(dv)
+    }
+  }
+
+  val q107_mor_delete: Q = (s, dir) => {
+    val layout = morLayout(s, dir)
+    morDelete(s, layout, col("o_orderkey") % 7 === 3)
+    morRead(s, layout)
+      .agg(count(lit(1)).as("n_rows"),
+        dround(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+  }
+
+  val q107_mor_delete_sql: String =
+    """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM orders WHERE o_orderkey % 7 <> 3""".stripMargin
+
+  // ---- 108. Time travel over versioned manifest snapshots. Each
+  // commit writes a NEW complete manifest version (previous version's
+  // entries + the new files' stats — an O(#files) driver-side edit,
+  // never a data scan); old versions are immutable. Reading AS OF v
+  // plans from that version's manifest alone, so a snapshot stays
+  // reproducible — training-data provenance — even as the table keeps
+  // growing, and costs nothing at write time beyond the manifest copy
+  // (the Delta/Iceberg snapshot-isolation shape on plain parquet;
+  // time-travel reads of dropped/compacted files would pin files until
+  // a vacuum, exactly like those systems). TimeTravelSpec asserts the
+  // v1 manifest's bytes never change and the as-of-v1 read equals the
+  // pre-commit snapshot row-for-row. ----
+  private[graft] def versionedLayout(s: SparkSession, dir: String): (String, String) = {
+    val out = RelationalQueries.scratch("q108_layout", dir)
+    val man = RelationalQueries.scratch("q108_manifest", dir)
+    t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .repartitionByRange(8, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+      .write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"),
+        count(lit(1)).as("n_rows"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$man/v=1")
+    (out, man)
+  }
+
+  /** Commit an append as snapshot v(prevV+1): new data files, plus a new
+    * manifest version holding the previous complete entry list + the new
+    * files' stats. Version prevV's manifest is left untouched. */
+  private[graft] def commitAppend(s: SparkSession, layout: (String, String),
+      batch: DataFrame, prevV: Int, key: String): Unit = {
+    val (out, man) = layout
+    val before = partFiles(out)
+    batch.repartitionByRange(2, col(key)).sortWithinPartitions(key)
+      .write.mode("append").parquet(out)
+    val added = (partFiles(out) -- before).toSeq.map(n => s"$out/$n")
+    val addedStats = s.read.parquet(added: _*)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(key).as("lo"), max(key).as("hi"), count(lit(1)).as("n_rows"))
+    s.read.parquet(s"$man/v=$prevV").unionByName(addedStats)
+      .coalesce(1).write.mode("overwrite").parquet(s"$man/v=${prevV + 1}")
+  }
+
+  /** Time travel: the file list comes from snapshot v's manifest alone. */
+  private[graft] def readAsOf(s: SparkSession, layout: (String, String),
+      v: Int): DataFrame = {
+    val (_, man) = layout
+    val files = s.read.parquet(s"$man/v=$v").select("file").collect()
+      .map(_.getString(0)).toSeq
+    s.read.parquet(files: _*)
+  }
+
+  val q108_time_travel: Q = (s, dir) => {
+    val layout = versionedLayout(s, dir)
+    val batch = t(s, dir, "orders")
+      .filter(col("o_orderkey").between(1, 500))
+      .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+    commitAppend(s, layout, batch, 1, "o_orderkey")
+    def snap(v: Int): DataFrame = readAsOf(s, layout, v)
+      .agg(count(lit(1)).as("n_rows"),
+        dround(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"))
+      .select(lit(v.toLong).as("version"), col("n_rows"), col("total"),
+        col("min_key"))
+    snap(1).unionByName(snap(2)).orderBy("version")
+  }
+
+  val q108_time_travel_sql: String =
+    """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+      |  round(sum(o_totalprice), 2) AS total, min(o_orderkey) AS min_key
+      |FROM orders
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT), count(*), round(sum(o_totalprice), 2),
+      |  min(o_orderkey)
+      |FROM (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_totalprice FROM orders
+      |  WHERE o_orderkey BETWEEN 1 AND 500
+      |)
+      |ORDER BY version""".stripMargin
+
+  // ---- 109. Inverted text index + conjunctive keyword search. The
+  // index is a (term, doc_id) posting table laid out by hash(term)
+  // bucket (partition dirs) and term-sorted within each bucket — the
+  // web-scale shape: a dir per TERM dies at a 10⁹-term vocabulary, a
+  // dir per BUCKET doesn't, and parquet row-group min/max on the sorted
+  // term column gives the within-bucket seek. A k-term AND query plans
+  // driver-side like the manifests: the terms' buckets are computed
+  // once (O(k)), the scan prunes to those partition dirs
+  // (PartitionFilters — PlanAuditSpec asserts it), candidates are the
+  // posting rows of the k terms only, and the conjunction is a
+  // doc_id-count filter. The documents table is touched only by the
+  // final answer-sized equi join (AQE broadcasts it). Work scales with
+  // posting-list length, not corpus size — the full-scan oracle is the
+  // contract, not the plan. ----
+  private[graft] val IndexBuckets = 8
+
+  private[graft] def invertedIndex(s: SparkSession, dir: String): String = {
+    val idx = RelationalQueries.scratch("q109_index", dir)
+    withToks(t(s, dir, "documents"))
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .distinct() // postings are per-document term occurrence
+      .withColumn("bucket", pmod(hash(col("term")), lit(IndexBuckets)))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.partitionBy("bucket").mode("overwrite").parquet(idx)
+    idx
+  }
+
+  private[graft] val SearchTerms = Seq("dup", "spark", "join")
+
+  /** Conjunctive (AND) keyword query against the inverted index. */
+  private[graft] def keywordSearch(s: SparkSession, dir: String,
+      idx: String, terms: Seq[String]): DataFrame = {
+    // O(k) driver-side planning: which buckets hold the query terms
+    val buckets = terms.map { tm =>
+      s.range(1).select(pmod(hash(lit(tm)), lit(IndexBuckets))).head.getInt(0)
+    }.distinct
+    val hits = s.read.parquet(idx)
+      .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*))
+      .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      .filter(col("nt") === terms.size)
+      .select("doc_id")
+    t(s, dir, "documents")
+      .join(hits, "doc_id")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val q109_keyword_search: Q = (s, dir) =>
+    keywordSearch(s, dir, invertedIndex(s, dir), SearchTerms)
+
+  val q109_keyword_search_sql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE list_contains(string_split_regex(trim(text), '\s+'), 'dup')
+      |  AND list_contains(string_split_regex(trim(text), '\s+'), 'spark')
+      |  AND list_contains(string_split_regex(trim(text), '\s+'), 'join')
+      |ORDER BY doc_id""".stripMargin
 
   // ---- 102. Bloom-filter file skipping (point lookups on a column the
   // layout is NOT clustered by). q100's min/max boxes only skip on the
@@ -1098,6 +1340,9 @@ object CurationQueries {
     "q102_bloom_skip" -> q102_bloom_skip,
     "q105_cow_merge" -> q105_cow_merge,
     "q106_stats_only_count" -> q106_stats_only_count,
+    "q107_mor_delete" -> q107_mor_delete,
+    "q108_time_travel" -> q108_time_travel,
+    "q109_keyword_search" -> q109_keyword_search,
     "q68b_stratified_agg" -> q68b_stratified_agg,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
@@ -1121,6 +1366,9 @@ object CurationQueries {
     "q102_bloom_skip" -> q102_bloom_skip_sql,
     "q105_cow_merge" -> q105_cow_merge_sql,
     "q106_stats_only_count" -> q106_stats_only_count_sql,
+    "q107_mor_delete" -> q107_mor_delete_sql,
+    "q108_time_travel" -> q108_time_travel_sql,
+    "q109_keyword_search" -> q109_keyword_search_sql,
     // q68b: same selection as q68, bounded-heap agg instead of a window
     "q68b_stratified_agg" -> q68_stratified_sample_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,

@@ -1,0 +1,107 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+import java.security.MessageDigest
+
+import graft.operators.CurationQueries
+import org.apache.spark.sql.functions._
+
+/** q107's merge-on-read contract (a position delete writes NO data
+  * bytes; compaction rewrites only DV-named files) and q108's snapshot
+  * contract (committed manifest versions are immutable; as-of reads
+  * reproduce the snapshot exactly). */
+class MorTimeTravelSpec extends TestBase {
+
+  private def md5s(dir: String): Map[String, String] = {
+    val fs = new File(dir).listFiles()
+    (if (fs == null) Array.empty[File] else fs)
+      .filter(_.getName.startsWith("part-"))
+      .map { f =>
+        f.getName -> MessageDigest.getInstance("MD5")
+          .digest(Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("q107: a scattered delete touches zero data bytes; the MOR read is exact") {
+    val layout @ (out, dv) = CurationQueries.morLayout(spark, sfDir)
+    val before = md5s(out)
+    // every 7th key — scattered across ALL files, the COW worst case
+    CurationQueries.morDelete(spark, layout, col("o_orderkey") % 7 === 3)
+    assert(md5s(out) == before, "a position delete must not touch data files")
+    val dvRows = spark.read.parquet(dv).count()
+    val expectDeleted = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 7 === 3).count()
+    assert(dvRows == expectDeleted, s"DV rows $dvRows != matches $expectDeleted")
+    val got = CurationQueries.morRead(spark, layout)
+      .agg(count(lit(1)), sum("o_totalprice")).head
+    val want = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") % 7 =!= 3)
+      .agg(count(lit(1)), sum("o_totalprice")).head
+    assert(got.getLong(0) == want.getLong(0), "MOR row count off")
+    assert(math.abs(got.getDouble(1) - want.getDouble(1)) < 1e-6, "MOR sum off")
+  }
+
+  test("q107: compaction rewrites only DV-named files, then clears the DVs") {
+    val layout @ (out, dv) = CurationQueries.morLayout(spark, sfDir)
+    // a range-local delete: only the low-key files accumulate DVs
+    CurationQueries.morDelete(spark, layout, col("o_orderkey").between(1, 200))
+    val before = md5s(out)
+    val impactedNames = spark.read.parquet(dv).select("file").distinct()
+      .collect().map(r => new File(new java.net.URI(r.getString(0)).getPath).getName)
+      .toSet
+    assert(impactedNames.nonEmpty && impactedNames.size < before.size,
+      s"delete impacted ${impactedNames.size} of ${before.size} files — not range-local")
+    val morBefore = CurationQueries.morRead(spark, layout)
+      .agg(count(lit(1)), sum("o_totalprice")).head
+
+    CurationQueries.morCompact(spark, layout, "o_orderkey")
+    val after = md5s(out)
+    impactedNames.foreach(n => assert(!after.contains(n), s"$n not compacted away"))
+    (before.keySet -- impactedNames).foreach { n =>
+      assert(after.get(n).contains(before(n)), s"untouched file $n changed")
+    }
+    assert(spark.read.parquet(dv).count() == 0, "DVs not cleared")
+    // the PLAIN read now equals what the MOR read said before compaction,
+    // and the (empty-DV) MOR read agrees with it
+    val plain = spark.read.parquet(out)
+      .agg(count(lit(1)), sum("o_totalprice")).head
+    assert(plain.getLong(0) == morBefore.getLong(0), "compaction changed rows")
+    assert(math.abs(plain.getDouble(1) - morBefore.getDouble(1)) < 1e-6)
+    val morAfter = CurationQueries.morRead(spark, layout)
+      .agg(count(lit(1)), sum("o_totalprice")).head
+    assert(morAfter.getLong(0) == plain.getLong(0), "empty-DV MOR read off")
+  }
+
+  test("q108: committed manifests are immutable; as-of reads reproduce the snapshot") {
+    val layout @ (out, man) = CurationQueries.versionedLayout(spark, sfDir)
+    val v1ManBytes = md5s(s"$man/v=1")
+    val v1DataBytes = md5s(out)
+    val snap1Keys = CurationQueries.readAsOf(spark, layout, 1)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+
+    val batch = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey").between(1, 500))
+      .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+    val batchN = batch.count()
+    CurationQueries.commitAppend(spark, layout, batch, 1, "o_orderkey")
+
+    // v1's manifest and v1's data files: bit-for-bit after the commit
+    assert(md5s(s"$man/v=1") == v1ManBytes, "v1 manifest changed by the commit")
+    v1DataBytes.foreach { case (n, h) =>
+      assert(md5s(out).get(n).contains(h), s"v1 data file $n changed")
+    }
+    // time travel: as-of v1 is the exact pre-commit row set, even though
+    // the directory now holds the appended files too
+    val again = CurationQueries.readAsOf(spark, layout, 1)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(again == snap1Keys, "as-of v1 read drifted after the commit")
+    // and v2 sees exactly v1 + the batch
+    val v2n = CurationQueries.readAsOf(spark, layout, 2).count()
+    assert(v2n == snap1Keys.size + batchN, s"v2 rows $v2n != v1+batch")
+    // the latest snapshot matches the plain directory read
+    assert(v2n == spark.read.parquet(out).count(), "v2 != directory contents")
+  }
+}

@@ -173,6 +173,37 @@ class PlanAuditSpec extends TestBase {
       s"event_type filter did not reach PartitionFilters:\n$plan")
   }
 
+  test("q109's index scan prunes to the query terms' buckets") {
+    import org.apache.spark.sql.functions._
+    val idx = operators.CurationQueries.invertedIndex(spark, sfDir)
+    val terms = operators.CurationQueries.SearchTerms
+    val df = operators.CurationQueries.keywordSearch(spark, sfDir, idx, terms)
+    val plan = df.queryExecution.executedPlan.toString
+    // the bucket literals must reach the index scan's PartitionFilters —
+    // that's the "work scales with posting lists, not the corpus" claim
+    val part = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(plan)
+      .find(_.contains("bucket"))
+    assert(part.isDefined, s"no bucket PartitionFilter in:\n$plan")
+    // and the scan actually lists fewer partition dirs than exist
+    // (Dataset.inputFiles ignores pruning; ask the scan node itself)
+    val buckets = terms.map { tm =>
+      spark.range(1)
+        .select(pmod(hash(lit(tm)), lit(operators.CurationQueries.IndexBuckets)))
+        .head.getInt(0)
+    }.distinct
+    import org.apache.spark.sql.execution.FileSourceScanLike
+    def scannedPartitions(q: org.apache.spark.sql.DataFrame): Int =
+      q.queryExecution.sparkPlan.collectLeaves().collectFirst {
+        case f: FileSourceScanLike => f.selectedPartitions.partitionCount
+      }.getOrElse(fail("no file scan in plan"))
+    val pruned =
+      scannedPartitions(spark.read.parquet(idx)
+        .filter(col("bucket").isin(buckets: _*) && col("term").isin(terms: _*)))
+    val all = scannedPartitions(spark.read.parquet(idx))
+    assert(pruned <= buckets.size && pruned < all,
+      s"index scan listed $pruned of $all bucket dirs for ${buckets.size} buckets")
+  }
+
   test("q103's evolved layout: merged schema unions columns, batch reads still prune") {
     import org.apache.spark.sql.functions.col
     // run the query once to materialize the two-batch layout
