@@ -27,9 +27,15 @@ object Bench {
     // warm-up (untimed): run the whole surface once at the smallest sf so
     // codegen/classloading/regex-compile costs don't pollute per-query
     // numbers; the timed pass below measures steady-state execution
+    // local iteration: SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run
+    // (the driver never sets it — the full surface is the contract)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val picked = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.contains(n))
+    }
     val warmDir = "/root/testdata/sf0.001"
     val warm = if (new java.io.File(warmDir).isDirectory) warmDir else sfDir
-    SparkEntry.queries.values.foreach { fn =>
+    picked.values.foreach { fn =>
       try fn(spark, warm).limit(1000).collect()
       catch { case _: Throwable => }
     }
@@ -38,7 +44,7 @@ object Bench {
     // with empty storage memory
     spark.catalog.clearCache()
 
-    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val named = picked.toSeq.sortBy(_._1)
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try {

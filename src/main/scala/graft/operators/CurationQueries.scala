@@ -988,9 +988,10 @@ object CurationQueries {
   // a vacuum, exactly like those systems). TimeTravelSpec asserts the
   // v1 manifest's bytes never change and the as-of-v1 read equals the
   // pre-commit snapshot row-for-row. ----
-  private[graft] def versionedLayout(s: SparkSession, dir: String): (String, String) = {
-    val out = RelationalQueries.scratch("q108_layout", dir)
-    val man = RelationalQueries.scratch("q108_manifest", dir)
+  private[graft] def versionedLayout(s: SparkSession, dir: String,
+      tag: String = "q108"): (String, String) = {
+    val out = RelationalQueries.scratch(s"${tag}_layout", dir)
+    val man = RelationalQueries.scratch(s"${tag}_manifest", dir)
     t(s, dir, "orders")
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .repartitionByRange(8, col("o_orderkey"))
@@ -1060,6 +1061,98 @@ object CurationQueries {
       |  WHERE o_orderkey BETWEEN 1 AND 500
       |)
       |ORDER BY version""".stripMargin
+
+  // ---- 110. Snapshot-isolated COW merge + VACUUM. q105's merge
+  // deletes replaced files at commit time, which kills time travel
+  // across the merge. The snapshot-isolated form NEVER deletes at
+  // commit: the new manifest version simply stops referencing the
+  // impacted files, so older versions keep reading their exact state
+  // (writers and time-travel readers cannot race — a reader plans from
+  // an immutable version). Storage is reclaimed by an explicit VACUUM:
+  // a file is deletable iff NO retained manifest version references it
+  // — the Delta VACUUM / Iceberg expire-snapshots split of "commit"
+  // from "reclaim". The reference set is a union of O(#files) manifest
+  // versions, driver-resident like all planning here. MorTimeTravelSpec
+  // asserts time travel works ACROSS the merge pre-vacuum, vacuum
+  // removes exactly the v1-only files, and the latest read is
+  // bit-stable through it. ----
+  /** COW merge as a snapshot commit on the versioned layout: impacted
+    * files are rewritten into replacements, but the old files stay on
+    * disk — version prevV still references them; version prevV+1 does
+    * not. */
+  private[graft] def commitMerge(s: SparkSession, layout: (String, String),
+      batch: DataFrame, prevV: Int, key: String): Unit = {
+    val (out, man) = layout
+    val env = batch.agg(min(key), max(key)).head
+    val manV = s"$man/v=$prevV"
+    val entries = s.read.parquet(manV).collect()
+    val impacted = entries.filter { r =>
+      r.getAs[Number]("hi").longValue >= env.getLong(0) &&
+        r.getAs[Number]("lo").longValue <= env.getLong(1)
+    }.map(_.getAs[String]("file")).toSeq
+    val before = partFiles(out)
+    val replacement =
+      (if (impacted.isEmpty) batch.limit(0)
+       else s.read.parquet(impacted: _*)
+         .join(batch.select(key).distinct(), Seq(key), "left_anti"))
+        .unionByName(batch)
+    replacement
+      .repartitionByRange(2, col(key)).sortWithinPartitions(key)
+      .write.mode("append").parquet(out)
+    val added = (partFiles(out) -- before).toSeq.map(n => s"$out/$n")
+    val addedStats = s.read.parquet(added: _*)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(key).as("lo"), max(key).as("hi"), count(lit(1)).as("n_rows"))
+    s.read.parquet(manV)
+      .filter(!col("file").isin(impacted: _*))
+      .unionByName(addedStats)
+      .coalesce(1).write.mode("overwrite").parquet(s"$man/v=${prevV + 1}")
+  }
+
+  /** VACUUM: drop manifest versions below keepFrom, then delete every
+    * data file referenced by NO retained version. Returns the deleted
+    * file names. */
+  private[graft] def vacuum(s: SparkSession, layout: (String, String),
+      keepFrom: Int, latest: Int): Seq[String] = {
+    val (out, man) = layout
+    val referenced = (keepFrom to latest).flatMap { v =>
+      s.read.parquet(s"$man/v=$v").select("file").collect()
+        .map(r => new java.io.File(
+          new java.net.URI(r.getString(0)).getPath).getName)
+    }.toSet
+    val orphans = (partFiles(out) -- referenced).toSeq.sorted
+    orphans.foreach { n =>
+      require(new java.io.File(s"$out/$n").delete(), s"could not vacuum $n")
+    }
+    // expired manifest versions go too (they reference deleted files)
+    (1 until keepFrom).foreach { v =>
+      val d = new java.io.File(s"$man/v=$v")
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
+    orphans
+  }
+
+  val q110_vacuumed_merge: Q = (s, dir) => {
+    val layout = versionedLayout(s, dir, "q110") // snapshot v1
+    val o = t(s, dir, "orders")
+    val updates = o.filter(col("o_orderkey").between(1000, 3000))
+      .select(col("o_orderkey"), col("o_custkey"),
+        dround(col("o_totalprice") * 1.1, 2).as("o_totalprice"))
+    val inserts = o.filter(col("o_orderkey").between(1, 5))
+      .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+    commitMerge(s, layout, updates.unionByName(inserts), 1, "o_orderkey")
+    vacuum(s, layout, keepFrom = 2, latest = 2)
+    readAsOf(s, layout, 2)
+      .agg(count(lit(1)).as("n_rows"),
+        dround(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_orderkey").as("max_key"))
+  }
+
+  // same merged-state contract as q105 (same batch construction)
+  val q110_vacuumed_merge_sql: String = q105_cow_merge_sql
 
   // ---- 109. Inverted text index + conjunctive keyword search. The
   // index is a (term, doc_id) posting table laid out by hash(term)
@@ -1343,6 +1436,7 @@ object CurationQueries {
     "q107_mor_delete" -> q107_mor_delete,
     "q108_time_travel" -> q108_time_travel,
     "q109_keyword_search" -> q109_keyword_search,
+    "q110_vacuumed_merge" -> q110_vacuumed_merge,
     "q68b_stratified_agg" -> q68b_stratified_agg,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
@@ -1369,6 +1463,7 @@ object CurationQueries {
     "q107_mor_delete" -> q107_mor_delete_sql,
     "q108_time_travel" -> q108_time_travel_sql,
     "q109_keyword_search" -> q109_keyword_search_sql,
+    "q110_vacuumed_merge" -> q110_vacuumed_merge_sql,
     // q68b: same selection as q68, bounded-heap agg instead of a window
     "q68b_stratified_agg" -> q68_stratified_sample_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,

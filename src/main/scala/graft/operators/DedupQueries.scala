@@ -211,10 +211,10 @@ object DedupQueries {
   // DedupSpec diffs q104 against the all-pairs q43 row for row; the
   // oracle is q43's own SQL (identical output contract).
   //
-  // Scale: two aggregations (shingle df, per-doc re-sort) + one
-  // prefix-keyed join; every stage is key-partitioned, nothing is
-  // broadcast, no all-pairs path exists. Cost note measured at sf0.01:
-  // prefix candidates 25 pairs vs 124,750 all-pairs.
+  // Scale: one shingle-partitioned count window (df) + one per-doc
+  // re-sort agg + one prefix-keyed join; every stage is key-partitioned,
+  // nothing is broadcast, no all-pairs path exists. Cost note measured
+  // at sf0.01: prefix candidates 25 pairs vs 124,750 all-pairs.
   val q104_jaccard_join: Q = (s, dir) => {
     val T = 0.5 // strict threshold (jaccard > T), matches q43
     val docs = t(s, dir, "documents")
@@ -226,17 +226,25 @@ object DedupQueries {
           element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
         .as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sdf = docs.select(explode(col("sh")).as("s"))
-      .groupBy("s").agg(count(lit(1)).as("df"))
     // per-doc shingles re-sorted by global rarity; p = n - ceil(T*n) + 1
     // computed in integer math (ceil(n/2) = (n+1)/2) so no float edge
-    // can shorten the prefix and cost recall
+    // can shorten the prefix and cost recall.
+    // df as a count window over the shingle partition, NOT a groupBy-
+    // then-join-back: the posting rows are unique per (doc, shingle), so
+    // the partition count IS the document frequency, and the exploded
+    // relation shuffles ONCE instead of agg-shuffle + join-shuffle
+    // (same lesson as q67/q76; measured 5.8 s -> 4.0 s at sf0.1)
     val ordered = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      .join(sdf, "s")
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("s")))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"),
         count(lit(1)).as("n"))
       .withColumn("p", col("n") - floor((col("n") + 1) / 2) + 1)
+    // NOT persisted: the self-join's two sides are identical subtrees,
+    // so ReusedExchange serves side b from side a's shuffle files —
+    // persisting was measured SLOWER (5.9 s vs 4.0 s: pays
+    // materialization for a reuse the engine already provides)
     val prefixes = ordered
       .select(col("doc_id"),
         explode(expr("slice(transform(os, x -> x.s), 1, int(p))")).as("s"))

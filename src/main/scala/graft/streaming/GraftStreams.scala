@@ -374,6 +374,76 @@ object GraftStreams {
       .foreachBatch { (b: DataFrame, id: Long) => sink.apply(b, id) }
       .start()
 
+  /** Streaming ingest into a manifest-tracked layout — the table-format
+    * transaction protocol (the q108 versioned snapshots) driven from
+    * foreachBatch, i.e. the Delta streaming-sink shape on plain
+    * parquet. Per micro-batch b: data files FIRST (clustered append),
+    * the manifest version SECOND (`man/v=<b+2>` = the previous
+    * version's complete entry list + ONLY this write's files' stats;
+    * v=1 is the empty initial snapshot). The version dir IS the commit
+    * marker: a replayed batch finds it and skips; a crash between the
+    * two steps leaves data files that NO version references —
+    * invisible to readers (every read plans from a committed version)
+    * and reclaimed later by CurationQueries.vacuum. Downstream reads
+    * via CurationQueries.readAsOf get snapshot isolation for free, and
+    * each snapshot's manifest keeps file-skipping working on the
+    * growing table (lo/hi/n_rows per file, exactly like the batch
+    * layouts). */
+  final class ManifestIngestSink(spark: SparkSession, out: String,
+      man: String, key: String) {
+    import graft.operators.CurationQueries.partFiles
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+    private val manSchema = StructType(Seq(
+      StructField("file", StringType), StructField("lo", LongType),
+      StructField("hi", LongType), StructField("n_rows", LongType)))
+
+    private def emptyManifest =
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), manSchema)
+
+    /** Write the empty initial snapshot (v=1). */
+    def init(): Unit = {
+      new java.io.File(out).mkdirs()
+      emptyManifest.write.mode("overwrite").parquet(s"$man/v=1")
+    }
+
+    def committedVersions: Seq[Int] = {
+      val fs = new java.io.File(man).listFiles()
+      (if (fs == null) Array.empty[java.io.File] else fs)
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .map(_.getName.drop(2).toInt).toSeq.sorted
+    }
+
+    def apply(batch: DataFrame, batchId: Long): Unit = {
+      val v = batchId.toInt + 2
+      if (new java.io.File(s"$man/v=$v").exists()) return // committed replay
+      // micro-batches commit in order, so the parent snapshot must exist
+      require(new java.io.File(s"$man/v=${v - 1}").exists(),
+        s"commit v=$v has no parent snapshot v=${v - 1}")
+      val before = partFiles(out)
+      batch.repartitionByRange(2, col(key)).sortWithinPartitions(key)
+        .write.mode("append").parquet(out)
+      val added = (partFiles(out) -- before).toSeq.map(n => s"$out/$n")
+      val stats =
+        if (added.isEmpty) emptyManifest
+        else spark.read.parquet(added: _*)
+          .groupBy(col("_metadata.file_path").as("file"))
+          .agg(min(key).cast("long").as("lo"), max(key).cast("long").as("hi"),
+            count(lit(1)).as("n_rows"))
+      spark.read.parquet(s"$man/v=${v - 1}").unionByName(stats)
+        .coalesce(1).write.mode("overwrite").parquet(s"$man/v=$v")
+    }
+  }
+
+  /** Ingest a stream into the manifest-tracked layout via the sink. */
+  def manifestIngest(events: DataFrame, sink: ManifestIngestSink)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.select("event_id", "user_id", "value")
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) => sink.apply(b, id) }
+      .start()
+
   /** Timer-driven sessionization on the transformWithState v2 API —
     * the capability the v1 sessionize() above cannot express cleanly:
     * session CLOSURE is an event-time TIMER (registered at

@@ -104,4 +104,51 @@ class MorTimeTravelSpec extends TestBase {
     // the latest snapshot matches the plain directory read
     assert(v2n == spark.read.parquet(out).count(), "v2 != directory contents")
   }
+
+  test("q110: time travel survives a COW merge until vacuum reclaims exactly the old files") {
+    val layout @ (out, man) = CurationQueries.versionedLayout(spark, sfDir, "q110spec")
+    val snap1Sum = CurationQueries.readAsOf(spark, layout, 1)
+      .agg(sum("o_totalprice")).head.getDouble(0)
+    val v1Files = md5s(out)
+    val updates = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey").between(1000, 1200))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+    CurationQueries.commitMerge(spark, layout, updates, 1, "o_orderkey")
+
+    // snapshot isolation: the commit deleted NOTHING — v1 still reads
+    // its exact pre-merge state, byte-identical files included
+    v1Files.foreach { case (n, h) =>
+      assert(md5s(out).get(n).contains(h), s"commitMerge touched v1 file $n")
+    }
+    val snap1Again = CurationQueries.readAsOf(spark, layout, 1)
+      .agg(sum("o_totalprice")).head.getDouble(0)
+    assert(math.abs(snap1Again - snap1Sum) < 1e-6, "v1 read drifted across the merge")
+
+    // v2 is the merged state
+    val want = Tables.load(spark, sfDir, "orders").agg(
+      sum(when(col("o_orderkey").between(1000, 1200),
+        col("o_totalprice") * 2).otherwise(col("o_totalprice")))).head.getDouble(0)
+    val v2Sum = CurationQueries.readAsOf(spark, layout, 2)
+      .agg(sum("o_totalprice")).head.getDouble(0)
+    assert(math.abs(v2Sum - want) < 1e-6, s"merged state off: $v2Sum != $want")
+
+    // vacuum retaining only v2: exactly the files v2 no longer
+    // references disappear; the v2 read is bit-stable through it
+    val v2Referenced = spark.read.parquet(s"$man/v=2").select("file").collect()
+      .map(r => new File(new java.net.URI(r.getString(0)).getPath).getName).toSet
+    val expectGone = v1Files.keySet -- v2Referenced
+    assert(expectGone.nonEmpty, "merge impacted no files — fixture too narrow")
+    val deleted = CurationQueries.vacuum(spark, layout, keepFrom = 2, latest = 2)
+    assert(deleted.toSet == expectGone,
+      s"vacuum deleted ${deleted.toSet} != expected $expectGone")
+    assert(CurationQueries.partFiles(out) == v2Referenced ++
+      (CurationQueries.partFiles(out) -- v1Files.keySet) &&
+      (CurationQueries.partFiles(out) & expectGone).isEmpty,
+      "directory does not match the retained reference set")
+    assert(!new File(s"$man/v=1").exists(), "expired manifest version survived vacuum")
+    val v2After = CurationQueries.readAsOf(spark, layout, 2)
+      .agg(sum("o_totalprice")).head.getDouble(0)
+    assert(math.abs(v2After - v2Sum) < 1e-6, "v2 read changed across vacuum")
+  }
 }

@@ -352,6 +352,74 @@ class StreamingSpec extends TestBase {
     }
   }
 
+  test("streaming manifest ingest: a snapshot per batch, replay-proof, orphans vacuumable") {
+    import graft.operators.CurationQueries
+    // three time-ordered slice files -> three micro-batches
+    val d = java.nio.file.Files.createTempDirectory("graft_ingest_src")
+    val ev = Tables.load(spark, sfDir, "events")
+      .withColumn("ts", expr("unix_micros(ts) * 1000L"))
+    def cutNs(day: String): Long =
+      java.time.Instant.parse(s"${day}T00:00:00Z").getEpochSecond * 1000000000L
+    val (c1, c2) = (cutNs("2024-01-11"), cutNs("2024-01-21"))
+    val slices = Seq(("a", col("ts") < c1),
+      ("b", col("ts") >= c1 && col("ts") < c2),
+      ("c", col("ts") >= c2))
+    slices.foreach { case (name, pred) =>
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_ing_$name")
+      ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = d.resolve(s"$name.parquet")
+      java.nio.file.Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(System.currentTimeMillis()
+        + (name.head - 'a') * 2000L)
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString
+    val man = java.nio.file.Files.createTempDirectory("graft_ingest_man").toString
+    val sink = new GraftStreams.ManifestIngestSink(spark, out, man, "event_id")
+    sink.init()
+    val q = GraftStreams.manifestIngest(
+      GraftStreams.eventsStream(spark, d.toString, maxFilesPerTrigger = 1), sink)
+    try q.processAllAvailable() finally q.stop()
+
+    // one committed snapshot per micro-batch, on top of the empty v1
+    assert(sink.committedVersions == Seq(1, 2, 3, 4),
+      s"versions ${sink.committedVersions}")
+    // each snapshot is the batch prefix: slice a, a+b, a+b+c
+    val sliceCounts = slices.map { case (_, pred) => ev.filter(pred).count() }
+    val prefixCounts = sliceCounts.scanLeft(0L)(_ + _).drop(1)
+    (2 to 4).zip(prefixCounts).foreach { case (v, want) =>
+      val got = CurationQueries.readAsOf(spark, (out, man), v).count()
+      assert(got == want, s"snapshot v=$v has $got rows, want $want")
+    }
+    // the latest snapshot's content equals the whole fixture
+    val total = CurationQueries.readAsOf(spark, (out, man), 4)
+      .agg(sum("value")).head.getDouble(0)
+    val want = Tables.load(spark, sfDir, "events")
+      .agg(sum("value")).head.getDouble(0)
+    assert(math.abs(total - want) < 1e-6, "latest snapshot content off")
+
+    // replay of a committed batch — even with different data — is a no-op
+    val filesBefore = CurationQueries.partFiles(out)
+    sink.apply(ev.limit(7).select("event_id", "user_id", "value"), 0L)
+    assert(CurationQueries.partFiles(out) == filesBefore,
+      "replay of a committed batch wrote data")
+
+    // crash window: data written, manifest never committed -> the files
+    // are orphans no snapshot references; reads are unaffected; vacuum
+    // reclaims exactly them
+    ev.limit(5).select("event_id", "user_id", "value")
+      .coalesce(1).write.mode("append").parquet(out)
+    val orphans = CurationQueries.partFiles(out) -- filesBefore
+    assert(orphans.nonEmpty, "crash simulation wrote nothing")
+    assert(CurationQueries.readAsOf(spark, (out, man), 4).count() ==
+      prefixCounts.last, "orphans leaked into a committed snapshot")
+    val deleted = CurationQueries.vacuum(spark, (out, man), 1, 4)
+    assert(deleted.toSet == orphans, s"vacuum deleted $deleted, want $orphans")
+    assert(CurationQueries.readAsOf(spark, (out, man), 4).count() ==
+      prefixCounts.last, "vacuum broke the committed snapshot")
+  }
+
   test("foreachBatch upsert sink: exactly-once state, replay-proof") {
     import org.apache.spark.sql.expressions.Window
     val root = java.nio.file.Files
