@@ -1154,6 +1154,72 @@ object CurationQueries {
   // same merged-state contract as q105 (same batch construction)
   val q110_vacuumed_merge_sql: String = q105_cow_merge_sql
 
+  // ---- 111. Incremental CDC between manifest snapshots. q89 diffs
+  // two snapshots by reading BOTH in full; with versioned manifests the
+  // diff only needs the CHURNED files — the symmetric difference of
+  // the two versions' file sets (COW invariant: a changed row lives in
+  // a rewritten file, so rows in shared files cannot differ). Old rows
+  // come from files only v_from references, new rows from files only
+  // v_to references; a full-outer join on the key classifies
+  // insert/update/delete, and unchanged survivor rows (rewritten
+  // alongside real updates in the same file) fall out as equal pairs.
+  // At 100 TB the change feed for a 0.1% churn commit reads ~0.2% of
+  // the table instead of 200%. The join shuffles only churned-file
+  // rows; nothing is hinted. ----
+  /** Row-level change feed v_from -> v_to: (op, key, old/new columns). */
+  private[graft] def cdcBetween(s: SparkSession, layout: (String, String),
+      vFrom: Int, vTo: Int): DataFrame = {
+    val (_, man) = layout
+    def refs(v: Int): Set[String] =
+      s.read.parquet(s"$man/v=$v").select("file").collect()
+        .map(_.getString(0)).toSet
+    val (from, to) = (refs(vFrom), refs(vTo))
+    def readFiles(fs: Set[String]): DataFrame =
+      if (fs.isEmpty) // typed empty relation, same shape as the layout
+        s.read.parquet((from ++ to).head).limit(0)
+      else s.read.parquet(fs.toSeq: _*)
+    val old = readFiles(from -- to)
+      .select(col("o_orderkey"), col("o_custkey").as("old_custkey"),
+        col("o_totalprice").as("old_totalprice"))
+    val neu = readFiles(to -- from)
+      .select(col("o_orderkey"), col("o_custkey").as("new_custkey"),
+        col("o_totalprice").as("new_totalprice"))
+    old.join(neu, Seq("o_orderkey"), "full_outer")
+      .withColumn("op",
+        when(col("old_custkey").isNull, lit("insert"))
+          .when(col("new_custkey").isNull, lit("delete"))
+          .when(col("old_custkey") === col("new_custkey") &&
+            col("old_totalprice") === col("new_totalprice"), lit(null))
+          .otherwise(lit("update")))
+      .filter(col("op").isNotNull) // rewritten-but-unchanged survivors
+  }
+
+  val q111_incremental_cdc: Q = (s, dir) => {
+    val layout = versionedLayout(s, dir, "q111")
+    val o = t(s, dir, "orders")
+    val updates = o.filter(col("o_orderkey").between(1000, 3000))
+      .select(col("o_orderkey"), col("o_custkey"),
+        dround(col("o_totalprice") * 1.1, 2).as("o_totalprice"))
+    val inserts = o.filter(col("o_orderkey").between(1, 5))
+      .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+    commitMerge(s, layout, updates.unionByName(inserts), 1, "o_orderkey")
+    cdcBetween(s, layout, 1, 2)
+      .groupBy("op")
+      .agg(count(lit(1)).as("n_rows"),
+        dround(sum("new_totalprice"), 2).as("total"))
+      .orderBy("op")
+  }
+
+  val q111_incremental_cdc_sql: String =
+    """SELECT 'insert' AS op, count(*) AS n_rows,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderkey BETWEEN 1 AND 5
+      |UNION ALL
+      |SELECT 'update', count(*), round(sum(round(o_totalprice * 1.1, 2)), 2)
+      |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+      |ORDER BY op""".stripMargin
+
   // ---- 109. Inverted text index + conjunctive keyword search. The
   // index is a (term, doc_id) posting table laid out by hash(term)
   // bucket (partition dirs) and term-sorted within each bucket — the
@@ -1437,6 +1503,7 @@ object CurationQueries {
     "q108_time_travel" -> q108_time_travel,
     "q109_keyword_search" -> q109_keyword_search,
     "q110_vacuumed_merge" -> q110_vacuumed_merge,
+    "q111_incremental_cdc" -> q111_incremental_cdc,
     "q68b_stratified_agg" -> q68b_stratified_agg,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
@@ -1464,6 +1531,7 @@ object CurationQueries {
     "q108_time_travel" -> q108_time_travel_sql,
     "q109_keyword_search" -> q109_keyword_search_sql,
     "q110_vacuumed_merge" -> q110_vacuumed_merge_sql,
+    "q111_incremental_cdc" -> q111_incremental_cdc_sql,
     // q68b: same selection as q68, bounded-heap agg instead of a window
     "q68b_stratified_agg" -> q68_stratified_sample_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,

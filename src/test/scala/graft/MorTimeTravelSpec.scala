@@ -151,4 +151,28 @@ class MorTimeTravelSpec extends TestBase {
       .agg(sum("o_totalprice")).head.getDouble(0)
     assert(math.abs(v2After - v2Sum) < 1e-6, "v2 read changed across vacuum")
   }
+
+  test("q111: the change feed comes from churned files only, survivors fall out") {
+    val layout @ (_, man) = CurationQueries.versionedLayout(spark, sfDir, "q111spec")
+    val updates = Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey").between(1000, 1200))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+    val nUpd = updates.count()
+    CurationQueries.commitMerge(spark, layout, updates, 1, "o_orderkey")
+
+    def refs(v: Int): Set[String] = spark.read.parquet(s"$man/v=$v")
+      .select("file").collect().map(_.getString(0)).toSet
+    // the diff's input is the symmetric difference — a strict subset
+    val churned = (refs(1) -- refs(2)) ++ (refs(2) -- refs(1))
+    assert(churned.nonEmpty && churned.size < (refs(1) ++ refs(2)).size,
+      s"churn ${churned.size} of ${(refs(1) ++ refs(2)).size} — nothing pruned")
+    // rewritten-but-unchanged survivors live in churned files on both
+    // sides with equal values; the feed must contain ONLY the real batch
+    val cdc = CurationQueries.cdcBetween(spark, layout, 1, 2).collect()
+    assert(cdc.length == nUpd, s"feed ${cdc.length} rows, batch had $nUpd")
+    assert(cdc.forall(_.getAs[String]("op") == "update"), "non-update op leaked")
+    val keys = cdc.map(_.getAs[Long]("o_orderkey")).toSet
+    assert(keys.forall(k => k >= 1000 && k <= 1200), "survivor leaked into the feed")
+  }
 }
