@@ -211,10 +211,11 @@ object DedupQueries {
   // DedupSpec diffs q104 against the all-pairs q43 row for row; the
   // oracle is q43's own SQL (identical output contract).
   //
-  // Scale: one shingle-partitioned count window (df) + one per-doc
-  // re-sort agg + one prefix-keyed join; every stage is key-partitioned,
-  // nothing is broadcast, no all-pairs path exists. Cost note measured
-  // at sf0.01: prefix candidates 25 pairs vs 124,750 all-pairs.
+  // Scale: one map-side-combined df aggregate + one skew-splittable
+  // df equi-join + one per-doc re-sort agg + one prefix-keyed join;
+  // every stage is key-partitioned, nothing is broadcast, no all-pairs
+  // path exists. Cost note measured at sf0.01: prefix candidates
+  // 25 pairs vs 124,750 all-pairs.
   val q104_jaccard_join: Q = (s, dir) => {
     val T = 0.5 // strict threshold (jaccard > T), matches q43
     val docs = t(s, dir, "documents")
@@ -229,14 +230,19 @@ object DedupQueries {
     // per-doc shingles re-sorted by global rarity; p = n - ceil(T*n) + 1
     // computed in integer math (ceil(n/2) = (n+1)/2) so no float edge
     // can shorten the prefix and cost recall.
-    // df as a count window over the shingle partition, NOT a groupBy-
-    // then-join-back: the posting rows are unique per (doc, shingle), so
-    // the partition count IS the document frequency, and the exploded
-    // relation shuffles ONCE instead of agg-shuffle + join-shuffle
-    // (same lesson as q67/q76; measured 5.8 s -> 4.0 s at sf0.1)
-    val ordered = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("s")))
+    // df via a map-side-combined groupBy + equi-join back to the
+    // postings, NOT a count window over the shingle partition: shingle
+    // frequency in a real corpus is Zipfian, and a window partitioned
+    // by the raw shingle key funnels a boilerplate trigram's ENTIRE
+    // posting list into one WindowExec partition that AQE cannot split
+    // (skew handling applies to shuffle joins only). The partial agg
+    // ships ~n_mappers rows per hot shingle instead of n_docs posting
+    // rows, and the join back on `s` IS AQE-skew-splittable — the
+    // single unsplittable-hot-partition hazard disappears while the
+    // prefix math (df asc, shingle asc total order) stays identical.
+    val postings = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val dfBySh = postings.groupBy("s").agg(count(lit(1)).as("df"))
+    val ordered = postings.join(dfBySh, "s")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"),
         count(lit(1)).as("n"))
