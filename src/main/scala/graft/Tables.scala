@@ -91,17 +91,57 @@ object Tables {
     "lineitem" -> lineitem, "events" -> events, "documents" -> documents,
     "embeddings" -> embeddings)
 
-  /** events.ts is INT64 timestamp[ns] in the parquet footer; Spark 4
-    * refuses to read nanos as TimestampType, so read the raw long and
-    * truncate to micros (identical to DuckDB's ns->micros truncation). */
-  private val eventsRaw: StructType = StructType(
+  /** The generator has emitted `events.ts` as both INT64 TIMESTAMP(NANOS)
+    * and TIMESTAMP(MICROS) across regenerations, so the decode is chosen
+    * per file from the parquet footer, never hardcoded:
+    *   - MICROS (or any non-NANOS annotation): plain TimestampType read,
+    *     exactly like `orders.o_orderdate`.
+    *   - NANOS: Spark 4 refuses to read nanos as TimestampType, so read
+    *     the raw long and truncate to micros (identical to DuckDB's
+    *     ns->micros truncation).
+    * The unit is sniffed from one footer and memoized per path — O(1)
+    * driver-side work, independent of table size. */
+  private[graft] val eventsRaw: StructType = StructType(
     events.fields.map(f =>
       if (f.name == "ts") StructField("ts", LongType) else f))
+
+  private val tsNanosCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** True iff the parquet footer annotates `ts` as TIMESTAMP(NANOS).
+    * Shared by the batch loader and the streaming file source
+    * (GraftStreams.eventsStream) so both decode identically. */
+  private[graft] def eventsTsIsNanos(spark: SparkSession, path: String): Boolean =
+    tsNanosCache.computeIfAbsent(path, { _ =>
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(path)
+      val fs = p.getFileSystem(conf)
+      val file =
+        if (fs.getFileStatus(p).isDirectory)
+          fs.listStatus(p).iterator
+            .map(_.getPath)
+            .find(q => q.getName.endsWith(".parquet") && !q.getName.startsWith("_"))
+            .getOrElse(p)
+        else p
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        schema.getType(schema.getFieldIndex("ts"))
+          .asPrimitiveType().getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation => t.getUnit == TimeUnit.NANOS
+          case _ => false
+        }
+      } finally reader.close()
+    })
 
   /** Load one table from an sf directory with its explicit schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    if (name == "events")
+    if (name == "events" && eventsTsIsNanos(spark, path))
       spark.read.schema(eventsRaw).parquet(path)
         .withColumn("ts", org.apache.spark.sql.functions.expr(
           "timestamp_micros(ts div 1000)"))

@@ -213,9 +213,13 @@ object DedupQueries {
   //
   // Scale: one map-side-combined df aggregate + one skew-splittable
   // df equi-join + one per-doc re-sort agg + one prefix-keyed join;
-  // every stage is key-partitioned, nothing is broadcast, no all-pairs
-  // path exists. Cost note measured at sf0.01: prefix candidates
-  // 25 pairs vs 124,750 all-pairs.
+  // every stage is key-partitioned and no all-pairs path exists. No
+  // per-row broadcast of the corpus anywhere; the distinct-shingle
+  // aggregate (dfBySh) may auto-broadcast when it is under the
+  // threshold, which is equally skew-safe — at corpus scale it exceeds
+  // the threshold and plans as the skew-splittable shuffle join.
+  // Cost note measured at sf0.01: prefix candidates 25 pairs vs
+  // 124,750 all-pairs.
   val q104_jaccard_join: Q = (s, dir) => {
     val T = 0.5 // strict threshold (jaccard > T), matches q43
     val docs = t(s, dir, "documents")

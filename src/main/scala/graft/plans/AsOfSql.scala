@@ -105,19 +105,26 @@ object AsOfMarkerRewrite extends Rule[LogicalPlan] {
     if (!AsOfJoin.Directions.contains(direction))
       fail(s"unknown direction '$direction'")
 
+    // validate BEFORE mapping to the internal -1 "unbounded" sentinel:
+    // an explicit -1 us literal must be rejected like any other negative
+    // tolerance, never silently read as "no tolerance"
     val tolUs = es.lift(5) match {
       case None => -1L
-      case Some(Literal(v: Long, _: DayTimeIntervalType)) => v
-      case Some(Literal(v: CalendarInterval, CalendarIntervalType)) =>
-        if (v.months != 0)
-          fail("tolerance must not contain month units (not a fixed duration)")
-        v.days * 86400000000L + v.microseconds
-      case Some(Literal(v: Long, LongType)) => v
-      case Some(Literal(v: Int, IntegerType)) => v.toLong
-      case Some(other) =>
-        fail(s"tolerance must be a day-time INTERVAL (or microseconds) literal; got '$other'")
+      case Some(tolExpr) =>
+        val v = tolExpr match {
+          case Literal(v: Long, _: DayTimeIntervalType) => v
+          case Literal(v: CalendarInterval, CalendarIntervalType) =>
+            if (v.months != 0)
+              fail("tolerance must not contain month units (not a fixed duration)")
+            v.days * 86400000000L + v.microseconds
+          case Literal(v: Long, LongType) => v
+          case Literal(v: Int, IntegerType) => v.toLong
+          case other =>
+            fail(s"tolerance must be a day-time INTERVAL (or microseconds) literal; got '$other'")
+        }
+        if (v < 0L) fail(s"tolerance must be non-negative; got $v us")
+        v
     }
-    if (tolUs < -1L) fail(s"tolerance must be non-negative; got $tolUs us")
 
     def ts(e: Expression): Expression =
       if (e.dataType == TimestampType) e

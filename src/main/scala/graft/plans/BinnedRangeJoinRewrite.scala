@@ -56,9 +56,18 @@ case class BinnedRangeJoinRewrite() extends Rule[LogicalPlan]
       case _ => false
     }) && e.deterministic
 
-  private def bin(e: Expression, width: Long): Expression =
-    Cast(Floor(Divide(Cast(e, DoubleType), Literal(width.toDouble))),
-      LongType)
+  /** Exact floor-division bin: pure 64-bit integer arithmetic, so bins
+    * are correct over the full Long domain (a Double round-trip is only
+    * exact for |x| < 2^53 — snowflake-style id keys silently landed in
+    * the wrong bin). `width > 0`, so truncation and floor differ only
+    * for negative x with a nonzero remainder. */
+  private def bin(e: Expression, width: Long): Expression = {
+    val x = Cast(e, LongType)
+    val w = Literal(width)
+    val q = new IntegralDivide(x, w) // truncates toward zero
+    If(And(LessThan(x, Literal(0L)), Not(EqualTo(new Remainder(x, w), Literal(0L)))),
+      Subtract(q, Literal(1L)), q)
+  }
 
   /** (point, bound) views of one comparison conjunct: `a >= b` is a
     * lower bound on `a` by `b` AND an upper bound on `b` by `a`. */

@@ -28,23 +28,26 @@ object GraftStreams {
         col("cnt"), col("sum_value"))
 
   /** Open a file-source stream over a DIRECTORY of events parquet files
-    * with the same schema (and ns->us conversion) the batch path uses.
-    * File sources require a directory: new files landing in it become
-    * micro-batches, which is exactly how a 100 TB ingest folder behaves. */
+    * with the same decode the batch path uses: the `ts` unit is sniffed
+    * from one parquet footer (Tables.eventsTsIsNanos) — TIMESTAMP(NANOS)
+    * footers get the raw-long ÷1000 rebuild, anything else reads as a
+    * plain TimestampType. File sources require a directory: new files
+    * landing in it become micro-batches, which is exactly how a 100 TB
+    * ingest folder behaves. */
   def eventsStream(spark: SparkSession, eventsDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame = {
-    val names = graft.Tables.schemas("events").fieldNames
-    spark.readStream
-      .schema(graft.Tables.schemas("events")
-        .fields.foldLeft(new org.apache.spark.sql.types.StructType()) {
-          (st, f) =>
-            if (f.name == "ts") st.add("ts", org.apache.spark.sql.types.LongType)
-            else st.add(f)
-        })
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(eventsDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .select(names.map(col): _*)
+    val base = spark.readStream
+    if (graft.Tables.eventsTsIsNanos(spark, eventsDir)) {
+      val names = graft.Tables.schemas("events").fieldNames
+      base.schema(graft.Tables.eventsRaw)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(eventsDir)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        .select(names.map(col): _*)
+    } else
+      base.schema(graft.Tables.schemas("events"))
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(eventsDir)
   }
 
   /** Streaming windowed heavy hitters: top-5 users per hour window via
@@ -121,16 +124,19 @@ object GraftStreams {
         col("signup_ts"), col("purchase_ts"), col("value"))
   }
 
-  /** Stream-static enrichment: each micro-batch broadcast-joins the
-    * event stream against a (small, slowly-changing) dimension table —
-    * the most common production streaming join. The static side is
-    * re-read per micro-batch by Spark, so dimension updates are picked
-    * up without restarting the query; no streaming state is kept at all
-    * (nothing to watermark — the join is stateless per batch). */
+  /** Stream-static enrichment: each micro-batch joins the event stream
+    * against a (small, slowly-changing) dimension table — the most
+    * common production streaming join. The static side is re-read per
+    * micro-batch by Spark, so dimension updates are picked up without
+    * restarting the query; no streaming state is kept at all (nothing
+    * to watermark — the join is stateless per batch). The dimension is
+    * caller-supplied, so no broadcast hint is pinned here: AQE measures
+    * the static side each batch and broadcasts when it is actually
+    * small, instead of this code promising it always will be. */
   def enrichedEvents(events: DataFrame, customers: DataFrame): DataFrame =
     events.join(
-      broadcast(customers.select(col("c_custkey"),
-        col("c_mktsegment"), col("c_nationkey"))),
+      customers.select(col("c_custkey"),
+        col("c_mktsegment"), col("c_nationkey")),
       events("user_id") === col("c_custkey"), "left_outer")
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
         col("value"),
@@ -402,10 +408,39 @@ object GraftStreams {
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), manSchema)
 
+    /** Commit protocol: every manifest is written to a `_tmp_v*` staging
+      * directory and RENAMED into `v=N` in one atomic filesystem op, so
+      * a `v=N` directory either does not exist or is complete — existence
+      * IS the commit marker. (The pre-r9 shape wrote `v=N` in place: a
+      * crash mid-manifest-write left a partial directory that replay
+      * treated as committed, silently dropping the batch.) A crash now
+      * leaves only unreferenced data files and/or a `_tmp_v*` dir,
+      * both invisible to readers and reclaimed by vacuum/cleanup. */
+    private def commitManifest(df: DataFrame, v: Int): Unit = {
+      val tmp = new java.io.File(
+        s"$man/_tmp_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val dst = new java.io.File(s"$man/v=$v")
+      if (!tmp.renameTo(dst)) {
+        // lost the commit race to a concurrent replay of the same batch:
+        // that replay's snapshot is byte-equivalent, so drop our staging
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(tmp)
+        require(dst.exists(),
+          s"manifest commit v=$v failed: rename refused and no committed version present")
+      }
+    }
+
+    private def isCommitted(v: Int): Boolean =
+      new java.io.File(s"$man/v=$v").exists()
+
     /** Write the empty initial snapshot (v=1). */
     def init(): Unit = {
       new java.io.File(out).mkdirs()
-      emptyManifest.write.mode("overwrite").parquet(s"$man/v=1")
+      if (!isCommitted(1)) commitManifest(emptyManifest, 1)
     }
 
     def committedVersions: Seq[Int] = {
@@ -417,9 +452,10 @@ object GraftStreams {
 
     def apply(batch: DataFrame, batchId: Long): Unit = {
       val v = batchId.toInt + 2
-      if (new java.io.File(s"$man/v=$v").exists()) return // committed replay
+      if (isCommitted(v)) return // committed replay — atomic rename
+                                 // guarantees existence means complete
       // micro-batches commit in order, so the parent snapshot must exist
-      require(new java.io.File(s"$man/v=${v - 1}").exists(),
+      require(isCommitted(v - 1),
         s"commit v=$v has no parent snapshot v=${v - 1}")
       val before = partFiles(out)
       batch.repartitionByRange(2, col(key)).sortWithinPartitions(key)
@@ -431,8 +467,8 @@ object GraftStreams {
           .groupBy(col("_metadata.file_path").as("file"))
           .agg(min(key).cast("long").as("lo"), max(key).cast("long").as("hi"),
             count(lit(1)).as("n_rows"))
-      spark.read.parquet(s"$man/v=${v - 1}").unionByName(stats)
-        .coalesce(1).write.mode("overwrite").parquet(s"$man/v=$v")
+      commitManifest(
+        spark.read.parquet(s"$man/v=${v - 1}").unionByName(stats), v)
     }
   }
 

@@ -157,6 +157,21 @@ class ExtensionsSpec extends TestBase {
       val untol = viaSql.count(_(2) != null).toLong
       assert(tol < untol, s"1-day tolerance did not reduce matches ($tol vs $untol)")
 
+      // a literal negative tolerance is rejected at analysis — including
+      // exactly -1 us, which must NOT alias the internal "unbounded"
+      // sentinel (ADVICE r8)
+      Seq("-1", "-86400000000").foreach { negUs =>
+        val neg = intercept[Exception] {
+          s2.sql(
+            s"""SELECT count(r.o_orderdate) FROM ev l LEFT JOIN ord r
+               |  ON asof_match(l.user_id, r.o_custkey, l.ts, r.o_orderdate,
+               |                'backward', ${negUs}L)""".stripMargin)
+            .queryExecution.analyzed
+        }
+        assert(neg.getMessage.contains("non-negative"),
+          s"tolerance $negUs us not rejected: ${neg.getMessage}")
+      }
+
       // misuse fails at analysis with the usage message, not at runtime
       val inner = intercept[Exception] {
         s2.sql(

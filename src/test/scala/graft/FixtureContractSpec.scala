@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Canary for the driver-generated fixtures: the test-data generator has
+  * regenerated `/root/testdata` mid-build before (round 8 flipped
+  * `events.ts` from parquet NANOS to MICROS), and every Spark-vs-Spark
+  * spec is self-consistent under a wrong decode — so these assertions pin
+  * the PHYSICAL contract the whole query surface assumes. If a
+  * regeneration changes an encoding again, this suite fails loudly
+  * instead of 14 oracle queries failing silently.
+  */
+class FixtureContractSpec extends TestBase {
+
+  test("decoded events.ts lands in a sane era and spans more than one day") {
+    val r = Tables.load(spark, sfDir, "events")
+      .agg(min("ts").as("lo"), max("ts").as("hi"))
+      .selectExpr(
+        "year(lo) as ylo", "year(hi) as yhi",
+        "cast(hi as double) - cast(lo as double) as span_sec")
+      .head()
+    val (ylo, yhi, span) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+    // A ÷1000-of-micros decode collapses to 1970; a ×1000 misread of nanos
+    // explodes past year 2100. Either way this fails.
+    assert(ylo >= 2000 && yhi <= 2100,
+      s"events.ts decoded outside a plausible era: years [$ylo, $yhi] — " +
+        "the parquet timestamp unit is being mis-decoded (see Tables.load)")
+    assert(span > 86400.0,
+      s"events.ts spans only $span s (<1 day) — timeline compressed, " +
+        "timestamp unit mis-decoded")
+  }
+
+  test("events era overlaps or follows the orders era (as-of joins assume it)") {
+    val eLo = Tables.load(spark, sfDir, "events").agg(min("ts")).head().getTimestamp(0)
+    val oLo = Tables.load(spark, sfDir, "orders").agg(min("o_orderdate")).head().getTimestamp(0)
+    // Backward as-of (q53) matches each event to the latest preceding order:
+    // every event must come at or after the first order.
+    assert(!eLo.before(oLo),
+      s"first event $eLo precedes first order $oLo — as-of/backward joins " +
+        "would go all-NULL; events timestamp decode is suspect")
+  }
+
+  test("every Tables schema reads its parquet with non-zero rows and exact columns") {
+    Tables.schemas.foreach { case (name, schema) =>
+      val df = Tables.load(spark, sfDir, name)
+      assert(df.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
+        s"$name column order drifted")
+      assert(df.schema == schema, s"$name decoded schema drifted from Tables.$name")
+      assert(df.limit(1).count() == 1, s"$name read zero rows")
+    }
+  }
+
+  test("no decoded timestamp column is all-NULL (schema/footer type mismatch canary)") {
+    Seq("events" -> "ts", "orders" -> "o_orderdate", "lineitem" -> "l_shipdate")
+      .foreach { case (t, c) =>
+        val nulls = Tables.load(spark, sfDir, t).filter(col(c).isNull).count()
+        assert(nulls == 0, s"$t.$c has $nulls NULLs — explicit-schema read is " +
+          "silently nulling a mistyped column")
+      }
+  }
+}

@@ -253,6 +253,21 @@ class PlanAuditSpec extends TestBase {
         s"found hinted outputs: $hinted")
   }
 
+  test("q104's document-frequency stage: partial agg before the exchange, no Window over postings") {
+    // The r7 shape computed shingle df with a count window PARTITIONED BY
+    // the raw shingle key: Zipfian shingle frequency funnels a hot
+    // trigram's whole posting list into one WindowExec partition that AQE
+    // cannot split. The fixed shape is a map-side-combined groupBy +
+    // skew-splittable equi-join back — this audit keeps it that way even
+    // though the window form measures faster at toy scale.
+    val plan = SparkEntry.queries("q104_jaccard_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q104 regressed to a window over the posting relation:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"shingle df not partial-aggregated before the exchange:\n$plan")
+  }
+
   test("q98's no-equi-key range join runs as a bin EQUI join, not a nested loop") {
     // The naive point-in-interval formulation has no equality to hash
     // on — Spark would plan BNLJ (or a cartesian), which is O(|L|·|R|)

@@ -98,6 +98,38 @@ class RangeJoinRewriteSpec extends TestBase {
     }
   }
 
+  test("bins are exact past 2^53 (integer floor-division, no double round-trip)") {
+    // snowflake-scale ids: consecutive Longs up here collapse to the
+    // SAME Double (ulp = 2048 at 2^63-ish), so a float bin would merge
+    // or split bins arbitrarily; negative points check the floor (not
+    // truncate-toward-zero) behavior as well
+    withExtSession { s =>
+      import s.implicits._
+      val base = Long.MaxValue - 10000L
+      val iv = Seq(
+        (1L, base + 100L, base + 200L),
+        (2L, -9223372036854775000L, -9223372036854774000L))
+        .toDF("iv_id", "lo", "hi")
+      val pts = Seq(
+        base + 150L,  // inside iv 1
+        base + 2201L, // outside (would alias into range under double rounding)
+        -9223372036854774500L, // inside iv 2
+        -9223372036854773000L  // outside
+      ).toDF("pt")
+      def q() = iv.join(pts, col("pt") >= col("lo") && col("pt") <= col("hi"))
+        .select("iv_id", "pt").orderBy("iv_id", "pt")
+        .collect().map(_.toSeq).toSeq
+      s.conf.unset("spark.graft.rangeJoin.binSize")
+      val want = q()
+      assert(want.size == 2)
+      s.conf.set("spark.graft.rangeJoin.binSize", "600000")
+      val on = iv.join(pts, col("pt") >= col("lo") && col("pt") <= col("hi"))
+      assert(on.queryExecution.optimizedPlan.toString.contains("__graft_bin"),
+        "rewrite did not fire on the 2^63-scale join")
+      assert(q() == want)
+    }
+  }
+
   test("strict bounds keep their strictness through the rewrite") {
     withExtSession { s =>
       val ev = Tables.load(s, sfDir, "events").limit(200)

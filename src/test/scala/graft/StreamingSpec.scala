@@ -217,9 +217,10 @@ class StreamingSpec extends TestBase {
     // sentinel batches push both watermarks past all real data and the
     // triggered no-data batch flushes every buffered left event.
     val evDir = java.nio.file.Files.createTempDirectory("graft_stream_taj_ev")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-      evDir.resolve("events.parquet"))
+    // stage via a Spark write (not a raw copy) so the directory stays
+    // single-encoding when the sentinel below is appended to it
+    Tables.load(spark, sfDir, "events")
+      .coalesce(1).write.mode("append").parquet(evDir.toString)
     val ordDir = java.nio.file.Files.createTempDirectory("graft_stream_taj_ord")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sfDir/orders.parquet"),
@@ -227,13 +228,14 @@ class StreamingSpec extends TestBase {
     val maxUs = Tables.load(spark, sfDir, "events")
       .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
     val farUs = maxUs + 2L * 3600 * 1000000
-    val evRaw = StructType(Seq( // the on-disk shape: ts is INT64 nanos
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
+    // sentinel staged in the LOGICAL events schema: eventsStream sniffs
+    // the footer unit per directory, so Spark-written timestamp files
+    // read back identically whatever unit the fixture itself uses
     spark.createDataFrame(
-      java.util.List.of(Row(-1L, farUs * 1000L, -1L, "sentinel", 0.0, "")),
-      evRaw).coalesce(1).write.mode("append").parquet(evDir.toString)
+      java.util.List.of(Row(-1L, new java.sql.Timestamp(farUs / 1000L),
+        -1L, "sentinel", 0.0, "")),
+      Tables.schemas("events"))
+      .coalesce(1).write.mode("append").parquet(evDir.toString)
     spark.createDataFrame(
       java.util.List.of(Row(-1L, -1L, "F", 0.0,
         new java.sql.Timestamp(farUs / 1000L), "0-none")),
@@ -287,14 +289,13 @@ class StreamingSpec extends TestBase {
     // Append-mode sessions are emitted (a single file would leave every
     // session in state, as the v1 test notes)
     val d = java.nio.file.Files.createTempDirectory("graft_tws_sess")
-    // the fixture stores ts as a RAW int64 of nanos (eventsStream reads
-    // it as LongType and rebuilds the timestamp); slice files must
-    // match that physical shape, not Spark's logical timestamp types
+    // slices are Spark-written in the LOGICAL events schema; eventsStream
+    // sniffs the footer unit per directory so this stays correct whatever
+    // physical unit the driver's fixture uses
     val ev = Tables.load(spark, sfDir, "events")
-      .withColumn("ts", expr("unix_micros(ts) * 1000L"))
-    def cutNs(d: String): Long =
-      java.time.Instant.parse(s"${d}T00:00:00Z").getEpochSecond * 1000000000L
-    val (c1, c2) = (cutNs("2024-01-11"), cutNs("2024-01-21"))
+    def cut(d: String) = lit(java.sql.Timestamp.from(
+      java.time.Instant.parse(s"${d}T00:00:00Z")))
+    val (c1, c2) = (cut("2024-01-11"), cut("2024-01-21"))
     Seq(("a", col("ts") < c1),
         ("b", col("ts") >= c1 && col("ts") < c2),
         ("c", col("ts") >= c2)).foreach { case (name, pred) =>
@@ -357,10 +358,9 @@ class StreamingSpec extends TestBase {
     // three time-ordered slice files -> three micro-batches
     val d = java.nio.file.Files.createTempDirectory("graft_ingest_src")
     val ev = Tables.load(spark, sfDir, "events")
-      .withColumn("ts", expr("unix_micros(ts) * 1000L"))
-    def cutNs(day: String): Long =
-      java.time.Instant.parse(s"${day}T00:00:00Z").getEpochSecond * 1000000000L
-    val (c1, c2) = (cutNs("2024-01-11"), cutNs("2024-01-21"))
+    def cut(day: String) = lit(java.sql.Timestamp.from(
+      java.time.Instant.parse(s"${day}T00:00:00Z")))
+    val (c1, c2) = (cut("2024-01-11"), cut("2024-01-21"))
     val slices = Seq(("a", col("ts") < c1),
       ("b", col("ts") >= c1 && col("ts") < c2),
       ("c", col("ts") >= c2))
@@ -418,6 +418,26 @@ class StreamingSpec extends TestBase {
     assert(deleted.toSet == orphans, s"vacuum deleted $deleted, want $orphans")
     assert(CurationQueries.readAsOf(spark, (out, man), 4).count() ==
       prefixCounts.last, "vacuum broke the committed snapshot")
+
+    // crash BETWEEN data-write and manifest-commit, then replay: only an
+    // atomically-renamed v=N dir counts as committed, so the replay must
+    // RE-COMMIT the batch (write data + manifest), not skip it; the first
+    // attempt's files stay orphans and vacuum reclaims exactly them
+    val replay = ev.limit(5).select("event_id", "user_id", "value")
+    val preCrash = CurationQueries.partFiles(out)
+    replay.coalesce(1).write.mode("append").parquet(out) // attempt 1 data
+    val attempt1 = CurationQueries.partFiles(out) -- preCrash
+    assert(attempt1.nonEmpty && !sink.committedVersions.contains(5),
+      "crash simulation precondition failed")
+    sink.apply(replay, 3L) // batchId 3 -> v=5: the replay after the crash
+    assert(sink.committedVersions.contains(5), "replay did not re-commit")
+    assert(CurationQueries.readAsOf(spark, (out, man), 5).count() ==
+      prefixCounts.last + 5, "re-committed snapshot content off")
+    val deleted2 = CurationQueries.vacuum(spark, (out, man), 1, 5)
+    assert(deleted2.toSet == attempt1,
+      s"vacuum deleted $deleted2, want $attempt1")
+    assert(CurationQueries.readAsOf(spark, (out, man), 5).count() ==
+      prefixCounts.last + 5, "vacuum broke the re-committed snapshot")
   }
 
   test("foreachBatch upsert sink: exactly-once state, replay-proof") {
