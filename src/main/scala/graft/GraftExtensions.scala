@@ -52,6 +52,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"asof_match requires 4-6 arguments, got ${es.length}")
         graft.plans.AsOfMatchMarker(es)
       }))
+    // pure-SQL time travel over GraftTable snapshots:
+    // SELECT * FROM graft_snapshot('<manifestDir>', 2) — resolution
+    // plans the file list from the committed manifest version alone
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_snapshot"),
+      info("graft_snapshot",
+        "graft_snapshot(manifestDir, version) - time-travel scan of a " +
+          "GraftTable snapshot; plans from the committed manifest only"),
+      (es: Seq[Expression]) => graft.table.SnapshotSql.plan(es)))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",

@@ -652,32 +652,33 @@ object CurationQueries {
   private val SkipLo = 100L
   private val SkipHi = 2000L
 
+  // The table-format MECHANICS (clustered writes, per-file stats,
+  // atomic versioned commits, prune/stats-only planning, vacuum, CDC,
+  // deletion vectors) live in ONE place — graft.table.GraftTable. The
+  // helpers below are the operator surface's policy layers over it
+  // (q100/q105/q107 keep a single in-place manifest; q108/q110/q111 and
+  // the streaming ingest sink are snapshot-versioned) and keep their
+  // original signatures so the spec suites exercise the shared module.
+  import graft.table.GraftTable
+
   /** Write the clustered layout and its manifest; returns (dataDir, manifestDir). */
   private[graft] def manifestLayout(s: SparkSession, dir: String): (String, String) = {
     val out = RelationalQueries.scratch("q100_layout", dir)
     val man = RelationalQueries.scratch("q100_manifest", dir)
-    t(s, dir, "lineitem")
-      .select("l_orderkey", "l_quantity", "l_extendedprice")
-      .repartitionByRange(16, col("l_orderkey"))
-      .sortWithinPartitions("l_orderkey")
-      .write.mode("overwrite").parquet(out)
+    GraftTable.clusteredWrite(
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice"),
+      "l_orderkey", 16, "overwrite", out)
     // the manifest is built distributed (one partial-agg scan) and
     // persisted WITH the data — readers never touch the data to plan
-    s.read.parquet(out)
-      .groupBy(col("_metadata.file_path").as("file"))
-      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"),
-        count(lit(1)).as("n_rows"))
+    GraftTable.fileStats(s, Seq(out), "l_orderkey")
       .coalesce(1).write.mode("overwrite").parquet(man)
     (out, man)
   }
 
   /** The data files currently in a layout directory (names only; no
     * data read — this is commit bookkeeping, not planning). */
-  private[graft] def partFiles(dir: String): Set[String] = {
-    val fs = new java.io.File(dir).listFiles()
-    (if (fs == null) Array.empty[java.io.File] else fs)
-      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
-  }
+  private[graft] def partFiles(dir: String): Set[String] =
+    GraftTable.partFiles(dir)
 
   /** Incremental manifest maintenance: append a new batch of rows as
     * new files and extend the manifest with ONLY the new files' stats —
@@ -689,18 +690,12 @@ object CurationQueries {
       batch: DataFrame): Unit = {
     val (out, man) = layout
     val before = partFiles(out)
-    batch
-      .repartitionByRange(4, col("l_orderkey"))
-      .sortWithinPartitions("l_orderkey")
-      .write.mode("append").parquet(out)
+    GraftTable.clusteredWrite(batch, "l_orderkey", 4, "append", out)
     // stats for ONLY the files this append created (identified by
     // directory listing — no data read); existing entries untouched
     val added = (partFiles(out) -- before).toSeq.map(n => s"$out/$n")
     if (added.nonEmpty)
-      s.read.parquet(added: _*)
-        .groupBy(col("_metadata.file_path").as("file"))
-        .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"),
-          count(lit(1)).as("n_rows"))
+      GraftTable.fileStats(s, added, "l_orderkey")
         .coalesce(1).write.mode("append").parquet(man)
   }
 
@@ -708,14 +703,8 @@ object CurationQueries {
     * plus the total file count. O(#files) rows on the driver — this IS
     * the manifest-planning step, not a data collect. */
   private[graft] def manifestPrune(s: SparkSession, man: String,
-      qlo: Long, qhi: Long): (Seq[String], Int) = {
-    val rows = s.read.parquet(man).collect()
-    val kept = rows.filter { r =>
-      r.getAs[Number]("hi").longValue >= qlo &&
-        r.getAs[Number]("lo").longValue <= qhi
-    }.map(_.getAs[String]("file")).toSeq
-    (kept, rows.length)
-  }
+      qlo: Long, qhi: Long): (Seq[String], Int) =
+    GraftTable.pruneManifest(s, man, qlo, qhi)
 
   // ---- 106. Stats-only (metadata-only) aggregation. A count over a
   // key range does not need to READ a file whose box lies entirely
@@ -729,20 +718,8 @@ object CurationQueries {
   // answered from stats alone and none are read twice. ----
   /** (rows answered from stats alone, boundary files to scan, #covered files). */
   private[graft] def statsOnlySplit(s: SparkSession, man: String,
-      qlo: Long, qhi: Long): (Long, Seq[String], Int) = {
-    val rows = s.read.parquet(man).collect()
-    val (covered, boundary) = rows
-      .filter { r => // intersecting files only
-        r.getAs[Number]("hi").longValue >= qlo &&
-          r.getAs[Number]("lo").longValue <= qhi
-      }
-      .partition { r => // fully inside: stats answer, no read
-        r.getAs[Number]("lo").longValue >= qlo &&
-          r.getAs[Number]("hi").longValue <= qhi
-      }
-    (covered.map(_.getAs[Number]("n_rows").longValue).sum,
-      boundary.map(_.getAs[String]("file")).toSeq, covered.length)
-  }
+      qlo: Long, qhi: Long): (Long, Seq[String], Int) =
+    GraftTable.statsOnlySplit(s, man, qlo, qhi)
 
   val q106_stats_only_count: Q = (s, dir) => {
     val (out, man) = manifestLayout(s, dir)
@@ -792,20 +769,18 @@ object CurationQueries {
   private[graft] def cowLayout(s: SparkSession, dir: String): (String, String) = {
     val out = RelationalQueries.scratch("q105_layout", dir)
     val man = RelationalQueries.scratch("q105_manifest", dir)
-    t(s, dir, "orders")
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-      .repartitionByRange(8, col("o_orderkey"))
-      .sortWithinPartitions("o_orderkey")
-      .write.mode("overwrite").parquet(out)
-    s.read.parquet(out)
-      .groupBy(col("_metadata.file_path").as("file"))
-      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"))
+    GraftTable.clusteredWrite(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      "o_orderkey", 8, "overwrite", out)
+    GraftTable.fileStats(s, Seq(out), "o_orderkey")
       .coalesce(1).write.mode("overwrite").parquet(man)
     (out, man)
   }
 
   /** Upsert `batch` (same schema as the layout, unique `key`) into the
-    * layout, rewriting only manifest-impacted files. */
+    * layout, rewriting only manifest-impacted files. This is the
+    * IN-PLACE policy (replaced files deleted at commit, one manifest) —
+    * the snapshot-isolated variant is commitMerge below. */
   private[graft] def cowMerge(s: SparkSession, layout: (String, String),
       batch: DataFrame, key: String): Unit = {
     val (out, man) = layout
@@ -822,9 +797,7 @@ object CurationQueries {
        else s.read.parquet(impacted: _*)
          .join(batch.select(key).distinct(), Seq(key), "left_anti"))
         .unionByName(batch)
-    replacement
-      .repartitionByRange(2, col(key)).sortWithinPartitions(key)
-      .write.mode("append").parquet(out)
+    GraftTable.clusteredWrite(replacement, key, 2, "append", out)
     val added = (partFiles(out) -- before).toSeq.map(n => s"$out/$n")
     // swap: drop the replaced files, then swap the manifest entries.
     // The manifest is O(#files) and driver-resident by design, so the
@@ -835,12 +808,10 @@ object CurationQueries {
     }
     val keptEntries = s.read.parquet(man)
       .filter(!col("file").isin(impacted: _*)).collect().toSeq
-    val addedStats = s.read.parquet(added: _*)
-      .groupBy(col("_metadata.file_path").as("file"))
-      .agg(min(key).as("lo"), max(key).as("hi")).collect().toSeq
+    val addedStats = GraftTable.fileStats(s, added, key).collect().toSeq
     import scala.jdk.CollectionConverters._
     s.createDataFrame((keptEntries ++ addedStats).asJava,
-        s.read.parquet(man).schema)
+        GraftTable.manifestSchema)
       .coalesce(1).write.mode("overwrite").parquet(man)
   }
 
@@ -893,74 +864,32 @@ object CurationQueries {
   private[graft] def morLayout(s: SparkSession, dir: String): (String, String) = {
     val out = RelationalQueries.scratch("q107_layout", dir)
     val dv = RelationalQueries.scratch("q107_dv", dir)
-    t(s, dir, "orders")
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-      .repartitionByRange(8, col("o_orderkey"))
-      .sortWithinPartitions("o_orderkey")
-      .write.mode("overwrite").parquet(out)
+    GraftTable.clusteredWrite(
+      t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+      "o_orderkey", 8, "overwrite", out)
     // start from an empty deletion-vector table (schema declared, so
     // readers never special-case "no deletes yet")
-    s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        morDvSchema)
-      .write.mode("overwrite").parquet(dv)
+    GraftTable.dvInit(s, dv)
     (out, dv)
   }
-
-  private[graft] val morDvSchema = org.apache.spark.sql.types.StructType(Seq(
-    org.apache.spark.sql.types.StructField("file",
-      org.apache.spark.sql.types.StringType),
-    org.apache.spark.sql.types.StructField("pos",
-      org.apache.spark.sql.types.LongType)))
 
   /** DELETE WHERE pred, as position deletes: no data file is touched;
     * the matching rows' (file, row_index) pairs append to the DV table. */
   private[graft] def morDelete(s: SparkSession, layout: (String, String),
-      pred: Column): Unit = {
-    val (out, dv) = layout
-    s.read.parquet(out)
-      .filter(pred)
-      .select(col("_metadata.file_path").as("file"),
-        col("_metadata.row_index").as("pos"))
-      .write.mode("append").parquet(dv)
-  }
+      pred: Column): Unit =
+    GraftTable.dvDelete(s, layout._1, layout._2, pred)
 
-  /** Merge-on-read scan: live rows = data ANTI JOIN dv ON (file, pos). */
-  private[graft] def morRead(s: SparkSession, layout: (String, String)): DataFrame = {
-    val (out, dv) = layout
-    s.read.parquet(out)
-      .withColumn("file", col("_metadata.file_path"))
-      .withColumn("pos", col("_metadata.row_index"))
-      .join(s.read.parquet(dv), Seq("file", "pos"), "left_anti")
-      .drop("file", "pos")
-  }
+  /** Merge-on-read scan: live rows = data ANTI JOIN dv ON (file, pos),
+    * with the anti join running over ONLY the DV-dirty files — DV-free
+    * files stream straight from the scan (GraftTable.dvRead). */
+  private[graft] def morRead(s: SparkSession, layout: (String, String)): DataFrame =
+    GraftTable.dvRead(s, layout._1, layout._2)
 
   /** Apply accumulated DVs: rewrite ONLY the files the DV table names
     * (survivor rows re-clustered), then clear the DVs. */
   private[graft] def morCompact(s: SparkSession, layout: (String, String),
-      key: String): Unit = {
-    val (out, dv) = layout
-    val dvDf = s.read.parquet(dv)
-    val impacted = dvDf.select("file").distinct().collect()
-      .map(_.getString(0)).toSeq
-    if (impacted.nonEmpty) {
-      val before = partFiles(out)
-      s.read.parquet(impacted: _*)
-        .withColumn("file", col("_metadata.file_path"))
-        .withColumn("pos", col("_metadata.row_index"))
-        .join(dvDf, Seq("file", "pos"), "left_anti")
-        .drop("file", "pos")
-        .repartitionByRange(2, col(key)).sortWithinPartitions(key)
-        .write.mode("append").parquet(out)
-      require(partFiles(out) != before, "compaction wrote no survivors")
-      impacted.foreach { p =>
-        val f = new java.io.File(new java.net.URI(p).getPath)
-        require(f.delete(), s"could not remove compacted file $f")
-      }
-      s.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](), morDvSchema)
-        .write.mode("overwrite").parquet(dv)
-    }
-  }
+      key: String): Unit =
+    GraftTable.dvCompact(s, layout._1, layout._2, key)
 
   val q107_mor_delete: Q = (s, dir) => {
     val layout = morLayout(s, dir)
@@ -992,16 +921,9 @@ object CurationQueries {
       tag: String = "q108"): (String, String) = {
     val out = RelationalQueries.scratch(s"${tag}_layout", dir)
     val man = RelationalQueries.scratch(s"${tag}_manifest", dir)
-    t(s, dir, "orders")
-      .select("o_orderkey", "o_custkey", "o_totalprice")
-      .repartitionByRange(8, col("o_orderkey"))
-      .sortWithinPartitions("o_orderkey")
-      .write.mode("overwrite").parquet(out)
-    s.read.parquet(out)
-      .groupBy(col("_metadata.file_path").as("file"))
-      .agg(min("o_orderkey").as("lo"), max("o_orderkey").as("hi"),
-        count(lit(1)).as("n_rows"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$man/v=1")
+    GraftTable(s, out, man, "o_orderkey")
+      .create(t(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice"), 8)
     (out, man)
   }
 
@@ -1009,27 +931,13 @@ object CurationQueries {
     * manifest version holding the previous complete entry list + the new
     * files' stats. Version prevV's manifest is left untouched. */
   private[graft] def commitAppend(s: SparkSession, layout: (String, String),
-      batch: DataFrame, prevV: Int, key: String): Unit = {
-    val (out, man) = layout
-    val before = partFiles(out)
-    batch.repartitionByRange(2, col(key)).sortWithinPartitions(key)
-      .write.mode("append").parquet(out)
-    val added = (partFiles(out) -- before).toSeq.map(n => s"$out/$n")
-    val addedStats = s.read.parquet(added: _*)
-      .groupBy(col("_metadata.file_path").as("file"))
-      .agg(min(key).as("lo"), max(key).as("hi"), count(lit(1)).as("n_rows"))
-    s.read.parquet(s"$man/v=$prevV").unionByName(addedStats)
-      .coalesce(1).write.mode("overwrite").parquet(s"$man/v=${prevV + 1}")
-  }
+      batch: DataFrame, prevV: Int, key: String): Unit =
+    GraftTable(s, layout._1, layout._2, key).commitAppend(batch, prevV)
 
   /** Time travel: the file list comes from snapshot v's manifest alone. */
   private[graft] def readAsOf(s: SparkSession, layout: (String, String),
-      v: Int): DataFrame = {
-    val (_, man) = layout
-    val files = s.read.parquet(s"$man/v=$v").select("file").collect()
-      .map(_.getString(0)).toSeq
-    s.read.parquet(files: _*)
-  }
+      v: Int): DataFrame =
+    GraftTable(s, layout._1, layout._2, "").readAsOf(v)
 
   val q108_time_travel: Q = (s, dir) => {
     val layout = versionedLayout(s, dir)
@@ -1081,58 +989,15 @@ object CurationQueries {
     * disk — version prevV still references them; version prevV+1 does
     * not. */
   private[graft] def commitMerge(s: SparkSession, layout: (String, String),
-      batch: DataFrame, prevV: Int, key: String): Unit = {
-    val (out, man) = layout
-    val env = batch.agg(min(key), max(key)).head
-    val manV = s"$man/v=$prevV"
-    val entries = s.read.parquet(manV).collect()
-    val impacted = entries.filter { r =>
-      r.getAs[Number]("hi").longValue >= env.getLong(0) &&
-        r.getAs[Number]("lo").longValue <= env.getLong(1)
-    }.map(_.getAs[String]("file")).toSeq
-    val before = partFiles(out)
-    val replacement =
-      (if (impacted.isEmpty) batch.limit(0)
-       else s.read.parquet(impacted: _*)
-         .join(batch.select(key).distinct(), Seq(key), "left_anti"))
-        .unionByName(batch)
-    replacement
-      .repartitionByRange(2, col(key)).sortWithinPartitions(key)
-      .write.mode("append").parquet(out)
-    val added = (partFiles(out) -- before).toSeq.map(n => s"$out/$n")
-    val addedStats = s.read.parquet(added: _*)
-      .groupBy(col("_metadata.file_path").as("file"))
-      .agg(min(key).as("lo"), max(key).as("hi"), count(lit(1)).as("n_rows"))
-    s.read.parquet(manV)
-      .filter(!col("file").isin(impacted: _*))
-      .unionByName(addedStats)
-      .coalesce(1).write.mode("overwrite").parquet(s"$man/v=${prevV + 1}")
-  }
+      batch: DataFrame, prevV: Int, key: String): Unit =
+    GraftTable(s, layout._1, layout._2, key).commitMerge(batch, prevV)
 
   /** VACUUM: drop manifest versions below keepFrom, then delete every
     * data file referenced by NO retained version. Returns the deleted
     * file names. */
   private[graft] def vacuum(s: SparkSession, layout: (String, String),
-      keepFrom: Int, latest: Int): Seq[String] = {
-    val (out, man) = layout
-    val referenced = (keepFrom to latest).flatMap { v =>
-      s.read.parquet(s"$man/v=$v").select("file").collect()
-        .map(r => new java.io.File(
-          new java.net.URI(r.getString(0)).getPath).getName)
-    }.toSet
-    val orphans = (partFiles(out) -- referenced).toSeq.sorted
-    orphans.foreach { n =>
-      require(new java.io.File(s"$out/$n").delete(), s"could not vacuum $n")
-    }
-    // expired manifest versions go too (they reference deleted files)
-    (1 until keepFrom).foreach { v =>
-      val d = new java.io.File(s"$man/v=$v")
-      if (d.exists()) {
-        d.listFiles().foreach(_.delete()); d.delete()
-      }
-    }
-    orphans
-  }
+      keepFrom: Int, latest: Int): Seq[String] =
+    GraftTable(s, layout._1, layout._2, "").vacuum(keepFrom, latest)
 
   val q110_vacuumed_merge: Q = (s, dir) => {
     val layout = versionedLayout(s, dir, "q110") // snapshot v1
@@ -1166,33 +1031,11 @@ object CurationQueries {
   // At 100 TB the change feed for a 0.1% churn commit reads ~0.2% of
   // the table instead of 200%. The join shuffles only churned-file
   // rows; nothing is hinted. ----
-  /** Row-level change feed v_from -> v_to: (op, key, old/new columns). */
+  /** Row-level change feed v_from -> v_to:
+    * (key, old_<col>.., new_<col>.., op). */
   private[graft] def cdcBetween(s: SparkSession, layout: (String, String),
-      vFrom: Int, vTo: Int): DataFrame = {
-    val (_, man) = layout
-    def refs(v: Int): Set[String] =
-      s.read.parquet(s"$man/v=$v").select("file").collect()
-        .map(_.getString(0)).toSet
-    val (from, to) = (refs(vFrom), refs(vTo))
-    def readFiles(fs: Set[String]): DataFrame =
-      if (fs.isEmpty) // typed empty relation, same shape as the layout
-        s.read.parquet((from ++ to).head).limit(0)
-      else s.read.parquet(fs.toSeq: _*)
-    val old = readFiles(from -- to)
-      .select(col("o_orderkey"), col("o_custkey").as("old_custkey"),
-        col("o_totalprice").as("old_totalprice"))
-    val neu = readFiles(to -- from)
-      .select(col("o_orderkey"), col("o_custkey").as("new_custkey"),
-        col("o_totalprice").as("new_totalprice"))
-    old.join(neu, Seq("o_orderkey"), "full_outer")
-      .withColumn("op",
-        when(col("old_custkey").isNull, lit("insert"))
-          .when(col("new_custkey").isNull, lit("delete"))
-          .when(col("old_custkey") === col("new_custkey") &&
-            col("old_totalprice") === col("new_totalprice"), lit(null))
-          .otherwise(lit("update")))
-      .filter(col("op").isNotNull) // rewritten-but-unchanged survivors
-  }
+      vFrom: Int, vTo: Int): DataFrame =
+    GraftTable(s, layout._1, layout._2, "o_orderkey").cdc(vFrom, vTo)
 
   val q111_incremental_cdc: Q = (s, dir) => {
     val layout = versionedLayout(s, dir, "q111")
@@ -1207,7 +1050,7 @@ object CurationQueries {
     cdcBetween(s, layout, 1, 2)
       .groupBy("op")
       .agg(count(lit(1)).as("n_rows"),
-        dround(sum("new_totalprice"), 2).as("total"))
+        dround(sum("new_o_totalprice"), 2).as("total"))
       .orderBy("op")
   }
 

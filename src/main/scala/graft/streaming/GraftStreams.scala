@@ -397,78 +397,37 @@ object GraftStreams {
     * layouts). */
   final class ManifestIngestSink(spark: SparkSession, out: String,
       man: String, key: String) {
-    import graft.operators.CurationQueries.partFiles
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-
-    private val manSchema = StructType(Seq(
-      StructField("file", StringType), StructField("lo", LongType),
-      StructField("hi", LongType), StructField("n_rows", LongType)))
-
-    private def emptyManifest =
-      spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), manSchema)
-
-    /** Commit protocol: every manifest is written to a `_tmp_v*` staging
-      * directory and RENAMED into `v=N` in one atomic filesystem op, so
-      * a `v=N` directory either does not exist or is complete — existence
-      * IS the commit marker. (The pre-r9 shape wrote `v=N` in place: a
-      * crash mid-manifest-write left a partial directory that replay
-      * treated as committed, silently dropping the batch.) A crash now
-      * leaves only unreferenced data files and/or a `_tmp_v*` dir,
-      * both invisible to readers and reclaimed by vacuum/cleanup. */
-    private def commitManifest(df: DataFrame, v: Int): Unit = {
-      val tmp = new java.io.File(
-        s"$man/_tmp_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val dst = new java.io.File(s"$man/v=$v")
-      if (!tmp.renameTo(dst)) {
-        // lost the commit race to a concurrent replay of the same batch:
-        // that replay's snapshot is byte-equivalent, so drop our staging
-        def rm(f: java.io.File): Unit = {
-          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
-          f.delete(); ()
-        }
-        rm(tmp)
-        require(dst.exists(),
-          s"manifest commit v=$v failed: rename refused and no committed version present")
-      }
-    }
-
-    private def isCommitted(v: Int): Boolean =
-      new java.io.File(s"$man/v=$v").exists()
+    // All mechanics — atomic temp-dir+rename manifest commits, clustered
+    // appends, per-file stats — live in graft.table.GraftTable; this
+    // sink is only the foreachBatch policy: batchId b commits snapshot
+    // v=b+2 (v=1 is the empty initial snapshot), replays of a committed
+    // batch are no-ops, and a crash between data-write and manifest
+    // commit leaves orphan files that replay supersedes and vacuum
+    // reclaims (existence of v=N means COMPLETE, by the module's
+    // atomic-rename contract).
+    private val table = graft.table.GraftTable(spark, out, man, key)
 
     /** Write the empty initial snapshot (v=1). */
-    def init(): Unit = {
-      new java.io.File(out).mkdirs()
-      if (!isCommitted(1)) commitManifest(emptyManifest, 1)
-    }
+    def init(): Unit = { table.createEmpty(); () }
 
-    def committedVersions: Seq[Int] = {
-      val fs = new java.io.File(man).listFiles()
-      (if (fs == null) Array.empty[java.io.File] else fs)
-        .filter(f => f.isDirectory && f.getName.startsWith("v="))
-        .map(_.getName.drop(2).toInt).toSeq.sorted
-    }
+    def committedVersions: Seq[Int] = table.committedVersions
+
+    /** OPTIMIZE the ingest tail: bin-pack the latest snapshot's small
+      * files into ~targetBytes files as a new snapshot version (pure
+      * layout change — streaming ingest's many per-batch files are the
+      * canonical source of the small-file problem). Old versions still
+      * time-travel; vacuum reclaims the packed-away files. Returns the
+      * number of files compacted. */
+    def optimize(targetBytes: Long): Int =
+      table.commitCompaction(committedVersions.max, targetBytes)
 
     def apply(batch: DataFrame, batchId: Long): Unit = {
       val v = batchId.toInt + 2
-      if (isCommitted(v)) return // committed replay — atomic rename
-                                 // guarantees existence means complete
+      if (table.isCommitted(v)) return // committed replay: skip
       // micro-batches commit in order, so the parent snapshot must exist
-      require(isCommitted(v - 1),
+      require(table.isCommitted(v - 1),
         s"commit v=$v has no parent snapshot v=${v - 1}")
-      val before = partFiles(out)
-      batch.repartitionByRange(2, col(key)).sortWithinPartitions(key)
-        .write.mode("append").parquet(out)
-      val added = (partFiles(out) -- before).toSeq.map(n => s"$out/$n")
-      val stats =
-        if (added.isEmpty) emptyManifest
-        else spark.read.parquet(added: _*)
-          .groupBy(col("_metadata.file_path").as("file"))
-          .agg(min(key).cast("long").as("lo"), max(key).cast("long").as("hi"),
-            count(lit(1)).as("n_rows"))
-      commitManifest(
-        spark.read.parquet(s"$man/v=${v - 1}").unionByName(stats), v)
+      table.commitAppend(batch, v - 1)
     }
   }
 

@@ -1,0 +1,57 @@
+package graft.table
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Pure-SQL surface for GraftTable time travel (the q108 capability
+  * from `spark.sql(...)` text — the asof_match pattern applied to a
+  * RELATION, so it is a table function, not a scalar marker):
+  *
+  * {{{
+  *   SELECT * FROM graft_snapshot('<manifestDir>', 2)
+  * }}}
+  *
+  * Resolution reads version v's manifest — O(#files), driver-resident,
+  * exactly like every other manifest-planning step — and returns the
+  * parquet relation over the snapshot's file list. Data files are
+  * never listed or opened for planning; the committed manifest alone
+  * names them, so the scan is snapshot-isolated by construction (the
+  * manifest version is immutable once the atomic rename commits it).
+  * Injected by [[graft.GraftExtensions]] via `injectTableFunction`.
+  */
+object SnapshotSql {
+
+  private val usage =
+    "graft_snapshot(manifestDir, version): manifestDir a literal STRING " +
+      "(the GraftTable manifest directory containing v=N subdirs), " +
+      "version a literal INT of a committed snapshot"
+
+  private def fail(detail: String): Nothing =
+    throw new IllegalArgumentException(s"$detail\n$usage")
+
+  def plan(es: Seq[Expression]): LogicalPlan = {
+    if (es.length != 2) fail(s"graft_snapshot takes 2 arguments, got ${es.length}")
+    val man = es.head match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => fail(s"manifestDir must be a string literal; got '$other'")
+    }
+    val v = es(1) match {
+      case Literal(i: Int, IntegerType) => i
+      case Literal(l: Long, LongType) => l.toInt
+      case other => fail(s"version must be an integer literal; got '$other'")
+    }
+    val spark = SparkSession.active
+    val table = GraftTable(spark, data = "", man = man, key = "")
+    if (!table.isCommitted(v))
+      fail(s"no committed snapshot v=$v under $man " +
+        s"(committed: ${table.committedVersions.mkString(", ")})")
+    val files = table.files(v)
+    if (files.isEmpty)
+      fail(s"snapshot v=$v of $man references no data files " +
+        "(empty snapshots carry no schema to scan)")
+    spark.read.parquet(files: _*).queryExecution.analyzed
+  }
+}

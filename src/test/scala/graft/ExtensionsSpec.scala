@@ -122,6 +122,51 @@ class ExtensionsSpec extends TestBase {
     }
   }
 
+  test("time travel runs from pure SQL text via graft_snapshot (same rows as readAsOf)") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // q108's exact layout: v1, then an append commit -> v2
+      val layout @ (_, man) =
+        operators.CurationQueries.versionedLayout(s2, sfDir, "q108sql")
+      val batch = Tables.load(s2, sfDir, "orders")
+        .filter(org.apache.spark.sql.functions.col("o_orderkey").between(1, 500))
+        .select((-org.apache.spark.sql.functions.col("o_orderkey")).as("o_orderkey"),
+          org.apache.spark.sql.functions.col("o_custkey"),
+          org.apache.spark.sql.functions.col("o_totalprice"))
+      operators.CurationQueries.commitAppend(s2, layout, batch, 1, "o_orderkey")
+      Seq(1, 2).foreach { v =>
+        val viaSql = s2.sql(
+          s"""SELECT count(*) AS n, round(sum(o_totalprice), 2) AS total,
+             |  min(o_orderkey) AS min_key
+             |FROM graft_snapshot('$man', $v)""".stripMargin)
+          .collect()(0)
+        val api = operators.CurationQueries.readAsOf(s2, layout, v)
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)),
+            org.apache.spark.sql.functions.round(
+              org.apache.spark.sql.functions.sum("o_totalprice"), 2),
+            org.apache.spark.sql.functions.min("o_orderkey")).collect()(0)
+        assert(viaSql.getLong(0) == api.getLong(0), s"v=$v count")
+        assert(viaSql.getDouble(1) == api.getDouble(1), s"v=$v sum")
+        assert(viaSql.getLong(2) == api.getLong(2), s"v=$v min")
+      }
+      // misuse fails at analysis with the usage message
+      val bad = intercept[Exception] {
+        s2.sql(s"SELECT * FROM graft_snapshot('$man', 99)").queryExecution.analyzed
+      }
+      assert(bad.getMessage.contains("no committed snapshot"))
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("as-of join runs from pure SQL text via asof_match (same answer as q53)") {
     val orig = spark
     SparkSession.clearActiveSession()

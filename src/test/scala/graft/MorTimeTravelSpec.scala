@@ -43,6 +43,38 @@ class MorTimeTravelSpec extends TestBase {
     assert(math.abs(got.getDouble(1) - want.getDouble(1)) < 1e-6, "MOR sum off")
   }
 
+  test("q107: the MOR read anti-joins only DV-dirty files; clean files bypass the join") {
+    // the 100 TB shape: after a range-local delete, the overwhelming
+    // majority of files carry no DVs and must stream straight from the
+    // scan — paying the (file, pos) anti join for every row of a 100 TB
+    // table to honor deletes in 1% of files is the regression this pins
+    val layout @ (out, dv) = CurationQueries.morLayout(spark, sfDir)
+    CurationQueries.morDelete(spark, layout, col("o_orderkey").between(1, 200))
+    val dirty = spark.read.parquet(dv).select("file").distinct().count().toInt
+    val total = CurationQueries.partFiles(out).size
+    assert(dirty > 0 && dirty < total,
+      s"precondition: delete must touch a strict subset ($dirty of $total)")
+    val df = CurationQueries.morRead(spark, layout)
+    val plan = df.queryExecution.sparkPlan
+    assert(plan.toString.contains("Union"),
+      s"MOR read lost its clean/dirty split:\n$plan")
+    // the anti-join side scans exactly the DV-named files (file-rooted
+    // relation), not the whole table
+    import org.apache.spark.sql.execution.FileSourceScanLike
+    val dataScans = plan.collectLeaves().collect {
+      case f: FileSourceScanLike
+        if f.relation.location.rootPaths.exists(_.toString.contains("q107_layout")) => f
+    }
+    assert(dataScans.exists(_.relation.location.rootPaths.length == dirty),
+      s"no scan restricted to the $dirty DV-dirty files: " +
+        dataScans.map(_.relation.location.rootPaths.length).mkString(","))
+    // and the result is still exact
+    val got = df.agg(count(lit(1))).head.getLong(0)
+    val want = Tables.load(spark, sfDir, "orders")
+      .filter(!col("o_orderkey").between(1, 200)).count()
+    assert(got == want, s"pruned MOR read off: $got vs $want")
+  }
+
   test("q107: compaction rewrites only DV-named files, then clears the DVs") {
     val layout @ (out, dv) = CurationQueries.morLayout(spark, sfDir)
     // a range-local delete: only the low-key files accumulate DVs

@@ -438,6 +438,33 @@ class StreamingSpec extends TestBase {
       s"vacuum deleted $deleted2, want $attempt1")
     assert(CurationQueries.readAsOf(spark, (out, man), 5).count() ==
       prefixCounts.last + 5, "vacuum broke the re-committed snapshot")
+
+    // OPTIMIZE: bin-pack the per-batch small files into one target-size
+    // file as a NEW snapshot; content identical, old versions still
+    // time-travel, vacuum then reclaims exactly the packed-away files
+    val filesPre = CurationQueries.partFiles(out)
+    val v5Sum = CurationQueries.readAsOf(spark, (out, man), 5)
+      .agg(sum("value")).head.getDouble(0)
+    val packed = sink.optimize(targetBytes = 64L * 1024 * 1024)
+    assert(packed == filesPre.size,
+      s"expected all ${filesPre.size} small files packed, got $packed")
+    assert(sink.committedVersions.contains(6), "compaction did not commit v=6")
+    val v6 = CurationQueries.readAsOf(spark, (out, man), 6)
+    assert(v6.count() == prefixCounts.last + 5 &&
+      math.abs(v6.agg(sum("value")).head.getDouble(0) - v5Sum) < 1e-6,
+      "compaction changed the snapshot's content")
+    val v6Files = v6.select(col("_metadata.file_path")).distinct().count()
+    assert(v6Files < filesPre.size,
+      s"compaction did not reduce files ($v6Files vs ${filesPre.size})")
+    // pre-compaction versions still read the OLD files (time travel)
+    assert(CurationQueries.readAsOf(spark, (out, man), 4).count() ==
+      prefixCounts.last, "old snapshot broken by compaction")
+    // vacuum retaining only v=6 reclaims exactly the packed-away files
+    val reclaimed = CurationQueries.vacuum(spark, (out, man), 6, 6)
+    assert(reclaimed.toSet == filesPre,
+      s"vacuum reclaimed $reclaimed, want $filesPre")
+    assert(CurationQueries.readAsOf(spark, (out, man), 6).count() ==
+      prefixCounts.last + 5, "vacuum broke the compacted snapshot")
   }
 
   test("foreachBatch upsert sink: exactly-once state, replay-proof") {
