@@ -1230,6 +1230,66 @@ object CurationQueries {
       |  AND l_partkey BETWEEN 50 AND 1500
       |ORDER BY l_orderkey, l_partkey, l_quantity, l_extendedprice""".stripMargin
 
+  // ---- 112. Multi-column manifest boxes over a z-ordered layout. The
+  // q100 manifest records ONE column's box per file, so only predicates
+  // on the cluster key skip files. Recording (lo, hi) for SEVERAL
+  // columns makes the same manifest prune on ANY of them — but boxes
+  // are only tight if the LAYOUT localizes every recorded dimension,
+  // which is exactly what the q81 Morton interleave does: a z-ordered
+  // file spans a small range of BOTH l_orderkey and l_partkey, so a
+  // predicate on either (or both) rules out most files. This is the
+  // Delta/Iceberg per-column-stats + z-order pairing. Planning stays
+  // O(#files) driver-resident; a file is skipped if ANY queried
+  // dimension's box misses. ManifestSkipSpec asserts each dimension
+  // prunes on its own and that the box-filtered read is exact. ----
+  private[graft] def multiColLayout(s: SparkSession, dir: String): (String, String) = {
+    import graft.functions.ZOrder.z_value
+    val out = RelationalQueries.scratch("q112_layout", dir)
+    val man = RelationalQueries.scratch("q112_manifest", dir)
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val mm = li.agg(
+      min("l_orderkey").as("ok_min"), max("l_orderkey").as("ok_max"),
+      min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"))
+    def norm(c: Column, lo: Column, hi: Column): Column =
+      (((c - lo).cast("double") /
+        greatest((hi - lo).cast("double"), lit(1.0))) *
+        lit(4294967295.0)).cast("long")
+    li.crossJoin(broadcast(mm))
+      .withColumn("z",
+        z_value(norm(col("l_orderkey"), col("ok_min"), col("ok_max")),
+          norm(col("l_partkey"), col("pk_min"), col("pk_max"))))
+      .repartitionByRange(16, col("z"))
+      .sortWithinPartitions("z")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(out)
+    GraftTable.fileStatsMulti(s, Seq(out), Seq("l_orderkey", "l_partkey"))
+      .coalesce(1).write.mode("overwrite").parquet(man)
+    (out, man)
+  }
+
+  val q112_multicol_skip: Q = (s, dir) => {
+    val (out, man) = multiColLayout(s, dir)
+    val (kept, _) = GraftTable.pruneManifestMulti(s, man,
+      Seq(("l_orderkey", 100L, 2000L), ("l_partkey", 50L, 1500L)))
+    val src =
+      if (kept.isEmpty) s.read.parquet(out).where(lit(false))
+      else s.read.parquet(kept: _*)
+    src.filter(col("l_orderkey").between(100, 2000) &&
+        col("l_partkey").between(50, 1500))
+      .agg(count(lit(1)).as("n_rows"),
+        dround(sum("l_quantity"), 2).as("sum_qty"),
+        dround(sum("l_extendedprice"), 2).as("sum_price"))
+  }
+
+  val q112_multicol_skip_sql: String =
+    """SELECT count(*) AS n_rows,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice), 2) AS sum_price
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 100 AND 2000
+      |  AND l_partkey BETWEEN 50 AND 1500""".stripMargin
+
   // ---- 94. Source mixing: resample the corpus toward a target source
   // distribution (upweight curated sources, downweight crawl — the
   // data-mixing step every pretraining pipeline runs). Per-source
@@ -1347,6 +1407,7 @@ object CurationQueries {
     "q109_keyword_search" -> q109_keyword_search,
     "q110_vacuumed_merge" -> q110_vacuumed_merge,
     "q111_incremental_cdc" -> q111_incremental_cdc,
+    "q112_multicol_skip" -> q112_multicol_skip,
     "q68b_stratified_agg" -> q68b_stratified_agg,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
@@ -1375,6 +1436,7 @@ object CurationQueries {
     "q109_keyword_search" -> q109_keyword_search_sql,
     "q110_vacuumed_merge" -> q110_vacuumed_merge_sql,
     "q111_incremental_cdc" -> q111_incremental_cdc_sql,
+    "q112_multicol_skip" -> q112_multicol_skip_sql,
     // q68b: same selection as q68, bounded-heap agg instead of a window
     "q68b_stratified_agg" -> q68_stratified_sample_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,

@@ -244,6 +244,12 @@ object DedupQueries {
     // rows, and the join back on `s` IS AQE-skew-splittable — the
     // single unsplittable-hot-partition hazard disappears while the
     // prefix math (df asc, shingle asc total order) stays identical.
+    // postings is referenced by both dfBySh and the join probe, so the
+    // explode runs more than once — DELIBERATELY unpersisted: docs is
+    // cached, re-exploding it is cheap CPU, and measured A/B at sf0.1
+    // shows no gain from persisting (5.35s vs 5.00s warm, within
+    // noise), while at corpus scale a postings cache materializes a
+    // |docs|x|shingles| relation orders of magnitude larger than docs.
     val postings = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfBySh = postings.groupBy("s").agg(count(lit(1)).as("df"))
     val ordered = postings.join(dfBySh, "s")

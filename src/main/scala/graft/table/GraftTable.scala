@@ -297,6 +297,36 @@ object GraftTable {
       .groupBy(col("_metadata.file_path").as("file"))
       .agg(min(key).as("lo"), max(key).as("hi"), count(lit(1)).as("n_rows"))
 
+  /** Per-file stats over SEVERAL columns:
+    * (file, n_rows, lo_<c1>, hi_<c1>, lo_<c2>, hi_<c2>, ...). A
+    * multi-column manifest prunes on ANY of the recorded columns —
+    * pair it with a z-order layout (q81) so the per-file boxes are
+    * tight in every recorded dimension, not just the sort key's. */
+  def fileStatsMulti(spark: SparkSession, files: Seq[String],
+      keys: Seq[String]): DataFrame = {
+    val aggs = keys.flatMap(k =>
+      Seq(min(k).as(s"lo_$k"), max(k).as(s"hi_$k")))
+    spark.read.parquet(files: _*)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Multi-column min/max skipping: keep the files whose box intersects
+    * EVERY queried column's range (a file can be skipped if ANY
+    * dimension rules it out). Same O(#files) driver-side planning as
+    * the single-column prune. */
+  def pruneManifestMulti(spark: SparkSession, manPath: String,
+      preds: Seq[(String, Long, Long)]): (Seq[String], Int) = {
+    val rows = spark.read.parquet(manPath).collect()
+    val kept = rows.filter { r =>
+      preds.forall { case (c, qlo, qhi) =>
+        r.getAs[Number](s"hi_$c").longValue >= qlo &&
+          r.getAs[Number](s"lo_$c").longValue <= qhi
+      }
+    }.map(_.getAs[String]("file")).toSeq
+    (kept, rows.length)
+  }
+
   /** Data files in a layout dir (names only, no data read). */
   def partFiles(dir: String): Set[String] = {
     val fs = new java.io.File(dir).listFiles()

@@ -90,6 +90,43 @@ class ManifestSkipSpec extends TestBase {
       s"$statsRows (stats) + $boundaryCount (boundary) != $full")
   }
 
+  test("multi-column boxes over the z-ordered layout prune on EITHER dimension") {
+    import graft.table.GraftTable
+    val (out, man) = CurationQueries.multiColLayout(spark, sfDir)
+    val total = spark.read.parquet(man).count().toInt
+    assert(total >= 8, s"z-ordered layout produced only $total files")
+    // each dimension must prune files ON ITS OWN — the property a
+    // single-column manifest cannot offer (its files span the full
+    // domain of every non-key column)
+    val okDomain = spark.read.parquet(out)
+      .agg(min("l_orderkey"), max("l_orderkey"),
+        min("l_partkey"), max("l_partkey")).head
+    val (okOnly, _) = GraftTable.pruneManifestMulti(spark, man,
+      Seq(("l_orderkey", okDomain.getLong(0), okDomain.getLong(0) + 100L)))
+    val (pkOnly, _) = GraftTable.pruneManifestMulti(spark, man,
+      Seq(("l_partkey", okDomain.getLong(2), okDomain.getLong(2) + 20L)))
+    assert(okOnly.nonEmpty && okOnly.size < total,
+      s"l_orderkey alone kept ${okOnly.size} of $total — no pruning")
+    assert(pkOnly.nonEmpty && pkOnly.size < total,
+      s"l_partkey alone kept ${pkOnly.size} of $total — no pruning")
+    // both predicates together keep at most the intersection
+    val (both, _) = GraftTable.pruneManifestMulti(spark, man,
+      Seq(("l_orderkey", okDomain.getLong(0), okDomain.getLong(0) + 100L),
+        ("l_partkey", okDomain.getLong(2), okDomain.getLong(2) + 20L)))
+    assert(both.size <= math.min(okOnly.size, pkOnly.size))
+    // no false skip: the pruned two-sided read equals the full filter
+    val (kept, _) = GraftTable.pruneManifestMulti(spark, man,
+      Seq(("l_orderkey", 100L, 2000L), ("l_partkey", 50L, 1500L)))
+    val pred = col("l_orderkey").between(100, 2000) &&
+      col("l_partkey").between(50, 1500)
+    val pruned =
+      (if (kept.isEmpty) spark.read.parquet(out).where(lit(false))
+       else spark.read.parquet(kept: _*)).filter(pred)
+    val full = spark.read.parquet(out).filter(pred)
+    assert(pruned.count() == full.count() && full.count() > 0)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+  }
+
   test("a boundary-touching range keeps the boundary file (no false skip)") {
     val (out, man) = layout
     // the global max key sits in exactly one file; a point query on it
