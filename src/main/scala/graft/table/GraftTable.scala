@@ -67,21 +67,29 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       .map(_.getName.drop(2).toInt).toSeq.sorted
   }
 
-  /** Atomically commit `entries` as manifest version `v`: write to a
-    * staging dir, rename into place. Losing the rename race to a
-    * concurrent replay of the same version is fine — that snapshot is
-    * equivalent by construction — so the staging copy is just dropped. */
-  def commitManifest(entries: DataFrame, v: Int): Unit = {
+  /** Attempt to commit `entries` as manifest version `v`: write to a
+    * staging dir, rename into place. Returns false (staging dropped) if
+    * another writer committed `v` first — the rename is the ONE atomic
+    * op that decides the race. */
+  def tryCommitManifest(entries: DataFrame, v: Int): Boolean = {
     val tmp = new java.io.File(
       s"$man/_tmp_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
     entries.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val dst = new java.io.File(manifestPath(v))
-    if (!tmp.renameTo(dst)) {
-      rmRecursive(tmp)
-      require(dst.exists(),
-        s"manifest commit v=$v failed: rename refused and no committed version present")
-    }
+    val won = tmp.renameTo(dst)
+    if (!won) rmRecursive(tmp)
+    won
   }
+
+  /** Commit `entries` as version `v`, tolerating an equivalent-content
+    * race: losing the rename to a concurrent REPLAY of the same batch
+    * is fine (that snapshot is byte-equivalent by construction). Use
+    * [[commitAppendOcc]] when concurrent writers may commit DIFFERENT
+    * content. */
+  def commitManifest(entries: DataFrame, v: Int): Unit =
+    if (!tryCommitManifest(entries, v))
+      require(new java.io.File(manifestPath(v)).exists(),
+        s"manifest commit v=$v failed: rename refused and no committed version present")
 
   def manifest(v: Int): DataFrame = spark.read.parquet(manifestPath(v))
 
@@ -111,21 +119,65 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     this
   }
 
+  private def emptyEntries: DataFrame =
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      GraftTable.manifestSchema)
+
+  /** Write the batch's clustered files through a UNIQUE staging subdir
+    * and move them into the layout, returning exactly the added files'
+    * paths. A before/after directory diff would misattribute a
+    * concurrent writer's files landing in the same window (double- or
+    * cross-referenced manifest entries); the staging dir makes the
+    * added set exact under any concurrency. Underscore-prefixed dirs
+    * are hidden from Spark/Hadoop scans, so a transient stage is
+    * invisible to readers; part-file names carry job UUIDs, so moves
+    * cannot collide. */
+  private def stagedAppend(batch: DataFrame, nParts: Int): Seq[String] = {
+    val stage = new java.io.File(
+      s"$data/_stage_${java.util.UUID.randomUUID().toString.take(8)}")
+    GraftTable.clusteredWrite(batch, key, nParts, "overwrite", stage.toString)
+    val staged = stage.listFiles().filter(_.getName.startsWith("part-"))
+    val moved = staged.map { f =>
+      val dst = new java.io.File(data, f.getName)
+      require(f.renameTo(dst), s"could not move staged file $f into $data")
+      dst.getName
+    }.toSeq
+    rmRecursive(stage)
+    moved.map(n => s"$data/$n")
+  }
+
   /** Append-commit: new clustered data files + a new manifest version =
     * previous complete entry list + ONLY the new files' stats (existing
     * entries are never rescanned — rebuilding a 100 TB table's manifest
     * per batch would cost a full scan). Version `prevV` stays immutable. */
   def commitAppend(batch: DataFrame, prevV: Int, nParts: Int = 2): Unit = {
-    val before = partFiles
-    clusteredWrite(batch, nParts, "append")
-    val added = (partFiles -- before).toSeq.map(n => s"$data/$n")
-    val stats =
-      if (added.isEmpty)
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          GraftTable.manifestSchema)
-      else fileStats(added)
+    val added = stagedAppend(batch, nParts)
+    val stats = if (added.isEmpty) emptyEntries else fileStats(added)
     commitManifest(manifest(prevV).unionByName(stats), prevV + 1)
+  }
+
+  /** Optimistic-concurrency append for MULTI-WRITER tables (the Delta
+    * commit protocol): appends never conflict on data (each writer's
+    * files are its own, exactly tracked by the staged write), so a
+    * writer that loses the manifest rename race simply REBASES — reread
+    * the new latest version, union its own stats again, try the next
+    * version number. No batch can be silently dropped and no writer
+    * blocks another; the one atomic rename per version is the entire
+    * coordination. Returns the committed version. */
+  def commitAppendOcc(batch: DataFrame, nParts: Int = 2,
+      maxRetries: Int = 50): Int = {
+    val added = stagedAppend(batch, nParts)
+    val stats = if (added.isEmpty) emptyEntries else fileStats(added)
+    var attempts = 0
+    while (attempts <= maxRetries) {
+      val base = committedVersions.max
+      if (tryCommitManifest(manifest(base).unionByName(stats), base + 1))
+        return base + 1
+      attempts += 1 // lost the race — rebase onto the winner's version
+    }
+    throw new IllegalStateException(
+      s"append commit lost $maxRetries consecutive races; giving up")
   }
 
   /** Snapshot-isolated COW merge-commit: the manifest names the files
@@ -133,24 +185,26 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * rewritten (survivors anti-joined + batch, re-clustered). Nothing
     * is deleted at commit — version `prevV` still references the old
     * files; `prevV+1` does not. [[vacuum]] reclaims later. The anti
-    * join carries no hint: the batch is corpus-derived, AQE decides. */
+    * join carries no hint: the batch is corpus-derived, AQE decides.
+    * Merges are single-writer by contract: unlike appends, two merges
+    * can rewrite the SAME impacted files, so a lost commit race cannot
+    * be rebased mechanically — a real conflict needs re-running the
+    * merge against the winner's snapshot. */
   def commitMerge(batch: DataFrame, prevV: Int, nParts: Int = 2): Unit = {
     val env = batch.agg(min(key), max(key)).head
     val impacted = manifest(prevV).collect().filter { r =>
       r.getAs[Number]("hi").longValue >= env.getLong(0) &&
         r.getAs[Number]("lo").longValue <= env.getLong(1)
     }.map(_.getAs[String]("file")).toSeq
-    val before = partFiles
     val replacement =
       (if (impacted.isEmpty) batch.limit(0)
        else spark.read.parquet(impacted: _*)
          .join(batch.select(key).distinct(), Seq(key), "left_anti"))
         .unionByName(batch)
-    clusteredWrite(replacement, nParts, "append")
-    val added = (partFiles -- before).toSeq.map(n => s"$data/$n")
+    val added = stagedAppend(replacement, nParts)
     commitManifest(
       manifest(prevV).filter(!col("file").isin(impacted: _*))
-        .unionByName(fileStats(added)),
+        .unionByName(if (added.isEmpty) emptyEntries else fileStats(added)),
       prevV + 1)
   }
 
@@ -176,18 +230,10 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val totalBytes = small.map(f =>
       new java.io.File(new java.net.URI(f).getPath).length()).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val before = partFiles
-    clusteredWrite(spark.read.parquet(small.toSeq: _*), nOut, "append")
-    val added = (partFiles -- before).toSeq.map(n => s"$data/$n")
-    val stats =
-      if (added.isEmpty)
-        spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          GraftTable.manifestSchema)
-      else fileStats(added)
+    val added = stagedAppend(spark.read.parquet(small.toSeq: _*), nOut)
     commitManifest(
       manifest(prevV).filter(!col("file").isin(small.toSeq: _*))
-        .unionByName(stats),
+        .unionByName(if (added.isEmpty) emptyEntries else fileStats(added)),
       prevV + 1)
     small.length
   }
