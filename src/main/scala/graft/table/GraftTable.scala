@@ -238,6 +238,22 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     small.length
   }
 
+  /** Resolve "TIMESTAMP AS OF": the LATEST committed version whose
+    * commit time is <= `epochMs` (Delta's timestamp time travel). The
+    * commit time is the version directory's mtime — set when the
+    * staging dir (and its contents) were written, immediately before
+    * the atomic rename publishes it. O(#versions) driver-side. */
+  def versionAsOfTime(epochMs: Long): Int = {
+    val vs = committedVersions
+    require(vs.nonEmpty, s"no committed versions under $man")
+    val eligible = vs.filter(v =>
+      new java.io.File(manifestPath(v)).lastModified() <= epochMs)
+    require(eligible.nonEmpty,
+      s"no snapshot committed at or before $epochMs " +
+        s"(earliest commit: ${new java.io.File(manifestPath(vs.min)).lastModified()})")
+    eligible.max
+  }
+
   /** Time travel: plan the file list from snapshot v's manifest alone. */
   def files(v: Int): Seq[String] =
     manifest(v).select("file").collect().map(_.getString(0)).toSeq

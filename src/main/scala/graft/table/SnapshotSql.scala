@@ -3,7 +3,7 @@ package graft.table
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Pure-SQL surface for GraftTable time travel (the q108 capability
@@ -11,23 +11,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * RELATION, so it is a table function, not a scalar marker):
   *
   * {{{
-  *   SELECT * FROM graft_snapshot('<manifestDir>', 2)
+  *   SELECT * FROM graft_snapshot('<manifestDir>', 2)                       -- VERSION AS OF
+  *   SELECT * FROM graft_snapshot('<manifestDir>', TIMESTAMP'2026-08-13 12:00:00')  -- TIMESTAMP AS OF
   * }}}
   *
   * Resolution reads version v's manifest — O(#files), driver-resident,
   * exactly like every other manifest-planning step — and returns the
-  * parquet relation over the snapshot's file list. Data files are
-  * never listed or opened for planning; the committed manifest alone
-  * names them, so the scan is snapshot-isolated by construction (the
-  * manifest version is immutable once the atomic rename commits it).
-  * Injected by [[graft.GraftExtensions]] via `injectTableFunction`.
+  * parquet relation over the snapshot's file list. A timestamp second
+  * argument resolves to the latest version committed at or before it
+  * (Delta's TIMESTAMP AS OF). Data files are never listed or opened
+  * for planning; the committed manifest alone names them, so the scan
+  * is snapshot-isolated by construction (the manifest version is
+  * immutable once the atomic rename commits it). Injected by
+  * [[graft.GraftExtensions]] via `injectTableFunction`.
   */
 object SnapshotSql {
 
   private val usage =
-    "graft_snapshot(manifestDir, version): manifestDir a literal STRING " +
-      "(the GraftTable manifest directory containing v=N subdirs), " +
-      "version a literal INT of a committed snapshot"
+    "graft_snapshot(manifestDir, versionOrTimestamp): manifestDir a literal " +
+      "STRING (the GraftTable manifest directory containing v=N subdirs); " +
+      "second arg a literal INT version of a committed snapshot, or a " +
+      "TIMESTAMP literal resolving to the latest snapshot committed at or " +
+      "before it"
 
   private def fail(detail: String): Nothing =
     throw new IllegalArgumentException(s"$detail\n$usage")
@@ -41,7 +46,12 @@ object SnapshotSql {
     val v = es(1) match {
       case Literal(i: Int, IntegerType) => i
       case Literal(l: Long, LongType) => l.toInt
-      case other => fail(s"version must be an integer literal; got '$other'")
+      case ts @ Literal(_, TimestampType) => // TIMESTAMP AS OF: micros UTC
+        val epochMs = ts.value.asInstanceOf[Long] / 1000L
+        GraftTable(SparkSession.active, data = "", man = man, key = "")
+          .versionAsOfTime(epochMs)
+      case other =>
+        fail(s"version must be an integer or timestamp literal; got '$other'")
     }
     val spark = SparkSession.active
     val table = GraftTable(spark, data = "", man = man, key = "")

@@ -161,6 +161,28 @@ class ExtensionsSpec extends TestBase {
         s2.sql(s"SELECT * FROM graft_snapshot('$man', 99)").queryExecution.analyzed
       }
       assert(bad.getMessage.contains("no committed snapshot"))
+
+      // TIMESTAMP AS OF: pin the commit times, then a timestamp between
+      // the commits resolves to v1, after both to v2, before both fails
+      val (t1, t2) = (1600000000000L, 1700000000000L)
+      assert(new java.io.File(s"$man/v=1").setLastModified(t1))
+      assert(new java.io.File(s"$man/v=2").setLastModified(t2))
+      val zone = java.time.ZoneId.of(s2.sessionState.conf.sessionLocalTimeZone)
+      def tsLit(ms: Long): String = java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(zone)
+        .format(java.time.Instant.ofEpochMilli(ms))
+      def countAsOf(ms: Long): Long = s2.sql(
+        s"SELECT count(*) FROM graft_snapshot('$man', TIMESTAMP'${tsLit(ms)}')")
+        .collect()(0).getLong(0)
+      val v1n = operators.CurationQueries.readAsOf(s2, layout, 1).count()
+      val v2n = operators.CurationQueries.readAsOf(s2, layout, 2).count()
+      assert(countAsOf(t1 + 3600000L) == v1n, "between commits must read v1")
+      assert(countAsOf(t2 + 3600000L) == v2n, "after both commits must read v2")
+      val early = intercept[Exception] {
+        s2.sql(s"SELECT * FROM graft_snapshot('$man', TIMESTAMP'${tsLit(t1 - 3600000L)}')")
+          .queryExecution.analyzed
+      }
+      assert(early.getMessage.contains("no snapshot committed at or before"))
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)
