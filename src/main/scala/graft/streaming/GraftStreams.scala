@@ -439,6 +439,38 @@ object GraftStreams {
       .foreachBatch { (b: DataFrame, id: Long) => sink.apply(b, id) }
       .start()
 
+  /** Stream the COMMITTED rows of a GraftTable (the Delta change-feed
+    * read for append-only tables), built from existing primitives: the
+    * manifest directory is itself an append-only file stream — each
+    * atomic rename publishes a new `v=N` manifest — so a file source
+    * over `man/v=*` turns every commit into a micro-batch. Manifests
+    * are cumulative, so already-streamed entries are dropped by keyed
+    * dedup state on `file` (O(#table-files) state — the same size as
+    * any manifest plan, and the stream needs no watermark because a
+    * file entry never expires). Each batch hands `process` exactly the
+    * NEWLY committed files' rows: crash orphans never appear (nothing
+    * references them), and replay cannot double-deliver (dedup state is
+    * checkpointed with the query). Contract: append-only consumption —
+    * a compaction/merge commit re-adds its replacement files, so those
+    * rows re-deliver; row-level old/new diffs are cdcBetween's job. */
+  def committedRowsStream(spark: SparkSession, man: String,
+      schema: org.apache.spark.sql.types.StructType)(
+      process: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream
+      .schema(graft.table.GraftTable.manifestSchema)
+      .parquet(s"$man/v=*")
+      .dropDuplicates("file")
+      .writeStream
+      .foreachBatch { (entries: DataFrame, id: Long) =>
+        // O(#new-files) driver list — manifest planning, not data
+        val files = entries.select("file").collect().map(_.getString(0)).toSeq
+        if (files.nonEmpty)
+          process(spark.read.schema(schema).parquet(files: _*), id)
+      }
+      .outputMode("update")
+      .start()
+
   /** Timer-driven sessionization on the transformWithState v2 API —
     * the capability the v1 sessionize() above cannot express cleanly:
     * session CLOSURE is an event-time TIMER (registered at

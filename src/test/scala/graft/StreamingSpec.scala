@@ -467,6 +467,44 @@ class StreamingSpec extends TestBase {
       prefixCounts.last + 5, "vacuum broke the compacted snapshot")
   }
 
+  test("committed-rows stream: commits become micro-batches, orphans never appear") {
+    import org.apache.spark.sql.types._
+    val out = java.nio.file.Files.createTempDirectory("graft_cdf_data").toString
+    val man = java.nio.file.Files.createTempDirectory("graft_cdf_man").toString
+    val sink = new GraftStreams.ManifestIngestSink(spark, out, man, "event_id")
+    sink.init()
+    val ev = Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "value")
+    // two committed batches, plus CRASH ORPHANS (data written, never
+    // committed) that the stream must not deliver
+    sink.apply(ev.filter(col("event_id") % 3 === 0), 0L) // v=2
+    sink.apply(ev.filter(col("event_id") % 3 === 1), 1L) // v=3
+    ev.filter(col("event_id") % 3 === 2).limit(10)
+      .coalesce(1).write.mode("append").parquet(out)
+
+    val schema = StructType(Seq(StructField("event_id", LongType),
+      StructField("user_id", LongType), StructField("value", DoubleType)))
+    val seen = scala.collection.mutable.Set[Long]()
+    val q = GraftStreams.committedRowsStream(spark, man, schema) { (rows, _) =>
+      val ids = rows.select("event_id").collect().map(_.getLong(0))
+      seen.synchronized { ids.foreach(seen += _) }
+    }
+    try {
+      q.processAllAvailable()
+      val committed = (0 to 1).flatMap(m => ev.filter(col("event_id") % 3 === m)
+        .select("event_id").collect().map(_.getLong(0))).toSet
+      assert(seen.synchronized(seen.toSet) == committed,
+        s"initial replay delivered ${seen.size} of ${committed.size} committed rows")
+      // a NEW commit streams incrementally — and exactly once, despite
+      // its (cumulative) manifest re-listing every older file
+      sink.apply(ev.filter(col("event_id") % 3 === 2), 2L) // v=4
+      q.processAllAvailable()
+      val all = ev.select("event_id").collect().map(_.getLong(0)).toSet
+      assert(seen.synchronized(seen.toSet) == all,
+        "new commit not delivered exactly once")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink: exactly-once state, replay-proof") {
     import org.apache.spark.sql.expressions.Window
     val root = java.nio.file.Files
