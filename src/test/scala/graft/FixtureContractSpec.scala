@@ -50,6 +50,23 @@ class FixtureContractSpec extends TestBase {
     }
   }
 
+  test("embeddings are fixed-dimension non-empty vectors (similarity ops assume it)") {
+    val r = Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("min(size(embedding)) AS lo", "max(size(embedding)) AS hi",
+        "count_if(embedding IS NULL) AS nulls")
+      .head()
+    assert(r.getLong(2) == 0, "NULL embedding vectors appeared")
+    assert(r.getInt(0) == r.getInt(1) && r.getInt(0) > 0,
+      s"embedding dimension not constant: [${r.getInt(0)}, ${r.getInt(1)}] — " +
+        "a regeneration changed the vector shape")
+  }
+
+  test("documents carry non-empty text (dedup/text ops assume it)") {
+    val bad = Tables.load(spark, sfDir, "documents")
+      .filter(col("text").isNull || length(col("text")) === 0).count()
+    assert(bad == 0, s"$bad NULL/empty documents — text fixture drifted")
+  }
+
   test("no decoded timestamp column is all-NULL (schema/footer type mismatch canary)") {
     Seq("events" -> "ts", "orders" -> "o_orderdate", "lineitem" -> "l_shipdate")
       .foreach { case (t, c) =>
