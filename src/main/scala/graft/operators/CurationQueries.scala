@@ -332,6 +332,71 @@ object CurationQueries {
        |  round(avg(dup_frac), 4) AS avg_dup_frac
        |FROM per_doc GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- 113. Exact-substring duplicated spans (the suffix-array dedup
+  // of "Deduplicating Training Data Makes Language Models Better",
+  // re-expressed relationally): a token span is duplicated iff EVERY
+  // length-L window in it occurs >= 2 times in the corpus, and the
+  // maximal such spans per doc are exactly the regions an
+  // exact-substring dedup would cut. Pipeline: positional L-grams
+  // (posexplode of the single-pass gram HOF), global gram frequency as
+  // a map-side-combined groupBy + equi-join back (the q104 df pattern —
+  // grams are Zipfian, so a count window over the gram key would
+  // funnel a boilerplate gram's whole posting list into one
+  // unsplittable WindowExec partition; the join IS AQE-skew-
+  // splittable), then duplicated positions merge into maximal spans
+  // with the islands trick (pos - row_number over the DOC partition —
+  // doc-keyed windows are bounded by document length, never by corpus
+  // frequency). No suffix array is materialized: the gram agg carries
+  // the same information at O(corpus tokens) shuffle, all partial-
+  // aggregated map-side. ----
+  private val DupSpanL = 8
+
+  val q113_dup_spans: Q = (s, dir) => {
+    val L = DupSpanL
+    val grams = withToks(t(s, dir, "documents"))
+      .select(col("doc_id"), posexplode(gramsCol(L)).as(Seq("p0", "gram")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("gram"))
+    val dupGrams = grams.groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select("gram")
+    val dupPos = grams.join(dupGrams, "gram").select("doc_id", "pos")
+    dupPos
+      .withColumn("grp", col("pos") -
+        row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") - min("pos") + L).cast("long").as("span_toks"))
+      .select("doc_id", "span_start", "span_toks")
+      .orderBy("doc_id", "span_start")
+  }
+
+  val q113_dup_spans_sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+       |  FROM documents
+       |), st AS (
+       |  SELECT doc_id, t,
+       |    unnest(range(1, len(t) - ${DupSpanL - 2})) AS pos
+       |  FROM toks WHERE len(t) >= $DupSpanL
+       |), grams AS (
+       |  SELECT doc_id, pos,
+       |    array_to_string(t[pos : pos + ${DupSpanL - 1}], ' ') AS gram
+       |  FROM st
+       |), dup AS (
+       |  SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2
+       |), dp AS (
+       |  SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM dp
+       |)
+       |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) - min(pos) + $DupSpanL AS BIGINT) AS span_toks
+       |FROM isl GROUP BY doc_id, grp
+       |ORDER BY doc_id, span_start""".stripMargin
+
   // ---- 68. Deterministic stratified sample: top-20 docs per language by
   // content-hash order. Hash-ordered row_number is a reproducible sample
   // (no RNG), and the rank predicate is WindowGroupLimit-eligible: each
@@ -1408,6 +1473,7 @@ object CurationQueries {
     "q110_vacuumed_merge" -> q110_vacuumed_merge,
     "q111_incremental_cdc" -> q111_incremental_cdc,
     "q112_multicol_skip" -> q112_multicol_skip,
+    "q113_dup_spans" -> q113_dup_spans,
     "q68b_stratified_agg" -> q68b_stratified_agg,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
@@ -1437,6 +1503,7 @@ object CurationQueries {
     "q110_vacuumed_merge" -> q110_vacuumed_merge_sql,
     "q111_incremental_cdc" -> q111_incremental_cdc_sql,
     "q112_multicol_skip" -> q112_multicol_skip_sql,
+    "q113_dup_spans" -> q113_dup_spans_sql,
     // q68b: same selection as q68, bounded-heap agg instead of a window
     "q68b_stratified_agg" -> q68_stratified_sample_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,
