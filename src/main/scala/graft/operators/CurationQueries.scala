@@ -282,23 +282,28 @@ object CurationQueries {
 
   // ---- 67. Corpus-duplicated n-grams: for every doc, how much of it is
   // 5-grams that also occur in OTHER documents (RefinedWeb's duplicated-
-  // n-gram fraction). The multi-doc test is a count window OVER the gram
-  // partition: the corpus gram pipeline runs ONCE and shuffles once on
-  // the gram (a groupBy-then-join-back would recompute the whole
-  // explode for the second join side), then one shuffle back on doc_id.
-  // No pairwise doc×doc work anywhere.
+  // n-gram fraction). The multi-doc test is a map-side-combined
+  // groupBy("gram") + equi-join back to the distinct gram relation —
+  // NOT a count window over the gram partition: gram frequency is
+  // Zipfian, so a boilerplate 5-gram's entire posting list (O(corpus
+  // docs) rows) would land in ONE WindowExec partition that AQE cannot
+  // split, while the join back on `gram` IS AQE-skew-splittable and the
+  // partial agg ships ~n_mappers rows per hot gram (the q104/q113
+  // pattern; ReusedExchange serves the distinct subtree to both
+  // references). No pairwise doc×doc work anywhere.
   val q67_dup_ngrams: Q = (s, dir) => {
     val grams = withToks(t(s, dir, "documents"))
       .select(col("doc_id"), col("lang"),
         greatest(size(col("toks")) - 4, lit(0)).cast("long").as("n_grams"),
         explode(gramsCol(5)).as("gram"))
       .distinct()
-    // rows are distinct on (doc_id, gram) by construction, so the plain
-    // count over the gram partition IS the distinct doc count
-    grams
-      .withColumn("ndocs",
-        count(lit(1)).over(Window.partitionBy("gram")))
+    // rows are distinct on (doc_id, gram) by construction, so the gram
+    // group count IS the distinct doc count
+    val shared = grams.groupBy("gram")
+      .agg(count(lit(1)).as("ndocs"))
       .filter(col("ndocs") >= 2)
+      .select("gram")
+    grams.join(shared, "gram")
       .groupBy("doc_id", "lang", "n_grams")
       .agg(count(lit(1)).as("shared_grams"))
       .withColumn("dup_frac",
@@ -547,11 +552,16 @@ object CurationQueries {
     val n = docs.select(countDistinct("doc_id").as("n_docs"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
-    // document frequency as a count window over the term partition: tf
-    // rows are unique per (doc, term), so the partition count IS the
-    // doc frequency — and the token explode runs once, not once per
-    // side of a groupBy-then-join-back (same lesson as q67)
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+    // document frequency via map-side-combined groupBy + join back on
+    // the term — NOT a count window over the term partition: term
+    // frequency is maximally Zipfian (a stop word appears in every
+    // doc), so its window partition would be O(corpus docs) rows in one
+    // unsplittable WindowExec task, while the join back is
+    // AQE-skew-splittable and unhinted (the vocabulary side's size is
+    // corpus-dependent — the q86/q90 contract). The only window left is
+    // the per-doc top-3 rank, bounded by document vocabulary.
+    val dfc = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(dfc, "term")
       .crossJoin(broadcast(n))
       .withColumn("idf_scaled",
         round(log(col("n_docs").cast("double") / col("df")) * 1000000.0, 0)

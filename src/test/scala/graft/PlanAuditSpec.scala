@@ -268,6 +268,24 @@ class PlanAuditSpec extends TestBase {
       s"shingle df not partial-aggregated before the exchange:\n$plan")
   }
 
+  test("q67/q76/q113 corpus-frequency stages: no Window over a Zipfian key") {
+    // gram/term frequency is Zipfian — a count window partitioned by the
+    // raw key funnels a stop word's or boilerplate gram's whole posting
+    // list into ONE WindowExec partition AQE cannot split (the q104
+    // lesson, applied to every corpus-frequency stage). The df must be
+    // a map-side-combined groupBy + skew-splittable join back; the only
+    // windows allowed are doc-keyed (bounded by document length).
+    Seq("q67_dup_ngrams", "q113_dup_spans", "q76_tfidf").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      val windowLines = plan.split("\n").filter(_.contains("Window"))
+      assert(windowLines.forall(_.contains("doc_id")),
+        s"$name windows over a corpus-scale key:\n${windowLines.mkString("\n")}")
+      assert(plan.contains("partial_count"),
+        s"$name frequency not partial-aggregated before the exchange:\n$plan")
+    }
+  }
+
   test("q98's no-equi-key range join runs as a bin EQUI join, not a nested loop") {
     // The naive point-in-interval formulation has no equality to hash
     // on — Spark would plan BNLJ (or a cartesian), which is O(|L|·|R|)
