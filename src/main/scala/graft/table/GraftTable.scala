@@ -292,6 +292,12 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     (if (staging == null) Array.empty[java.io.File] else staging)
       .filter(f => f.isDirectory && f.getName.startsWith("_tmp_"))
       .foreach(rmRecursive)
+    // crashed data-side staging dirs (writer died before the move) are
+    // invisible to readers (underscore-hidden) but still hold bytes
+    val stages = new java.io.File(data).listFiles()
+    (if (stages == null) Array.empty[java.io.File] else stages)
+      .filter(f => f.isDirectory && f.getName.startsWith("_stage_"))
+      .foreach(rmRecursive)
     orphans
   }
 

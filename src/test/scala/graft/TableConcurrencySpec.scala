@@ -75,6 +75,20 @@ class TableConcurrencySpec extends TestBase {
       val stray = new java.io.File(out).listFiles()
         .filter(f => f.getName.startsWith("_stage_"))
       assert(stray.isEmpty, s"staging dirs left behind: ${stray.mkString(",")}")
+
+      // a CRASHED writer's staging dir (died before the move) is hidden
+      // from readers and reclaimed by vacuum
+      val crashed = new java.io.File(out, "_stage_crashed")
+      crashed.mkdirs()
+      java.nio.file.Files.write(
+        new java.io.File(crashed, "part-crashed.parquet").toPath,
+        Array[Byte](1, 2, 3))
+      val preCount = table.readAsOf(latest).count()
+      assert(preCount == initRows + total * batchRows,
+        "hidden staging dir leaked into a read")
+      table.vacuum(latest, latest)
+      assert(!crashed.exists(), "vacuum did not reclaim the crashed staging dir")
+      assert(table.readAsOf(latest).count() == preCount)
     } finally pool.shutdown()
   }
 }
