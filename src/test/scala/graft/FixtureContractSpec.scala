@@ -30,6 +30,31 @@ class FixtureContractSpec extends TestBase {
         "timestamp unit mis-decoded")
   }
 
+  test("the canary REJECTS a wrong-unit decode (simulated ÷1000 and ×1000)") {
+    // simulate the round-8 bug (micros divided by 1000 → 1970 pileup)
+    // and its inverse (nanos read as micros → far future) on the real
+    // data, and check the era/span predicates the first test enforces
+    // actually fail for both — the canary must be able to fire
+    def eraAndSpan(df: org.apache.spark.sql.DataFrame): (Int, Int, Double) = {
+      val r = df.agg(min("ts").as("lo"), max("ts").as("hi"))
+        .selectExpr("year(lo)", "year(hi)",
+          "cast(hi as double) - cast(lo as double)").head()
+      (r.getInt(0), r.getInt(1), r.getDouble(2))
+    }
+    val real = Tables.load(spark, sfDir, "events")
+    val div1000 = real.withColumn("ts",
+      expr("timestamp_micros(unix_micros(ts) div 1000)"))
+    val (dLo, _, dSpan) = eraAndSpan(div1000)
+    assert(dLo < 2000 || dSpan <= 86400.0,
+      "÷1000 decode not detectable — canary predicates too loose")
+    val times1000 = real.withColumn("ts",
+      expr("try_cast(unix_micros(ts) * 1000 as timestamp)")) // overflow-safe
+    val anyBad = times1000.filter(col("ts").isNull ||
+      year(col("ts")) > 2100).count()
+    assert(anyBad > 0,
+      "×1000 decode not detectable — canary predicates too loose")
+  }
+
   test("events era overlaps or follows the orders era (as-of joins assume it)") {
     val eLo = Tables.load(spark, sfDir, "events").agg(min("ts")).head().getTimestamp(0)
     val oLo = Tables.load(spark, sfDir, "orders").agg(min("o_orderdate")).head().getTimestamp(0)
