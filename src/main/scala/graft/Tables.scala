@@ -110,33 +110,46 @@ object Tables {
 
   /** True iff the parquet footer annotates `ts` as TIMESTAMP(NANOS).
     * Shared by the batch loader and the streaming file source
-    * (GraftStreams.eventsStream) so both decode identically. */
-  private[graft] def eventsTsIsNanos(spark: SparkSession, path: String): Boolean =
-    tsNanosCache.computeIfAbsent(path, { _ =>
-      import org.apache.hadoop.fs.Path
-      import org.apache.parquet.hadoop.ParquetFileReader
-      import org.apache.parquet.hadoop.util.HadoopInputFile
-      import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
-      val conf = spark.sessionState.newHadoopConf()
-      val p = new Path(path)
-      val fs = p.getFileSystem(conf)
-      val file =
-        if (fs.getFileStatus(p).isDirectory)
-          fs.listStatus(p).iterator
-            .map(_.getPath)
-            .find(q => q.getName.endsWith(".parquet") && !q.getName.startsWith("_"))
-            .getOrElse(p)
-        else p
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-      try {
-        val schema = reader.getFooter.getFileMetaData.getSchema
-        schema.getType(schema.getFieldIndex("ts"))
-          .asPrimitiveType().getLogicalTypeAnnotation match {
-          case t: TimestampLogicalTypeAnnotation => t.getUnit == TimeUnit.NANOS
-          case _ => false
-        }
-      } finally reader.close()
-    })
+    * (GraftStreams.eventsStream) so both decode identically.
+    *
+    * An empty directory (a watch dir before any file lands) sniffs as
+    * non-nanos — the plain TimestampType schema, matching what every
+    * Spark-written file will carry. The memo key includes the sniffed
+    * file's (mtime, length), so a regeneration that rewrites the file
+    * in place re-sniffs instead of replaying a stale unit — the exact
+    * silent-wrong-decode failure this function exists to prevent. */
+  private[graft] def eventsTsIsNanos(spark: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val fileOpt =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).iterator
+          .map(_.getPath)
+          .find(q => q.getName.endsWith(".parquet") && !q.getName.startsWith("_"))
+      else Some(p)
+    fileOpt match {
+      case None => false // empty dir: plain TimestampType, like Spark writes
+      case Some(file) =>
+        val st = fs.getFileStatus(file)
+        val key = s"$file@${st.getModificationTime}:${st.getLen}"
+        tsNanosCache.computeIfAbsent(key, { _ =>
+          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+          try {
+            val schema = reader.getFooter.getFileMetaData.getSchema
+            schema.getType(schema.getFieldIndex("ts"))
+              .asPrimitiveType().getLogicalTypeAnnotation match {
+              case t: TimestampLogicalTypeAnnotation => t.getUnit == TimeUnit.NANOS
+              case _ => false
+            }
+          } finally reader.close()
+        })
+    }
+  }
 
   /** Load one table from an sf directory with its explicit schema. */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {

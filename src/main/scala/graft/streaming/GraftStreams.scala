@@ -399,13 +399,18 @@ object GraftStreams {
       man: String, key: String) {
     // All mechanics — atomic temp-dir+rename manifest commits, clustered
     // appends, per-file stats — live in graft.table.GraftTable; this
-    // sink is only the foreachBatch policy: batchId b commits snapshot
-    // v=b+2 (v=1 is the empty initial snapshot), replays of a committed
-    // batch are no-ops, and a crash between data-write and manifest
-    // commit leaves orphan files that replay supersedes and vacuum
-    // reclaims (existence of v=N means COMPLETE, by the module's
-    // atomic-rename contract).
+    // sink is only the foreachBatch policy. Replay detection keys on a
+    // per-batch TAG recorded atomically inside the committed version
+    // (GraftTable.versionWithTag), NOT on version arithmetic: a
+    // maintenance commit (optimize below) may land between micro-
+    // batches, and a batchId→version mapping would then mistake the
+    // next batch's version for already-committed and silently drop it.
+    // A crash between data-write and manifest commit leaves orphan
+    // files that replay supersedes and vacuum reclaims (existence of
+    // v=N means COMPLETE, by the module's atomic-rename contract).
     private val table = graft.table.GraftTable(spark, out, man, key)
+
+    private def batchTag(batchId: Long): String = s"batch$batchId"
 
     /** Write the empty initial snapshot (v=1). */
     def init(): Unit = { table.createEmpty(); () }
@@ -416,18 +421,18 @@ object GraftStreams {
       * files into ~targetBytes files as a new snapshot version (pure
       * layout change — streaming ingest's many per-batch files are the
       * canonical source of the small-file problem). Old versions still
-      * time-travel; vacuum reclaims the packed-away files. Returns the
-      * number of files compacted. */
+      * time-travel; vacuum reclaims the packed-away files. Safe to
+      * interleave with the batch stream: the next batch commits the
+      * version AFTER the compaction snapshot (tag-keyed replay). */
     def optimize(targetBytes: Long): Int =
       table.commitCompaction(committedVersions.max, targetBytes)
 
     def apply(batch: DataFrame, batchId: Long): Unit = {
-      val v = batchId.toInt + 2
-      if (table.isCommitted(v)) return // committed replay: skip
-      // micro-batches commit in order, so the parent snapshot must exist
-      require(table.isCommitted(v - 1),
-        s"commit v=$v has no parent snapshot v=${v - 1}")
-      table.commitAppend(batch, v - 1)
+      if (table.versionWithTag(batchTag(batchId)).isDefined)
+        return // committed replay: the batch's tag is already published
+      val base = table.committedVersions
+      require(base.nonEmpty, "sink not initialized — call init() first")
+      table.commitAppend(batch, base.max, tag = Some(batchTag(batchId)))
     }
   }
 

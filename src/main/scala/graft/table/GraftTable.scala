@@ -70,11 +70,22 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   /** Attempt to commit `entries` as manifest version `v`: write to a
     * staging dir, rename into place. Returns false (staging dropped) if
     * another writer committed `v` first — the rename is the ONE atomic
-    * op that decides the race. */
-  def tryCommitManifest(entries: DataFrame, v: Int): Boolean = {
+    * op that decides the race. An optional `tag` is recorded as an
+    * underscore-hidden marker file INSIDE the version dir, atomically
+    * with the commit itself — provenance a caller can query with
+    * [[versionWithTag]] (the ingest sink keys replay detection on the
+    * batch tag, never on version arithmetic, so maintenance commits
+    * like OPTIMIZE can interleave without shifting any batch onto an
+    * already-committed version number). */
+  def tryCommitManifest(entries: DataFrame, v: Int,
+      tag: Option[String] = None): Boolean = {
     val tmp = new java.io.File(
       s"$man/_tmp_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
     entries.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    tag.foreach { t =>
+      require(new java.io.File(tmp, s"_tag_$t").createNewFile(),
+        s"could not record commit tag $t")
+    }
     val dst = new java.io.File(manifestPath(v))
     val won = tmp.renameTo(dst)
     if (!won) rmRecursive(tmp)
@@ -86,10 +97,17 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * is fine (that snapshot is byte-equivalent by construction). Use
     * [[commitAppendOcc]] when concurrent writers may commit DIFFERENT
     * content. */
-  def commitManifest(entries: DataFrame, v: Int): Unit =
-    if (!tryCommitManifest(entries, v))
+  def commitManifest(entries: DataFrame, v: Int,
+      tag: Option[String] = None): Unit =
+    if (!tryCommitManifest(entries, v, tag))
       require(new java.io.File(manifestPath(v)).exists(),
         s"manifest commit v=$v failed: rename refused and no committed version present")
+
+  /** The committed version carrying `tag`, if any — O(#versions)
+    * driver-side, like all manifest planning. */
+  def versionWithTag(tag: String): Option[Int] =
+    committedVersions.find(v =>
+      new java.io.File(manifestPath(v), s"_tag_$tag").exists())
 
   def manifest(v: Int): DataFrame = spark.read.parquet(manifestPath(v))
 
@@ -112,10 +130,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   /** Create with an EMPTY v=1 (the streaming-ingest starting point). */
   def createEmpty(): GraftTable = {
     new java.io.File(data).mkdirs()
-    if (!isCommitted(1))
-      commitManifest(spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        GraftTable.manifestSchema), 1)
+    if (!isCommitted(1)) commitManifest(emptyEntries, 1)
     this
   }
 
@@ -151,10 +166,11 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * previous complete entry list + ONLY the new files' stats (existing
     * entries are never rescanned — rebuilding a 100 TB table's manifest
     * per batch would cost a full scan). Version `prevV` stays immutable. */
-  def commitAppend(batch: DataFrame, prevV: Int, nParts: Int = 2): Unit = {
+  def commitAppend(batch: DataFrame, prevV: Int, nParts: Int = 2,
+      tag: Option[String] = None): Unit = {
     val added = stagedAppend(batch, nParts)
     val stats = if (added.isEmpty) emptyEntries else fileStats(added)
-    commitManifest(manifest(prevV).unionByName(stats), prevV + 1)
+    commitManifest(manifest(prevV).unionByName(stats), prevV + 1, tag)
   }
 
   /** Optimistic-concurrency append for MULTI-WRITER tables (the Delta
@@ -192,6 +208,10 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * merge against the winner's snapshot. */
   def commitMerge(batch: DataFrame, prevV: Int, nParts: Int = 2): Unit = {
     val env = batch.agg(min(key), max(key)).head
+    if (env.isNullAt(0)) { // empty batch: commit a carry-forward version
+      commitManifest(manifest(prevV), prevV + 1)
+      return
+    }
     val impacted = manifest(prevV).collect().filter { r =>
       r.getAs[Number]("hi").longValue >= env.getLong(0) &&
         r.getAs[Number]("lo").longValue <= env.getLong(1)
@@ -260,8 +280,15 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
 
   def readAsOf(v: Int): DataFrame = {
     val fs = files(v)
-    if (fs.isEmpty) spark.read.parquet(data).limit(0)
-    else spark.read.parquet(fs: _*)
+    if (fs.nonEmpty) spark.read.parquet(fs: _*)
+    else if (GraftTable.partFiles(data).nonEmpty)
+      spark.read.parquet(data).limit(0) // typed empty, schema from layout
+    else
+      // an empty snapshot of a still-empty table carries no schema at
+      // all — fail with intent instead of Spark's inference error
+      throw new IllegalStateException(
+        s"snapshot v=$v of $man references no files and the layout $data " +
+          "is empty: an empty table has no schema to scan")
   }
 
   /** Min/max skipping against version v's manifest. */
@@ -273,14 +300,29 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     GraftTable.statsOnlySplit(spark, manifestPath(v), qlo, qhi)
 
   /** VACUUM: drop manifest versions below `keepFrom`, then delete every
-    * data file referenced by NO retained version (plus any crashed
-    * `_tmp_*` staging dirs). Returns the deleted data-file names. */
-  def vacuum(keepFrom: Int, latest: Int): Seq[String] = {
-    val referenced = (keepFrom to latest).flatMap { v =>
+    * data file referenced by NO retained version (plus crashed `_tmp_*`
+    * / `_stage_*` staging dirs). Returns the deleted data-file names.
+    *
+    * Concurrency: the retained horizon is re-read from the manifest dir
+    * at scan time (max of `latest` and the current committed max), so a
+    * version another writer commits between the caller's planning and
+    * this scan still protects its files. An IN-FLIGHT commit (files
+    * moved, manifest rename not yet done) is indistinguishable from a
+    * crash orphan by reference-counting alone — that is what `graceMs`
+    * is for: nothing younger than the grace is deleted. Multi-writer
+    * deployments must vacuum with a grace exceeding their longest
+    * commit (the Delta retention-period contract); the default 0 is
+    * the single-writer admin op on a quiesced table. */
+  def vacuum(keepFrom: Int, latest: Int, graceMs: Long = 0L): Seq[String] = {
+    val upper = math.max(latest, committedVersions.max)
+    val referenced = (keepFrom to upper).flatMap { v =>
       files(v).map(p =>
         new java.io.File(new java.net.URI(p).getPath).getName)
     }.toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    def aged(f: java.io.File): Boolean = f.lastModified() <= cutoff
     val orphans = (partFiles -- referenced).toSeq.sorted
+      .filter(n => aged(new java.io.File(s"$data/$n")))
     orphans.foreach { n =>
       require(new java.io.File(s"$data/$n").delete(), s"could not vacuum $n")
     }
@@ -290,13 +332,13 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     }
     val staging = new java.io.File(man).listFiles()
     (if (staging == null) Array.empty[java.io.File] else staging)
-      .filter(f => f.isDirectory && f.getName.startsWith("_tmp_"))
+      .filter(f => f.isDirectory && f.getName.startsWith("_tmp_") && aged(f))
       .foreach(rmRecursive)
     // crashed data-side staging dirs (writer died before the move) are
     // invisible to readers (underscore-hidden) but still hold bytes
     val stages = new java.io.File(data).listFiles()
     (if (stages == null) Array.empty[java.io.File] else stages)
-      .filter(f => f.isDirectory && f.getName.startsWith("_stage_"))
+      .filter(f => f.isDirectory && f.getName.startsWith("_stage_") && aged(f))
       .foreach(rmRecursive)
     orphans
   }
@@ -310,6 +352,10 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * a 0.1% churn commit reads ~0.2% of the table instead of 200%. */
   def cdc(vFrom: Int, vTo: Int): DataFrame = {
     val (from, to) = (files(vFrom).toSet, files(vTo).toSet)
+    if ((from ++ to).isEmpty)
+      throw new IllegalStateException(
+        s"cdc v=$vFrom -> v=$vTo: both snapshots reference no files, so " +
+          "there is no schema to type the (empty) change feed with")
     def readFiles(fs: Set[String]): DataFrame =
       if (fs.isEmpty) // typed empty relation, same shape as the layout
         spark.read.parquet((from ++ to).head).limit(0)
@@ -323,9 +369,11 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val neu = readFiles(to -- from).select(
       col(key) +: lit(true).as("__new") +:
         valueCols.map(c => col(c).as(s"new_$c")): _*)
+    // a key-only table has nothing to differ on: same-key pairs are
+    // rewritten-but-unchanged survivors
     val unchanged = valueCols
       .map(c => col(s"old_$c") <=> col(s"new_$c"))
-      .reduce(_ && _)
+      .reduceOption(_ && _).getOrElse(lit(true))
     old.join(neu, Seq(key), "full_outer")
       .withColumn("op",
         when(col("__old").isNull, lit("insert"))
@@ -358,12 +406,16 @@ object GraftTable {
       .write.mode(mode).parquet(path)
 
   /** Per-file (file, lo, hi, n_rows) stats over `files`, one
-    * distributed partial-agg scan of exactly those files. */
+    * distributed partial-agg scan of exactly those files. lo/hi are
+    * cast to long — the manifestSchema type — so stats from any
+    * integral/timestamp key union cleanly with existing manifest
+    * versions instead of drifting to the key's native type. */
   def fileStats(spark: SparkSession, files: Seq[String],
       key: String): DataFrame =
     spark.read.parquet(files: _*)
       .groupBy(col("_metadata.file_path").as("file"))
-      .agg(min(key).as("lo"), max(key).as("hi"), count(lit(1)).as("n_rows"))
+      .agg(min(key).cast("long").as("lo"), max(key).cast("long").as("hi"),
+        count(lit(1)).as("n_rows"))
 
   /** Per-file stats over SEVERAL columns:
     * (file, n_rows, lo_<c1>, hi_<c1>, lo_<c2>, hi_<c2>, ...). A
@@ -505,9 +557,7 @@ object GraftTable {
         val f = new java.io.File(new java.net.URI(p).getPath)
         require(f.delete(), s"could not remove compacted file $f")
       }
-      spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), dvSchema)
-        .write.mode("overwrite").parquet(dv)
+      dvInit(spark, dv) // reset to the declared-empty DV table
     }
   }
 }

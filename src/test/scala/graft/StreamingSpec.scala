@@ -465,6 +465,21 @@ class StreamingSpec extends TestBase {
       s"vacuum reclaimed $reclaimed, want $filesPre")
     assert(CurationQueries.readAsOf(spark, (out, man), 6).count() ==
       prefixCounts.last + 5, "vacuum broke the compacted snapshot")
+
+    // a batch arriving AFTER the maintenance commit must still land:
+    // replay detection is tag-keyed, so the optimize snapshot occupying
+    // the next version number cannot make batch 4 look committed
+    val postOpt = ev.limit(3).select("event_id", "user_id", "value")
+    sink.apply(postOpt, 4L)
+    assert(sink.committedVersions.contains(7),
+      s"post-optimize batch not committed: ${sink.committedVersions}")
+    assert(CurationQueries.readAsOf(spark, (out, man), 7).count() ==
+      prefixCounts.last + 5 + 3, "post-optimize batch rows missing")
+    // and replaying THAT batch is still a no-op
+    val before7 = CurationQueries.partFiles(out)
+    sink.apply(postOpt, 4L)
+    assert(CurationQueries.partFiles(out) == before7,
+      "replay of a tag-committed batch wrote data")
   }
 
   test("committed-rows stream: commits become micro-batches, orphans never appear") {

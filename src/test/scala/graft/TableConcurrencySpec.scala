@@ -89,6 +89,17 @@ class TableConcurrencySpec extends TestBase {
       table.vacuum(latest, latest)
       assert(!crashed.exists(), "vacuum did not reclaim the crashed staging dir")
       assert(table.readAsOf(latest).count() == preCount)
+
+      // a graced vacuum leaves anything younger than the grace alone —
+      // an IN-FLIGHT commit's moved files / staging dir look exactly
+      // like crash residue to reference counting, so multi-writer
+      // deployments vacuum with a grace exceeding their longest commit
+      val inflight = new java.io.File(out, "_stage_inflight")
+      inflight.mkdirs()
+      table.vacuum(latest, latest, graceMs = 10 * 60 * 1000L)
+      assert(inflight.exists(), "graced vacuum deleted an in-flight staging dir")
+      table.vacuum(latest, latest) // quiesced (no grace): reclaimed
+      assert(!inflight.exists())
     } finally pool.shutdown()
   }
 }
