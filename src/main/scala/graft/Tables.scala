@@ -105,8 +105,15 @@ object Tables {
     events.fields.map(f =>
       if (f.name == "ts") StructField("ts", LongType) else f))
 
+  /** One entry per queried path: (sniffed file, its mtime, its length,
+    * result). A cache hit revalidates with ONE getFileStatus of the
+    * remembered file — O(1) regardless of directory size — and an
+    * in-place regeneration (different stamp) re-sniffs and REPLACES the
+    * entry, so the cache stays bounded and can never replay a stale
+    * unit (the exact silent-wrong-decode failure this exists to
+    * prevent). */
   private val tsNanosCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long, Long, Boolean)]()
 
   /** True iff the parquet footer annotates `ts` as TIMESTAMP(NANOS).
     * Shared by the batch loader and the streaming file source
@@ -114,31 +121,46 @@ object Tables {
     *
     * An empty directory (a watch dir before any file lands) sniffs as
     * non-nanos — the plain TimestampType schema, matching what every
-    * Spark-written file will carry. The memo key includes the sniffed
-    * file's (mtime, length), so a regeneration that rewrites the file
-    * in place re-sniffs instead of replaying a stale unit — the exact
-    * silent-wrong-decode failure this function exists to prevent. */
+    * Spark-written file will carry. Sniffing looks one level into
+    * non-hidden subdirectories (partitioned layouts). The unit is a
+    * PER-DIRECTORY contract: one sniffed file speaks for the dir, and a
+    * stream locks the decode at open — a directory mixing units is
+    * unsupported (stage homogeneous dirs, as the specs do). */
   private[graft] def eventsTsIsNanos(spark: SparkSession, path: String): Boolean = {
-    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.fs.{FileStatus, Path}
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
     val conf = spark.sessionState.newHadoopConf()
-    val p = new Path(path)
-    val fs = p.getFileSystem(conf)
-    val fileOpt =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).iterator
-          .map(_.getPath)
-          .find(q => q.getName.endsWith(".parquet") && !q.getName.startsWith("_"))
-      else Some(p)
-    fileOpt match {
+    val fs = new Path(path).getFileSystem(conf)
+
+    val cached = tsNanosCache.get(path)
+    if (cached != null) {
+      val (f, mtime, len, result) = cached
+      try {
+        val st = fs.getFileStatus(new Path(f))
+        if (st.getModificationTime == mtime && st.getLen == len) return result
+      } catch { case _: java.io.FileNotFoundException => () } // re-sniff
+    }
+
+    def findParquet(p: Path, depth: Int): Option[FileStatus] = {
+      val st = fs.getFileStatus(p)
+      if (st.isFile) Some(st)
+      else if (depth < 0) None
+      else {
+        val kids = fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+        kids.find(k => k.isFile && k.getPath.getName.endsWith(".parquet"))
+          .orElse(kids.filter(_.isDirectory).iterator
+            .flatMap(d => findParquet(d.getPath, depth - 1)).nextOption())
+      }
+    }
+
+    findParquet(new Path(path), depth = 1) match {
       case None => false // empty dir: plain TimestampType, like Spark writes
-      case Some(file) =>
-        val st = fs.getFileStatus(file)
-        val key = s"$file@${st.getModificationTime}:${st.getLen}"
-        tsNanosCache.computeIfAbsent(key, { _ =>
-          val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      case Some(st) =>
+        val reader =
+          ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+        val nanos =
           try {
             val schema = reader.getFooter.getFileMetaData.getSchema
             schema.getType(schema.getFieldIndex("ts"))
@@ -147,7 +169,9 @@ object Tables {
               case _ => false
             }
           } finally reader.close()
-        })
+        tsNanosCache.put(path,
+          (st.getPath.toString, st.getModificationTime, st.getLen, nanos))
+        nanos
     }
   }
 

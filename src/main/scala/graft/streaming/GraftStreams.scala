@@ -428,11 +428,18 @@ object GraftStreams {
       table.commitCompaction(committedVersions.max, targetBytes)
 
     def apply(batch: DataFrame, batchId: Long): Unit = {
-      if (table.versionWithTag(batchTag(batchId)).isDefined)
-        return // committed replay: the batch's tag is already published
-      val base = table.committedVersions
-      require(base.nonEmpty, "sink not initialized — call init() first")
-      table.commitAppend(batch, base.max, tag = Some(batchTag(batchId)))
+      val tag = batchTag(batchId)
+      if (table.tagCommitted(tag))
+        return // committed replay — even if vacuum expired the version,
+               // the _tags ledger still remembers the batch
+      require(table.committedVersions.nonEmpty,
+        "sink not initialized — call init() first")
+      // OCC, not a fixed parent version: a maintenance commit (optimize)
+      // racing this batch must cost a rebase, never a lost batch — the
+      // lenient single-version commitAppend would accept the compaction
+      // snapshot winning v=N+1 as its own success
+      table.commitAppendOcc(batch, tag = Some(tag))
+      ()
     }
   }
 

@@ -109,6 +109,14 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     committedVersions.find(v =>
       new java.io.File(manifestPath(v), s"_tag_$tag").exists())
 
+  /** Whether `tag` was EVER committed — live versions plus the `_tags`
+    * ledger that [[vacuum]] preserves when it expires a tagged version.
+    * Replay detection must use this, not [[versionWithTag]]: vacuuming
+    * a batch's version must not make its replay look uncommitted. */
+  def tagCommitted(tag: String): Boolean =
+    versionWithTag(tag).isDefined ||
+      new java.io.File(s"$man/_tags/_tag_$tag").exists()
+
   def manifest(v: Int): DataFrame = spark.read.parquet(manifestPath(v))
 
   // ---- snapshot operations -----------------------------------------
@@ -182,13 +190,19 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * blocks another; the one atomic rename per version is the entire
     * coordination. Returns the committed version. */
   def commitAppendOcc(batch: DataFrame, nParts: Int = 2,
-      maxRetries: Int = 50): Int = {
+      maxRetries: Int = 50, tag: Option[String] = None): Int = {
     val added = stagedAppend(batch, nParts)
     val stats = if (added.isEmpty) emptyEntries else fileStats(added)
     var attempts = 0
     while (attempts <= maxRetries) {
+      // a concurrent replay carrying OUR tag may have won a lost race:
+      // its snapshot holds the batch, ours is redundant — stop, leaving
+      // our staged files as vacuum-reclaimable orphans
+      tag.foreach { t =>
+        if (tagCommitted(t)) return versionWithTag(t).getOrElse(-1)
+      }
       val base = committedVersions.max
-      if (tryCommitManifest(manifest(base).unionByName(stats), base + 1))
+      if (tryCommitManifest(manifest(base).unionByName(stats), base + 1, tag))
         return base + 1
       attempts += 1 // lost the race — rebase onto the winner's version
     }
@@ -208,9 +222,15 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * merge against the winner's snapshot. */
   def commitMerge(batch: DataFrame, prevV: Int, nParts: Int = 2): Unit = {
     val env = batch.agg(min(key), max(key)).head
-    if (env.isNullAt(0)) { // empty batch: commit a carry-forward version
-      commitManifest(manifest(prevV), prevV + 1)
-      return
+    if (env.isNullAt(0)) {
+      // min() ignores NULLs, so a null envelope means EITHER an empty
+      // batch (legitimate: commit a carry-forward version) OR rows with
+      // all-NULL keys (a caller bug — dropping them silently would lose
+      // the batch)
+      if (batch.isEmpty) { commitManifest(manifest(prevV), prevV + 1); return }
+      throw new IllegalArgumentException(
+        s"merge batch has rows but an all-NULL '$key' envelope — " +
+          "the merge key must be non-null")
     }
     val impacted = manifest(prevV).collect().filter { r =>
       r.getAs[Number]("hi").longValue >= env.getLong(0) &&
@@ -328,7 +348,21 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     }
     (1 until keepFrom).foreach { v =>
       val d = new java.io.File(manifestPath(v))
-      if (d.exists()) rmRecursive(d)
+      if (d.exists()) {
+        // preserve commit tags in the ledger before expiring the
+        // version: a vacuumed batch's replay must still read as
+        // committed (tagCommitted), or it would re-append its rows
+        val marks = d.listFiles()
+        if (marks != null && marks.exists(_.getName.startsWith("_tag_"))) {
+          val ledger = new java.io.File(man, "_tags")
+          ledger.mkdirs()
+          marks.filter(_.getName.startsWith("_tag_")).foreach { t =>
+            val dst = new java.io.File(ledger, t.getName)
+            if (!dst.exists()) { t.renameTo(dst); () }
+          }
+        }
+        rmRecursive(d)
+      }
     }
     val staging = new java.io.File(man).listFiles()
     (if (staging == null) Array.empty[java.io.File] else staging)
@@ -406,16 +440,25 @@ object GraftTable {
       .write.mode(mode).parquet(path)
 
   /** Per-file (file, lo, hi, n_rows) stats over `files`, one
-    * distributed partial-agg scan of exactly those files. lo/hi are
-    * cast to long — the manifestSchema type — so stats from any
-    * integral/timestamp key union cleanly with existing manifest
-    * versions instead of drifting to the key's native type. */
+    * distributed partial-agg scan of exactly those files. The key must
+    * be INTEGRAL: lo/hi are stored as long (the manifestSchema type),
+    * and a lossy cast — a timestamp truncating to epoch seconds, a
+    * double flooring — would make the boxes non-conservative, silently
+    * skipping files that hold matching rows. Rejected loudly instead. */
   def fileStats(spark: SparkSession, files: Seq[String],
-      key: String): DataFrame =
-    spark.read.parquet(files: _*)
-      .groupBy(col("_metadata.file_path").as("file"))
+      key: String): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val df = spark.read.parquet(files: _*)
+    val dt = df.schema(key).dataType
+    require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+      dt == LongType,
+      s"manifest stats require an integral key column (lo/hi are stored " +
+        s"as long; a lossy cast would make skipping non-conservative); " +
+        s"got $dt for '$key'")
+    df.groupBy(col("_metadata.file_path").as("file"))
       .agg(min(key).cast("long").as("lo"), max(key).cast("long").as("hi"),
         count(lit(1)).as("n_rows"))
+  }
 
   /** Per-file stats over SEVERAL columns:
     * (file, n_rows, lo_<c1>, hi_<c1>, lo_<c2>, hi_<c2>, ...). A

@@ -480,6 +480,16 @@ class StreamingSpec extends TestBase {
     sink.apply(postOpt, 4L)
     assert(CurationQueries.partFiles(out) == before7,
       "replay of a tag-committed batch wrote data")
+
+    // replaying a batch whose VERSION was vacuumed away (v=2..5 expired
+    // above) must ALSO be a no-op: the _tags ledger outlives the
+    // version, or a restored checkpoint would re-append duplicate rows
+    val versionsNow = sink.committedVersions
+    sink.apply(ev.filter(col("event_id") % 97 === 0)
+      .select("event_id", "user_id", "value"), 1L) // batch 1: vacuumed tag
+    assert(sink.committedVersions == versionsNow &&
+      CurationQueries.partFiles(out) == before7,
+      "replay of a vacuumed batch re-appended data")
   }
 
   test("committed-rows stream: commits become micro-batches, orphans never appear") {
