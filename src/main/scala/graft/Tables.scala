@@ -143,19 +143,21 @@ object Tables {
       } catch { case _: java.io.FileNotFoundException => () } // re-sniff
     }
 
-    def findParquet(p: Path, depth: Int): Option[FileStatus] = {
-      val st = fs.getFileStatus(p)
+    // `depth` = remaining directory levels we may list; statuses come
+    // from the parent's listStatus, so no per-entry getFileStatus round
+    // trips (they are real RPCs on object stores)
+    def findParquet(st: FileStatus, depth: Int): Option[FileStatus] =
       if (st.isFile) Some(st)
-      else if (depth < 0) None
+      else if (depth == 0) None
       else {
-        val kids = fs.listStatus(p).filterNot(_.getPath.getName.startsWith("_"))
+        val kids = fs.listStatus(st.getPath)
+          .filterNot(_.getPath.getName.startsWith("_"))
         kids.find(k => k.isFile && k.getPath.getName.endsWith(".parquet"))
           .orElse(kids.filter(_.isDirectory).iterator
-            .flatMap(d => findParquet(d.getPath, depth - 1)).nextOption())
+            .flatMap(d => findParquet(d, depth - 1)).nextOption())
       }
-    }
 
-    findParquet(new Path(path), depth = 1) match {
+    findParquet(fs.getFileStatus(new Path(path)), depth = 2) match {
       case None => false // empty dir: plain TimestampType, like Spark writes
       case Some(st) =>
         val reader =

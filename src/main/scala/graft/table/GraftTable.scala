@@ -188,7 +188,11 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * the new latest version, union its own stats again, try the next
     * version number. No batch can be silently dropped and no writer
     * blocks another; the one atomic rename per version is the entire
-    * coordination. Returns the committed version. */
+    * coordination. Returns the version carrying this commit — ours, or
+    * a concurrent same-tag winner's; -1 only when the tag is known
+    * solely from the vacuum ledger (its version already expired), so
+    * callers using the value as a version number must treat -1 as
+    * "committed, version unavailable". */
   def commitAppendOcc(batch: DataFrame, nParts: Int = 2,
       maxRetries: Int = 50, tag: Option[String] = None): Int = {
     val added = stagedAppend(batch, nParts)
@@ -221,17 +225,20 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * be rebased mechanically — a real conflict needs re-running the
     * merge against the winner's snapshot. */
   def commitMerge(batch: DataFrame, prevV: Int, nParts: Int = 2): Unit = {
-    val env = batch.agg(min(key), max(key)).head
-    if (env.isNullAt(0)) {
-      // min() ignores NULLs, so a null envelope means EITHER an empty
-      // batch (legitimate: commit a carry-forward version) OR rows with
-      // all-NULL keys (a caller bug — dropping them silently would lose
-      // the batch)
-      if (batch.isEmpty) { commitManifest(manifest(prevV), prevV + 1); return }
-      throw new IllegalArgumentException(
-        s"merge batch has rows but an all-NULL '$key' envelope — " +
-          "the merge key must be non-null")
+    // one pass computes the key envelope AND the null-key census: a
+    // NULL merge key can never be matched by the anti join, so such a
+    // row would duplicate on every re-merge and sit outside its file's
+    // box — reject any, not just the all-NULL case min/max would hide
+    val env = batch.agg(min(key), max(key),
+      count(lit(1)), count(col(key))).head
+    val (total, nonNull) = (env.getLong(2), env.getLong(3))
+    if (total == 0) { // empty batch: commit a carry-forward version
+      commitManifest(manifest(prevV), prevV + 1)
+      return
     }
+    require(nonNull == total,
+      s"merge batch has ${total - nonNull} NULL '$key' key(s) — " +
+        "the merge key must be non-null")
     val impacted = manifest(prevV).collect().filter { r =>
       r.getAs[Number]("hi").longValue >= env.getLong(0) &&
         r.getAs[Number]("lo").longValue <= env.getLong(1)
@@ -258,24 +265,40 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * already-compact files are carried over as untouched entries, so a
     * steady-state 100 TB table re-packs just its ingest tail. Returns
     * the number of files compacted away. */
-  def commitCompaction(prevV: Int, targetBytes: Long): Int = {
-    val entries = manifest(prevV).collect().map(_.getAs[String]("file"))
-    val (small, _) = entries.partition { f =>
-      new java.io.File(new java.net.URI(f).getPath).length() < targetBytes
+  def commitCompaction(prevV: Int, targetBytes: Long,
+      maxRetries: Int = 5): Int = {
+    var base = math.max(prevV, committedVersions.max)
+    var attempts = 0
+    while (attempts <= maxRetries) {
+      // (re)plan against the CURRENT latest: losing the commit race to
+      // a concurrent batch means the file population changed, so the
+      // pack set must be recomputed, not just the version number —
+      // compaction may never be "accepted" by someone else's snapshot
+      // winning the rename (that snapshot doesn't contain the pack)
+      val entries = manifest(base).collect().map(_.getAs[String]("file"))
+      val (small, _) = entries.partition { f =>
+        new java.io.File(new java.net.URI(f).getPath).length() < targetBytes
+      }
+      if (small.length <= 1) { // nothing to pack: carry the snapshot forward
+        if (tryCommitManifest(manifest(base), base + 1)) return 0
+      } else {
+        val totalBytes = small.map(f =>
+          new java.io.File(new java.net.URI(f).getPath).length()).sum
+        val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+        val added = stagedAppend(spark.read.parquet(small.toSeq: _*), nOut)
+        if (tryCommitManifest(
+            manifest(base).filter(!col("file").isin(small.toSeq: _*))
+              .unionByName(if (added.isEmpty) emptyEntries else fileStats(added)),
+            base + 1))
+          return small.length
+        // lost: this attempt's packed output becomes vacuum-reclaimable
+        // orphans; replan from the winner's version
+      }
+      attempts += 1
+      base = committedVersions.max
     }
-    if (small.length <= 1) { // nothing to pack: carry the snapshot forward
-      commitManifest(manifest(prevV), prevV + 1)
-      return 0
-    }
-    val totalBytes = small.map(f =>
-      new java.io.File(new java.net.URI(f).getPath).length()).sum
-    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val added = stagedAppend(spark.read.parquet(small.toSeq: _*), nOut)
-    commitManifest(
-      manifest(prevV).filter(!col("file").isin(small.toSeq: _*))
-        .unionByName(if (added.isEmpty) emptyEntries else fileStats(added)),
-      prevV + 1)
-    small.length
+    throw new IllegalStateException(
+      s"compaction lost $maxRetries consecutive commit races; giving up")
   }
 
   /** Resolve "TIMESTAMP AS OF": the LATEST committed version whose
@@ -357,8 +380,13 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
           val ledger = new java.io.File(man, "_tags")
           ledger.mkdirs()
           marks.filter(_.getName.startsWith("_tag_")).foreach { t =>
+            // markers are empty: (re)creating at the destination is the
+            // whole preservation — and unlike a rename it cannot fail
+            // silently before rmRecursive destroys the only record that
+            // the batch committed
             val dst = new java.io.File(ledger, t.getName)
-            if (!dst.exists()) { t.renameTo(dst); () }
+            require(dst.exists() || dst.createNewFile(),
+              s"could not preserve commit tag ${t.getName} in the ledger")
           }
         }
         rmRecursive(d)
