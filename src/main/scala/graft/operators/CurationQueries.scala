@@ -1263,19 +1263,34 @@ object CurationQueries {
        |FROM events WHERE event_id IN (${BloomKeys.mkString(", ")})
        |ORDER BY event_id""".stripMargin
 
-  val q81_zorder_layout: Q = (s, dir) => {
+  /** Z-order (Morton) clustered write shared by q81 and q112: both
+    * dims normalized to the u32 grid (locality needs comparable
+    * scales), interleaved, range-partitioned + sorted on the z-value;
+    * the per-column bounds are ONE broadcast row (the q79 pattern). */
+  private def zOrderedWrite(df: DataFrame, dimA: String, dimB: String,
+      nParts: Int, out: String): Unit = {
     import graft.functions.ZOrder.z_value
-    val li = t(s, dir, "lineitem")
-      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
-    val mm = li.agg(
-      min("l_orderkey").as("ok_min"), max("l_orderkey").as("ok_max"),
-      min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"))
-    // normalize each column to the full unsigned-32-bit grid: z-order
-    // locality needs both dimensions on comparable scales
+    val mm = df.agg(
+      min(dimA).as("a_min"), max(dimA).as("a_max"),
+      min(dimB).as("b_min"), max(dimB).as("b_max"))
     def norm(c: Column, lo: Column, hi: Column): Column =
       (((c - lo).cast("double") /
         greatest((hi - lo).cast("double"), lit(1.0))) *
         lit(4294967295.0)).cast("long")
+    val cols = df.columns.toSeq
+    df.crossJoin(broadcast(mm))
+      .withColumn("z",
+        z_value(norm(col(dimA), col("a_min"), col("a_max")),
+          norm(col(dimB), col("b_min"), col("b_max"))))
+      .repartitionByRange(nParts, col("z"))
+      .sortWithinPartitions("z")
+      .select(cols.map(col): _*)
+      .write.mode("overwrite").parquet(out)
+  }
+
+  val q81_zorder_layout: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
     val out = RelationalQueries.scratch("q81_zorder", dir)
     val targetFileBytes = s.conf.getOption("spark.graft.zorder.targetFileBytes")
       .map(_.toLong).getOrElse(128L << 20)
@@ -1284,14 +1299,7 @@ object CurationQueries {
     val inputBytes = li.queryExecution.optimizedPlan.stats.sizeInBytes
     val nFiles = (inputBytes + targetFileBytes - 1) / targetFileBytes
     val nParts = nFiles.min(BigInt(1 << 20)).max(BigInt(1)).toInt
-    li.crossJoin(broadcast(mm))
-      .withColumn("z",
-        z_value(norm(col("l_orderkey"), col("ok_min"), col("ok_max")),
-          norm(col("l_partkey"), col("pk_min"), col("pk_max"))))
-      .repartitionByRange(nParts, col("z"))
-      .sortWithinPartitions("z")
-      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
-      .write.mode("overwrite").parquet(out)
+    zOrderedWrite(li, "l_orderkey", "l_partkey", nParts, out)
     s.read.parquet(out)
       .filter(col("l_orderkey").between(100, 2000) &&
         col("l_partkey").between(50, 1500))
@@ -1318,26 +1326,11 @@ object CurationQueries {
   // dimension's box misses. ManifestSkipSpec asserts each dimension
   // prunes on its own and that the box-filtered read is exact. ----
   private[graft] def multiColLayout(s: SparkSession, dir: String): (String, String) = {
-    import graft.functions.ZOrder.z_value
     val out = RelationalQueries.scratch("q112_layout", dir)
     val man = RelationalQueries.scratch("q112_manifest", dir)
     val li = t(s, dir, "lineitem")
       .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
-    val mm = li.agg(
-      min("l_orderkey").as("ok_min"), max("l_orderkey").as("ok_max"),
-      min("l_partkey").as("pk_min"), max("l_partkey").as("pk_max"))
-    def norm(c: Column, lo: Column, hi: Column): Column =
-      (((c - lo).cast("double") /
-        greatest((hi - lo).cast("double"), lit(1.0))) *
-        lit(4294967295.0)).cast("long")
-    li.crossJoin(broadcast(mm))
-      .withColumn("z",
-        z_value(norm(col("l_orderkey"), col("ok_min"), col("ok_max")),
-          norm(col("l_partkey"), col("pk_min"), col("pk_max"))))
-      .repartitionByRange(16, col("z"))
-      .sortWithinPartitions("z")
-      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
-      .write.mode("overwrite").parquet(out)
+    zOrderedWrite(li, "l_orderkey", "l_partkey", nParts = 16, out)
     GraftTable.fileStatsMulti(s, Seq(out), Seq("l_orderkey", "l_partkey"))
       .coalesce(1).write.mode("overwrite").parquet(man)
     (out, man)

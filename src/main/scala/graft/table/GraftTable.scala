@@ -229,11 +229,21 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     // NULL merge key can never be matched by the anti join, so such a
     // row would duplicate on every re-merge and sit outside its file's
     // box — reject any, not just the all-NULL case min/max would hide
-    val env = batch.agg(min(key), max(key),
+    // min/max cast to long so getLong is safe for every integral key
+    // width (Row.getLong on a boxed Integer throws)
+    val env = batch.agg(min(key).cast("long"), max(key).cast("long"),
       count(lit(1)), count(col(key))).head
     val (total, nonNull) = (env.getLong(2), env.getLong(3))
+    def commitOrFail(entries: DataFrame): Unit =
+      if (!tryCommitManifest(entries, prevV + 1))
+        // merges are single-writer by contract; a lost race means the
+        // snapshot moved underneath this merge and its rewrite is stale
+        // — the lenient fallback would silently drop the whole batch
+        throw new java.util.ConcurrentModificationException(
+          s"merge lost the commit race for v=${prevV + 1}: another writer " +
+            "committed first; re-run the merge against the latest snapshot")
     if (total == 0) { // empty batch: commit a carry-forward version
-      commitManifest(manifest(prevV), prevV + 1)
+      commitOrFail(manifest(prevV))
       return
     }
     require(nonNull == total,
@@ -249,10 +259,9 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
          .join(batch.select(key).distinct(), Seq(key), "left_anti"))
         .unionByName(batch)
     val added = stagedAppend(replacement, nParts)
-    commitManifest(
+    commitOrFail(
       manifest(prevV).filter(!col("file").isin(impacted: _*))
-        .unionByName(if (added.isEmpty) emptyEntries else fileStats(added)),
-      prevV + 1)
+        .unionByName(if (added.isEmpty) emptyEntries else fileStats(added)))
   }
 
   /** OPTIMIZE: bin-pack the snapshot's small files into ~targetBytes
@@ -279,9 +288,10 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       val (small, _) = entries.partition { f =>
         new java.io.File(new java.net.URI(f).getPath).length() < targetBytes
       }
-      if (small.length <= 1) { // nothing to pack: carry the snapshot forward
-        if (tryCommitManifest(manifest(base), base + 1)) return 0
-      } else {
+      if (small.length <= 1) return 0 // already compact: no commit, no
+                                      // burned version, no no-op batch
+                                      // for change-feed consumers
+      else {
         val totalBytes = small.map(f =>
           new java.io.File(new java.net.URI(f).getPath).length()).sum
         val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
@@ -358,7 +368,9 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * the single-writer admin op on a quiesced table. */
   def vacuum(keepFrom: Int, latest: Int, graceMs: Long = 0L): Seq[String] = {
     val upper = math.max(latest, committedVersions.max)
-    val referenced = (keepFrom to upper).flatMap { v =>
+    // versions below an earlier vacuum's horizon no longer exist —
+    // skip them instead of failing the whole reclamation on a read
+    val referenced = (keepFrom to upper).filter(isCommitted).flatMap { v =>
       files(v).map(p =>
         new java.io.File(new java.net.URI(p).getPath).getName)
     }.toSet
@@ -495,10 +507,17 @@ object GraftTable {
     * tight in every recorded dimension, not just the sort key's. */
   def fileStatsMulti(spark: SparkSession, files: Seq[String],
       keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val df = spark.read.parquet(files: _*)
+    keys.foreach { k => // same contract as fileStats, enforced at build
+      val dt = df.schema(k).dataType
+      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+        dt == LongType,
+        s"multi-column manifest stats require integral columns; got $dt for '$k'")
+    }
     val aggs = keys.flatMap(k =>
-      Seq(min(k).as(s"lo_$k"), max(k).as(s"hi_$k")))
-    spark.read.parquet(files: _*)
-      .groupBy(col("_metadata.file_path").as("file"))
+      Seq(min(k).cast("long").as(s"lo_$k"), max(k).cast("long").as(s"hi_$k")))
+    df.groupBy(col("_metadata.file_path").as("file"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
   }
 

@@ -45,11 +45,15 @@ object SnapshotSql {
     }
     val v = es(1) match {
       case Literal(i: Int, IntegerType) => i
-      case Literal(l: Long, LongType) => l.toInt
-      case ts @ Literal(_, TimestampType) => // TIMESTAMP AS OF: micros UTC
-        val epochMs = ts.value.asInstanceOf[Long] / 1000L
+      case Literal(l: Long, LongType) =>
+        if (l < 1 || l > Int.MaxValue) // no silent toInt wraparound
+          fail(s"version $l out of range [1, ${Int.MaxValue}]")
+        l.toInt
+      case Literal(us: Long, TimestampType) => // TIMESTAMP AS OF: micros UTC
         GraftTable(SparkSession.active, data = "", man = man, key = "")
-          .versionAsOfTime(epochMs)
+          .versionAsOfTime(us / 1000L)
+      case Literal(null, _) =>
+        fail("versionOrTimestamp must not be NULL")
       case other =>
         fail(s"version must be an integer or timestamp literal; got '$other'")
     }
