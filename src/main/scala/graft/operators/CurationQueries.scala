@@ -877,9 +877,10 @@ object CurationQueries {
     // swap: drop the replaced files, then swap the manifest entries.
     // The manifest is O(#files) and driver-resident by design, so the
     // entry edit is a collect + rewrite (the Delta log-compaction shape).
-    impacted.foreach { p =>
-      val f = new java.io.File(new java.net.URI(p).getPath)
-      require(f.delete(), s"could not remove replaced file $f")
+    impacted.foreach { p => // FS-resolved, like every table-layer path op
+      val path = new org.apache.hadoop.fs.Path(p)
+      require(path.getFileSystem(s.sessionState.newHadoopConf())
+        .delete(path, false), s"could not remove replaced file $path")
     }
     val keptEntries = s.read.parquet(man)
       .filter(!col("file").isin(impacted: _*)).collect().toSeq

@@ -404,7 +404,8 @@ object GraftStreams {
     * growing table (lo/hi/n_rows per file, exactly like the batch
     * layouts). */
   final class ManifestIngestSink(spark: SparkSession, out: String,
-      man: String, key: String) {
+      man: String, key: String, appId: String,
+      statsCols: Seq[String] = Nil) {
     // All mechanics — atomic temp-dir+rename manifest commits, clustered
     // appends, per-file stats — live in graft.table.GraftTable; this
     // sink is only the foreachBatch policy. Replay detection keys on a
@@ -416,9 +417,21 @@ object GraftStreams {
     // A crash between data-write and manifest commit leaves orphan
     // files that replay supersedes and vacuum reclaims (existence of
     // v=N means COMPLETE, by the module's atomic-rename contract).
-    private val table = graft.table.GraftTable(spark, out, man, key)
+    //
+    // Tags are NAMESPACED by `appId` (the Delta txn protocol's appId —
+    // keyed per (appId, batch), not batch alone): batchIds restart at 0
+    // under a fresh checkpoint, so an unscoped "batch0" tag would match
+    // a PREVIOUS run's commit and silently drop the new run's first
+    // batches even though their content differs. Contract: appId is
+    // 1:1 with the query's checkpoint — restarting the SAME checkpoint
+    // must reuse the appId (that is what makes replay detection work);
+    // pointing a NEW checkpoint at an existing table requires a NEW
+    // appId. Declared `statsCols` flow to every commit, so a streamed
+    // table multi-dimension prunes the same as a batch one (q112).
+    private val table =
+      graft.table.GraftTable(spark, out, man, key, statsCols)
 
-    private def batchTag(batchId: Long): String = s"batch$batchId"
+    private def batchTag(batchId: Long): String = s"$appId-batch$batchId"
 
     /** Write the empty initial snapshot (v=1). */
     def init(): Unit = { table.createEmpty(); () }

@@ -1,15 +1,17 @@
 package graft.table
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The ONE implementation of the lakehouse-table mechanics that the
   * operator surface exposes several policies over: q100 (file-skipping
   * manifest), q105 (in-place COW merge), q106 (stats-only planning),
   * q107 (MoR deletion vectors), q108 (time travel), q110
-  * (snapshot-isolated merge + vacuum), q111 (incremental CDC) and the
-  * streaming ManifestIngestSink all build from these primitives —
-  * previously each re-implemented its own copy (VERDICT r7 #2 / r8 #6).
+  * (snapshot-isolated merge + vacuum), q111 (incremental CDC), q112
+  * (multi-column boxes) and the streaming ManifestIngestSink all build
+  * from these primitives — previously each re-implemented its own copy
+  * (VERDICT r7 #2 / r8 #6).
   *
   * Scale contract, shared by every operation here:
   *  - DATA work (scans, stats aggregation, survivor anti-joins,
@@ -17,22 +19,46 @@ import org.apache.spark.sql.functions._
   *    manifest names — never the whole table.
   *  - PLANNING work (manifest reads, box pruning, reference-set math,
   *    commit bookkeeping) is O(#files) and driver-resident by declared
-  *    design, exactly like a Delta log replay.
+  *    design, exactly like a Delta log replay. Compaction plans from
+  *    the manifest's own per-file `bytes` — no file is ever stat-ed.
   *  - COMMITS are atomic: a manifest version is written to a `_tmp_*`
   *    staging dir and RENAMED into `v=N` in one filesystem op, so
   *    `v=N` existing means `v=N` is complete — a crash can leave only
   *    unreferenced data files / staging dirs, both invisible to
   *    readers and reclaimed by [[vacuum]].
   *
-  * A table is (data dir, manifest dir, cluster/skip key). The manifest
-  * schema is `(file, lo, hi, n_rows)` — per-file key boxes + row
-  * counts, enough for min/max skipping (readAsOf/prune), metadata-only
-  * counts (statsOnlySplit), and vacuum reference sets.
+  * STORAGE: every path is addressed through the Hadoop
+  * [[org.apache.hadoop.fs.FileSystem]] API, resolved from the path's
+  * own scheme — local `file:`, `hdfs:`, or the repo's `graft://`
+  * caching scheme all work (TableFsSpec runs a table end-to-end
+  * through the caching FS). The commit protocol additionally REQUIRES
+  * a store with atomic, fail-if-destination-exists directory rename
+  * (POSIX/HDFS). Object stores whose rename is copy+delete (raw S3)
+  * need a putIfAbsent-style log store instead — the seam is
+  * [[GraftTable.atomicPublish]], the single place the publish decision
+  * lives, exactly like Delta's LogStore abstraction.
+  *
+  * A table is (data dir, manifest dir, cluster/skip key [, extra stats
+  * columns]). The manifest schema is `(file, lo, hi, n_rows, bytes)` —
+  * per-file key boxes + row counts + sizes — plus `(lo_c, hi_c)` for
+  * each declared `statsCols` column, recorded by EVERY commit path
+  * (append, OCC append, merge, compaction, streaming ingest), so a
+  * streamed table can multi-dimension prune the same as a batch one.
+  * Commit timestamps are recorded IN the commit (a `_ts_<epochMs>`
+  * marker riding the atomic rename), so TIMESTAMP AS OF survives
+  * file-system surgery (copy/restore/rsync) that rewrites mtimes.
   */
 final case class GraftTable(spark: SparkSession, data: String, man: String,
-    key: String) {
+    key: String, statsCols: Seq[String] = Nil) {
 
-  import GraftTable.rmRecursive
+  import GraftTable.{listStatusSafe, touch}
+
+  @transient private lazy val hconf =
+    spark.sessionState.newHadoopConf()
+  @transient private lazy val manFs: FileSystem =
+    new Path(man).getFileSystem(hconf)
+  @transient private lazy val dataFs: FileSystem =
+    new Path(data).getFileSystem(hconf)
 
   // ---- physical layout ---------------------------------------------
 
@@ -44,12 +70,51 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
 
   /** Data files currently in the layout (names only — commit
     * bookkeeping, not planning; no data is read). */
-  def partFiles: Set[String] = GraftTable.partFiles(data)
+  def partFiles: Set[String] =
+    listStatusSafe(dataFs, new Path(data))
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName).toSet
 
-  /** Per-file (file, lo, hi, n_rows) stats for `files`, built by ONE
-    * distributed partial-agg scan of exactly those files. */
-  def fileStats(files: Seq[String]): DataFrame =
-    GraftTable.fileStats(spark, files, key)
+  /** Per-file manifest entries for `files`, built by ONE distributed
+    * partial-agg scan of exactly those files: key box (lo, hi), row
+    * count, file size (from `_metadata.file_size` — free, no FS stat),
+    * and a (lo_c, hi_c) box per declared stats column. The scan also
+    * takes the null-key census: a NULL table key can never be matched
+    * by a merge's anti join and min/max-based skipping would silently
+    * drop its rows, so any NULL key is rejected loudly (same contract
+    * [[commitMerge]] enforces on its batch). NULLs in NON-key stats
+    * columns are legal — an all-NULL file records a NULL box there,
+    * which pruning treats as "cannot skip on this dimension". */
+  def fileStats(files: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(files: _*)
+    (key +: statsCols).foreach(c => GraftTable.requireIntegral(df, c))
+    val extra = statsCols.flatMap(c => Seq(
+      min(c).cast("long").as(s"lo_$c"), max(c).cast("long").as(s"hi_$c")))
+    val aggs = Seq(min(key).cast("long").as("lo"),
+      max(key).cast("long").as("hi"), count(lit(1)).as("n_rows"),
+      max(col("_metadata.file_size")).as("bytes")) ++ extra :+
+      count(col(key)).as("__nn")
+    val rows = df.groupBy(col("_metadata.file_path").as("file"))
+      .agg(aggs.head, aggs.tail: _*).collect() // O(#files) — planning
+    val nNull = rows.map(r =>
+      r.getAs[Long]("n_rows") - r.getAs[Long]("__nn")).sum
+    require(nNull == 0,
+      s"batch has $nNull NULL '$key' key(s) — the table key must be " +
+        "non-null (NULL keys cannot be merge-matched and min/max " +
+        "skipping would silently drop their rows)")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame( // drop the census column, keep the schema
+      rows.map(r => Row.fromSeq(r.toSeq.dropRight(1))).toList.asJava,
+      entriesSchema)
+  }
+
+  private def entriesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      GraftTable.manifestSchema.fields ++ statsCols.flatMap(c => Seq(
+        org.apache.spark.sql.types.StructField(s"lo_$c",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(s"hi_$c",
+          org.apache.spark.sql.types.LongType))))
 
   // ---- commit protocol ---------------------------------------------
 
@@ -57,57 +122,79 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
 
   /** Existence IS the commit marker — see the atomic-rename contract in
     * the class doc. */
-  def isCommitted(v: Int): Boolean =
-    new java.io.File(manifestPath(v)).exists()
+  def isCommitted(v: Int): Boolean = manFs.exists(new Path(manifestPath(v)))
 
-  def committedVersions: Seq[Int] = {
-    val fs = new java.io.File(man).listFiles()
-    (if (fs == null) Array.empty[java.io.File] else fs)
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.drop(2).toInt).toSeq.sorted
-  }
+  def committedVersions: Seq[Int] =
+    listStatusSafe(manFs, new Path(man))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.drop(2).toInt).toSeq.sorted
 
   /** Attempt to commit `entries` as manifest version `v`: write to a
-    * staging dir, rename into place. Returns false (staging dropped) if
-    * another writer committed `v` first — the rename is the ONE atomic
-    * op that decides the race. An optional `tag` is recorded as an
-    * underscore-hidden marker file INSIDE the version dir, atomically
-    * with the commit itself — provenance a caller can query with
+    * staging dir, rename into place ([[GraftTable.atomicPublish]] — the
+    * log-store seam; requires a rename-atomic filesystem). Returns
+    * false (staging dropped) if another writer committed `v` first —
+    * the rename is the ONE atomic op that decides the race. Three
+    * underscore-hidden markers ride INSIDE the version dir, atomically
+    * with the commit itself: `_ts_<epochMs>` (the commit timestamp
+    * [[versionAsOfTime]] resolves — recorded in the commit, not as dir
+    * mtime, so history survives a copy/restore that rewrites mtimes),
+    * `_commit_<id>` (the publish witness atomicPublish verifies), and
+    * optionally `_tag_<tag>` — provenance a caller can query with
     * [[versionWithTag]] (the ingest sink keys replay detection on the
     * batch tag, never on version arithmetic, so maintenance commits
     * like OPTIMIZE can interleave without shifting any batch onto an
     * already-committed version number). */
   def tryCommitManifest(entries: DataFrame, v: Int,
       tag: Option[String] = None): Boolean = {
-    val tmp = new java.io.File(
-      s"$man/_tmp_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val tmp = new Path(man, s"_tmp_v${v}_$attempt")
     entries.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    require(touch(manFs, new Path(tmp, s"_ts_${System.currentTimeMillis()}")),
+      "could not record commit timestamp")
+    require(touch(manFs, new Path(tmp, s"_commit_$attempt")),
+      "could not record commit witness")
     tag.foreach { t =>
-      require(new java.io.File(tmp, s"_tag_$t").createNewFile(),
+      require(touch(manFs, new Path(tmp, s"_tag_$t")),
         s"could not record commit tag $t")
     }
-    val dst = new java.io.File(manifestPath(v))
-    val won = tmp.renameTo(dst)
-    if (!won) rmRecursive(tmp)
+    val won = GraftTable.atomicPublish(manFs, tmp,
+      new Path(manifestPath(v)), witness = s"_commit_$attempt")
+    if (!won) manFs.delete(tmp, true)
     won
   }
 
   /** Commit `entries` as version `v`, tolerating an equivalent-content
     * race: losing the rename to a concurrent REPLAY of the same batch
-    * is fine (that snapshot is byte-equivalent by construction). Use
-    * [[commitAppendOcc]] when concurrent writers may commit DIFFERENT
-    * content. */
+    * is fine (that snapshot is byte-equivalent by construction). The
+    * equivalence is VERIFIED, not assumed: a winner with a different
+    * entry count or a missing tag means two non-replay writers raced
+    * on the same version — a contract violation that would silently
+    * drop a batch, so it fails loudly. Use [[commitAppendOcc]] when
+    * concurrent writers may commit DIFFERENT content. */
   def commitManifest(entries: DataFrame, v: Int,
       tag: Option[String] = None): Unit =
-    if (!tryCommitManifest(entries, v, tag))
-      require(new java.io.File(manifestPath(v)).exists(),
+    if (!tryCommitManifest(entries, v, tag)) {
+      require(isCommitted(v),
         s"manifest commit v=$v failed: rename refused and no committed version present")
+      tag.foreach { t =>
+        require(manFs.exists(new Path(manifestPath(v), s"_tag_$t")),
+          s"lost the commit race for v=$v to a snapshot NOT carrying tag " +
+            s"'$t' — concurrent non-replay writers on one version; use " +
+            "commitAppendOcc for multi-writer tables")
+      }
+      val winnerN = manifest(v).count() // O(#files) manifest read
+      val oursN = entries.count()
+      require(winnerN == oursN,
+        s"lost the commit race for v=$v to a DIFFERENT snapshot " +
+          s"($winnerN entries vs our $oursN) — concurrent non-replay " +
+          "writers on one version; use commitAppendOcc for multi-writer tables")
+    }
 
   /** The committed version carrying `tag`, if any — O(#versions)
     * driver-side, like all manifest planning. */
   def versionWithTag(tag: String): Option[Int] =
     committedVersions.find(v =>
-      new java.io.File(manifestPath(v), s"_tag_$tag").exists())
+      manFs.exists(new Path(manifestPath(v), s"_tag_$tag")))
 
   /** Whether `tag` was EVER committed — live versions plus the `_tags`
     * ledger that [[vacuum]] preserves when it expires a tagged version.
@@ -115,7 +202,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * a batch's version must not make its replay look uncommitted. */
   def tagCommitted(tag: String): Boolean =
     versionWithTag(tag).isDefined ||
-      new java.io.File(s"$man/_tags/_tag_$tag").exists()
+      manFs.exists(new Path(s"$man/_tags", s"_tag_$tag"))
 
   def manifest(v: Int): DataFrame = spark.read.parquet(manifestPath(v))
 
@@ -128,24 +215,23 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * atomic-commit race and reference the overwritten files. */
   def create(df: DataFrame, nParts: Int): GraftTable = {
     clusteredWrite(df, nParts, "overwrite")
-    val manDir = new java.io.File(man)
-    if (manDir.exists()) rmRecursive(manDir)
-    manDir.mkdirs()
+    val manDir = new Path(man)
+    if (manFs.exists(manDir)) manFs.delete(manDir, true)
+    manFs.mkdirs(manDir)
     commitManifest(fileStats(Seq(data)), 1)
     this
   }
 
   /** Create with an EMPTY v=1 (the streaming-ingest starting point). */
   def createEmpty(): GraftTable = {
-    new java.io.File(data).mkdirs()
+    dataFs.mkdirs(new Path(data))
     if (!isCommitted(1)) commitManifest(emptyEntries, 1)
     this
   }
 
   private def emptyEntries: DataFrame =
     spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      GraftTable.manifestSchema)
+      java.util.Collections.emptyList[Row](), entriesSchema)
 
   /** Write the batch's clustered files through a UNIQUE staging subdir
     * and move them into the layout, returning exactly the added files'
@@ -156,24 +242,29 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * are hidden from Spark/Hadoop scans, so a transient stage is
     * invisible to readers; part-file names carry job UUIDs, so moves
     * cannot collide. */
-  private def stagedAppend(batch: DataFrame, nParts: Int): Seq[String] = {
-    val stage = new java.io.File(
-      s"$data/_stage_${java.util.UUID.randomUUID().toString.take(8)}")
+  private[table] def stagedAppend(batch: DataFrame, nParts: Int): Seq[String] = {
+    val stage = new Path(data,
+      s"_stage_${java.util.UUID.randomUUID().toString.take(8)}")
     GraftTable.clusteredWrite(batch, key, nParts, "overwrite", stage.toString)
-    val staged = stage.listFiles().filter(_.getName.startsWith("part-"))
-    val moved = staged.map { f =>
-      val dst = new java.io.File(data, f.getName)
-      require(f.renameTo(dst), s"could not move staged file $f into $data")
-      dst.getName
-    }.toSeq
-    rmRecursive(stage)
+    val moved = dataFs.listStatus(stage)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map { st =>
+        val dst = new Path(data, st.getPath.getName)
+        require(dataFs.rename(st.getPath, dst),
+          s"could not move staged file ${st.getPath} into $data")
+        dst.getName
+      }.toSeq
+    dataFs.delete(stage, true)
     moved.map(n => s"$data/$n")
   }
 
   /** Append-commit: new clustered data files + a new manifest version =
     * previous complete entry list + ONLY the new files' stats (existing
     * entries are never rescanned — rebuilding a 100 TB table's manifest
-    * per batch would cost a full scan). Version `prevV` stays immutable. */
+    * per batch would cost a full scan). Version `prevV` stays immutable.
+    * NULL table keys are rejected by the stats scan (see [[fileStats]]);
+    * a rejected batch's already-moved files are unreferenced orphans
+    * that [[vacuum]] reclaims. */
   def commitAppend(batch: DataFrame, prevV: Int, nParts: Int = 2,
       tag: Option[String] = None): Unit = {
     val added = stagedAppend(batch, nParts)
@@ -205,7 +296,10 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       tag.foreach { t =>
         if (tagCommitted(t)) return versionWithTag(t).getOrElse(-1)
       }
-      val base = committedVersions.max
+      val vs = committedVersions
+      require(vs.nonEmpty,
+        s"no committed versions under $man — call create()/createEmpty() first")
+      val base = vs.max
       if (tryCommitManifest(manifest(base).unionByName(stats), base + 1, tag))
         return base + 1
       attempts += 1 // lost the race — rebase onto the winner's version
@@ -269,14 +363,18 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * a pure layout change, so readers see the same rows — and
     * snapshot-isolated like every commit: old versions keep
     * time-traveling to the small files until [[vacuum]] reclaims them.
-    * Planning (file sizes from the manifest's URIs, bin count) is
-    * driver-side O(#files); the rewrite reads ONLY the small files —
+    * Planning (file sizes from the manifest's own `bytes` column — no
+    * file is stat-ed, metadata only, works on any store) is driver-side
+    * O(#files); the rewrite reads ONLY the small files —
     * already-compact files are carried over as untouched entries, so a
     * steady-state 100 TB table re-packs just its ingest tail. Returns
     * the number of files compacted away. */
   def commitCompaction(prevV: Int, targetBytes: Long,
       maxRetries: Int = 5): Int = {
-    var base = math.max(prevV, committedVersions.max)
+    val vs0 = committedVersions
+    require(vs0.nonEmpty,
+      s"no committed versions under $man — call create()/createEmpty() first")
+    var base = math.max(prevV, vs0.max)
     var attempts = 0
     while (attempts <= maxRetries) {
       // (re)plan against the CURRENT latest: losing the commit race to
@@ -284,20 +382,18 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       // pack set must be recomputed, not just the version number —
       // compaction may never be "accepted" by someone else's snapshot
       // winning the rename (that snapshot doesn't contain the pack)
-      val entries = manifest(base).collect().map(_.getAs[String]("file"))
-      val (small, _) = entries.partition { f =>
-        new java.io.File(new java.net.URI(f).getPath).length() < targetBytes
-      }
+      val entries = manifest(base).select("file", "bytes").collect()
+      val small = entries.filter(_.getAs[Long]("bytes") < targetBytes)
       if (small.length <= 1) return 0 // already compact: no commit, no
                                       // burned version, no no-op batch
                                       // for change-feed consumers
       else {
-        val totalBytes = small.map(f =>
-          new java.io.File(new java.net.URI(f).getPath).length()).sum
+        val smallFiles = small.map(_.getAs[String]("file")).toSeq
+        val totalBytes = small.map(_.getAs[Long]("bytes")).sum
         val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-        val added = stagedAppend(spark.read.parquet(small.toSeq: _*), nOut)
+        val added = stagedAppend(spark.read.parquet(smallFiles: _*), nOut)
         if (tryCommitManifest(
-            manifest(base).filter(!col("file").isin(small.toSeq: _*))
+            manifest(base).filter(!col("file").isin(smallFiles: _*))
               .unionByName(if (added.isEmpty) emptyEntries else fileStats(added)),
             base + 1))
           return small.length
@@ -311,19 +407,28 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       s"compaction lost $maxRetries consecutive commit races; giving up")
   }
 
+  /** Version v's commit time: the `_ts_<epochMs>` marker the commit
+    * itself carried (written in staging, published by the same atomic
+    * rename — so it survives file-system surgery like a copy/restore
+    * that rewrites every mtime). Manifests from before the marker
+    * existed fall back to the directory's modification time. */
+  def commitTimeOf(v: Int): Long = {
+    val dir = new Path(manifestPath(v))
+    listStatusSafe(manFs, dir).map(_.getPath.getName)
+      .find(_.startsWith("_ts_")).map(_.drop(4).toLong)
+      .getOrElse(manFs.getFileStatus(dir).getModificationTime)
+  }
+
   /** Resolve "TIMESTAMP AS OF": the LATEST committed version whose
-    * commit time is <= `epochMs` (Delta's timestamp time travel). The
-    * commit time is the version directory's mtime — set when the
-    * staging dir (and its contents) were written, immediately before
-    * the atomic rename publishes it. O(#versions) driver-side. */
+    * commit time is <= `epochMs` (Delta's timestamp time travel).
+    * O(#versions) driver-side. */
   def versionAsOfTime(epochMs: Long): Int = {
     val vs = committedVersions
     require(vs.nonEmpty, s"no committed versions under $man")
-    val eligible = vs.filter(v =>
-      new java.io.File(manifestPath(v)).lastModified() <= epochMs)
+    val eligible = vs.filter(v => commitTimeOf(v) <= epochMs)
     require(eligible.nonEmpty,
       s"no snapshot committed at or before $epochMs " +
-        s"(earliest commit: ${new java.io.File(manifestPath(vs.min)).lastModified()})")
+        s"(earliest commit: ${commitTimeOf(vs.min)})")
     eligible.max
   }
 
@@ -334,7 +439,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   def readAsOf(v: Int): DataFrame = {
     val fs = files(v)
     if (fs.nonEmpty) spark.read.parquet(fs: _*)
-    else if (GraftTable.partFiles(data).nonEmpty)
+    else if (data.nonEmpty && partFiles.nonEmpty)
       spark.read.parquet(data).limit(0) // typed empty, schema from layout
     else
       // an empty snapshot of a still-empty table carries no schema at
@@ -347,6 +452,25 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   /** Min/max skipping against version v's manifest. */
   def prune(v: Int, qlo: Long, qhi: Long): (Seq[String], Int) =
     GraftTable.pruneManifest(spark, manifestPath(v), qlo, qhi)
+
+  /** Multi-column min/max skipping against version v's manifest: keep
+    * the files whose box intersects EVERY queried column's range. The
+    * table key prunes on its (lo, hi) box; declared stats columns on
+    * their (lo_c, hi_c) boxes. Same O(#files) driver planning. */
+  def pruneMulti(v: Int, preds: Seq[(String, Long, Long)])
+      : (Seq[String], Int) = {
+    val named = preds.map { case (c, qlo, qhi) =>
+      require(c == key || statsCols.contains(c),
+        s"no stats recorded for column '$c' (key=$key, statsCols=$statsCols)")
+      if (c == key) ("lo", "hi", qlo, qhi)
+      else (s"lo_$c", s"hi_$c", qlo, qhi)
+    }
+    val rows = manifest(v).collect()
+    val kept = rows.filter(r => named.forall { case (lo, hi, qlo, qhi) =>
+      GraftTable.boxIntersects(r, lo, hi, qlo, qhi)
+    }).map(_.getAs[String]("file")).toSeq
+    (kept, rows.length)
+  }
 
   /** Metadata-only split against version v's manifest. */
   def statsOnlySplit(v: Int, qlo: Long, qhi: Long): (Long, Seq[String], Int) =
@@ -367,53 +491,58 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * commit (the Delta retention-period contract); the default 0 is
     * the single-writer admin op on a quiesced table. */
   def vacuum(keepFrom: Int, latest: Int, graceMs: Long = 0L): Seq[String] = {
-    val upper = math.max(latest, committedVersions.max)
+    val vs = committedVersions
+    require(vs.nonEmpty,
+      s"no committed versions under $man — nothing to vacuum")
+    val upper = math.max(latest, vs.max)
     // versions below an earlier vacuum's horizon no longer exist —
     // skip them instead of failing the whole reclamation on a read
     val referenced = (keepFrom to upper).filter(isCommitted).flatMap { v =>
-      files(v).map(p =>
-        new java.io.File(new java.net.URI(p).getPath).getName)
+      files(v).map(p => new Path(p).getName)
     }.toSet
     val cutoff = System.currentTimeMillis() - graceMs
-    def aged(f: java.io.File): Boolean = f.lastModified() <= cutoff
-    val orphans = (partFiles -- referenced).toSeq.sorted
-      .filter(n => aged(new java.io.File(s"$data/$n")))
+    def aged(st: FileStatus): Boolean = st.getModificationTime <= cutoff
+    val orphans = listStatusSafe(dataFs, new Path(data))
+      .filter(st => st.getPath.getName.startsWith("part-") &&
+        !referenced(st.getPath.getName) && aged(st))
+      .map(_.getPath.getName).toSeq.sorted
     orphans.foreach { n =>
-      require(new java.io.File(s"$data/$n").delete(), s"could not vacuum $n")
+      require(dataFs.delete(new Path(data, n), false), s"could not vacuum $n")
     }
     (1 until keepFrom).foreach { v =>
-      val d = new java.io.File(manifestPath(v))
-      if (d.exists()) {
+      val d = new Path(manifestPath(v))
+      if (manFs.exists(d)) {
         // preserve commit tags in the ledger before expiring the
         // version: a vacuumed batch's replay must still read as
         // committed (tagCommitted), or it would re-append its rows
-        val marks = d.listFiles()
-        if (marks != null && marks.exists(_.getName.startsWith("_tag_"))) {
-          val ledger = new java.io.File(man, "_tags")
-          ledger.mkdirs()
-          marks.filter(_.getName.startsWith("_tag_")).foreach { t =>
+        val marks = listStatusSafe(manFs, d)
+          .map(_.getPath.getName).filter(_.startsWith("_tag_"))
+        if (marks.nonEmpty) {
+          val ledger = new Path(man, "_tags")
+          manFs.mkdirs(ledger)
+          marks.foreach { t =>
             // markers are empty: (re)creating at the destination is the
             // whole preservation — and unlike a rename it cannot fail
-            // silently before rmRecursive destroys the only record that
-            // the batch committed
-            val dst = new java.io.File(ledger, t.getName)
-            require(dst.exists() || dst.createNewFile(),
-              s"could not preserve commit tag ${t.getName} in the ledger")
+            // silently before the version delete destroys the only
+            // record that the batch committed
+            val dst = new Path(ledger, t)
+            require(manFs.exists(dst) || touch(manFs, dst),
+              s"could not preserve commit tag $t in the ledger")
           }
         }
-        rmRecursive(d)
+        manFs.delete(d, true)
       }
     }
-    val staging = new java.io.File(man).listFiles()
-    (if (staging == null) Array.empty[java.io.File] else staging)
-      .filter(f => f.isDirectory && f.getName.startsWith("_tmp_") && aged(f))
-      .foreach(rmRecursive)
+    listStatusSafe(manFs, new Path(man))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_tmp_")
+        && aged(st))
+      .foreach(st => manFs.delete(st.getPath, true))
     // crashed data-side staging dirs (writer died before the move) are
     // invisible to readers (underscore-hidden) but still hold bytes
-    val stages = new java.io.File(data).listFiles()
-    (if (stages == null) Array.empty[java.io.File] else stages)
-      .filter(f => f.isDirectory && f.getName.startsWith("_stage_") && aged(f))
-      .foreach(rmRecursive)
+    listStatusSafe(dataFs, new Path(data))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_stage_")
+        && aged(st))
+      .foreach(st => dataFs.delete(st.getPath, true))
     orphans
   }
 
@@ -464,11 +593,48 @@ object GraftTable {
 
   val manifestSchema: StructType = StructType(Seq(
     StructField("file", StringType), StructField("lo", LongType),
-    StructField("hi", LongType), StructField("n_rows", LongType)))
+    StructField("hi", LongType), StructField("n_rows", LongType),
+    StructField("bytes", LongType)))
 
-  private[table] def rmRecursive(f: java.io.File): Unit = {
-    val kids = f.listFiles(); if (kids != null) kids.foreach(rmRecursive)
-    f.delete(); ()
+  /** listStatus that treats a missing directory as empty (the Hadoop
+    * API throws FileNotFoundException where java.io returned null). */
+  private[table] def listStatusSafe(fs: FileSystem, dir: Path)
+      : Array[FileStatus] =
+    try fs.listStatus(dir)
+    catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] }
+
+  /** Create an empty marker file; true if it exists when we are done —
+    * a concurrent creator of the SAME marker is success, not failure
+    * (markers are empty, content-free). */
+  private[table] def touch(fs: FileSystem, p: Path): Boolean =
+    try { fs.create(p, false).close(); true }
+    catch { case _: java.io.IOException => fs.exists(p) }
+
+  /** The ONE atomic publish decision — the log-store seam (Delta's
+    * LogStore): commit `src` (a fully-written staging dir) as `dst`.
+    * True iff OUR payload is the committed version. Default impl is
+    * rename-based and requires a store where directory rename is
+    * atomic and fails when the destination exists (POSIX local, HDFS).
+    * Object stores without atomic rename (raw S3) must replace this
+    * seam with a putIfAbsent-style coordinator.
+    *
+    * `witness` is a marker file known to exist inside `src`: stores
+    * with POSIX mv-into-dir semantics can "succeed" a rename by moving
+    * `src` INSIDE an existing `dst` — the witness check catches that
+    * (our payload is not AT dst), undoes the nesting, and reports the
+    * race as lost. */
+  private[table] def atomicPublish(fs: FileSystem, src: Path, dst: Path,
+      witness: String): Boolean = {
+    if (fs.exists(dst)) return false // fast-path loss
+    val renamed = try fs.rename(src, dst)
+                  catch { case _: java.io.IOException => false }
+    if (!renamed) false
+    else if (fs.exists(new Path(dst, witness))) true
+    else {
+      val nested = new Path(dst, src.getName)
+      if (fs.exists(nested)) fs.delete(nested, true)
+      false
+    }
   }
 
   /** Range-cluster `df` on `key` and write to `path` — the shared
@@ -479,46 +645,63 @@ object GraftTable {
     df.repartitionByRange(nParts, col(key)).sortWithinPartitions(key)
       .write.mode(mode).parquet(path)
 
-  /** Per-file (file, lo, hi, n_rows) stats over `files`, one
-    * distributed partial-agg scan of exactly those files. The key must
-    * be INTEGRAL: lo/hi are stored as long (the manifestSchema type),
-    * and a lossy cast — a timestamp truncating to epoch seconds, a
-    * double flooring — would make the boxes non-conservative, silently
-    * skipping files that hold matching rows. Rejected loudly instead. */
-  def fileStats(spark: SparkSession, files: Seq[String],
-      key: String): DataFrame = {
+  /** The key must be INTEGRAL: lo/hi are stored as long (the
+    * manifestSchema type), and a lossy cast — a timestamp truncating to
+    * epoch seconds, a double flooring — would make the boxes
+    * non-conservative, silently skipping files that hold matching
+    * rows. Rejected loudly instead. */
+  private[table] def requireIntegral(df: DataFrame, c: String): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val df = spark.read.parquet(files: _*)
-    val dt = df.schema(key).dataType
+    val dt = df.schema(c).dataType
     require(dt == ByteType || dt == ShortType || dt == IntegerType ||
       dt == LongType,
-      s"manifest stats require an integral key column (lo/hi are stored " +
+      s"manifest stats require an integral column (lo/hi are stored " +
         s"as long; a lossy cast would make skipping non-conservative); " +
-        s"got $dt for '$key'")
+        s"got $dt for '$c'")
+  }
+
+  /** Per-file (file, lo, hi, n_rows, bytes) stats over `files`, one
+    * distributed partial-agg scan of exactly those files (sizes from
+    * `_metadata.file_size` — no FS stat calls). The single-manifest
+    * policy layers (q100/q105/q107) use this directly; versioned
+    * tables use the instance [[GraftTable.fileStats]], which also
+    * records declared extra stats columns and enforces the
+    * non-null-key contract. */
+  def fileStats(spark: SparkSession, files: Seq[String],
+      key: String): DataFrame = {
+    val df = spark.read.parquet(files: _*)
+    requireIntegral(df, key)
     df.groupBy(col("_metadata.file_path").as("file"))
       .agg(min(key).cast("long").as("lo"), max(key).cast("long").as("hi"),
-        count(lit(1)).as("n_rows"))
+        count(lit(1)).as("n_rows"),
+        max(col("_metadata.file_size")).as("bytes"))
   }
 
   /** Per-file stats over SEVERAL columns:
     * (file, n_rows, lo_<c1>, hi_<c1>, lo_<c2>, hi_<c2>, ...). A
     * multi-column manifest prunes on ANY of the recorded columns —
     * pair it with a z-order layout (q81) so the per-file boxes are
-    * tight in every recorded dimension, not just the sort key's. */
+    * tight in every recorded dimension, not just the sort key's.
+    * (The q112 standalone shape; versioned tables get the same
+    * capability from `statsCols` on the mainline commit path.) */
   def fileStatsMulti(spark: SparkSession, files: Seq[String],
       keys: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
     val df = spark.read.parquet(files: _*)
-    keys.foreach { k => // same contract as fileStats, enforced at build
-      val dt = df.schema(k).dataType
-      require(dt == ByteType || dt == ShortType || dt == IntegerType ||
-        dt == LongType,
-        s"multi-column manifest stats require integral columns; got $dt for '$k'")
-    }
+    keys.foreach(requireIntegral(df, _)) // same contract, enforced at build
     val aggs = keys.flatMap(k =>
       Seq(min(k).cast("long").as(s"lo_$k"), max(k).cast("long").as(s"hi_$k")))
     df.groupBy(col("_metadata.file_path").as("file"))
       .agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Conservative box test: a NULL box (all-NULL column in that file —
+    * legal for non-key stats columns) can rule nothing out, so the
+    * file is kept. */
+  private[table] def boxIntersects(r: Row, loCol: String, hiCol: String,
+      qlo: Long, qhi: Long): Boolean = {
+    val lo = r.getAs[Number](loCol); val hi = r.getAs[Number](hiCol)
+    lo == null || hi == null ||
+      (hi.longValue >= qlo && lo.longValue <= qhi)
   }
 
   /** Multi-column min/max skipping: keep the files whose box intersects
@@ -530,8 +713,7 @@ object GraftTable {
     val rows = spark.read.parquet(manPath).collect()
     val kept = rows.filter { r =>
       preds.forall { case (c, qlo, qhi) =>
-        r.getAs[Number](s"hi_$c").longValue >= qlo &&
-          r.getAs[Number](s"lo_$c").longValue <= qhi
+        boxIntersects(r, s"lo_$c", s"hi_$c", qlo, qhi)
       }
     }.map(_.getAs[String]("file")).toSeq
     (kept, rows.length)
@@ -539,9 +721,13 @@ object GraftTable {
 
   /** Data files in a layout dir (names only, no data read). */
   def partFiles(dir: String): Set[String] = {
-    val fs = new java.io.File(dir).listFiles()
-    (if (fs == null) Array.empty[java.io.File] else fs)
-      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    if (dir.isEmpty) return Set.empty
+    val p = new Path(dir)
+    val fs = p.getFileSystem(
+      SparkSession.active.sessionState.newHadoopConf())
+    listStatusSafe(fs, p)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getPath.getName).toSet
   }
 
   /** Min/max skipping over an arbitrary manifest path: the file list
@@ -551,28 +737,25 @@ object GraftTable {
   def pruneManifest(spark: SparkSession, manPath: String,
       qlo: Long, qhi: Long): (Seq[String], Int) = {
     val rows = spark.read.parquet(manPath).collect()
-    val kept = rows.filter { r =>
-      r.getAs[Number]("hi").longValue >= qlo &&
-        r.getAs[Number]("lo").longValue <= qhi
-    }.map(_.getAs[String]("file")).toSeq
+    val kept = rows.filter(boxIntersects(_, "lo", "hi", qlo, qhi))
+      .map(_.getAs[String]("file")).toSeq
     (kept, rows.length)
   }
 
   /** Metadata-only split: a file whose box lies fully inside [qlo, qhi]
     * is answered from its n_rows stat without being read; only boundary
-    * files are scanned. Returns (rows answered from stats, boundary
-    * files to scan, #covered files). */
+    * files are scanned. A NULL box is never "fully inside" — it scans.
+    * Returns (rows answered from stats, boundary files to scan,
+    * #covered files). */
   def statsOnlySplit(spark: SparkSession, manPath: String,
       qlo: Long, qhi: Long): (Long, Seq[String], Int) = {
     val rows = spark.read.parquet(manPath).collect()
     val (covered, boundary) = rows
-      .filter { r => // intersecting files only
-        r.getAs[Number]("hi").longValue >= qlo &&
-          r.getAs[Number]("lo").longValue <= qhi
-      }
+      .filter(boxIntersects(_, "lo", "hi", qlo, qhi)) // intersecting only
       .partition { r => // fully inside: stats answer, no read
-        r.getAs[Number]("lo").longValue >= qlo &&
-          r.getAs[Number]("hi").longValue <= qhi
+        val lo = r.getAs[Number]("lo"); val hi = r.getAs[Number]("hi")
+        lo != null && hi != null &&
+          lo.longValue >= qlo && hi.longValue <= qhi
       }
     (covered.map(_.getAs[Number]("n_rows").longValue).sum,
       boundary.map(_.getAs[String]("file")).toSeq, covered.length)
@@ -589,7 +772,7 @@ object GraftTable {
 
   def dvInit(spark: SparkSession, dv: String): Unit =
     spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](), dvSchema)
+      java.util.Collections.emptyList[Row](), dvSchema)
       .write.mode("overwrite").parquet(dv)
 
   /** DELETE WHERE pred as position deletes — no data file is touched. */
@@ -643,9 +826,11 @@ object GraftTable {
           .drop("file", "pos"),
         key, 2, "append", data)
       require(partFiles(data) != before, "compaction wrote no survivors")
+      val conf = spark.sessionState.newHadoopConf()
       impacted.foreach { p =>
-        val f = new java.io.File(new java.net.URI(p).getPath)
-        require(f.delete(), s"could not remove compacted file $f")
+        val path = new Path(p)
+        require(path.getFileSystem(conf).delete(path, false),
+          s"could not remove compacted file $path")
       }
       dvInit(spark, dv) // reset to the declared-empty DV table
     }

@@ -162,11 +162,23 @@ class ExtensionsSpec extends TestBase {
       }
       assert(bad.getMessage.contains("no committed snapshot"))
 
-      // TIMESTAMP AS OF: pin the commit times, then a timestamp between
+      // TIMESTAMP AS OF: pin the commit times via the commit-embedded
+      // `_ts_` markers (the clock of record), then a timestamp between
       // the commits resolves to v1, after both to v2, before both fails
       val (t1, t2) = (1600000000000L, 1700000000000L)
-      assert(new java.io.File(s"$man/v=1").setLastModified(t1))
-      assert(new java.io.File(s"$man/v=2").setLastModified(t2))
+      def pinCommitTime(v: Int, ms: Long): Unit = {
+        val dir = new java.io.File(s"$man/v=$v")
+        dir.listFiles().filter(_.getName.startsWith("_ts_"))
+          .foreach(f => assert(f.delete()))
+        assert(new java.io.File(dir, s"_ts_$ms").createNewFile())
+      }
+      pinCommitTime(1, t1)
+      pinCommitTime(2, t2)
+      // file-system surgery (copy/restore/rsync rewriting mtimes) must
+      // NOT rewrite history's clock: give the dirs misleading mtimes —
+      // v1 "newer" than v2 — and resolution below still follows markers
+      assert(new java.io.File(s"$man/v=1").setLastModified(t2 + 999999L))
+      assert(new java.io.File(s"$man/v=2").setLastModified(t1 - 999999L))
       val zone = java.time.ZoneId.of(s2.sessionState.conf.sessionLocalTimeZone)
       def tsLit(ms: Long): String = java.time.format.DateTimeFormatter
         .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(zone)

@@ -376,7 +376,8 @@ class StreamingSpec extends TestBase {
     }
     val out = java.nio.file.Files.createTempDirectory("graft_ingest_out").toString
     val man = java.nio.file.Files.createTempDirectory("graft_ingest_man").toString
-    val sink = new GraftStreams.ManifestIngestSink(spark, out, man, "event_id")
+    val sink = new GraftStreams.ManifestIngestSink(spark, out, man, "event_id",
+      appId = "ingest-e2e")
     sink.init()
     val q = GraftStreams.manifestIngest(
       GraftStreams.eventsStream(spark, d.toString, maxFilesPerTrigger = 1), sink)
@@ -496,7 +497,8 @@ class StreamingSpec extends TestBase {
     import org.apache.spark.sql.types._
     val out = java.nio.file.Files.createTempDirectory("graft_cdf_data").toString
     val man = java.nio.file.Files.createTempDirectory("graft_cdf_man").toString
-    val sink = new GraftStreams.ManifestIngestSink(spark, out, man, "event_id")
+    val sink = new GraftStreams.ManifestIngestSink(spark, out, man, "event_id",
+      appId = "cdf-src")
     sink.init()
     val ev = Tables.load(spark, sfDir, "events")
       .select("event_id", "user_id", "value")
