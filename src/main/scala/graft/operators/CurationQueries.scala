@@ -602,6 +602,13 @@ object CurationQueries {
   // the fact table is never shuffled. (The naive spelling — dense_rank
   // over the raw table — would sort everything in one partition.)
   val q78_dict_encode: Q = (s, dir) => {
+    // DELIBERATE global window: runs over the distinct-source
+    // vocabulary only (tiny by definition), so the single-partition
+    // sort is constant work at any SF. A constant partitionBy spelling
+    // was tried and rejected — the optimizer folds it away, so the
+    // bench's WindowExec notice is unavoidable; PlanAuditSpec's
+    // unpartitioned-window audit allowlists exactly this query and
+    // asserts the window input really is the k-bounded aggregate.
     val vocab = t(s, dir, "documents").select("source").distinct()
       .withColumn("code",
         row_number().over(Window.orderBy(col("source").asc_nulls_last))

@@ -113,6 +113,10 @@ object StatQueries {
       .select("l_extendedprice", "hk")
       .orderBy("hk")
       .limit(SampleK)
+    // DELIBERATE global window over exactly SampleK rows (the bottom-k
+    // sample is the window's whole input): constant work at any SF.
+    // PlanAuditSpec's unpartitioned-window audit allowlists this query
+    // and asserts the window sits above the k-limiting operator.
     val w = Window.orderBy(col("l_extendedprice"), col("hk"))
     sample.withColumn("rn", row_number().over(w))
       .filter(col("rn").isin(SampleK / 4, SampleK / 2, 3 * SampleK / 4,

@@ -92,6 +92,112 @@ class FixtureContractSpec extends TestBase {
     assert(bad == 0, s"$bad NULL/empty documents — text fixture drifted")
   }
 
+  // ---- parquet footer pinning for documents/embeddings: the same
+  // physical-contract canary events.ts gets, for the string/list
+  // columns the text and similarity surfaces assume. A regeneration
+  // that re-encodes text as raw BINARY, n_chars as INT32, or the
+  // embedding as list<double> would make explicit-schema reads fail or
+  // silently null — this fires first, with the column named. ----
+
+  private def footerSchema(path: String): org.apache.parquet.schema.MessageType = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    val st = fs.getFileStatus(p)
+    val file =
+      if (st.isFile) p
+      else fs.listStatus(p).filter(_.isFile)
+        .map(_.getPath).find(_.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no parquet file under $path"))
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+  }
+
+  private def firstLeaf(t: org.apache.parquet.schema.Type)
+      : org.apache.parquet.schema.PrimitiveType =
+    if (t.isPrimitive) t.asPrimitiveType()
+    else firstLeaf(t.asGroupType().getType(0))
+
+  /** Violations of the pinned documents physical contract (empty = ok). */
+  private def docFooterViolations(path: String): Seq[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val s = footerSchema(path)
+    def prim(c: String) = firstLeaf(s.getType(s.getFieldIndex(c)))
+    val longs = Seq("doc_id", "n_chars").collect {
+      case c if prim(c).getPrimitiveTypeName != INT64 =>
+        s"$c is ${prim(c).getPrimitiveTypeName}, want INT64"
+    }
+    val strings = Seq("text", "lang", "source").collect {
+      case c if prim(c).getPrimitiveTypeName != BINARY ||
+        prim(c).getLogicalTypeAnnotation !=
+          LogicalTypeAnnotation.stringType() =>
+        s"$c is ${prim(c).getPrimitiveTypeName}" +
+          s"/${prim(c).getLogicalTypeAnnotation}, want BINARY/STRING"
+    }
+    longs ++ strings
+  }
+
+  /** Violations of the pinned embeddings physical contract (empty = ok). */
+  private def embFooterViolations(path: String): Seq[String] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val s = footerSchema(path)
+    def prim(c: String) = firstLeaf(s.getType(s.getFieldIndex(c)))
+    val emb = s.getType(s.getFieldIndex("embedding"))
+    Seq(
+      (prim("vec_id").getPrimitiveTypeName != INT64) ->
+        s"vec_id is ${prim("vec_id").getPrimitiveTypeName}, want INT64",
+      (prim("label").getPrimitiveTypeName != INT32) ->
+        s"label is ${prim("label").getPrimitiveTypeName}, want INT32",
+      (emb.isPrimitive || emb.getLogicalTypeAnnotation !=
+        LogicalTypeAnnotation.listType()) ->
+        "embedding is not a LIST group",
+      (firstLeaf(emb).getPrimitiveTypeName != FLOAT) ->
+        s"embedding element is ${firstLeaf(emb).getPrimitiveTypeName}, want FLOAT"
+    ).collect { case (true, msg) => msg }
+  }
+
+  test("documents/embeddings parquet footers carry the pinned physical types") {
+    val doc = docFooterViolations(s"$sfDir/documents.parquet")
+    assert(doc.isEmpty,
+      s"documents physical contract drifted:\n${doc.mkString("\n")} — " +
+        "a regeneration re-encoded the table (see Tables.documents)")
+    val emb = embFooterViolations(s"$sfDir/embeddings.parquet")
+    assert(emb.isEmpty,
+      s"embeddings physical contract drifted:\n${emb.mkString("\n")} — " +
+        "a regeneration re-encoded the table (see Tables.embeddings)")
+  }
+
+  test("the footer canary REJECTS a simulated re-encode of either table") {
+    // re-encode the real tables the ways a generator drift plausibly
+    // would (raw-binary text, narrowed count, widened floats/label) and
+    // prove the violation detectors actually fire on each change
+    val tmp = java.nio.file.Files.createTempDirectory("graft_reenc").toString
+    Tables.load(spark, sfDir, "documents")
+      .selectExpr("doc_id", "cast(text as binary) as text", "lang",
+        "source", "cast(n_chars as int) as n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/docs")
+    val docViol = docFooterViolations(s"$tmp/docs")
+    assert(docViol.exists(_.startsWith("text")),
+      s"binary-encoded text not detected: $docViol")
+    assert(docViol.exists(_.startsWith("n_chars")),
+      s"INT32 n_chars not detected: $docViol")
+
+    Tables.load(spark, sfDir, "embeddings")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as embedding",
+        "cast(label as bigint) as label")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/embs")
+    val embViol = embFooterViolations(s"$tmp/embs")
+    assert(embViol.exists(_.startsWith("embedding element")),
+      s"double-widened embedding not detected: $embViol")
+    assert(embViol.exists(_.startsWith("label")),
+      s"widened label not detected: $embViol")
+  }
+
   test("no decoded timestamp column is all-NULL (schema/footer type mismatch canary)") {
     Seq("events" -> "ts", "orders" -> "o_orderdate", "lineitem" -> "l_shipdate")
       .foreach { case (t, c) =>

@@ -42,6 +42,43 @@ class PlanAuditSpec extends TestBase {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  // the two DELIBERATE global windows, each with the operator that
+  // bounds its input to k rows regardless of SF — the audit asserts the
+  // bound is still in the window's subtree, so "allowed" can never
+  // quietly become "unbounded" (a constant-partitionBy spelling was
+  // tried instead and rejected: the optimizer folds it away)
+  private val globalWindowBound = Map(
+    "q78_dict_encode" -> "Aggregate",    // distinct vocabulary, k = |sources|
+    "q84_sample_quantiles" -> "GlobalLimit") // bottom-k sample, k = SampleK
+
+  test("no unpartitioned window anywhere on the surface (k-bounded ranks allowlisted, bound asserted)") {
+    // an empty window partition spec funnels the WHOLE relation into
+    // one task — the 100 TB regression class. Every query is audited;
+    // the two allowlisted global ranks must carry their k-limiting
+    // operator BELOW the window.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val lp = try fn(spark, sfDir).queryExecution.optimizedPlan
+                 catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+        lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+          .flatMap { w =>
+            globalWindowBound.get(name) match {
+              case Some(bound)
+                if w.child.collectFirst {
+                  case n if n.nodeName.contains(bound) => n
+                }.isDefined => None
+              case Some(bound) => Some(
+                s"$name: deliberate global window lost its $bound bound")
+              case None => Some(
+                s"$name: ${w.windowExpressions.mkString(", ").take(100)}")
+            }
+          }
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows:\n${offenders.mkString("\n")}")
+  }
+
   test("q03f actually compacts: many fragment files in, at most 4 files out") {
     SparkEntry.queries("q03f_compact")(spark, sfDir).collect()
     def parts(tag: String): Int = {
