@@ -33,6 +33,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // spark.graft.approxDistinct.enabled=true (see ApproxDistinctRewrite)
     ext.injectOptimizerRule(_ => graft.plans.ApproxDistinctRewrite())
     ext.injectOptimizerRule(_ => graft.plans.BinnedRangeJoinRewrite())
+    // graft_snapshot manifest pruning: WHERE conjuncts on the table key /
+    // declared stats columns become file-level skipping in the optimizer
+    // (SnapshotPruneRule), then the leaf expands to a native parquet
+    // relation over only the surviving files once pushdown has settled
+    // (SnapshotExpandRule, pre-CBO)
+    ext.injectOptimizerRule(_ => graft.table.SnapshotPruneRule)
+    ext.injectPreCBORule(s => graft.table.SnapshotExpandRule(s))
     // native as-of join physical operator (AsOfJoinPlan -> AsOfJoinExec);
     // AsOfJoin.asof also self-registers via spark.experimental
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)

@@ -1366,6 +1366,54 @@ object CurationQueries {
       |WHERE l_orderkey BETWEEN 100 AND 2000
       |  AND l_partkey BETWEEN 50 AND 1500""".stripMargin
 
+  // ---- 114. Catalyst-integrated snapshot pruning: the same manifest
+  // skipping as q100/q112, but AUTOMATIC — the WHERE clause of plain
+  // SQL text over `graft_snapshot(...)` is folded into file-level
+  // manifest pruning by an optimizer rule (SnapshotPruneRule), with no
+  // prune() call in user code. The snapshot resolves to a leaf plan
+  // that carries its manifest; pushed-down conjuncts on the table key
+  // (o_orderkey box) and the declared stats column (o_custkey box)
+  // prune files as pure driver-side interval math, the leaf's stats
+  // answer from the manifest (so join planning sees the PRUNED size),
+  // and the leaf then expands to a native parquet scan over only the
+  // surviving files — Spark's own column pruning / parquet row-group
+  // pushdown still run below. Here the appended negative-key batch
+  // (box [-500, -1]) is provably skipped by the [100, 2000] predicate;
+  // SnapshotPruneSpec asserts the file counts plan-mechanically. ----
+  val q114_snapshot_sql_prune: Q = (s, dir) => {
+    graft.table.SnapshotSql.register(s)
+    val out = RelationalQueries.scratch("q114_layout", dir)
+    val man = RelationalQueries.scratch("q114_manifest", dir)
+    val tbl = GraftTable(s, out, man, "o_orderkey",
+      statsCols = Seq("o_custkey"))
+    tbl.create(t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice"), 8)
+    val batch = t(s, dir, "orders")
+      .filter(col("o_orderkey").between(1, 500))
+      .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+    tbl.commitAppend(batch, 1)
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, o_totalprice
+         |FROM graft_snapshot('$man', 2)
+         |WHERE o_orderkey BETWEEN 100 AND 2000 AND o_custkey >= 10
+         |""".stripMargin)
+      .agg(count(lit(1)).as("n_rows"),
+        dround(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_custkey").as("max_cust"))
+  }
+
+  val q114_snapshot_sql_prune_sql: String =
+    """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_custkey) AS max_cust
+      |FROM (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_custkey, o_totalprice FROM orders
+      |  WHERE o_orderkey BETWEEN 1 AND 500
+      |)
+      |WHERE o_orderkey BETWEEN 100 AND 2000 AND o_custkey >= 10""".stripMargin
+
   // ---- 94. Source mixing: resample the corpus toward a target source
   // distribution (upweight curated sources, downweight crawl — the
   // data-mixing step every pretraining pipeline runs). Per-source
@@ -1485,6 +1533,7 @@ object CurationQueries {
     "q111_incremental_cdc" -> q111_incremental_cdc,
     "q112_multicol_skip" -> q112_multicol_skip,
     "q113_dup_spans" -> q113_dup_spans,
+    "q114_snapshot_sql_prune" -> q114_snapshot_sql_prune,
     "q68b_stratified_agg" -> q68b_stratified_agg,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
@@ -1515,6 +1564,7 @@ object CurationQueries {
     "q111_incremental_cdc" -> q111_incremental_cdc_sql,
     "q112_multicol_skip" -> q112_multicol_skip_sql,
     "q113_dup_spans" -> q113_dup_spans_sql,
+    "q114_snapshot_sql_prune" -> q114_snapshot_sql_prune_sql,
     // q68b: same selection as q68, bounded-heap agg instead of a window
     "q68b_stratified_agg" -> q68_stratified_sample_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,

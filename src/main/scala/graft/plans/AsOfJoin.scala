@@ -97,6 +97,12 @@ object GraftStrategies extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case AsOfJoinPlan(l, r, lk, rk, lt, rt, dir, tol) =>
       AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, dir, tol) :: Nil
+    // safety net: a snapshot leaf that somehow reached physical planning
+    // unexpanded (SnapshotExpandRule not registered) still executes —
+    // losing only scan-level pushdown, never correctness
+    case r: graft.table.GraftSnapshotRelation =>
+      planLater(graft.table.SnapshotExpandRule(
+        org.apache.spark.sql.SparkSession.active).expandNow(r)) :: Nil
     case _ => Nil
   }
 }

@@ -218,6 +218,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val manDir = new Path(man)
     if (manFs.exists(manDir)) manFs.delete(manDir, true)
     manFs.mkdirs(manDir)
+    writeProps()
     commitManifest(fileStats(Seq(data)), 1)
     this
   }
@@ -225,8 +226,23 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   /** Create with an EMPTY v=1 (the streaming-ingest starting point). */
   def createEmpty(): GraftTable = {
     dataFs.mkdirs(new Path(data))
+    writeProps()
     if (!isCommitted(1)) commitManifest(emptyEntries, 1)
     this
+  }
+
+  /** Persist the table's declared shape (key + stats columns) next to
+    * the version dirs, so a reader holding only the manifest path — the
+    * `graft_snapshot` SQL surface — knows which data columns the
+    * manifest boxes describe and can prune on them. Content is a pure
+    * function of the table declaration, so concurrent (re)writes are
+    * byte-identical; [[vacuum]] never touches it. */
+  private def writeProps(): Unit = {
+    manFs.mkdirs(new Path(man))
+    val out = manFs.create(new Path(man, GraftTable.PropsFile), true)
+    try out.write(
+      s"key=$key\nstats=${statsCols.mkString(",")}\n".getBytes("UTF-8"))
+    finally out.close()
   }
 
   private def emptyEntries: DataFrame =
@@ -595,6 +611,34 @@ object GraftTable {
     StructField("file", StringType), StructField("lo", LongType),
     StructField("hi", LongType), StructField("n_rows", LongType),
     StructField("bytes", LongType)))
+
+  private[table] val PropsFile = "_table_props"
+
+  /** Read a table's declared (key, statsCols) back from its props file;
+    * None when absent (pre-props tables — readable, just not prunable
+    * from the SQL surface). */
+  def loadProps(spark: SparkSession, man: String)
+      : Option[(Option[String], Seq[String])] = {
+    val p = new Path(man, PropsFile)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+      val kv = txt.linesIterator.flatMap { line =>
+        line.split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+      Some((kv.get("key").filter(_.nonEmpty),
+        kv.get("stats").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)))
+    }
+  }
 
   /** listStatus that treats a missing directory as empty (the Hadoop
     * API throws FileNotFoundException where java.io returned null). */

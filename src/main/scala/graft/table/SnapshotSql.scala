@@ -1,7 +1,8 @@
 package graft.table
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -62,10 +63,39 @@ object SnapshotSql {
     if (!table.isCommitted(v))
       fail(s"no committed snapshot v=$v under $man " +
         s"(committed: ${table.committedVersions.mkString(", ")})")
-    val files = table.files(v)
+    val entries = table.manifest(v).collect().toSeq // O(#files) planning
+    val files = entries.map(_.getAs[String]("file"))
     if (files.isEmpty)
       fail(s"snapshot v=$v of $man references no data files " +
         "(empty snapshots carry no schema to scan)")
-    spark.read.parquet(files: _*).queryExecution.analyzed
+    val output = spark.read.parquet(files: _*).queryExecution.analyzed.output
+    // Table properties (key + stats columns) make the scan PRUNABLE:
+    // SnapshotPruneRule can then fold WHERE conjuncts into manifest box
+    // pruning. Tables created before the props file existed resolve with
+    // no prunable columns — same full-file scan as before, never wrong.
+    val (key, statsCols) = GraftTable.loadProps(spark, man)
+      .getOrElse((None, Nil))
+    val manCols = entries.headOption.map(_.schema.fieldNames.toSet)
+      .getOrElse(Set.empty[String])
+    GraftSnapshotRelation(man, v,
+      key.filter(_ => manCols("lo") && manCols("hi")),
+      statsCols.filter(c => manCols(s"lo_$c") && manCols(s"hi_$c")),
+      entries, files, output)
+  }
+
+  /** Per-session programmatic registration (the extensions-free path —
+    * [[graft.GraftExtensions]] wires the same pieces cluster-wide via
+    * config). Idempotent: the TVF registry replaces, the optimizer list
+    * is de-duplicated by rule identity. */
+  def register(spark: SparkSession): Unit = {
+    val have = spark.experimental.extraOptimizations
+    val add = Seq(SnapshotPruneRule, SnapshotExpandRule(spark))
+      .filterNot(r => have.exists(_.getClass == r.getClass))
+    if (add.nonEmpty)
+      spark.experimental.extraOptimizations = have ++ add
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo(getClass.getName, null, "graft_snapshot", usage, ""),
+      (es: Seq[Expression]) => plan(es))
   }
 }

@@ -1,0 +1,205 @@
+package graft.table
+
+import graft.TestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** Plan-mechanical proof that `graft_snapshot` SQL reads prune their
+  * file lists inside Catalyst (SnapshotPruneRule + SnapshotExpandRule):
+  * the spec counts the files the OPTIMIZED plan's parquet relation
+  * actually references — not rows — so a pruning regression cannot hide
+  * behind a correct-but-full scan. */
+class SnapshotPruneSpec extends TestBase {
+
+  private lazy val scratchRoot = {
+    val d = java.nio.file.Files.createTempDirectory("graft_snap_prune")
+    d.toString
+  }
+
+  /** id-keyed table: 8 range-clustered files over ids 0..799, so each
+    * file's key box spans ~100 ids; `v2` is a declared stats column
+    * (v2 = id * 10); `tag` has NO recorded stats. */
+  private lazy val table: GraftTable = {
+    import spark.implicits._
+    graft.table.SnapshotSql.register(spark)
+    val df = (0 until 800).map(i =>
+      (i.toLong, i * 10L, s"t${i % 7}")).toDF("id", "v2", "tag")
+    val t = GraftTable(spark, s"$scratchRoot/data", s"$scratchRoot/man",
+      "id", statsCols = Seq("v2"))
+    t.create(df, 8)
+    t
+  }
+
+  private def man: String = table.man
+
+  /** Files referenced by the optimized plan's parquet relation(s). */
+  private def scannedFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.inputFiles.toSeq
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+
+  private def snapSql(where: String): DataFrame =
+    spark.sql(s"SELECT * FROM graft_snapshot('$man', 1) $where")
+
+  test("a key-range WHERE prunes manifest files inside the optimizer") {
+    val all = scannedFiles(snapSql(""))
+    assert(all.size == 8, s"expected 8 clustered files, saw ${all.size}")
+    val pruned = snapSql("WHERE id BETWEEN 100 AND 199")
+    val seen = scannedFiles(pruned)
+    assert(seen.nonEmpty && seen.size < all.size,
+      s"key-range read must prune: ${seen.size} of ${all.size}")
+    // and the rows are exactly the unpruned filter's rows
+    assert(pruned.orderBy("id").collect().toSeq ==
+      table.readAsOf(1).filter(col("id").between(100, 199))
+        .orderBy("id").collect().toSeq)
+  }
+
+  test("a declared stats column prunes on its own box") {
+    val seen = scannedFiles(snapSql("WHERE v2 >= 7000"))
+    assert(seen.nonEmpty && seen.size < 8,
+      s"stats-column read must prune: ${seen.size} of 8")
+    assert(snapSql("WHERE v2 >= 7000").count() ==
+      table.readAsOf(1).filter(col("v2") >= 7000).count())
+  }
+
+  test("IN-lists prune via their min/max envelope") {
+    val seen = scannedFiles(snapSql("WHERE id IN (5, 17, 42)"))
+    assert(seen.size < 8, s"IN-list must prune: ${seen.size} of 8")
+    assert(snapSql("WHERE id IN (5, 17, 42)").count() == 3)
+  }
+
+  test("a column without recorded stats never prunes (and stays correct)") {
+    val q = snapSql("WHERE tag = 't3'")
+    assert(scannedFiles(q).size == 8, "no stats -> no pruning")
+    assert(q.count() ==
+      table.readAsOf(1).filter(col("tag") === "t3").count())
+  }
+
+  test("an unsatisfiable key range prunes EVERYTHING — zero files, zero tasks") {
+    val q = snapSql("WHERE id > 100000")
+    assert(scannedFiles(q).isEmpty, "fully-pruned snapshot must not scan")
+    assert(q.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }.nonEmpty, "fully-pruned snapshot should be a typed empty relation")
+    assert(q.count() == 0)
+  }
+
+  test("disjunctions and expressions over the key are conservatively kept") {
+    // OR at the top level: no conjunct names a single range — no pruning,
+    // but rows must still be exact
+    val or = snapSql("WHERE id < 50 OR id > 750")
+    assert(scannedFiles(or).size == 8, "OR must not prune")
+    assert(or.count() == 99)
+    // expression over the column: not a bare attribute — no pruning
+    val expr = snapSql("WHERE id + 1 = 101")
+    assert(scannedFiles(expr).size == 8, "id + 1 is not prunable")
+    assert(expr.count() == 1)
+  }
+
+  test("a NULL stats box keeps its file under any stats-column bound") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_nullbox").toString
+    val t = GraftTable(spark, s"$root/data", s"$root/man", "id",
+      statsCols = Seq("v2"))
+    // file 1: ids 0..9 with v2 present; file 2 (appended): ids 100..109,
+    // v2 entirely NULL -> NULL (lo_v2, hi_v2) box
+    t.create((0L until 10L).map(i => (i, Some(i * 2L))).toDF("id", "v2"), 1)
+    t.commitAppend(
+      (100L until 110L).map(i => (i, None: Option[Long])).toDF("id", "v2"), 1, 1)
+    val q = spark.sql(
+      s"SELECT * FROM graft_snapshot('${t.man}', 2) WHERE v2 <= 4")
+    assert(scannedFiles(q).size == 2,
+      "the NULL-box file can rule nothing out and must be scanned")
+    assert(q.count() == 3) // v2 in {0, 2, 4}; NULLs fail the predicate
+  }
+
+  test("pruned manifest stats let a narrow snapshot slice broadcast unhinted") {
+    import spark.implicits._
+    val entries = table.manifest(1).collect()
+    val totalBytes = entries.map(_.getAs[Long]("bytes")).sum
+    val oneFile = entries.map(_.getAs[Long]("bytes")).max
+    // threshold sits between one file and the whole table: only the
+    // PRUNED relation clears the broadcast bar
+    val threshold = oneFile + (totalBytes - oneFile) / 2
+    val big = (0 until 4000).map(i => (i.toLong % 800, i.toLong))
+      .toDF("id", "x")
+    // select EVERY column: the size-only stats visitor scales a
+    // Project's sizeInBytes by output-row width, so a narrower select
+    // would shrink the UNPRUNED control below the threshold too
+    def planOf(where: String): String = {
+      val df = big.join(spark.sql(
+        s"SELECT id, v2, tag FROM graft_snapshot('$man', 1) $where"), "id")
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    val olds = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        threshold.toString)
+      assert(planOf("WHERE id BETWEEN 100 AND 199")
+        .contains("BroadcastHashJoin"),
+        "pruned slice fits under the threshold -> broadcast, no hint")
+      assert(!planOf("").contains("BroadcastHashJoin"),
+        "unpruned snapshot exceeds the threshold -> no broadcast")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("self-joining one snapshot resolves (MultiInstanceRelation)") {
+    val n = spark.sql(
+      s"""SELECT count(*) AS n FROM graft_snapshot('$man', 1) a
+         |JOIN graft_snapshot('$man', 1) b ON a.id = b.id
+         |WHERE a.id < 100""".stripMargin).collect()(0).getLong(0)
+    assert(n == 100)
+  }
+
+  test("a pre-props table (no _table_props) reads full but correct") {
+    val fs = new org.apache.hadoop.fs.Path(man)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val props = new org.apache.hadoop.fs.Path(man, "_table_props")
+    val backup = new org.apache.hadoop.fs.Path(man, "_table_props.bak")
+    assert(fs.rename(props, backup))
+    try {
+      val q = snapSql("WHERE id BETWEEN 100 AND 199")
+      assert(scannedFiles(q).size == 8,
+        "without props the key cannot be identified -> no pruning")
+      assert(q.count() == 100)
+    } finally assert(fs.rename(backup, props))
+  }
+
+  test("the extensions-injected path prunes without any register() call") {
+    val orig = spark
+    val m = man // force the lazy layout while the shared session is active
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s2 = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.GraftExtensions)
+        .getOrCreate()
+      val df = s2.sql(
+        s"SELECT * FROM graft_snapshot('$m', 1) WHERE id BETWEEN 0 AND 99")
+      val seen = df.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case h: HadoopFsRelation => h.location.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+      }.flatten
+      assert(seen.nonEmpty && seen.size < 8,
+        s"config-only deployment must prune too: ${seen.size} of 8")
+      assert(df.count() == 100)
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+    }
+  }
+}
