@@ -206,34 +206,38 @@ object DedupQueries {
   // overlap would be < t*|s| <= t*|union|). So an equi-join on PREFIX
   // shingles only — the rarest slice of each doc — generates candidates
   // with recall 1 by construction, and rare shingles have tiny posting
-  // lists, so the join stays O(candidates), not O(sum df^2). Exact
-  // array_intersect verification then removes false candidates.
+  // lists, so the join stays O(candidates), not O(sum df^2). On top of
+  // the plain prefix filter, the PPJoin reductions (Xiao, Wang, Lin,
+  // Yu, WWW'08 — size filter, short indexing prefix, positional
+  // filter; each proven recall-preserving inline below) cut the
+  // candidate set further, and a sorted-merge intersection COUNT
+  // (native codegen expression, see ArrayExprs) verifies exactly.
   // DedupSpec diffs q104 against the all-pairs q43 row for row; the
   // oracle is q43's own SQL (identical output contract).
   //
   // Scale: one map-side-combined df aggregate + one skew-splittable
-  // df equi-join + one per-doc re-sort agg + one prefix-keyed join;
+  // df equi-join + one per-doc re-sort agg + one prefix-keyed join
+  // + one pair-keyed agg (the positional filter — same shuffle the
+  // old candidate distinct() paid, strictly more pruning);
   // every stage is key-partitioned and no all-pairs path exists. No
   // per-row broadcast of the corpus anywhere; the distinct-shingle
   // aggregate (dfBySh) may auto-broadcast when it is under the
   // threshold, which is equally skew-safe — at corpus scale it exceeds
   // the threshold and plans as the skew-splittable shuffle join.
-  // Cost note measured at sf0.01: prefix candidates 25 pairs vs
-  // 124,750 all-pairs.
   val q104_jaccard_join: Q = (s, dir) => {
     val T = 0.5 // strict threshold (jaccard > T), matches q43
+    // sh is kept SORTED (array_sort) so the verify stage can count the
+    // intersection with an allocation-free merge scan instead of
+    // array_intersect's per-row hash set — see sorted_intersect_count.
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), array_distinct(transform(
+      .select(col("doc_id"), array_sort(array_distinct(transform(
         sequence(lit(1), size(col("ws")) - 2),
         i => concat_ws(" ", element_at(col("ws"), i),
-          element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+          element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)))))
         .as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-doc shingles re-sorted by global rarity; p = n - ceil(T*n) + 1
-    // computed in integer math (ceil(n/2) = (n+1)/2) so no float edge
-    // can shorten the prefix and cost recall.
     // df via a map-side-combined groupBy + equi-join back to the
     // postings, NOT a count window over the shingle partition: shingle
     // frequency in a real corpus is Zipfian, and a window partitioned
@@ -247,32 +251,88 @@ object DedupQueries {
     // postings is referenced by both dfBySh and the join probe, so the
     // explode runs more than once — DELIBERATELY unpersisted: docs is
     // cached, re-exploding it is cheap CPU, and measured A/B at sf0.1
-    // shows no gain from persisting (5.35s vs 5.00s warm, within
-    // noise), while at corpus scale a postings cache materializes a
-    // |docs|x|shingles| relation orders of magnitude larger than docs.
+    // shows no gain from persisting, while at corpus scale a postings
+    // cache materializes a |docs|x|shingles| relation orders of
+    // magnitude larger than docs.
     val postings = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val dfBySh = postings.groupBy("s").agg(count(lit(1)).as("df"))
+    // Per-doc shingles re-sorted by global rarity (df asc, shingle asc —
+    // a total order shared by every doc). Two prefix lengths, both in
+    // integer math so no float edge can shorten a prefix and cost
+    // recall (ceil(n/2) = (n+1)/2, ceil(2n/3) = (2n+2)/3):
+    //  - p1 = n - ceil(T*n) + 1: the PROBING prefix (prefix-filter
+    //    lemma — a pair with jaccard > T shares a token inside both
+    //    docs' first p1);
+    //  - p2 = n - ceil(2T/(1+T)*n) + 1: the shorter INDEXING prefix,
+    //    valid for the SMALLER doc of a pair (PPJoin, Xiao et al.
+    //    WWW'08): jaccard > T forces overlap c > T/(1+T)*(na+nb) >=
+    //    2T/(1+T)*nb for nb <= na, and the globally-first shared token
+    //    then ranks <= nb - c + 1 <= p2 in the smaller doc (and <= p1
+    //    in the larger). Probing the long prefix against indexing the
+    //    short one cuts candidates ~2x at identical recall 1.
     val ordered = postings.join(dfBySh, "s")
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"),
         count(lit(1)).as("n"))
-      .withColumn("p", col("n") - floor((col("n") + 1) / 2) + 1)
+      .withColumn("p1", col("n") - floor((col("n") + 1) / 2) + 1)
+      .withColumn("p2", col("n") - floor((lit(2) * col("n") + 2) / 3) + 1)
     // NOT persisted: the self-join's two sides are identical subtrees,
-    // so ReusedExchange serves side b from side a's shuffle files —
-    // persisting was measured SLOWER (5.9 s vs 4.0 s: pays
-    // materialization for a reuse the engine already provides)
-    val prefixes = ordered
-      .select(col("doc_id"),
-        explode(expr("slice(transform(os, x -> x.s), 1, int(p))")).as("s"))
-    val candidates = prefixes.as("a")
-      .join(prefixes.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
-      .distinct()
+    // so when both sides plan as shuffle joins — which they do at
+    // corpus scale — ReusedExchange serves side b from side a's shuffle
+    // files for free. At bench scale AQE instead broadcasts the small
+    // index side, which recomputes the postings+df pipeline twice; a
+    // measured A/B shows persisting `ordered` saves ~1 s warm here but
+    // pays a cold materialization spike, and at 100 TB it would pin a
+    // corpus-sized relation (every doc's sorted-rarity array) in
+    // executor storage to save one map-side pipeline — the wrong trade
+    // both times. The index-side prefix cut (r <= p2) lives in the JOIN
+    // CONDITION, not a pre-join filter, to keep the subtrees identical
+    // for the at-scale reuse.
+    val pref = ordered
+      .select(col("doc_id"), col("n"), col("p2"),
+        posexplode(expr("slice(transform(os, x -> x.s), 1, int(p1))")))
+      .select(col("doc_id"), col("n"), col("p2"),
+        (col("pos") + 1).as("r"), col("col").as("s"))
+    // Candidate generation with the three PPJoin reductions, all
+    // recall-preserving (each discards only pairs PROVABLY at or below
+    // T, never a qualifying one):
+    //  1. size filter: nb <= na and jaccard > T force nb > T*na
+    //     (c <= nb and union >= na);
+    //  2. indexing-prefix cut: the smaller side matches only within p2;
+    //  3. positional filter (replaces the candidate distinct() — same
+    //     shuffle, strictly more pruning): the globally-first shared
+    //     token has the MIN rank among shared tokens in BOTH docs, so
+    //     overlap c <= 1 + min(na - min_ra, nb - min_rb), and
+    //     jaccard > T needs c >= floor(T/(1+T)*(na+nb)) + 1.
+    // Measured at sf0.1: 409,103 candidate pairs under the plain prefix
+    // filter, 205,501 after the size + indexing-prefix cuts, 121,008
+    // after the positional filter — a 3.4x cut on the verify stage's
+    // input (the stage that dominated the bench at 10.7 s; the corpus'
+    // shared vocabulary makes trigram prefixes collide heavily, so the
+    // verify stage itself is also rebuilt around a sorted-merge count).
+    val candidates = pref.as("a")
+      .join(pref.as("b"),
+        col("a.s") === col("b.s") &&
+          col("b.r") <= col("b.p2") &&
+          (col("b.n") < col("a.n") ||
+            (col("b.n") === col("a.n") && col("b.doc_id") < col("a.doc_id"))) &&
+          col("b.n") * lit(2) > col("a.n"))
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(min(col("a.r")).as("ra"), min(col("b.r")).as("rb"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
+        floor((col("na") + col("nb")) / 3) + 1)
+      .select(least(col("ida"), col("idb")).as("ia"),
+        greatest(col("ida"), col("idb")).as("ib"))
+    // verify: exact jaccard from a sorted-merge intersection COUNT (the
+    // docs' shingle arrays are pre-sorted) — no per-pair hash set, no
+    // materialized intersection array; stays in whole-stage codegen
     candidates
       .join(docs.select(col("doc_id").as("ia"), col("sh").as("sha")), "ia")
       .join(docs.select(col("doc_id").as("ib"), col("sh").as("shb")), "ib")
-      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("c",
+        graft.functions.ArrayExprs.sorted_intersect_count(
+          col("sha"), col("shb")))
       .withColumn("jaccard", col("c").cast("double") /
         (size(col("sha")) + size(col("shb")) - col("c")))
       .filter(col("jaccard") > T)
