@@ -1403,6 +1403,48 @@ object CurationQueries {
         min("o_orderkey").as("min_key"), max("o_custkey").as("max_cust"))
   }
 
+  // ---- 115. Bloom pruning through plain SQL: q102 proved per-file
+  // bloom sketches skip point lookups on a column the layout is NOT
+  // clustered by, with a hand-called prune; q114 proved WHERE folds
+  // into manifest pruning inside the optimizer. This composes both:
+  // the table declares `bloomCols`, EVERY commit path records a
+  // ~5 KiB/file sketch alongside the key boxes (create AND the
+  // appended batch here — streamed tables get them the same way), and
+  // SnapshotPruneRule consults the sketches for pushed-down equality/
+  // IN conjuncts — a point lookup on a 100 TB table touches ~1 file
+  // per probe key plus an fpp fraction, from the manifest alone, no
+  // footers opened. The layout is clustered by user_id, so event_id
+  // boxes span the domain in every file and min/max alone skips
+  // NOTHING — the sketch is the only file-level signal, which
+  // SnapshotPruneSpec asserts plan-mechanically. ----
+  val q115_bloom_sql_prune: Q = (s, dir) => {
+    graft.table.SnapshotSql.register(s)
+    val out = RelationalQueries.scratch("q115_layout", dir)
+    val man = RelationalQueries.scratch("q115_manifest", dir)
+    val ev = t(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+    val tbl = GraftTable(s, out, man, "user_id",
+      bloomCols = Seq("event_id"))
+    // two commit paths on purpose: blooms must flow through BOTH the
+    // initial create and an append (the mainline every batch uses)
+    tbl.create(ev.filter(col("event_id") % 2 === 0), 8)
+    tbl.commitAppend(ev.filter(col("event_id") % 2 === 1), 1, 2)
+    s.sql(
+      s"""SELECT event_id, user_id, event_type, value
+         |FROM graft_snapshot('$man', 2)
+         |WHERE event_id IN (7, 42, 907)
+         |""".stripMargin)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        dround(col("value"), 2).as("val"))
+      .orderBy("event_id")
+  }
+
+  val q115_bloom_sql_prune_sql: String =
+    """SELECT event_id, user_id, event_type, round(value, 2) + 0 AS val
+      |FROM events WHERE event_id IN (7, 42, 907)
+      |ORDER BY event_id""".stripMargin
+
   val q114_snapshot_sql_prune_sql: String =
     """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
       |  min(o_orderkey) AS min_key, max(o_custkey) AS max_cust
@@ -1534,6 +1576,7 @@ object CurationQueries {
     "q112_multicol_skip" -> q112_multicol_skip,
     "q113_dup_spans" -> q113_dup_spans,
     "q114_snapshot_sql_prune" -> q114_snapshot_sql_prune,
+    "q115_bloom_sql_prune" -> q115_bloom_sql_prune,
     "q68b_stratified_agg" -> q68b_stratified_agg,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
@@ -1565,6 +1608,7 @@ object CurationQueries {
     "q112_multicol_skip" -> q112_multicol_skip_sql,
     "q113_dup_spans" -> q113_dup_spans_sql,
     "q114_snapshot_sql_prune" -> q114_snapshot_sql_prune_sql,
+    "q115_bloom_sql_prune" -> q115_bloom_sql_prune_sql,
     // q68b: same selection as q68, bounded-heap agg instead of a window
     "q68b_stratified_agg" -> q68_stratified_sample_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,

@@ -405,7 +405,7 @@ object GraftStreams {
     * layouts). */
   final class ManifestIngestSink(spark: SparkSession, out: String,
       man: String, key: String, appId: String,
-      statsCols: Seq[String] = Nil) {
+      statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil) {
     // All mechanics — atomic temp-dir+rename manifest commits, clustered
     // appends, per-file stats — live in graft.table.GraftTable; this
     // sink is only the foreachBatch policy. Replay detection keys on a
@@ -426,10 +426,11 @@ object GraftStreams {
     // 1:1 with the query's checkpoint — restarting the SAME checkpoint
     // must reuse the appId (that is what makes replay detection work);
     // pointing a NEW checkpoint at an existing table requires a NEW
-    // appId. Declared `statsCols` flow to every commit, so a streamed
-    // table multi-dimension prunes the same as a batch one (q112).
+    // appId. Declared `statsCols` and `bloomCols` flow to every
+    // commit, so a streamed table multi-dimension prunes and bloom
+    // prunes the same as a batch one (q112, q115).
     private val table =
-      graft.table.GraftTable(spark, out, man, key, statsCols)
+      graft.table.GraftTable(spark, out, man, key, statsCols, bloomCols)
 
     private def batchTag(batchId: Long): String = s"$appId-batch$batchId"
 

@@ -39,17 +39,21 @@ import org.apache.spark.sql.functions._
   * lives, exactly like Delta's LogStore abstraction.
   *
   * A table is (data dir, manifest dir, cluster/skip key [, extra stats
-  * columns]). The manifest schema is `(file, lo, hi, n_rows, bytes)` —
-  * per-file key boxes + row counts + sizes — plus `(lo_c, hi_c)` for
-  * each declared `statsCols` column, recorded by EVERY commit path
-  * (append, OCC append, merge, compaction, streaming ingest), so a
-  * streamed table can multi-dimension prune the same as a batch one.
+  * columns][, bloom columns]). The manifest schema is `(file, lo, hi,
+  * n_rows, bytes)` — per-file key boxes + row counts + sizes — plus
+  * `(lo_c, hi_c)` for each declared `statsCols` column and a
+  * `bloom_<c>` sketch (~5 KiB/file, point-lookup skipping on columns
+  * the layout is NOT clustered by) for each declared `bloomCols`
+  * column, recorded by EVERY commit path (append, OCC append, merge,
+  * compaction, streaming ingest), so a streamed table can
+  * multi-dimension and bloom prune the same as a batch one.
   * Commit timestamps are recorded IN the commit (a `_ts_<epochMs>`
   * marker riding the atomic rename), so TIMESTAMP AS OF survives
   * file-system surgery (copy/restore/rsync) that rewrites mtimes.
   */
 final case class GraftTable(spark: SparkSession, data: String, man: String,
-    key: String, statsCols: Seq[String] = Nil) {
+    key: String, statsCols: Seq[String] = Nil,
+    bloomCols: Seq[String] = Nil) {
 
   import GraftTable.{listStatusSafe, touch}
 
@@ -88,8 +92,15 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   def fileStats(files: Seq[String]): DataFrame = {
     val df = spark.read.parquet(files: _*)
     (key +: statsCols).foreach(c => GraftTable.requireIntegral(df, c))
+    bloomCols.foreach(c => GraftTable.requireBloomable(df, c))
     val extra = statsCols.flatMap(c => Seq(
-      min(c).cast("long").as(s"lo_$c"), max(c).cast("long").as(s"hi_$c")))
+      min(c).cast("long").as(s"lo_$c"), max(c).cast("long").as(s"hi_$c"))) ++
+      // per-file bloom sketch per declared bloom column: point-lookup
+      // skipping on columns the layout is NOT clustered by (the q102
+      // idea, recorded by EVERY commit path since they all stat through
+      // here) — ~5 KiB/file/column at the defaults, constant in rows
+      bloomCols.map(c => graft.functions.BloomAgg.bloom_agg(col(c))
+        .as(s"bloom_$c"))
     val aggs = Seq(min(key).cast("long").as("lo"),
       max(key).cast("long").as("hi"), count(lit(1)).as("n_rows"),
       max(col("_metadata.file_size")).as("bytes")) ++ extra :+
@@ -114,7 +125,9 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         org.apache.spark.sql.types.StructField(s"lo_$c",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField(s"hi_$c",
-          org.apache.spark.sql.types.LongType))))
+          org.apache.spark.sql.types.LongType))) ++ bloomCols.map(c =>
+        org.apache.spark.sql.types.StructField(s"bloom_$c",
+          org.apache.spark.sql.types.BinaryType)))
 
   // ---- commit protocol ---------------------------------------------
 
@@ -241,7 +254,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     manFs.mkdirs(new Path(man))
     val out = manFs.create(new Path(man, GraftTable.PropsFile), true)
     try out.write(
-      s"key=$key\nstats=${statsCols.mkString(",")}\n".getBytes("UTF-8"))
+      (s"key=$key\nstats=${statsCols.mkString(",")}\n" +
+        s"bloom=${bloomCols.mkString(",")}\n").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -488,6 +502,25 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     (kept, rows.length)
   }
 
+  /** Bloom point-lookup skipping against version v's manifest: keep the
+    * files whose `bloom_<c>` sketch might contain ANY of `probes`
+    * (IN-list semantics; probes are Long for integral columns, String
+    * for string columns). Same O(#files) driver planning as box
+    * pruning; false positives cost a read, false skips cannot happen
+    * (bloom has no false negatives, and a NULL sketch keeps the
+    * file). */
+  def pruneBloom(v: Int, c: String, probes: Seq[Any]): (Seq[String], Int) = {
+    require(bloomCols.contains(c),
+      s"no bloom recorded for column '$c' (bloomCols=$bloomCols)")
+    require(probes.nonEmpty, "pruneBloom needs at least one probe value")
+    val rows = manifest(v).collect()
+    val kept = rows.filter { r =>
+      val bytes = r.getAs[Array[Byte]](s"bloom_$c")
+      probes.exists(GraftTable.bloomMightContain(bytes, _))
+    }.map(_.getAs[String]("file")).toSeq
+    (kept, rows.length)
+  }
+
   /** Metadata-only split against version v's manifest. */
   def statsOnlySplit(v: Int, qlo: Long, qhi: Long): (Long, Seq[String], Int) =
     GraftTable.statsOnlySplit(spark, manifestPath(v), qlo, qhi)
@@ -614,11 +647,11 @@ object GraftTable {
 
   private[table] val PropsFile = "_table_props"
 
-  /** Read a table's declared (key, statsCols) back from its props file;
-    * None when absent (pre-props tables — readable, just not prunable
-    * from the SQL surface). */
+  /** Read a table's declared (key, statsCols, bloomCols) back from its
+    * props file; None when absent (pre-props tables — readable, just
+    * not prunable from the SQL surface). */
   def loadProps(spark: SparkSession, man: String)
-      : Option[(Option[String], Seq[String])] = {
+      : Option[(Option[String], Seq[String], Seq[String])] = {
     val p = new Path(man, PropsFile)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
@@ -636,7 +669,8 @@ object GraftTable {
         }
       }.toMap
       Some((kv.get("key").filter(_.nonEmpty),
-        kv.get("stats").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)))
+        kv.get("stats").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
+        kv.get("bloom").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)))
     }
   }
 
@@ -703,6 +737,33 @@ object GraftTable {
         s"as long; a lossy cast would make skipping non-conservative); " +
         s"got $dt for '$c'")
   }
+
+  /** Bloom columns accept what [[graft.functions.BloomFilterBuildAgg]]
+    * hashes losslessly: integral types (put as long) and strings (put
+    * as UTF-8 bytes). Anything else — a double whose long cast
+    * collides, a binary a reader can't re-encode identically — would
+    * make a probe miss a present key, i.e. a FALSE SKIP. */
+  private[table] def requireBloomable(df: DataFrame, c: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType, StringType}
+    val dt = df.schema(c).dataType
+    require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+      dt == LongType || dt == StringType,
+      s"bloom stats require an integral or string column; got $dt for '$c'")
+  }
+
+  /** Driver-side bloom probe used by manifest planning: does `bytes`
+    * (a serialized per-file sketch for column `c`) possibly contain
+    * `probe` (Long for integral columns, String for string columns —
+    * matching what the build side put)? NULL sketch bytes (a
+    * pre-bloom manifest entry read through a newer declaration) keep
+    * the file — never skip on absent evidence. */
+  private[table] def bloomMightContain(bytes: Array[Byte], probe: Any): Boolean =
+    bytes == null || (probe match {
+      case l: Long => graft.functions.BloomAgg.mightContainLong(bytes, l)
+      case s: String => graft.functions.BloomAgg.mightContainString(bytes, s)
+      case other => true // unknown probe type: conservative keep
+    })
 
   /** Per-file (file, lo, hi, n_rows, bytes) stats over `files`, one
     * distributed partial-agg scan of exactly those files (sizes from

@@ -52,6 +52,7 @@ final case class GraftSnapshotRelation(
     version: Int,
     key: Option[String],
     statsCols: Seq[String],
+    bloomCols: Seq[String],
     entries: Seq[Row],     // full manifest rows for this version
     kept: Seq[String],     // current (possibly pruned) file list
     output: Seq[Attribute])
@@ -60,11 +61,18 @@ final case class GraftSnapshotRelation(
   override def newInstance(): GraftSnapshotRelation =
     copy(output = output.map(_.newInstance()))
 
-  /** Columns pruning may use: the table key plus declared stats columns,
-    * limited to names the scan output actually carries. */
+  /** Columns box pruning may use: the table key plus declared stats
+    * columns, limited to names the scan output actually carries. */
   def prunableCols: Set[String] = {
     val out = output.map(_.name).toSet
     (key.toSeq ++ statsCols).filter(out).toSet
+  }
+
+  /** Columns bloom pruning may use (point lookups on columns the layout
+    * is NOT clustered by — per-file `bloom_<c>` sketches). */
+  def bloomableCols: Set[String] = {
+    val out = output.map(_.name).toSet
+    bloomCols.filter(out).toSet
   }
 
   /** Manifest box columns for a prunable data column. */
@@ -169,10 +177,56 @@ object SnapshotPruning extends PredicateHelper {
     }
   }
 
-  /** Files of `r` whose per-file boxes intersect every bound. An
-    * interval with lo > hi (unsatisfiable conjunction) keeps nothing. */
+  /** The bloomable column an equality side denotes: the integral shapes
+    * [[colOf]] accepts, plus bare string attributes (blooms hash string
+    * columns as UTF-8 bytes, so only an un-cast string column probes
+    * losslessly). */
+  private def bloomColOf(e: Expression, cols: Set[String]): Option[String] =
+    e match {
+      case a: AttributeReference if cols(a.name) &&
+          a.dataType == org.apache.spark.sql.types.StringType => Some(a.name)
+      case _ => colOf(e, cols)
+    }
+
+  /** A probe value in the representation the build side hashed: Long
+    * for integral literals, String for string literals. */
+  private def probeOf(e: Expression): Option[Any] = e match {
+    case Literal(s: org.apache.spark.unsafe.types.UTF8String,
+        org.apache.spark.sql.types.StringType) => Some(s.toString)
+    case _ => litOf(e)
+  }
+
+  /** Equality/IN conjuncts over bloomable columns, one entry per
+    * conjunct: `(column, probe values)` — the file must pass EVERY
+    * conjunct, and passes one when ANY of its values might be present
+    * (IN-list semantics). Anything not an exact equality shape — ranges,
+    * OR trees, expressions over the column, non-literal probes —
+    * contributes nothing (bloom answers membership only). */
+  def extractProbes(conjuncts: Seq[Expression], cols: Set[String])
+      : Seq[(String, Seq[Any])] = {
+    def eq(l: Expression, r: Expression): Option[(String, Seq[Any])] =
+      bloomColOf(l, cols).flatMap(c => probeOf(r).map(v => (c, Seq(v))))
+        .orElse(bloomColOf(r, cols).flatMap(c =>
+          probeOf(l).map(v => (c, Seq(v)))))
+    conjuncts.flatMap {
+      case EqualTo(l, r) => eq(l, r)
+      case EqualNullSafe(l, r) => eq(l, r)
+      case In(v, list) if list.nonEmpty =>
+        bloomColOf(v, cols).flatMap { c =>
+          val ps = list.map(probeOf)
+          if (ps.forall(_.isDefined)) Some((c, ps.flatten)) else None
+        }
+      case _ => None
+    }
+  }
+
+  /** Files of `r` whose per-file boxes intersect every bound AND whose
+    * bloom sketches pass every probe conjunct. An interval with lo > hi
+    * (unsatisfiable conjunction) keeps nothing; a missing or NULL
+    * sketch keeps the file (never skip on absent evidence). */
   def pruneFiles(r: GraftSnapshotRelation,
-      bounds: Map[String, (Long, Long)]): Seq[String] = {
+      bounds: Map[String, (Long, Long)],
+      probes: Seq[(String, Seq[Any])] = Nil): Seq[String] = {
     val tests = bounds.toSeq.map { case (c, (qlo, qhi)) =>
       val (loC, hiC) = r.boxColsOf(c)
       (loC, hiC, qlo, qhi)
@@ -180,6 +234,9 @@ object SnapshotPruning extends PredicateHelper {
     r.entries.filter { row =>
       tests.forall { case (loC, hiC, qlo, qhi) =>
         qlo <= qhi && GraftTable.boxIntersects(row, loC, hiC, qlo, qhi)
+      } && probes.forall { case (c, vs) =>
+        val bytes = row.getAs[Array[Byte]](s"bloom_$c")
+        vs.exists(GraftTable.bloomMightContain(bytes, _))
       }
     }.map(_.getAs[String]("file"))
   }
@@ -194,12 +251,13 @@ object SnapshotPruning extends PredicateHelper {
 object SnapshotPruneRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, r: GraftSnapshotRelation)
-        if r.prunableCols.nonEmpty =>
-      val bounds = SnapshotPruning.extractBounds(
-        splitConjunctivePredicates(cond), r.prunableCols)
-      if (bounds.isEmpty) f
+        if r.prunableCols.nonEmpty || r.bloomableCols.nonEmpty =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val bounds = SnapshotPruning.extractBounds(conjuncts, r.prunableCols)
+      val probes = SnapshotPruning.extractProbes(conjuncts, r.bloomableCols)
+      if (bounds.isEmpty && probes.isEmpty) f
       else {
-        val kept2 = SnapshotPruning.pruneFiles(r, bounds)
+        val kept2 = SnapshotPruning.pruneFiles(r, bounds, probes)
         if (kept2 == r.kept) f else Filter(cond, r.copy(kept = kept2))
       }
   }

@@ -73,13 +73,14 @@ object SnapshotSql {
     // SnapshotPruneRule can then fold WHERE conjuncts into manifest box
     // pruning. Tables created before the props file existed resolve with
     // no prunable columns — same full-file scan as before, never wrong.
-    val (key, statsCols) = GraftTable.loadProps(spark, man)
-      .getOrElse((None, Nil))
+    val (key, statsCols, bloomCols) = GraftTable.loadProps(spark, man)
+      .getOrElse((None, Nil, Nil))
     val manCols = entries.headOption.map(_.schema.fieldNames.toSet)
       .getOrElse(Set.empty[String])
     GraftSnapshotRelation(man, v,
       key.filter(_ => manCols("lo") && manCols("hi")),
       statsCols.filter(c => manCols(s"lo_$c") && manCols(s"hi_$c")),
+      bloomCols.filter(c => manCols(s"bloom_$c")),
       entries, files, output)
   }
 

@@ -154,6 +154,104 @@ class SnapshotPruneSpec extends TestBase {
     }
   }
 
+  /** id-keyed table whose `ev` column is a PERMUTATION of the id domain
+    * (id * 7919 mod 800, 7919 prime): every file's ev min/max box spans
+    * ~the whole domain — boxes cannot skip a point lookup — but each ev
+    * value lives in exactly one file, which is precisely what the
+    * per-file bloom sketches discriminate. `sv` is the string twin. */
+  private lazy val bloomTable: GraftTable = {
+    import spark.implicits._
+    graft.table.SnapshotSql.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom_prune").toString
+    val df = (0 until 800).map { i =>
+      val ev = (i * 7919) % 800
+      (i.toLong, ev.toLong, s"s$ev")
+    }.toDF("id", "ev", "sv")
+    val t = GraftTable(spark, s"$root/data", s"$root/man", "id",
+      bloomCols = Seq("ev", "sv"))
+    t.create(df, 8)
+    t
+  }
+
+  private def bloomSql(v: Int, where: String): DataFrame =
+    spark.sql(s"SELECT * FROM graft_snapshot('${bloomTable.man}', $v) $where")
+
+  test("a bloom column prunes point lookups that key boxes cannot") {
+    // sanity: the boxes really are useless for this lookup — every
+    // file's ev range covers the probe
+    val boxes = bloomTable.manifest(1).collect()
+    assert(boxes.length == 8)
+    val q = bloomSql(1, "WHERE ev = 123")
+    val seen = scannedFiles(q)
+    assert(seen.nonEmpty && seen.size <= 2,
+      s"bloom must prune a point lookup to ~1 file (+fpp): ${seen.size} of 8")
+    assert(q.collect().map(_.getAs[Long]("id")).toSeq ==
+      Seq((0 until 800).find(i => (i * 7919) % 800 == 123).get.toLong))
+  }
+
+  test("an IN-list keeps the union of its probes' files") {
+    val q = bloomSql(1, "WHERE ev IN (5, 700)")
+    val seen = scannedFiles(q)
+    assert(seen.nonEmpty && seen.size <= 4,
+      s"IN probes must prune to the probes' files: ${seen.size} of 8")
+    assert(q.count() == 2)
+  }
+
+  test("a STRING bloom column prunes equality probes") {
+    val q = bloomSql(1, "WHERE sv = 's123'")
+    val seen = scannedFiles(q)
+    assert(seen.nonEmpty && seen.size <= 2,
+      s"string bloom must prune: ${seen.size} of 8")
+    assert(q.count() == 1)
+  }
+
+  test("a RANGE over a bloom column never prunes (membership only)") {
+    val q = bloomSql(1, "WHERE ev >= 10")
+    assert(scannedFiles(q).size == 8,
+      "bloom answers equality only; ranges must be conservatively kept")
+    assert(q.count() == 790)
+  }
+
+  test("bloom and key-box pruning compose on one WHERE") {
+    val q = bloomSql(1, "WHERE ev = 123 AND id >= 400")
+    // ev=123 sits at one id; whether that id is >= 400 decides emptiness
+    val hit = (0 until 800).find(i => (i * 7919) % 800 == 123).get
+    val expected = if (hit >= 400) 1 else 0
+    assert(q.count() == expected)
+    val seen = scannedFiles(q)
+    assert(seen.size <= 1,
+      s"box AND bloom prune to at most the one intersecting file: ${seen.size}")
+  }
+
+  test("commitAppend records blooms — an appended key prunes to its new file") {
+    import spark.implicits._
+    // append ids 10000.. with ev values OUTSIDE the original domain
+    bloomTable.commitAppend(
+      (0 until 50).map(i => (10000L + i, 90000L + i, s"s${90000 + i}"))
+        .toDF("id", "ev", "sv"), 1, 1)
+    val q = bloomSql(2, "WHERE ev = 90007")
+    val seen = scannedFiles(q)
+    assert(seen.size <= 2 &&
+      seen.forall(f => !scannedFiles(bloomSql(1, "")).contains(f) ||
+        seen.size == 1),
+      s"the appended file alone should survive: $seen")
+    assert(q.collect().map(_.getAs[Long]("id")).toSeq == Seq(10007L))
+    // and an absent probe prunes EVERYTHING on the bloom dimension
+    val none = bloomSql(2, "WHERE ev = 555555")
+    assert(scannedFiles(none).size <= 1, "absent key: at most fpp keeps")
+    assert(none.count() == 0)
+  }
+
+  test("programmatic pruneBloom matches the SQL surface") {
+    val (kept, total) = bloomTable.pruneBloom(1, "ev", Seq(123L))
+    assert(total == 8 && kept.nonEmpty && kept.size <= 2)
+    val (keptS, _) = bloomTable.pruneBloom(1, "sv", Seq("s123"))
+    assert(keptS.nonEmpty && keptS.size <= 2)
+    intercept[IllegalArgumentException] {
+      bloomTable.pruneBloom(1, "id", Seq(1L)) // no bloom declared on id
+    }
+  }
+
   test("self-joining one snapshot resolves (MultiInstanceRelation)") {
     val n = spark.sql(
       s"""SELECT count(*) AS n FROM graft_snapshot('$man', 1) a

@@ -285,4 +285,40 @@ class TableFsSpec extends TestBase {
     assert(nullFiles.subsetOf(keptAll.toSet),
       "a NULL-box file was skipped — non-conservative pruning")
   }
+
+  test("streamed ingest records bloom sketches; point probes prune, never falsely skip") {
+    val (out, man) = freshDirs("bloomstream")
+    val sink = new graft.streaming.GraftStreams.ManifestIngestSink(
+      spark, out, man, "o_orderkey", appId = "bl-ingest",
+      bloomCols = Seq("o_custkey"))
+    sink.init()
+    sink.apply(orders.filter(col("o_orderkey") % 2 === 0), 0L)
+    sink.apply(orders.filter(col("o_orderkey") % 2 === 1), 1L)
+    val table = GraftTable(spark, out, man, "o_orderkey",
+      bloomCols = Seq("o_custkey"))
+    val v = table.committedVersions.max
+    val total = table.files(v).size
+    assert(total >= 2, s"ingest produced only $total files")
+    // no false skip: every row of a present key survives the prune
+    val ck = orders.select("o_custkey").head.getLong(0)
+    val (kept, _) = table.pruneBloom(v, "o_custkey", Seq(ck))
+    assert(kept.nonEmpty)
+    val got = spark.read.parquet(kept: _*)
+      .filter(col("o_custkey") === ck).count()
+    assert(got == orders.filter(col("o_custkey") === ck).count() && got > 0,
+      "bloom prune dropped rows of a present key")
+    // guaranteed skip: a key absent from the corpus keeps at most the
+    // fpp share of files (1% each, independently — 0 w.h.p. here)
+    val (none, _) = table.pruneBloom(v, "o_custkey", Seq(-987654321L))
+    assert(none.size < total, "absent probe pruned nothing")
+    // and the sketches survive OPTIMIZE (the repack re-stats through
+    // the same fileStats path)
+    if (sink.optimize(1L << 30) > 1) {
+      val v2 = table.committedVersions.max
+      val (kept2, _) = table.pruneBloom(v2, "o_custkey", Seq(ck))
+      val got2 = spark.read.parquet(kept2: _*)
+        .filter(col("o_custkey") === ck).count()
+      assert(got2 == got, "bloom prune after OPTIMIZE dropped rows")
+    }
+  }
 }
