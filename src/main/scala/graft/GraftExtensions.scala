@@ -256,6 +256,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.BloomFilterBuildAgg(es.head, n, fpp)
       }))
     ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - count of common elements of two " +
+          "SORTED, duplicate-free string arrays (allocation-free merge " +
+          "scan; the similarity-join verify primitive). Unsorted input " +
+          "undercounts — sort with array_sort(array_distinct(...))"),
+      (es: Seq[Expression]) => {
+        arity("sorted_intersect_count", 2)(es)
+        graft.functions.ArrayExprs.SortedIntersectCount(es.head, es(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("kll_quantile"),
       info("kll_quantile",
         "kll_quantile(sketch, rank) - value at normalized rank of a KLL sketch"),

@@ -1445,6 +1445,42 @@ object CurationQueries {
       |FROM events WHERE event_id IN (7, 42, 907)
       |ORDER BY event_id""".stripMargin
 
+  // ---- 116. The table format as a first-class Spark DATA SOURCE:
+  // `format("graft")` writes commit through the OCC protocol (the
+  // manifest path alone identifies the table on append — its shape
+  // lives in _table_props) and reads plan from the committed manifest
+  // via a custom FileIndex (the Delta TahoeFileIndex seam), so the
+  // pushed-down WHERE below reaches the manifest at PHYSICAL planning:
+  // file-level box skipping inside FileSourceScanExec, with Spark's
+  // column pruning / row-group pushdown / vectorized reader unchanged
+  // underneath. No data dir is ever listed. GraftDataSourceSpec
+  // asserts the scanned-file counts plan-mechanically; this query puts
+  // the write->append->filtered-read cycle on the DuckDB oracle. ----
+  val q116_datasource: Q = (s, dir) => {
+    val out = RelationalQueries.scratch("q116_layout", dir)
+    val man = RelationalQueries.scratch("q116_manifest", dir)
+    val ord = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    ord.filter(col("o_orderkey") % 2 === 0)
+      .write.format("graft").mode("overwrite")
+      .option("key", "o_orderkey").option("data", out)
+      .option("stats", "o_custkey").save(man)
+    ord.filter(col("o_orderkey") % 2 === 1)
+      .write.format("graft").mode("append").save(man)
+    s.read.format("graft").load(man)
+      .filter(col("o_orderkey").between(100, 2000) &&
+        col("o_custkey") >= 10)
+      .agg(count(lit(1)).as("n_rows"),
+        dround(sum("o_totalprice"), 2).as("total"),
+        min("o_orderkey").as("min_key"), max("o_custkey").as("max_cust"))
+  }
+
+  val q116_datasource_sql: String =
+    """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
+      |  min(o_orderkey) AS min_key, max(o_custkey) AS max_cust
+      |FROM orders
+      |WHERE o_orderkey BETWEEN 100 AND 2000 AND o_custkey >= 10""".stripMargin
+
   val q114_snapshot_sql_prune_sql: String =
     """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
       |  min(o_orderkey) AS min_key, max(o_custkey) AS max_cust
@@ -1577,6 +1613,7 @@ object CurationQueries {
     "q113_dup_spans" -> q113_dup_spans,
     "q114_snapshot_sql_prune" -> q114_snapshot_sql_prune,
     "q115_bloom_sql_prune" -> q115_bloom_sql_prune,
+    "q116_datasource" -> q116_datasource,
     "q68b_stratified_agg" -> q68b_stratified_agg,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
@@ -1609,6 +1646,7 @@ object CurationQueries {
     "q113_dup_spans" -> q113_dup_spans_sql,
     "q114_snapshot_sql_prune" -> q114_snapshot_sql_prune_sql,
     "q115_bloom_sql_prune" -> q115_bloom_sql_prune_sql,
+    "q116_datasource" -> q116_datasource_sql,
     // q68b: same selection as q68, bounded-heap agg instead of a window
     "q68b_stratified_agg" -> q68_stratified_sample_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,

@@ -372,7 +372,70 @@ object TextQueries {
       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_residual
       |FROM red GROUP BY 1 ORDER BY c_mktsegment""".stripMargin
 
+  // ---- 117. BM25 keyword ranking (Robertson/Sparck Jones) — the
+  // scoring layer q109's inverted-index keyword search lacks: given a
+  // query term set, rank documents by sum over matched terms of
+  // idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)), k1=1.2,
+  // b=0.75, idf = ln(1 + (N - df + 0.5)/(df + 0.5)).
+  //
+  // Scale shapes: the token explode is FILTERED to the query's terms
+  // before anything shuffles (a |q|-term IN-list the scan evaluates),
+  // so tf is a map-side-combined groupBy over matched postings only;
+  // df is |q| rows; doc length dl is a zero-shuffle projection
+  // (size(split)), joined back broadcast; corpus stats (N, avgdl) are
+  // ONE aggregated row crossJoin-broadcast (the q79 pattern); the
+  // final top-20 is TakeOrderedAndProject, never a global sort. The
+  // corpus table shuffles exactly once, on (doc_id, term) of matched
+  // postings. ----
+  val q117_bm25: Q = (s, dir) => {
+    val (k1, b) = (1.2, 0.75)
+    val qTerms = Seq("dup", "spark") // one rare (high idf), one common
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+      .withColumn("dl", size(col("ws")))
+    val stats = docs.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(qTerms: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("w", col("idf") * col("tf") * lit(k1 + 1) /
+        (col("tf") + lit(k1) *
+          (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(dround(sum("w"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val q117_bm25_sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, len(string_split(lower(text), ' ')) AS dl,
+      |    unnest(string_split(lower(text), ' ')) AS term
+      |  FROM documents
+      |),
+      |stats AS (
+      |  SELECT count(*) AS n, avg(len(string_split(lower(text), ' '))) AS avgdl
+      |  FROM documents
+      |),
+      |tf AS (
+      |  SELECT doc_id, dl, term, count(*) AS tf FROM toks
+      |  WHERE term IN ('dup', 'spark') GROUP BY 1, 2, 3
+      |),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+      |SELECT doc_id,
+      |  round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+      |    tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / stats.avgdl))), 4)
+      |    + 0 AS score
+      |FROM tf JOIN df USING (term) CROSS JOIN stats
+      |GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q117_bm25" -> q117_bm25,
     "q91_pii_redact" -> q91_pii_redact,
     "q90_entropy_kl" -> q90_entropy_kl,
     "q48_langid" -> q48_langid,
@@ -382,6 +445,7 @@ object TextQueries {
     "q70_pipeline" -> q70_pipeline)
 
   val oracles: Map[String, String] = Map(
+    "q117_bm25" -> q117_bm25_sql,
     "q91_pii_redact" -> q91_pii_redact_sql,
     "q90_entropy_kl" -> q90_entropy_kl_sql,
     "q48_langid" -> q48_langid_sql,

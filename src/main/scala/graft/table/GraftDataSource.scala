@@ -1,0 +1,194 @@
+package graft.table
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
+  PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
+  DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.StructType
+
+/** GraftTable as a first-class Spark data source — `format("graft")`:
+  *
+  * {{{
+  *   spark.read.format("graft").load(manifestDir)                  // latest snapshot
+  *   spark.read.format("graft").option("versionAsOf", 2).load(man) // time travel
+  *   spark.read.format("graft").option("timestampAsOf", "2026-08-13 12:00:00").load(man)
+  *   df.write.format("graft").mode("append").save(man)             // OCC append commit
+  *   df.write.format("graft").mode("overwrite")
+  *     .option("key", "id").option("data", dataDir).save(man)      // (re)create
+  * }}}
+  *
+  * READ: the relation is a native parquet [[HadoopFsRelation]] whose
+  * [[FileIndex]] is the committed manifest ([[GraftManifestFileIndex]] —
+  * the Delta `TahoeFileIndex` shape): `listFiles` receives the query's
+  * pushed-down data filters at PHYSICAL planning and answers with only
+  * the files whose manifest boxes/bloom sketches survive them, so
+  * file-level skipping rides the same seam partition pruning uses, and
+  * everything below — column pruning, parquet row-group pushdown,
+  * vectorized reading, whole-stage codegen — is stock Spark. No data
+  * dir is ever listed: the manifest alone names the files, sizes
+  * included, which is also what makes the scan snapshot-isolated.
+  *
+  * WRITE: `mode(append)` is a [[GraftTable.commitAppendOcc]] — the
+  * multi-writer OCC commit, so concurrent `format("graft")` writers
+  * rebase instead of colliding; `mode(overwrite)` (re)creates the
+  * table. The table's shape (key, stats/bloom columns, data dir) comes
+  * from `_table_props`, so appending needs only the manifest path;
+  * creating declares the shape via options (`key`, `data`, optional
+  * `stats`/`bloom` comma-lists, `numFiles`).
+  */
+final class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def manifestOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "format(\"graft\") needs the manifest directory: .load(<manifestDir>) / .save(<manifestDir>)"))
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val opts = CaseInsensitiveMap(parameters)
+    val spark = ctx.sparkSession
+    val man = manifestOf(opts)
+    val probe = GraftTable(spark, data = "", man = man, key = "")
+    val vs = probe.committedVersions
+    require(vs.nonEmpty, s"no committed snapshots under $man — not a " +
+      "GraftTable manifest dir (or the table was never created)")
+    val v = opts.get("versionasof").map(_.trim.toInt)
+      .orElse(opts.get("timestampasof").map(ts => probe.versionAsOfTime(
+        parseTimestampMs(ts))))
+      .getOrElse(vs.max)
+    require(probe.isCommitted(v),
+      s"no committed snapshot v=$v under $man (committed: ${vs.mkString(", ")})")
+    val entries = probe.manifest(v).collect().toSeq // O(#files) planning
+    require(entries.nonEmpty,
+      s"snapshot v=$v of $man references no data files " +
+        "(empty snapshots carry no schema to scan)")
+    val files = entries.map(_.getAs[String]("file"))
+    val schema = spark.read.parquet(files: _*).schema
+    val props = GraftTable.loadProps(spark, man)
+      .getOrElse(GraftTable.TableProps(None, Nil, Nil, None))
+    val manCols = entries.head.schema.fieldNames.toSet
+    val index = new GraftManifestFileIndex(man, v, entries,
+      props.key.filter(_ => manCols("lo") && manCols("hi")),
+      props.statsCols.filter(c => manCols(s"lo_$c") && manCols(s"hi_$c")),
+      props.bloomCols.filter(c => manCols(s"bloom_$c")))
+    HadoopFsRelation(index, partitionSchema = new StructType(),
+      dataSchema = schema, bucketSpec = None,
+      fileFormat = new ParquetFileFormat(), options = Map.empty)(spark)
+  }
+
+  /** Accept epoch millis or a `java.sql.Timestamp`-parsable local
+    * instant (the same two spellings DataFrameReader users expect). */
+  private def parseTimestampMs(s: String): Long = {
+    val t = s.trim
+    if (t.forall(_.isDigit)) t.toLong
+    else java.sql.Timestamp.valueOf(t).getTime
+  }
+
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], df: DataFrame): BaseRelation = {
+    val opts = CaseInsensitiveMap(parameters)
+    val spark = ctx.sparkSession
+    val man = manifestOf(opts)
+    val nParts = opts.get("numfiles").map(_.trim.toInt).getOrElse(8)
+    val props = GraftTable.loadProps(spark, man)
+    val exists = props.isDefined &&
+      GraftTable(spark, data = "", man = man, key = "")
+        .committedVersions.nonEmpty
+
+    def declaredTable(): GraftTable = {
+      val key = opts.get("key").orElse(props.flatMap(_.key)).getOrElse(
+        throw new IllegalArgumentException(
+          "creating a graft table needs .option(\"key\", <integral column>)"))
+      val data = opts.get("data").orElse(props.flatMap(_.data)).getOrElse(
+        throw new IllegalArgumentException(
+          "creating a graft table needs .option(\"data\", <data dir>)"))
+      def list(o: String) =
+        opts.get(o).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      GraftTable(spark, data, man, key, list("stats"), list("bloom"),
+        opts.get("bloomitems").map(_.trim.toLong)
+          .getOrElse(GraftTable.DefaultBloomItems),
+        opts.get("bloomfpp").map(_.trim.toDouble)
+          .getOrElse(GraftTable.DefaultBloomFpp))
+    }
+
+    def existingTable(): GraftTable = {
+      val p = props.getOrElse(throw new IllegalArgumentException(
+        s"$man carries no _table_props — appending needs a table created " +
+          "through GraftTable/format(\"graft\") (or recreate with mode(\"overwrite\"))"))
+      val key = p.key.getOrElse(throw new IllegalArgumentException(
+        s"$man's _table_props records no key — cannot append"))
+      val data = opts.get("data").orElse(p.data).getOrElse(
+        throw new IllegalArgumentException(
+          s"$man's _table_props records no data dir (pre-round-10 table) — " +
+            "pass .option(\"data\", <data dir>)"))
+      GraftTable(spark, data, man, key, p.statsCols, p.bloomCols,
+        p.bloomItems, p.bloomFpp)
+    }
+
+    mode match {
+      case SaveMode.Overwrite => declaredTable().create(df, nParts)
+      case SaveMode.Append =>
+        if (exists) existingTable().commitAppendOcc(df, nParts)
+        else declaredTable().create(df, nParts)
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft table at $man already exists (mode ErrorIfExists)")
+        else declaredTable().create(df, nParts)
+      case SaveMode.Ignore =>
+        if (!exists) declaredTable().create(df, nParts)
+    }
+    createRelation(ctx, parameters)
+  }
+}
+
+/** The committed manifest AS a [[FileIndex]] — nothing is ever listed
+  * from the filesystem: `inputFiles`, per-file sizes, and `sizeInBytes`
+  * all answer from the manifest rows, and [[listFiles]] folds the
+  * pushed-down data filters into box + bloom pruning through the same
+  * [[SnapshotPruning]] core the `graft_snapshot` TVF uses. Planning is
+  * O(#files) driver-resident, the module's standing contract. */
+final class GraftManifestFileIndex(man: String, version: Int,
+    entries: Seq[org.apache.spark.sql.Row], key: Option[String],
+    statsCols: Seq[String], bloomCols: Seq[String])
+  extends FileIndex {
+
+  private val prunable: Set[String] = (key.toSeq ++ statsCols).toSet
+  private val bloomable: Set[String] = bloomCols.toSet
+
+  private def statusOf(r: org.apache.spark.sql.Row): FileStatus =
+    new FileStatus(r.getAs[Long]("bytes"), false, 1, 128L << 20, 0L,
+      new Path(r.getAs[String]("file")))
+
+  override def rootPaths: Seq[Path] =
+    entries.map(r => new Path(r.getAs[String]("file")).getParent)
+      .distinct
+
+  override def partitionSchema: StructType = new StructType()
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val bounds = SnapshotPruning.extractBounds(dataFilters, prunable)
+    val probes = SnapshotPruning.extractProbes(dataFilters, bloomable)
+    val kept = SnapshotPruning.pruneEntries(entries, key, bounds, probes)
+    Seq(PartitionDirectory(InternalRow.empty, kept.map(statusOf).toArray))
+  }
+
+  override def inputFiles: Array[String] =
+    entries.map(_.getAs[String]("file")).toArray
+
+  override def refresh(): Unit = () // a committed manifest is immutable
+
+  override def sizeInBytes: Long = entries.map(_.getAs[Long]("bytes")).sum
+
+  override def toString: String =
+    s"GraftManifestFileIndex($man v=$version files=${entries.size})"
+}

@@ -53,7 +53,9 @@ import org.apache.spark.sql.functions._
   */
 final case class GraftTable(spark: SparkSession, data: String, man: String,
     key: String, statsCols: Seq[String] = Nil,
-    bloomCols: Seq[String] = Nil) {
+    bloomCols: Seq[String] = Nil,
+    bloomItems: Long = GraftTable.DefaultBloomItems,
+    bloomFpp: Double = GraftTable.DefaultBloomFpp) {
 
   import GraftTable.{listStatusSafe, touch}
 
@@ -98,9 +100,12 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       // per-file bloom sketch per declared bloom column: point-lookup
       // skipping on columns the layout is NOT clustered by (the q102
       // idea, recorded by EVERY commit path since they all stat through
-      // here) — ~5 KiB/file/column at the defaults, constant in rows
-      bloomCols.map(c => graft.functions.BloomAgg.bloom_agg(col(c))
-        .as(s"bloom_$c"))
+      // here). Sized by the TABLE's declared (bloomItems, bloomFpp) —
+      // ~9.6 bits per expected item at 1% fpp, so ~78 KiB/file/column
+      // at the 65536-item default; see docs/TABLE.md for the
+      // driver-memory x per-file-NDV sizing math
+      bloomCols.map(c => graft.functions.BloomAgg
+        .bloom_agg(col(c), bloomItems, bloomFpp).as(s"bloom_$c"))
     val aggs = Seq(min(key).cast("long").as("lo"),
       max(key).cast("long").as("hi"), count(lit(1)).as("n_rows"),
       max(col("_metadata.file_size")).as("bytes")) ++ extra :+
@@ -255,7 +260,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val out = manFs.create(new Path(man, GraftTable.PropsFile), true)
     try out.write(
       (s"key=$key\nstats=${statsCols.mkString(",")}\n" +
-        s"bloom=${bloomCols.mkString(",")}\n").getBytes("UTF-8"))
+        s"bloom=${bloomCols.mkString(",")}\ndata=$data\n" +
+        s"bloom_items=$bloomItems\nbloom_fpp=$bloomFpp\n").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -647,11 +653,27 @@ object GraftTable {
 
   private[table] val PropsFile = "_table_props"
 
-  /** Read a table's declared (key, statsCols, bloomCols) back from its
-    * props file; None when absent (pre-props tables — readable, just
-    * not prunable from the SQL surface). */
-  def loadProps(spark: SparkSession, man: String)
-      : Option[(Option[String], Seq[String], Seq[String])] = {
+  /** A table's declared shape as persisted in its `_table_props` file —
+    * what makes a manifest dir self-describing: a reader or writer
+    * holding only the manifest path can reconstruct the full
+    * [[GraftTable]] (the data-source `format("graft")` surface does
+    * exactly that). `data` is absent for props written before round 10
+    * recorded it. */
+  final case class TableProps(key: Option[String], statsCols: Seq[String],
+      bloomCols: Seq[String], data: Option[String],
+      bloomItems: Long = DefaultBloomItems,
+      bloomFpp: Double = DefaultBloomFpp)
+
+  /** Default per-file bloom sizing: ~9.6 bits/item at 1% fpp =
+    * ~78 KiB/file/column. The knob matters at scale — see docs/TABLE.md
+    * ("Bloom sizing") for the per-file-NDV x driver-memory trade. */
+  val DefaultBloomItems: Long = 65536L
+  val DefaultBloomFpp: Double = 0.01
+
+  /** Read a table's declared shape back from its props file; None when
+    * absent (pre-props tables — readable, just not prunable from the
+    * SQL surface). */
+  def loadProps(spark: SparkSession, man: String): Option[TableProps] = {
     val p = new Path(man, PropsFile)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) None
@@ -668,9 +690,12 @@ object GraftTable {
           case _ => None
         }
       }.toMap
-      Some((kv.get("key").filter(_.nonEmpty),
+      Some(TableProps(kv.get("key").filter(_.nonEmpty),
         kv.get("stats").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
-        kv.get("bloom").toSeq.flatMap(_.split(",")).filter(_.nonEmpty)))
+        kv.get("bloom").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
+        kv.get("data").filter(_.nonEmpty),
+        kv.get("bloom_items").map(_.toLong).getOrElse(DefaultBloomItems),
+        kv.get("bloom_fpp").map(_.toDouble).getOrElse(DefaultBloomFpp)))
     }
   }
 

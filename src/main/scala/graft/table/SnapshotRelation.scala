@@ -220,26 +220,36 @@ object SnapshotPruning extends PredicateHelper {
     }
   }
 
-  /** Files of `r` whose per-file boxes intersect every bound AND whose
-    * bloom sketches pass every probe conjunct. An interval with lo > hi
-    * (unsatisfiable conjunction) keeps nothing; a missing or NULL
-    * sketch keeps the file (never skip on absent evidence). */
-  def pruneFiles(r: GraftSnapshotRelation,
+  /** Manifest entries whose per-file boxes intersect every bound AND
+    * whose bloom sketches pass every probe conjunct. An interval with
+    * lo > hi (unsatisfiable conjunction) keeps nothing; a missing or
+    * NULL sketch keeps the file (never skip on absent evidence). The
+    * shared row-level core of the TVF leaf's pruning and the
+    * data-source [[GraftManifestFileIndex]]. */
+  def pruneEntries(entries: Seq[Row], key: Option[String],
       bounds: Map[String, (Long, Long)],
-      probes: Seq[(String, Seq[Any])] = Nil): Seq[String] = {
+      probes: Seq[(String, Seq[Any])]): Seq[Row] = {
     val tests = bounds.toSeq.map { case (c, (qlo, qhi)) =>
-      val (loC, hiC) = r.boxColsOf(c)
+      val (loC, hiC) =
+        if (key.contains(c)) ("lo", "hi") else (s"lo_$c", s"hi_$c")
       (loC, hiC, qlo, qhi)
     }
-    r.entries.filter { row =>
+    entries.filter { row =>
       tests.forall { case (loC, hiC, qlo, qhi) =>
         qlo <= qhi && GraftTable.boxIntersects(row, loC, hiC, qlo, qhi)
       } && probes.forall { case (c, vs) =>
         val bytes = row.getAs[Array[Byte]](s"bloom_$c")
         vs.exists(GraftTable.bloomMightContain(bytes, _))
       }
-    }.map(_.getAs[String]("file"))
+    }
   }
+
+  /** Files of `r` surviving box + bloom pruning. */
+  def pruneFiles(r: GraftSnapshotRelation,
+      bounds: Map[String, (Long, Long)],
+      probes: Seq[(String, Seq[Any])] = Nil): Seq[String] =
+    pruneEntries(r.entries, r.key, bounds, probes)
+      .map(_.getAs[String]("file"))
 }
 
 /** Filter-to-manifest pruning. Runs in the operator-optimization batch

@@ -73,8 +73,10 @@ object SnapshotSql {
     // SnapshotPruneRule can then fold WHERE conjuncts into manifest box
     // pruning. Tables created before the props file existed resolve with
     // no prunable columns — same full-file scan as before, never wrong.
-    val (key, statsCols, bloomCols) = GraftTable.loadProps(spark, man)
-      .getOrElse((None, Nil, Nil))
+    val props = GraftTable.loadProps(spark, man)
+      .getOrElse(GraftTable.TableProps(None, Nil, Nil, None))
+    val (key, statsCols, bloomCols) =
+      (props.key, props.statsCols, props.bloomCols)
     val manCols = entries.headOption.map(_.schema.fieldNames.toSet)
       .getOrElse(Set.empty[String])
     GraftSnapshotRelation(man, v,

@@ -116,6 +116,14 @@ class ExtensionsSpec extends TestBase {
         .collect()(0).getAs[Array[Byte]](0)
       assert(graft.functions.BloomAgg.mightContainLong(bl, 2L))
       assert(!graft.functions.BloomAgg.mightContainLong(bl, 424242L))
+
+      // round-10 sorted-merge intersect count (q104's verify primitive)
+      val sic = s2.sql(
+        """SELECT sorted_intersect_count(
+          |         array_sort(array('b', 'a', 'd')),
+          |         array_sort(array('d', 'b', 'c'))) AS c""".stripMargin)
+        .collect()(0).getInt(0)
+      assert(sic == 2, s"sorted_intersect_count = $sic")
     } finally {
       SparkSession.setDefaultSession(orig)
       SparkSession.setActiveSession(orig)

@@ -1,0 +1,159 @@
+package graft.table
+
+import graft.{Tables, TestBase}
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** `format("graft")` — the table format as a first-class Spark data
+  * source. Read correctness (latest / VERSION AS OF / TIMESTAMP AS OF),
+  * write modes over the OCC commit protocol, and the plan-mechanical
+  * proof that pushed-down filters reach the manifest: the physical
+  * scan's `numFiles` metric counts the files the [[GraftManifestFileIndex]]
+  * kept, not the snapshot's total. */
+class GraftDataSourceSpec extends TestBase {
+
+  private def freshDirs(tag: String): (String, String) = (
+    java.nio.file.Files.createTempDirectory(s"graft_ds_${tag}_d").toString,
+    java.nio.file.Files.createTempDirectory(s"graft_ds_${tag}_m").toString)
+
+  private def orders: DataFrame =
+    Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  private def scannedFileCount(df: DataFrame): Long = {
+    df.collect()
+    val scans = df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no FileSourceScanExec in the plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("overwrite creates; read round-trips; append commits a new version") {
+    val (data, man) = freshDirs("rt")
+    orders.write.format("graft").mode(SaveMode.Overwrite)
+      .option("key", "o_orderkey").option("data", data).save(man)
+    val back = spark.read.format("graft").load(man)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_custkey", "o_totalprice"))
+    assert(back.count() == orders.count())
+    assert(back.exceptAll(orders).isEmpty && orders.exceptAll(back).isEmpty)
+
+    // append needs NOTHING but the manifest path — shape comes from props
+    val batch = orders.limit(50)
+      .select((col("o_orderkey") + 90000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+    batch.write.format("graft").mode(SaveMode.Append).save(man)
+    val t = GraftTable(spark, data, man, "o_orderkey")
+    assert(t.committedVersions == Seq(1, 2))
+    assert(spark.read.format("graft").load(man).count() ==
+      orders.count() + 50)
+    // VERSION AS OF still sees the pre-append snapshot
+    assert(spark.read.format("graft").option("versionAsOf", 1).load(man)
+      .count() == orders.count())
+    // TIMESTAMP AS OF: v1's commit instant resolves to v1
+    val ts1 = t.commitTimeOf(1)
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", ts1.toString).load(man)
+      .count() == orders.count())
+  }
+
+  test("pushed-down key filters prune files at the physical scan") {
+    val (data, man) = freshDirs("prune")
+    orders.write.format("graft").mode(SaveMode.Overwrite)
+      .option("key", "o_orderkey").option("data", data)
+      .option("numFiles", 8).save(man)
+    val all = scannedFileCount(spark.read.format("graft").load(man))
+    assert(all == 8, s"expected the 8 clustered files, scanned $all")
+    val narrow = spark.read.format("graft").load(man)
+      .filter(col("o_orderkey") <= 100)
+    val few = scannedFileCount(narrow)
+    assert(few > 0 && few < all, s"key filter must skip files: $few of $all")
+    // correctness: pruned read == full filter
+    assert(narrow.count() ==
+      orders.filter(col("o_orderkey") <= 100).count())
+    // a column with no recorded stats cannot prune
+    val noStats = scannedFileCount(spark.read.format("graft").load(man)
+      .filter(col("o_custkey") === 7))
+    assert(noStats == all, "no stats -> no pruning")
+  }
+
+  test("bloom probes prune point lookups through the data source") {
+    import spark.implicits._
+    val (data, man) = freshDirs("bloom")
+    // ev is a permutation of the id domain: boxes useless, blooms sharp
+    val df = (0 until 800).map { i =>
+      (i.toLong, ((i * 7919) % 800).toLong)
+    }.toDF("id", "ev")
+    df.write.format("graft").mode(SaveMode.Overwrite)
+      .option("key", "id").option("data", data)
+      .option("bloom", "ev").option("numFiles", 8).save(man)
+    val probe = spark.read.format("graft").load(man)
+      .filter(col("ev") === 123)
+    val few = scannedFileCount(probe)
+    assert(few <= 2, s"bloom probe must prune to ~1 file: $few of 8")
+    assert(probe.count() == 1)
+    // ranges never consult blooms
+    assert(scannedFileCount(spark.read.format("graft").load(man)
+      .filter(col("ev") >= 10)) == 8)
+  }
+
+  test("save modes: ErrorIfExists refuses, Ignore no-ops, Overwrite recreates") {
+    val (data, man) = freshDirs("modes")
+    orders.write.format("graft").mode(SaveMode.Overwrite)
+      .option("key", "o_orderkey").option("data", data).save(man)
+    intercept[IllegalStateException] {
+      orders.write.format("graft").mode(SaveMode.ErrorIfExists)
+        .option("key", "o_orderkey").option("data", data).save(man)
+    }
+    val before = spark.read.format("graft").load(man).count()
+    orders.limit(5).write.format("graft").mode(SaveMode.Ignore)
+      .option("key", "o_orderkey").option("data", data).save(man)
+    assert(spark.read.format("graft").load(man).count() == before,
+      "Ignore must not touch an existing table")
+    orders.limit(7).write.format("graft").mode(SaveMode.Overwrite)
+      .option("key", "o_orderkey").option("data", data).save(man)
+    assert(spark.read.format("graft").load(man).count() == 7,
+      "Overwrite must recreate")
+  }
+
+  test("declaration errors fail loudly; stats options flow into props") {
+    val (data, man) = freshDirs("errs")
+    val noKey = intercept[IllegalArgumentException] {
+      orders.write.format("graft").mode(SaveMode.Overwrite)
+        .option("data", data).save(man)
+    }
+    assert(noKey.getMessage.contains("key"), noKey.getMessage)
+    val noData = intercept[IllegalArgumentException] {
+      orders.write.format("graft").mode(SaveMode.Overwrite)
+        .option("key", "o_orderkey").save(man)
+    }
+    assert(noData.getMessage.contains("data"), noData.getMessage)
+    // a stats column CORRELATED with the clustering (v2 = key * 10) has
+    // tight per-file boxes and real pruning power; an uncorrelated one
+    // would have domain-spanning boxes in every file
+    import spark.implicits._
+    val withV2 = (0 until 800).map(i => (i.toLong, i * 10L)).toDF("id", "v2")
+    withV2.write.format("graft").mode(SaveMode.Overwrite)
+      .option("key", "id").option("data", data)
+      .option("stats", "v2").option("numFiles", 8).save(man)
+    val p = GraftTable.loadProps(spark, man).get
+    assert(p.key.contains("id") && p.statsCols == Seq("v2")
+      && p.data.contains(data))
+    // and the declared stats column prunes through the read path
+    val pruned = scannedFileCount(spark.read.format("graft").load(man)
+      .filter(col("v2") >= 7000))
+    val all = scannedFileCount(spark.read.format("graft").load(man))
+    assert(pruned > 0 && pruned < all,
+      s"stats option did not gain pruning: $pruned of $all")
+  }
+
+  test("reading a non-table directory fails with a diagnosable error") {
+    val bogus = java.nio.file.Files.createTempDirectory("graft_ds_bogus")
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(bogus.toString).count()
+    }
+    assert(e.getMessage.contains("no committed snapshots"), e.getMessage)
+  }
+}

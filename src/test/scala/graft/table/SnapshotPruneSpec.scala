@@ -242,6 +242,26 @@ class SnapshotPruneSpec extends TestBase {
     assert(none.count() == 0)
   }
 
+  test("bloom sizing is a table property: round-trips through props, still prunes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom_size").toString
+    val df = (0 until 400).map(i => (i.toLong, ((i * 7919) % 400).toLong))
+      .toDF("id", "ev")
+    val t = GraftTable(spark, s"$root/data", s"$root/man", "id",
+      bloomCols = Seq("ev"), bloomItems = 1024L, bloomFpp = 0.001)
+    t.create(df, 4)
+    val p = GraftTable.loadProps(spark, t.man).get
+    assert(p.bloomItems == 1024L && p.bloomFpp == 0.001,
+      s"sizing did not round-trip: $p")
+    // smaller expectedItems + tighter fpp => a differently-sized sketch
+    // that still prunes exactly
+    val (kept, total) = t.pruneBloom(1, "ev", Seq(37L))
+    assert(total == 4 && kept.nonEmpty && kept.size <= 2, s"${kept.size} of 4")
+    val hit = (0 until 400).find(i => (i * 7919) % 400 == 37).get.toLong
+    assert(spark.read.parquet(kept: _*).filter(col("ev") === 37)
+      .collect().map(_.getAs[Long]("id")).toSeq == Seq(hit))
+  }
+
   test("programmatic pruneBloom matches the SQL surface") {
     val (kept, total) = bloomTable.pruneBloom(1, "ev", Seq(123L))
     assert(total == 8 && kept.nonEmpty && kept.size <= 2)
