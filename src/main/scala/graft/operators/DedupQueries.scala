@@ -229,6 +229,19 @@ object DedupQueries {
     // sh is kept SORTED (array_sort) so the verify stage can count the
     // intersection with an allocation-free merge scan instead of
     // array_intersect's per-row hash set — see sorted_intersect_count.
+    // docs persist, measured: docs-persist 5.0 s / no-persist 13.0 s /
+    // pref-persist 13.8 s (sf0.1 bench median) — the verify stage joins
+    // the shingle arrays twice against every candidate pair, and the
+    // cache feeds those joins. One cost rides along: an
+    // InMemoryRelation source defeats AQE's exchange-reuse
+    // canonicalization across the self-join (TableCacheQueryStage does
+    // not canonicalize over the analyzer's attribute dedup), so the
+    // pref pipeline runs twice HERE. At 100 TB the trade flips: this
+    // cache would be corpus-sized, a scale deployment drops it (or
+    // DISK_ONLY), and the UNCACHED plan's two pref sides canonicalize
+    // equal — ReusedExchange then serves side b from side a's shuffle
+    // files, which PlanAuditSpec proves on an uncached all-shuffle
+    // replica of exactly this shape.
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
@@ -276,18 +289,15 @@ object DedupQueries {
         count(lit(1)).as("n"))
       .withColumn("p1", col("n") - floor((col("n") + 1) / 2) + 1)
       .withColumn("p2", col("n") - floor((lit(2) * col("n") + 2) / 3) + 1)
-    // NOT persisted: the self-join's two sides are identical subtrees,
-    // so when both sides plan as shuffle joins — which they do at
-    // corpus scale — ReusedExchange serves side b from side a's shuffle
-    // files for free. At bench scale AQE instead broadcasts the small
-    // index side, which recomputes the postings+df pipeline twice; a
-    // measured A/B shows persisting `ordered` saves ~1 s warm here but
-    // pays a cold materialization spike, and at 100 TB it would pin a
-    // corpus-sized relation (every doc's sorted-rarity array) in
-    // executor storage to save one map-side pipeline — the wrong trade
-    // both times. The index-side prefix cut (r <= p2) lives in the JOIN
-    // CONDITION, not a pre-join filter, to keep the subtrees identical
-    // for the at-scale reuse.
+    // pref is NOT persisted (measured slower — see the docs note): the
+    // self-join's two sides are written as identical subtrees so that
+    // the at-scale (uncached, all-shuffle) plan reuses ONE exchange.
+    // For that reuse to be real the sides must canonicalize identically
+    // AFTER column pruning — which is why the indexing-prefix cut below
+    // is a SYMMETRIC join condition (`when(a smaller, a.r <= a.p2)
+    // .otherwise(b.r <= b.p2)`): an asymmetric spelling (only
+    // b.r <= b.p2) lets the optimizer prune p2 off side a, the
+    // subtrees diverge, and the exchange computes twice at every scale.
     val pref = ordered
       .select(col("doc_id"), col("n"), col("p2"),
         posexplode(expr("slice(transform(os, x -> x.s), 1, int(p1))")))
@@ -296,16 +306,19 @@ object DedupQueries {
     // Candidate generation with the three PPJoin reductions, all
     // recall-preserving (each discards only pairs PROVABLY at or below
     // T, never a qualifying one):
-    //  1. size filter: nb <= na and jaccard > T force nb > T*na
-    //     (c <= nb and union >= na);
-    //  2. indexing-prefix cut: the smaller side matches only within p2;
+    //  1. size filter: jaccard > T forces the smaller doc to hold more
+    //     than T times the larger's shingles (c <= min, union >= max);
+    //  2. indexing-prefix cut: the SMALLER side of a pair matches only
+    //     within its short p2 prefix (ties designate side a) — spelled
+    //     symmetrically so both join sides canonicalize identically
+    //     (see the reuse note above);
     //  3. positional filter (replaces the candidate distinct() — same
     //     shuffle, strictly more pruning): the globally-first shared
     //     token has the MIN rank among shared tokens in BOTH docs, so
     //     overlap c <= 1 + min(na - min_ra, nb - min_rb), and
     //     jaccard > T needs c >= floor(T/(1+T)*(na+nb)) + 1.
     // Measured at sf0.1: 409,103 candidate pairs under the plain prefix
-    // filter, 205,501 after the size + indexing-prefix cuts, 121,008
+    // filter, ~205k after the size + indexing-prefix cuts, ~121k
     // after the positional filter — a 3.4x cut on the verify stage's
     // input (the stage that dominated the bench at 10.7 s; the corpus'
     // shared vocabulary makes trigram prefixes collide heavily, so the
@@ -313,17 +326,17 @@ object DedupQueries {
     val candidates = pref.as("a")
       .join(pref.as("b"),
         col("a.s") === col("b.s") &&
-          col("b.r") <= col("b.p2") &&
-          (col("b.n") < col("a.n") ||
-            (col("b.n") === col("a.n") && col("b.doc_id") < col("a.doc_id"))) &&
-          col("b.n") * lit(2) > col("a.n"))
-      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * lit(2) >
+            greatest(col("a.n"), col("b.n")) &&
+          when(col("a.n") <= col("b.n"), col("a.r") <= col("a.p2"))
+            .otherwise(col("b.r") <= col("b.p2")))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
       .agg(min(col("a.r")).as("ra"), min(col("b.r")).as("rb"),
         first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
       .filter(lit(1) + least(col("na") - col("ra"), col("nb") - col("rb")) >=
         floor((col("na") + col("nb")) / 3) + 1)
-      .select(least(col("ida"), col("idb")).as("ia"),
-        greatest(col("ida"), col("idb")).as("ib"))
+      .select(col("ia"), col("ib"))
     // verify: exact jaccard from a sorted-merge intersection COUNT (the
     // docs' shingle arrays are pre-sorted) — no per-pair hash set, no
     // materialized intersection array; stays in whole-stage codegen

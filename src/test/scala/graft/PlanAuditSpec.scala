@@ -22,8 +22,9 @@ class PlanAuditSpec extends TestBase {
     "q79_equidepth",     // ONE row (the percentile bounds) broadcast
     "q21b_edit_distance", // 25-row nation dim crossed with itself
     "q87_theta_setops",  // #langs sketch rows, pairwise (theta combine)
-    "q94_source_mix"     // ONE row (corpus totals) broadcast into the
+    "q94_source_mix",    // ONE row (corpus totals) broadcast into the
                          // 20-row rate table
+    "q117_bm25"          // ONE row (N, avgdl corpus stats) broadcast
   )
 
   test("no CartesianProduct anywhere; BNLJ only where designed") {
@@ -303,6 +304,70 @@ class PlanAuditSpec extends TestBase {
       s"q104 regressed to a window over the posting relation:\n$plan")
     assert(plan.contains("partial_count"),
       s"shingle df not partial-aggregated before the exchange:\n$plan")
+  }
+
+  test("q104's prefix self-join shape reuses one exchange in the at-scale (uncached) plan") {
+    // The two sides of the prefix self-join are DELIBERATELY identical
+    // subtrees — the index-side p2 cut is a SYMMETRIC join condition,
+    // not a pre-join filter, so column pruning cannot diverge them —
+    // so that at corpus scale ReusedExchange serves side b from side
+    // a's shuffle files (ADVICE r9: "confirm ReusedExchange covers
+    // it"). Two things hide the reuse at bench scale: AQE broadcasts
+    // the small side, and the bench spelling persists `docs` (measured
+    // 2.6x faster locally), whose TableCacheQueryStage does not
+    // canonicalize across the analyzer's self-join attribute dedup.
+    // A 100 TB deployment drops that corpus-sized cache, so THIS audit
+    // reproduces the at-scale plan: the same pipeline, uncached, with
+    // auto-broadcast off — and asserts the reuse is real. If a future
+    // edit breaks the symmetric condition, this fails.
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "-1")
+      // the CacheManager SUBSTITUTES cached fragments into new plans —
+      // a live q104 docs cache would silently turn this "uncached"
+      // replica back into the cached shape and void the assertion
+      spark.catalog.clearCache()
+      val docs = Tables.load(spark, sfDir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), array_sort(array_distinct(transform(
+          sequence(lit(1), size(col("ws")) - 2),
+          i => concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)))))
+          .as("sh")) // NO persist: the at-scale source
+      val postings = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+      val dfBySh = postings.groupBy("s").agg(count(lit(1)).as("df"))
+      val ordered = postings.join(dfBySh, "s")
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("os"),
+          count(lit(1)).as("n"))
+        .withColumn("p1", col("n") - floor((col("n") + 1) / 2) + 1)
+        .withColumn("p2", col("n") - floor((lit(2) * col("n") + 2) / 3) + 1)
+      val pref = ordered
+        .select(col("doc_id"), col("n"), col("p2"),
+          posexplode(expr("slice(transform(os, x -> x.s), 1, int(p1))")))
+        .select(col("doc_id"), col("n"), col("p2"),
+          (col("pos") + 1).as("r"), col("col").as("s"))
+      val candidates = pref.as("a")
+        .join(pref.as("b"),
+          col("a.s") === col("b.s") &&
+            col("a.doc_id") < col("b.doc_id") &&
+            least(col("a.n"), col("b.n")) * lit(2) >
+              greatest(col("a.n"), col("b.n")) &&
+            when(col("a.n") <= col("b.n"), col("a.r") <= col("a.p2"))
+              .otherwise(col("b.r") <= col("b.p2")))
+        .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .agg(count(lit(1)).as("m"))
+      candidates.collect() // AQE: reuse is visible in the FINAL plan only
+      val plan = candidates.queryExecution.executedPlan.toString
+      assert(plan.contains("ReusedExchange"),
+        s"no ReusedExchange in the all-shuffle prefix self-join plan:\n$plan")
+    } finally old match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   test("q67/q76/q113 corpus-frequency stages: no Window over a Zipfian key") {
