@@ -8,8 +8,10 @@ import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
   PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
-  DataSourceRegister, RelationProvider}
+  DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** GraftTable as a first-class Spark data source — `format("graft")`:
@@ -43,7 +45,8 @@ import org.apache.spark.sql.types.StructType
   * `stats`/`bloom` comma-lists, `numFiles`).
   */
 final class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -91,6 +94,36 @@ final class GraftDataSource extends RelationProvider
     val t = s.trim
     if (t.forall(_.isDigit)) t.toLong
     else java.sql.Timestamp.valueOf(t).getTime
+  }
+
+  // ---- streaming read: spark.readStream.format("graft").load(man) ----
+
+  private def latestSchema(spark: SparkSession, man: String): StructType = {
+    val probe = GraftTable(spark, data = "", man = man, key = "")
+    val vs = probe.committedVersions
+    require(vs.nonEmpty, s"no committed snapshots under $man")
+    val files = probe.files(vs.max)
+    require(files.nonEmpty,
+      s"latest snapshot of $man references no files — pass .schema(...) " +
+        "to stream a still-empty table")
+    spark.read.parquet(files: _*).schema
+  }
+
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String])
+      : (String, StructType) =
+    (shortName(),
+      schema.getOrElse(
+        latestSchema(ctx.sparkSession, manifestOf(CaseInsensitiveMap(parameters)))))
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val opts = CaseInsensitiveMap(parameters)
+    val man = manifestOf(opts)
+    val spark = ctx.sparkSession
+    new GraftStreamSource(spark, man,
+      schema.getOrElse(latestSchema(spark, man)))
   }
 
   override def createRelation(ctx: SQLContext, mode: SaveMode,
@@ -148,6 +181,58 @@ final class GraftDataSource extends RelationProvider
     }
     createRelation(ctx, parameters)
   }
+}
+
+/** The committed-rows CHANGE FEED of a GraftTable as a v1 streaming
+  * [[Source]] — `spark.readStream.format("graft").load(man)`: the
+  * stream offset IS the committed snapshot version (one atomic rename
+  * = one offset increment), and a micro-batch delivers the rows of
+  * exactly the files version `end` references that version `start` did
+  * not. Crash orphans never deliver (no manifest references them);
+  * recovery recomputes the same file diff from the same immutable
+  * manifests, so delivery is exactly-once per file. Contract is
+  * append-only consumption, same as `GraftStreams.committedRowsStream`
+  * (a compaction/merge re-adds its replacement files; row-level diffs
+  * are `cdc`'s job), and vacuum retention must exceed the slowest
+  * consumer's lag — reading a vacuumed start version fails loudly
+  * rather than silently re-delivering the whole table. Planning per
+  * trigger is O(#files) driver-side, the module contract. */
+final class GraftStreamSource(spark: SparkSession, man: String,
+    override val schema: StructType) extends Source {
+
+  private val probe = GraftTable(spark, data = "", man = man, key = "")
+
+  private def version(o: V1Offset): Int = o.json.trim.toInt
+
+  override def getOffset: Option[V1Offset] = {
+    val vs = probe.committedVersions
+    if (vs.isEmpty) None else Some(LongOffset(vs.max.toLong))
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val vEnd = version(end)
+    val seen: Set[String] = start match {
+      case None => Set.empty // fresh stream: replay the whole snapshot
+      case Some(o) =>
+        val v = version(o)
+        if (!probe.isCommitted(v))
+          throw new IllegalStateException(
+            s"stream start version v=$v of $man no longer exists — vacuum " +
+              "expired it before this consumer caught up; vacuum retention " +
+              "must exceed the slowest consumer's lag")
+        probe.files(v).toSet
+    }
+    val fresh = probe.files(vEnd).filterNot(seen)
+    val batch =
+      if (fresh.nonEmpty) spark.read.schema(schema).parquet(fresh: _*)
+      else spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    org.apache.spark.sql.GraftSqlBridge.asStreaming(spark, batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftStreamSource[$man]"
 }
 
 /** The committed manifest AS a [[FileIndex]] — nothing is ever listed

@@ -20,6 +20,17 @@ object GraftSqlBridge {
     * usable as a custom operator's child). */
   def analyzed(df: Dataset[_]): LogicalPlan = df.queryExecution.analyzed
 
+  /** A STREAMING DataFrame over a batch DataFrame's rows — what a v1
+    * streaming [[org.apache.spark.sql.execution.streaming.Source]]'s
+    * `getBatch` must return (`internalCreateDataFrame(isStreaming =
+    * true)` is private[sql]; this is the same call Spark's own v1 file
+    * source rides). */
+  def asStreaming(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
   /** Session-aware EAGER Column -> catalyst Expression conversion.
     * `expression(c)` (ExpressionUtils) wraps API-built nodes like
     * `.cast(...)` in a lazy ColumnNodeExpression whose dataType reads

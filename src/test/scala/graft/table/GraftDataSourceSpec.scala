@@ -149,6 +149,36 @@ class GraftDataSourceSpec extends TestBase {
       s"stats option did not gain pruning: $pruned of $all")
   }
 
+  test("readStream.format(graft): commits become micro-batches, exactly once, orphans never") {
+    val (data, man) = freshDirs("stream")
+    val t = GraftTable(spark, data, man, "o_orderkey")
+    t.create(orders.filter(col("o_orderkey") % 3 === 0), 2)
+    t.commitAppend(orders.filter(col("o_orderkey") % 3 === 1), 1, 2)
+    // crash orphan: data written, never committed — must not deliver
+    orders.filter(col("o_orderkey") % 3 === 2).limit(10)
+      .coalesce(1).write.mode("append").parquet(data)
+
+    val seen = scala.collection.mutable.Set[Long]()
+    val q = spark.readStream.format("graft").load(man)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.select("o_orderkey").collect().map(_.getLong(0))
+        seen.synchronized { ids.foreach(seen += _) }
+      }.start()
+    try {
+      q.processAllAvailable()
+      val committed = orders.filter(col("o_orderkey") % 3 =!= 2)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet
+      assert(seen.synchronized(seen.toSet) == committed,
+        s"initial replay delivered ${seen.size} of ${committed.size} rows")
+      // a new commit delivers incrementally, exactly once
+      t.commitAppendOcc(orders.filter(col("o_orderkey") % 3 === 2))
+      q.processAllAvailable()
+      val all = orders.select("o_orderkey").collect().map(_.getLong(0)).toSet
+      assert(seen.synchronized(seen.toSet) == all,
+        "new commit not delivered exactly once")
+    } finally q.stop()
+  }
+
   test("reading a non-table directory fails with a diagnosable error") {
     val bogus = java.nio.file.Files.createTempDirectory("graft_ds_bogus")
     val e = intercept[IllegalArgumentException] {
