@@ -68,6 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "graft_snapshot(manifestDir, version) - time-travel scan of a " +
           "GraftTable snapshot; plans from the committed manifest only"),
       (es: Seq[Expression]) => graft.table.SnapshotSql.plan(es)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      info("graft_changes",
+        "graft_changes(manifestDir, vFrom, vTo) - row-level change feed " +
+          "between two committed snapshots (insert|update|delete); reads " +
+          "only the churned files"),
+      (es: Seq[Expression]) => graft.table.SnapshotSql.changesPlan(es)))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",

@@ -1481,6 +1481,47 @@ object CurationQueries {
       |FROM orders
       |WHERE o_orderkey BETWEEN 100 AND 2000 AND o_custkey >= 10""".stripMargin
 
+  // ---- 118. Row-level change feed from pure SQL text: graft_changes
+  // ('<man>', vFrom, vTo) resolves to GraftTable.cdc — the same
+  // churned-files-only diff q111 exercises programmatically (COW
+  // invariant: changed rows live in rewritten files, so the diff reads
+  // the versions' symmetric difference, ~2x the churn instead of 2x
+  // the table), now reachable by any SQL client. The table key comes
+  // from _table_props, so the call needs nothing but the manifest
+  // path. Completes the SQL surface: time travel (graft_snapshot),
+  // automatic skipping (SnapshotPruneRule), changes (here). ----
+  val q118_sql_changes: Q = (s, dir) => {
+    graft.table.SnapshotSql.register(s)
+    val out = RelationalQueries.scratch("q118_layout", dir)
+    val man = RelationalQueries.scratch("q118_manifest", dir)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val tbl = GraftTable(s, out, man, "o_orderkey")
+    tbl.create(o, 8)
+    val updates = o.filter(col("o_orderkey").between(1000, 3000))
+      .select(col("o_orderkey"), col("o_custkey"),
+        dround(col("o_totalprice") * 1.1, 2).as("o_totalprice"))
+    val inserts = o.filter(col("o_orderkey").between(1, 5))
+      .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+    tbl.commitMerge(updates.unionByName(inserts), 1)
+    s.sql(
+      s"""SELECT op, count(*) AS n_rows, sum(new_o_totalprice) AS total
+         |FROM graft_changes('$man', 1, 2)
+         |GROUP BY op""".stripMargin)
+      .select(col("op"), col("n_rows"), dround(col("total"), 2).as("total"))
+      .orderBy("op")
+  }
+
+  val q118_sql_changes_sql: String =
+    """SELECT 'insert' AS op, count(*) AS n_rows,
+      |  round(sum(o_totalprice), 2) AS total
+      |FROM orders WHERE o_orderkey BETWEEN 1 AND 5
+      |UNION ALL
+      |SELECT 'update', count(*), round(sum(round(o_totalprice * 1.1, 2)), 2)
+      |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
+      |ORDER BY op""".stripMargin
+
   val q114_snapshot_sql_prune_sql: String =
     """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
       |  min(o_orderkey) AS min_key, max(o_custkey) AS max_cust
@@ -1614,6 +1655,7 @@ object CurationQueries {
     "q114_snapshot_sql_prune" -> q114_snapshot_sql_prune,
     "q115_bloom_sql_prune" -> q115_bloom_sql_prune,
     "q116_datasource" -> q116_datasource,
+    "q118_sql_changes" -> q118_sql_changes,
     "q68b_stratified_agg" -> q68b_stratified_agg,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
@@ -1647,6 +1689,7 @@ object CurationQueries {
     "q114_snapshot_sql_prune" -> q114_snapshot_sql_prune_sql,
     "q115_bloom_sql_prune" -> q115_bloom_sql_prune_sql,
     "q116_datasource" -> q116_datasource_sql,
+    "q118_sql_changes" -> q118_sql_changes_sql,
     // q68b: same selection as q68, bounded-heap agg instead of a window
     "q68b_stratified_agg" -> q68_stratified_sample_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,

@@ -86,6 +86,43 @@ object SnapshotSql {
       entries, files, output)
   }
 
+  private val changesUsage =
+    "graft_changes(manifestDir, vFrom, vTo): row-level change feed " +
+      "between two committed snapshots — (key, old_<c>.., new_<c>.., op " +
+      "in insert|update|delete). Reads only the CHURNED files (the " +
+      "versions' symmetric difference); the table key comes from " +
+      "_table_props"
+
+  private def failChanges(detail: String): Nothing =
+    throw new IllegalArgumentException(s"$detail\n$changesUsage")
+
+  /** `SELECT * FROM graft_changes('<man>', 1, 2)` — [[GraftTable.cdc]]
+    * from pure SQL text, completing the SQL surface (travel via
+    * graft_snapshot, skipping via SnapshotPruneRule, changes here). */
+  def changesPlan(es: Seq[Expression]): LogicalPlan = {
+    if (es.length != 3)
+      failChanges(s"graft_changes takes 3 arguments, got ${es.length}")
+    val man = es.head match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => failChanges(s"manifestDir must be a string literal; got '$other'")
+    }
+    def intArg(e: Expression, name: String): Int = e match {
+      case Literal(i: Int, IntegerType) => i
+      case Literal(l: Long, LongType) if l >= 1 && l <= Int.MaxValue => l.toInt
+      case other => failChanges(s"$name must be an integer literal; got '$other'")
+    }
+    val (vFrom, vTo) = (intArg(es(1), "vFrom"), intArg(es(2), "vTo"))
+    val spark = SparkSession.active
+    val key = GraftTable.loadProps(spark, man).flatMap(_.key).getOrElse(
+      failChanges(s"$man carries no _table_props key — graft_changes " +
+        "needs a table created through GraftTable/format(\"graft\")"))
+    val table = GraftTable(spark, data = "", man = man, key = key)
+    Seq(vFrom, vTo).foreach(v => if (!table.isCommitted(v))
+      failChanges(s"no committed snapshot v=$v under $man " +
+        s"(committed: ${table.committedVersions.mkString(", ")})"))
+    org.apache.spark.sql.GraftSqlBridge.analyzed(table.cdc(vFrom, vTo))
+  }
+
   /** Per-session programmatic registration (the extensions-free path —
     * [[graft.GraftExtensions]] wires the same pieces cluster-wide via
     * config). Idempotent: the TVF registry replaces, the optimizer list
@@ -100,5 +137,10 @@ object SnapshotSql {
       FunctionIdentifier("graft_snapshot"),
       new ExpressionInfo(getClass.getName, null, "graft_snapshot", usage, ""),
       (es: Seq[Expression]) => plan(es))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(getClass.getName, null, "graft_changes",
+        changesUsage, ""),
+      (es: Seq[Expression]) => changesPlan(es))
   }
 }

@@ -209,6 +209,44 @@ class ExtensionsSpec extends TestBase {
     }
   }
 
+  test("change feed runs from pure SQL text via graft_changes (same rows as cdc)") {
+    import org.apache.spark.sql.functions._
+    graft.table.SnapshotSql.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlcdc").toString
+    val t = graft.table.GraftTable(spark, s"$root/data", s"$root/man", "id")
+    import spark.implicits._
+    t.create((1L to 100L).map(i => (i, i * 10L)).toDF("id", "v"), 2)
+    // merge: update ids 1..10 (v -> 0), insert ids 101..105
+    t.commitMerge(
+      ((1L to 10L).map(i => (i, 0L)) ++ (101L to 105L).map(i => (i, i)))
+        .toDF("id", "v"), 1)
+    val viaSql = spark.sql(
+      s"""SELECT op, count(*) AS n FROM graft_changes('${t.man}', 1, 2)
+         |GROUP BY op ORDER BY op""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSql == Seq(("insert", 5L), ("update", 10L)), s"$viaSql")
+    val api = t.cdc(1, 2).groupBy("op").agg(count(lit(1)).as("n"))
+      .orderBy("op").collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(viaSql == api)
+    // misuse fails at analysis with the usage message
+    val badV = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_changes('${t.man}', 1, 99)")
+        .queryExecution.analyzed
+    }
+    assert(badV.getMessage.contains("no committed snapshot"))
+    val badArity = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_changes('${t.man}', 1)")
+        .queryExecution.analyzed
+    }
+    assert(badArity.getMessage.contains("3 arguments"))
+    val noProps = java.nio.file.Files.createTempDirectory("graft_noprops")
+    val badMan = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_changes('$noProps', 1, 2)")
+        .queryExecution.analyzed
+    }
+    assert(badMan.getMessage.contains("_table_props"))
+  }
+
   test("as-of join runs from pure SQL text via asof_match (same answer as q53)") {
     val orig = spark
     SparkSession.clearActiveSession()
