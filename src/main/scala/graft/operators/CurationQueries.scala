@@ -889,8 +889,8 @@ object CurationQueries {
       require(path.getFileSystem(s.sessionState.newHadoopConf())
         .delete(path, false), s"could not remove replaced file $path")
     }
-    val keptEntries = s.read.parquet(man)
-      .filter(!col("file").isin(impacted: _*)).collect().toSeq
+    val keptEntries = GraftTable.readManifestRows(s, man)._1
+      .filterNot(r => impacted.contains(r.getAs[String]("file")))
     val addedStats = GraftTable.fileStats(s, added, key).collect().toSeq
     import scala.jdk.CollectionConverters._
     s.createDataFrame((keptEntries ++ addedStats).asJava,
@@ -1242,7 +1242,7 @@ object CurationQueries {
     * manifestPrune. */
   private[graft] def bloomPrune(s: SparkSession, man: String,
       keys: Seq[Long]): (Seq[String], Seq[String], Int) = {
-    val rows = s.read.parquet(man).collect()
+    val rows = GraftTable.readManifestRows(s, man)._1
     val byBloom = rows.filter { r =>
       val bytes = r.getAs[Array[Byte]]("bloom")
       keys.exists(graft.functions.BloomAgg.mightContainLong(bytes, _))

@@ -222,7 +222,12 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     versionWithTag(tag).isDefined ||
       manFs.exists(new Path(s"$man/_tags", s"_tag_$tag"))
 
-  def manifest(v: Int): DataFrame = spark.read.parquet(manifestPath(v))
+  /** Snapshot v's manifest as a DataFrame. Read driver-side
+    * ([[GraftTable.readManifestRows]]) — planning never schedules a
+    * Spark job; the result is a local relation, so downstream
+    * `.collect()`s are driver-only too. */
+  def manifest(v: Int): DataFrame =
+    GraftTable.readManifestDf(spark, manifestPath(v))
 
   // ---- snapshot operations -----------------------------------------
 
@@ -706,6 +711,125 @@ object GraftTable {
     try fs.listStatus(dir)
     catch { case _: java.io.FileNotFoundException => Array.empty[FileStatus] }
 
+  /** Driver-side direct read of a manifest dir (or single file): every
+    * row of every parquet part, with NO Spark job. Planning from a
+    * manifest must not schedule cluster work — the Delta-log shape: a
+    * query's file-skipping step costs footer+page reads on the driver
+    * (the manifest is O(#files) rows, KBs-MBs), not a job the whole
+    * cluster queues behind. Manifests are flat primitive schemas by
+    * construction (`file`/`lo`/`hi`/`n_rows`/`bytes`/`lo_*`/`hi_*`
+    * longs+string, `bloom_*` binary); a nested or repeated field fails
+    * loudly rather than decoding wrong. Rows carry their schema
+    * ([[org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema]])
+    * so `getAs[T](name)` works exactly as on collected Spark rows;
+    * parity with `spark.read.parquet(...).collect()` — values, schema,
+    * NULL boxes, binary sketches, multi-part dirs — is locked by
+    * ManifestDirectReadSpec, which also asserts the zero-job contract.
+    * Goes through the path's own [[FileSystem]], so `graft://`-cached
+    * manifests read through the cache like everything else. */
+  def readManifestRows(spark: SparkSession, dirPath: String)
+      : (Seq[Row], StructType) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.ColumnIOFactory
+    import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    import org.apache.spark.sql.types._
+
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dirPath)
+    val fs = root.getFileSystem(conf)
+    val rootSt = fs.getFileStatus(root) // missing manifest fails loudly
+    val parts =
+      if (rootSt.isFile) Array(rootSt)
+      else listStatusSafe(fs, root).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.endsWith(".parquet") &&
+          !n.startsWith("_") && !n.startsWith(".")
+      }
+    require(parts.nonEmpty,
+      s"manifest $dirPath contains no parquet files — not a committed " +
+        "manifest (existence of a version dir implies a complete rename)")
+
+    var sparkSchema: StructType = null
+    val out = Seq.newBuilder[Row]
+    parts.foreach { st =>
+      val reader =
+        ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
+      try {
+        val msg = reader.getFooter.getFileMetaData.getSchema
+        // flat-primitive schema mapping; one writer job per manifest,
+        // so every part shares the first footer's schema
+        if (sparkSchema == null) sparkSchema = StructType(
+          (0 until msg.getFieldCount).map { i =>
+            val f = msg.getType(i)
+            require(f.isPrimitive && !f.isRepetition(
+              org.apache.parquet.schema.Type.Repetition.REPEATED),
+              s"manifest field '${f.getName}' in $dirPath is not a flat " +
+                "primitive — not a graft manifest")
+            val p = f.asPrimitiveType()
+            val dt = p.getPrimitiveTypeName match {
+              case BINARY
+                if p.getLogicalTypeAnnotation != null &&
+                  p.getLogicalTypeAnnotation.isInstanceOf[
+                    org.apache.parquet.schema.LogicalTypeAnnotation
+                      .StringLogicalTypeAnnotation] => StringType
+              case BINARY => BinaryType
+              case INT64 => LongType
+              case INT32 => IntegerType
+              case DOUBLE => DoubleType
+              case FLOAT => FloatType
+              case BOOLEAN => BooleanType
+              case other => throw new IllegalStateException(
+                s"manifest field '${f.getName}' has unsupported parquet " +
+                  s"type $other")
+            }
+            StructField(f.getName, dt)
+          })
+        var pages = reader.readNextRowGroup()
+        while (pages != null) {
+          val recReader = new ColumnIOFactory().getColumnIO(msg)
+            .getRecordReader(pages, new GroupRecordConverter(msg))
+          var r = 0L
+          while (r < pages.getRowCount) {
+            val g = recReader.read()
+            val vals = new Array[Any](sparkSchema.length)
+            var i = 0
+            while (i < sparkSchema.length) {
+              vals(i) =
+                if (g.getFieldRepetitionCount(i) == 0) null
+                else sparkSchema(i).dataType match {
+                  case StringType => g.getString(i, 0)
+                  case BinaryType => g.getBinary(i, 0).getBytes
+                  case LongType => g.getLong(i, 0)
+                  case IntegerType => g.getInteger(i, 0)
+                  case DoubleType => g.getDouble(i, 0)
+                  case FloatType => g.getFloat(i, 0)
+                  case BooleanType => g.getBoolean(i, 0)
+                  case dt => throw new IllegalStateException(dt.toString)
+                }
+              i += 1
+            }
+            out += new GenericRowWithSchema(vals, sparkSchema)
+            r += 1
+          }
+          pages = reader.readNextRowGroup()
+        }
+      } finally reader.close()
+    }
+    (out.result(), sparkSchema)
+  }
+
+  /** [[readManifestRows]] as a (local-relation) DataFrame — for commit
+    * paths that union prev entries with new stats and write; no read
+    * job, and `.collect()` on the result is driver-only. */
+  def readManifestDf(spark: SparkSession, dirPath: String): DataFrame = {
+    val (rows, schema) = readManifestRows(spark, dirPath)
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
   /** Create an empty marker file; true if it exists when we are done —
     * a concurrent creator of the SAME marker is success, not failure
     * (markers are empty, content-free). */
@@ -840,7 +964,7 @@ object GraftTable {
     * the single-column prune. */
   def pruneManifestMulti(spark: SparkSession, manPath: String,
       preds: Seq[(String, Long, Long)]): (Seq[String], Int) = {
-    val rows = spark.read.parquet(manPath).collect()
+    val rows = readManifestRows(spark, manPath)._1
     val kept = rows.filter { r =>
       preds.forall { case (c, qlo, qhi) =>
         boxIntersects(r, s"lo_$c", s"hi_$c", qlo, qhi)
@@ -866,7 +990,7 @@ object GraftTable {
     * not a data collect. */
   def pruneManifest(spark: SparkSession, manPath: String,
       qlo: Long, qhi: Long): (Seq[String], Int) = {
-    val rows = spark.read.parquet(manPath).collect()
+    val rows = readManifestRows(spark, manPath)._1
     val kept = rows.filter(boxIntersects(_, "lo", "hi", qlo, qhi))
       .map(_.getAs[String]("file")).toSeq
     (kept, rows.length)
@@ -879,7 +1003,7 @@ object GraftTable {
     * #covered files). */
   def statsOnlySplit(spark: SparkSession, manPath: String,
       qlo: Long, qhi: Long): (Long, Seq[String], Int) = {
-    val rows = spark.read.parquet(manPath).collect()
+    val rows = readManifestRows(spark, manPath)._1
     val (covered, boundary) = rows
       .filter(boxIntersects(_, "lo", "hi", qlo, qhi)) // intersecting only
       .partition { r => // fully inside: stats answer, no read
