@@ -104,6 +104,28 @@ class ManifestDirectReadSpec extends TestBase {
     assert(direct.size == 57)
   }
 
+  test("parity across multiple row groups in one part file") {
+    val root = scratch("rowgroups")
+    val man = s"$root/man_big"
+    import spark.implicits._
+    // ~1.2 MB of rows in one writer partition with a 64 KiB row-group
+    // target -> the single part file holds many row groups, so the
+    // readNextRowGroup loop is actually exercised past its first pass
+    val entries = (0 until 20000).map(i =>
+      (s"file_$i", i.toLong, i + 10L,
+        if (i % 7 == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(i * 3L), 1000L + i))
+      .toDF("file", "lo", "hi", "n_rows", "bytes")
+    entries.coalesce(1).write
+      .option("parquet.block.size", 64 * 1024)
+      .parquet(man)
+    val (direct, _) = GraftTable.readManifestRows(spark, man)
+    val (viaDf, _) = viaSpark(man)
+    assertSameRows(direct, viaDf)
+    assert(direct.size == 20000)
+    assert(direct.count(_.getAs[Any]("n_rows") == null) == 20000 / 7 + 1)
+  }
+
   test("reading a manifest schedules ZERO Spark jobs") {
     import spark.implicits._
     val root = scratch("zerojob")
