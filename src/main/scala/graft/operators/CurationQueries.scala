@@ -1522,6 +1522,52 @@ object CurationQueries {
       |FROM orders WHERE o_orderkey BETWEEN 1000 AND 3000
       |ORDER BY op""".stripMargin
 
+  // ---- 119. Shallow clone (Delta CLONE): branch the corpus by
+  // manifest reference — the clone's v=1 names the source snapshot's
+  // files (absolute paths), no data copied, and subsequent writes to
+  // the clone land in ITS data dir (COW branching). The pipeline use:
+  // fork a 100 TB training corpus for an ablation, append/merge the
+  // experiment's deltas, keep the source immutable — for the cost of
+  // one manifest write. The query proves both halves: the clone sees
+  // source ∪ its own appends; the source still sees only its own rows
+  // after the clone diverged. ----
+  val q119_shallow_clone: Q = (s, dir) => {
+    val srcOut = RelationalQueries.scratch("q119_src_layout", dir)
+    val srcMan = RelationalQueries.scratch("q119_src_manifest", dir)
+    val clOut = RelationalQueries.scratch("q119_clone_layout", dir)
+    val clMan = RelationalQueries.scratch("q119_clone_manifest", dir)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    val src = GraftTable(s, srcOut, srcMan, "o_orderkey")
+    src.create(o.filter(col("o_orderkey") % 5 === 0), 8)
+    val clone = src.shallowClone(1, clOut, clMan)
+    clone.commitAppend(
+      o.filter(col("o_orderkey") % 5 === 1)
+        .drop("o_orderstatus").withColumn("o_orderstatus", lit("X")), 1, 4)
+    def shape(df: DataFrame, side: String): DataFrame =
+      df.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_rows"),
+          dround(sum("o_totalprice"), 2).as("total"))
+        .withColumn("side", lit(side))
+    shape(clone.readAsOf(2), "clone")
+      .unionByName(shape(src.readAsOf(src.committedVersions.max), "source"))
+      .orderBy("side", "o_orderstatus")
+  }
+
+  val q119_shallow_clone_sql: String =
+    """SELECT * FROM (
+      |  SELECT 'clone' AS side, o_orderstatus, count(*) AS n_rows,
+      |    round(sum(o_totalprice), 2) AS total
+      |  FROM orders WHERE o_orderkey % 5 = 0 GROUP BY o_orderstatus
+      |  UNION ALL
+      |  SELECT 'clone', 'X', count(*), round(sum(o_totalprice), 2)
+      |  FROM orders WHERE o_orderkey % 5 = 1
+      |  UNION ALL
+      |  SELECT 'source', o_orderstatus, count(*),
+      |    round(sum(o_totalprice), 2)
+      |  FROM orders WHERE o_orderkey % 5 = 0 GROUP BY o_orderstatus
+      |) ORDER BY side, o_orderstatus""".stripMargin
+
   val q114_snapshot_sql_prune_sql: String =
     """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
       |  min(o_orderkey) AS min_key, max(o_custkey) AS max_cust
@@ -1656,6 +1702,7 @@ object CurationQueries {
     "q115_bloom_sql_prune" -> q115_bloom_sql_prune,
     "q116_datasource" -> q116_datasource,
     "q118_sql_changes" -> q118_sql_changes,
+    "q119_shallow_clone" -> q119_shallow_clone,
     "q68b_stratified_agg" -> q68b_stratified_agg,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
@@ -1690,6 +1737,7 @@ object CurationQueries {
     "q115_bloom_sql_prune" -> q115_bloom_sql_prune_sql,
     "q116_datasource" -> q116_datasource_sql,
     "q118_sql_changes" -> q118_sql_changes_sql,
+    "q119_shallow_clone" -> q119_shallow_clone_sql,
     // q68b: same selection as q68, bounded-heap agg instead of a window
     "q68b_stratified_agg" -> q68_stratified_sample_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,

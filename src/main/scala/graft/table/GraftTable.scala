@@ -254,19 +254,63 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     this
   }
 
+  /** SHALLOW CLONE (Delta `CLONE`/Iceberg snapshot-ref): a NEW table
+    * whose v=1 manifest references THIS table's snapshot-v data files —
+    * zero data bytes copied, so branching a 100 TB corpus for an
+    * experiment costs one manifest write. Manifest entries carry
+    * absolute file paths, so the clone reads, prunes, time-travels and
+    * CDCs through the ordinary machinery; its own appends/merges land
+    * in ITS data dir while untouched entries keep pointing at the
+    * source (COW branching).
+    *
+    * Deletion-safety, both directions:
+    *  - the clone's [[vacuum]] can never delete source bytes
+    *    STRUCTURALLY: vacuum's orphan scan lists only the clone's own
+    *    data dir, and source files are never in it (the distinct-dirs
+    *    requirement below is what makes that airtight);
+    *  - the SOURCE's vacuum knows nothing of clones — vacuuming the
+    *    source past still-referenced files breaks the clone. That
+    *    cross-table retention is the CALLER's contract, exactly as
+    *    Delta documents for shallow clones; the clone's `_table_props`
+    *    records `source=<man>@v=<v>` so an operator can find the
+    *    dependency before reclaiming.
+    *
+    * Destructive on the target (same overwrite contract as [[create]]). */
+  def shallowClone(v: Int, targetData: String, targetMan: String)
+      : GraftTable = {
+    require(isCommitted(v),
+      s"cannot clone uncommitted snapshot v=$v of $man")
+    require(new Path(targetMan) != new Path(man) &&
+      new Path(targetData) != new Path(data),
+      "a shallow clone needs its OWN manifest and data directories — " +
+        "sharing either with the source would let one table's vacuum " +
+        "reclaim files the other still references")
+    val clone = copy(data = targetData, man = targetMan)
+    val cloneManDir = new Path(targetMan)
+    if (clone.manFs.exists(cloneManDir)) clone.manFs.delete(cloneManDir, true)
+    clone.manFs.mkdirs(cloneManDir)
+    clone.dataFs.mkdirs(new Path(targetData))
+    clone.writeProps(provenance = Some(s"source=$man@v=$v"))
+    clone.commitManifest(manifest(v), 1)
+    clone
+  }
+
   /** Persist the table's declared shape (key + stats columns) next to
     * the version dirs, so a reader holding only the manifest path — the
     * `graft_snapshot` SQL surface — knows which data columns the
     * manifest boxes describe and can prune on them. Content is a pure
     * function of the table declaration, so concurrent (re)writes are
     * byte-identical; [[vacuum]] never touches it. */
-  private def writeProps(): Unit = {
+  private def writeProps(provenance: Option[String] = None): Unit = {
     manFs.mkdirs(new Path(man))
     val out = manFs.create(new Path(man, GraftTable.PropsFile), true)
     try out.write(
       (s"key=$key\nstats=${statsCols.mkString(",")}\n" +
         s"bloom=${bloomCols.mkString(",")}\ndata=$data\n" +
-        s"bloom_items=$bloomItems\nbloom_fpp=$bloomFpp\n").getBytes("UTF-8"))
+        s"bloom_items=$bloomItems\nbloom_fpp=$bloomFpp\n" +
+        // free-form provenance (e.g. a shallow clone's source ref);
+        // loadProps ignores unknown keys, so this is operator-facing
+        provenance.map(_ + "\n").getOrElse("")).getBytes("UTF-8"))
     finally out.close()
   }
 
