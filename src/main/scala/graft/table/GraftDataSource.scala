@@ -11,7 +11,8 @@ import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
-  DataSourceRegister, RelationProvider, StreamSourceProvider}
+  DataSourceRegister, RelationProvider, StreamSinkProvider,
+  StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** GraftTable as a first-class Spark data source — `format("graft")`:
@@ -46,7 +47,7 @@ import org.apache.spark.sql.types.StructType
   */
 final class GraftDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -126,6 +127,40 @@ final class GraftDataSource extends RelationProvider
       schema.getOrElse(latestSchema(spark, man)))
   }
 
+  private def declaredTable(spark: SparkSession, man: String,
+      opts: Map[String, String], props: Option[GraftTable.TableProps])
+      : GraftTable = {
+    val key = opts.get("key").orElse(props.flatMap(_.key)).getOrElse(
+      throw new IllegalArgumentException(
+        "creating a graft table needs .option(\"key\", <integral column>)"))
+    val data = opts.get("data").orElse(props.flatMap(_.data)).getOrElse(
+      throw new IllegalArgumentException(
+        "creating a graft table needs .option(\"data\", <data dir>)"))
+    def list(o: String) =
+      opts.get(o).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    GraftTable(spark, data, man, key, list("stats"), list("bloom"),
+      opts.get("bloomitems").map(_.trim.toLong)
+        .getOrElse(GraftTable.DefaultBloomItems),
+      opts.get("bloomfpp").map(_.trim.toDouble)
+        .getOrElse(GraftTable.DefaultBloomFpp))
+  }
+
+  private def existingTable(spark: SparkSession, man: String,
+      opts: Map[String, String], props: Option[GraftTable.TableProps])
+      : GraftTable = {
+    val p = props.getOrElse(throw new IllegalArgumentException(
+      s"$man carries no _table_props — appending needs a table created " +
+        "through GraftTable/format(\"graft\") (or recreate with mode(\"overwrite\"))"))
+    val key = p.key.getOrElse(throw new IllegalArgumentException(
+      s"$man's _table_props records no key — cannot append"))
+    val data = opts.get("data").orElse(p.data).getOrElse(
+      throw new IllegalArgumentException(
+        s"$man's _table_props records no data dir (pre-round-10 table) — " +
+          "pass .option(\"data\", <data dir>)"))
+    GraftTable(spark, data, man, key, p.statsCols, p.bloomCols,
+      p.bloomItems, p.bloomFpp)
+  }
+
   override def createRelation(ctx: SQLContext, mode: SaveMode,
       parameters: Map[String, String], df: DataFrame): BaseRelation = {
     val opts = CaseInsensitiveMap(parameters)
@@ -137,35 +172,8 @@ final class GraftDataSource extends RelationProvider
       GraftTable(spark, data = "", man = man, key = "")
         .committedVersions.nonEmpty
 
-    def declaredTable(): GraftTable = {
-      val key = opts.get("key").orElse(props.flatMap(_.key)).getOrElse(
-        throw new IllegalArgumentException(
-          "creating a graft table needs .option(\"key\", <integral column>)"))
-      val data = opts.get("data").orElse(props.flatMap(_.data)).getOrElse(
-        throw new IllegalArgumentException(
-          "creating a graft table needs .option(\"data\", <data dir>)"))
-      def list(o: String) =
-        opts.get(o).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-      GraftTable(spark, data, man, key, list("stats"), list("bloom"),
-        opts.get("bloomitems").map(_.trim.toLong)
-          .getOrElse(GraftTable.DefaultBloomItems),
-        opts.get("bloomfpp").map(_.trim.toDouble)
-          .getOrElse(GraftTable.DefaultBloomFpp))
-    }
-
-    def existingTable(): GraftTable = {
-      val p = props.getOrElse(throw new IllegalArgumentException(
-        s"$man carries no _table_props — appending needs a table created " +
-          "through GraftTable/format(\"graft\") (or recreate with mode(\"overwrite\"))"))
-      val key = p.key.getOrElse(throw new IllegalArgumentException(
-        s"$man's _table_props records no key — cannot append"))
-      val data = opts.get("data").orElse(p.data).getOrElse(
-        throw new IllegalArgumentException(
-          s"$man's _table_props records no data dir (pre-round-10 table) — " +
-            "pass .option(\"data\", <data dir>)"))
-      GraftTable(spark, data, man, key, p.statsCols, p.bloomCols,
-        p.bloomItems, p.bloomFpp)
-    }
+    def declaredTable(): GraftTable = this.declaredTable(spark, man, opts, props)
+    def existingTable(): GraftTable = this.existingTable(spark, man, opts, props)
 
     mode match {
       case SaveMode.Overwrite => declaredTable().create(df, nParts)
@@ -181,6 +189,73 @@ final class GraftDataSource extends RelationProvider
     }
     createRelation(ctx, parameters)
   }
+
+  // ---- streaming write: df.writeStream.format("graft").start(man) ----
+
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val opts = CaseInsensitiveMap(parameters)
+    val spark = ctx.sparkSession
+    val man = manifestOf(opts)
+    require(partitionColumns.isEmpty,
+      "format(\"graft\") streaming writes do not take partitionBy — file " +
+        "layout comes from the table's cluster key")
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"format(\"graft\") streaming writes are append-only snapshot " +
+        s"commits (got $outputMode) — aggregate upstream with " +
+        "foreachBatch + commitMerge for update semantics")
+    val appId = opts.getOrElse("appid",
+      throw new IllegalArgumentException(
+        "format(\"graft\") streaming writes need .option(\"appId\", <id>) — " +
+          "replay-detection tags are namespaced per checkpoint (the Delta " +
+          "txn appId): appId is 1:1 with the query's checkpoint; a NEW " +
+          "checkpoint against an existing table needs a NEW appId"))
+    val props = GraftTable.loadProps(spark, man)
+    val exists = props.isDefined &&
+      GraftTable(spark, data = "", man = man, key = "")
+        .committedVersions.nonEmpty
+    val table =
+      if (exists) existingTable(spark, man, opts, props)
+      else declaredTable(spark, man, opts, props).createEmpty()
+    new GraftStreamSink(spark, table, appId,
+      opts.get("numfiles").map(_.trim.toInt).getOrElse(2))
+  }
+}
+
+/** Manifest-committed streaming ingest as a v1 [[Sink]] — the
+  * `writeStream.format("graft")` face of `GraftStreams.
+  * ManifestIngestSink`, sharing its exactly-once contract verbatim:
+  * each micro-batch is one OCC append commit (new clustered files +
+  * one atomic manifest rename), replay detection keys on the
+  * `<appId>-batch<id>` tag recorded atomically inside the committed
+  * version — never on version arithmetic, so maintenance commits
+  * (OPTIMIZE) interleave without shifting a batch onto an
+  * already-committed version — and a crash between data-write and
+  * manifest commit leaves only unreferenced orphans that the replay
+  * supersedes and vacuum reclaims. Declared stats/bloom columns flow
+  * through every commit, so the streamed table prunes like a batch
+  * one. */
+final class GraftStreamSink(spark: SparkSession, table: GraftTable,
+    appId: String, nParts: Int)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val tag = s"$appId-batch$batchId"
+    if (table.tagCommitted(tag))
+      return // committed replay — even if vacuum expired the version,
+             // the _tags ledger still remembers the batch
+    // the incoming DataFrame is bound to the micro-batch's incremental
+    // execution and cannot be re-planned by the batch write inside
+    // commitAppendOcc — rebind its rows as a batch DataFrame first
+    val batch = org.apache.spark.sql.GraftSqlBridge.asBatch(spark, data)
+    table.commitAppendOcc(batch, nParts, tag = Some(tag))
+    ()
+  }
+
+  override def toString: String =
+    s"GraftStreamSink(man=${table.man}, appId=$appId)"
 }
 
 /** The committed-rows CHANGE FEED of a GraftTable as a v1 streaming

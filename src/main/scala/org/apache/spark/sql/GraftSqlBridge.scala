@@ -31,6 +31,19 @@ object GraftSqlBridge {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** A BATCH DataFrame over a streaming micro-batch's rows — what a v1
+    * streaming [[org.apache.spark.sql.execution.streaming.Sink]]'s
+    * `addBatch` needs before handing the data to batch writers: the
+    * incoming DataFrame is bound to the micro-batch's
+    * IncrementalExecution and cannot be re-planned by batch actions
+    * (Delta's DeltaSink does this same hop). Rows are copied — the
+    * incremental execution reuses unsafe-row buffers. */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd.map(_.copy()), df.schema, isStreaming = false)
+  }
+
   /** Session-aware EAGER Column -> catalyst Expression conversion.
     * `expression(c)` (ExpressionUtils) wraps API-built nodes like
     * `.cast(...)` in a lazy ColumnNodeExpression whose dataType reads

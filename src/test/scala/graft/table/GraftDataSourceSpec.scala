@@ -179,6 +179,82 @@ class GraftDataSourceSpec extends TestBase {
     } finally q.stop()
   }
 
+  test("writeStream.format(graft): batches become snapshot commits, exactly once across restart") {
+    import spark.implicits._
+    val (data, man) = freshDirs("wsink")
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_ds_wsink_src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ds_wsink_ckpt").toString
+
+    def feed(ids: Range): Unit =
+      ids.map(i => (i.toLong, i * 10L)).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    def start() = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("appId", "wsink-spec")
+      .option("key", "id").option("data", data)
+      .start(man)
+
+    feed(0 until 40)
+    feed(40 until 70)
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+
+    val t = GraftTable(spark, data, man, "id")
+    assert(t.committedVersions.min == 1, "empty initial snapshot missing")
+    assert(t.committedVersions.max >= 3, // empty v1 + >=2 batch commits
+      s"expected one commit per micro-batch, saw ${t.committedVersions}")
+    assert(spark.read.format("graft").load(man).count() == 70)
+
+    // restart on the SAME checkpoint + appId: a replayed batch is a
+    // tag-detected no-op, new data still lands — exactly once overall
+    feed(70 until 100)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = spark.read.format("graft").load(man)
+      .select("id").collect().map(_.getLong(0))
+    assert(ids.length == 100 && ids.toSet == (0L until 100L).toSet,
+      s"expected exactly 0..99 once each, got ${ids.length} rows")
+    // the streamed table prunes like a batch one (key boxes recorded)
+    val pruned = scannedFileCount(spark.read.format("graft").load(man)
+      .filter(col("id") < 5))
+    val all = scannedFileCount(spark.read.format("graft").load(man))
+    assert(pruned < all, s"streamed commits did not gain pruning: $pruned/$all")
+  }
+
+  test("writeStream.format(graft) rejects missing appId and non-append modes") {
+    import spark.implicits._
+    val (data, man) = freshDirs("wsink_err")
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_ds_wsinkerr_src").toString
+    Seq((1L, 1L)).toDF("id", "v").write.mode("append").parquet(srcDir)
+    def reader = spark.readStream
+      .schema("id LONG, v LONG").parquet(srcDir)
+
+    val noApp = intercept[Exception] {
+      reader.writeStream.format("graft")
+        .option("key", "id").option("data", data).start(man)
+    }
+    assert(noApp.getMessage.contains("appId"), noApp.getMessage)
+
+    val badMode = intercept[Exception] {
+      reader.groupBy($"id").count()
+        .writeStream.format("graft").outputMode("complete")
+        .option("appId", "x").option("key", "id").option("data", data)
+        .start(man)
+    }
+    assert(badMode.getMessage.contains("append-only") ||
+      badMode.getMessage.contains("Complete"), badMode.getMessage)
+  }
+
   test("reading a non-table directory fails with a diagnosable error") {
     val bogus = java.nio.file.Files.createTempDirectory("graft_ds_bogus")
     val e = intercept[IllegalArgumentException] {
