@@ -112,10 +112,37 @@ final class GraftDataSource extends RelationProvider
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String, parameters: Map[String, String])
-      : (String, StructType) =
+      : (String, StructType) = {
+    val opts = CaseInsensitiveMap(parameters)
     (shortName(),
       schema.getOrElse(
-        latestSchema(ctx.sparkSession, manifestOf(CaseInsensitiveMap(parameters)))))
+        if (wantsChangeFeed(opts)) cdfSchema(ctx.sparkSession, manifestOf(opts))
+        else latestSchema(ctx.sparkSession, manifestOf(opts))))
+  }
+
+  private def wantsChangeFeed(opts: Map[String, String]): Boolean =
+    opts.get("readchangefeed").exists(_.trim.equalsIgnoreCase("true"))
+
+  /** The row-level change-feed schema: key, `old_<c>` and `new_<c>`
+    * value columns, op, _commit_version — `GraftTable.cdc`'s shape plus
+    * the commit version, derived from the latest snapshot's data schema
+    * and the props-declared key (CDF pairs old/new rows on the key). */
+  private def cdfSchema(spark: SparkSession, man: String): StructType = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val dataSchema = latestSchema(spark, man)
+    val key = GraftTable.loadProps(spark, man).flatMap(_.key).getOrElse(
+      throw new IllegalArgumentException(
+        s"readChangeFeed needs the table key, but $man's _table_props " +
+          "records none — CDF pairs old/new rows on the key"))
+    val keyField = dataSchema(dataSchema.fieldIndex(key))
+    val values = dataSchema.filterNot(_.name == key)
+    StructType(
+      keyField +:
+        (values.map(f => StructField(s"old_${f.name}", f.dataType)) ++
+          values.map(f => StructField(s"new_${f.name}", f.dataType)) ++
+          Seq(StructField("op", StringType),
+            StructField("_commit_version", LongType))))
+  }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
@@ -123,8 +150,12 @@ final class GraftDataSource extends RelationProvider
     val opts = CaseInsensitiveMap(parameters)
     val man = manifestOf(opts)
     val spark = ctx.sparkSession
-    new GraftStreamSource(spark, man,
-      schema.getOrElse(latestSchema(spark, man)))
+    if (wantsChangeFeed(opts))
+      new GraftChangeFeedSource(spark, man,
+        schema.getOrElse(cdfSchema(spark, man)))
+    else
+      new GraftStreamSource(spark, man,
+        schema.getOrElse(latestSchema(spark, man)))
   }
 
   private def declaredTable(spark: SparkSession, man: String,
@@ -262,13 +293,17 @@ final class GraftStreamSink(spark: SparkSession, table: GraftTable,
   * [[Source]] — `spark.readStream.format("graft").load(man)`: the
   * stream offset IS the committed snapshot version (one atomic rename
   * = one offset increment), and a micro-batch delivers the rows of
-  * exactly the files version `end` references that version `start` did
-  * not. Crash orphans never deliver (no manifest references them);
-  * recovery recomputes the same file diff from the same immutable
-  * manifests, so delivery is exactly-once per file. Contract is
-  * append-only consumption, same as `GraftStreams.committedRowsStream`
-  * (a compaction/merge re-adds its replacement files; row-level diffs
-  * are `cdc`'s job), and vacuum retention must exceed the slowest
+  * exactly the files each DATA-CHANGING commit in (start, end] newly
+  * references. Crash orphans never deliver (no manifest references
+  * them); recovery recomputes the same file diff from the same
+  * immutable manifests, so delivery is exactly-once per file. A
+  * layout-only commit (OPTIMIZE) carries the `dataChange=false` marker
+  * and delivers NOTHING — its repacked files are content-identical by
+  * construction, so compaction can run under a live stream without
+  * re-delivering the table (the Delta CDF rule). Contract is
+  * append-only consumption (a MERGE's rewritten files re-deliver their
+  * rows; row-level diffs are `cdc`'s job), and vacuum retention must
+  * exceed the slowest
   * consumer's lag — reading a vacuumed start version fails loudly
   * rather than silently re-delivering the whole table. Planning per
   * trigger is O(#files) driver-side, the module contract. */
@@ -286,18 +321,42 @@ final class GraftStreamSource(spark: SparkSession, man: String,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val vEnd = version(end)
-    val seen: Set[String] = start match {
-      case None => Set.empty // fresh stream: replay the whole snapshot
+    val fresh: Seq[String] = start match {
+      case None => probe.files(vEnd) // fresh stream: replay the snapshot
       case Some(o) =>
-        val v = version(o)
-        if (!probe.isCommitted(v))
-          throw new IllegalStateException(
-            s"stream start version v=$v of $man no longer exists — vacuum " +
-              "expired it before this consumer caught up; vacuum retention " +
-              "must exceed the slowest consumer's lag")
-        probe.files(v).toSet
+        // walk (vStart, vEnd] version by version: deliver each
+        // DATA-CHANGING commit's newly referenced files; a layout-only
+        // commit (OPTIMIZE, dataChange=false) re-adds content-identical
+        // repacks, which are skipped but still advance the seen set —
+        // without the walk, a compaction inside the range would
+        // re-deliver every repacked row. Intermediate versions are
+        // retained whenever the start is (vacuum horizons are
+        // contiguous), so a missing one is the same retention failure
+        // as a missing start. O(#versions-in-range x #files) driver
+        // planning per trigger — the module contract, and the range is
+        // 1-2 versions per trigger in steady state.
+        val v0 = version(o)
+        var seen: Set[String] = {
+          if (!probe.isCommitted(v0))
+            throw new IllegalStateException(
+              s"stream start version v=$v0 of $man no longer exists — " +
+                "vacuum expired it before this consumer caught up; vacuum " +
+                "retention must exceed the slowest consumer's lag")
+          probe.files(v0).toSet
+        }
+        val out = Seq.newBuilder[String]
+        ((v0 + 1) to vEnd).foreach { v =>
+          if (!probe.isCommitted(v))
+            throw new IllegalStateException(
+              s"stream version v=$v of $man no longer exists — vacuum " +
+                "expired it before this consumer caught up; vacuum " +
+                "retention must exceed the slowest consumer's lag")
+          val fv = probe.files(v)
+          if (probe.dataChange(v)) out ++= fv.filterNot(seen)
+          seen = fv.toSet
+        }
+        out.result()
     }
-    val fresh = probe.files(vEnd).filterNot(seen)
     val batch =
       if (fresh.nonEmpty) spark.read.schema(schema).parquet(fresh: _*)
       else spark.createDataFrame(
@@ -308,6 +367,96 @@ final class GraftStreamSource(spark: SparkSession, man: String,
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftStreamSource[$man]"
+}
+
+/** ROW-LEVEL change feed as a stream — `spark.readStream.format("graft")
+  * .option("readChangeFeed", "true").load(man)` (Delta's streaming
+  * `table_changes`): each data-changing commit becomes a micro-batch of
+  * `GraftTable.cdc(v-1, v)` rows — (key, old_*, new_*, op) — stamped
+  * with `_commit_version`. The initial snapshot delivers as `insert`
+  * ops (Delta's starting-snapshot rule). The cdc read touches only each
+  * commit's churned files (the COW symmetric difference), layout-only
+  * commits (OPTIMIZE, `dataChange=false`) deliver nothing, and recovery
+  * recomputes the same diffs from the same immutable manifests —
+  * exactly-once per commit. Vacuum retention must exceed consumer lag;
+  * an expired version fails loudly. */
+final class GraftChangeFeedSource(spark: SparkSession, man: String,
+    override val schema: StructType) extends Source {
+
+  private val table: GraftTable = {
+    val p = GraftTable.loadProps(spark, man)
+    val key = p.flatMap(_.key).getOrElse(
+      throw new IllegalArgumentException(
+        s"readChangeFeed needs the table key, but $man's _table_props " +
+          "records none"))
+    GraftTable(spark, data = p.flatMap(_.data).getOrElse(""), man = man,
+      key = key)
+  }
+
+  private def version(o: V1Offset): Int = o.json.trim.toInt
+
+  private def requireCommitted(v: Int): Unit =
+    if (!table.isCommitted(v))
+      throw new IllegalStateException(
+        s"change-feed version v=$v of $man no longer exists — vacuum " +
+          "expired it before this consumer caught up; vacuum retention " +
+          "must exceed the slowest consumer's lag")
+
+  override def getOffset: Option[V1Offset] = {
+    val vs = table.committedVersions
+    if (vs.isEmpty) None else Some(LongOffset(vs.max.toLong))
+  }
+
+  /** Align a cdc/insert-shaped frame to the declared CDF schema (column
+    * order + the version stamp). */
+  private def shape(df: DataFrame, v: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    df.withColumn("_commit_version", lit(v.toLong))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val vEnd = version(end)
+    val pieces: Seq[DataFrame] = start match {
+      case None =>
+        // starting snapshot as inserts: every current row, old_* NULL
+        requireCommitted(vEnd)
+        val files = table.files(vEnd)
+        if (files.isEmpty) Nil
+        else {
+          val snap = spark.read.parquet(files: _*)
+          val values = snap.columns.filterNot(_ == table.key).toSeq
+          Seq(shape(snap.select(
+            col(table.key) +:
+              (values.map(c => lit(null).cast(snap.schema(c).dataType)
+                .as(s"old_$c")) ++
+                values.map(c => col(c).as(s"new_$c")) :+
+                lit("insert").as("op")): _*), vEnd))
+        }
+      case Some(o) =>
+        val v0 = version(o)
+        requireCommitted(v0)
+        ((v0 + 1) to vEnd).flatMap { v =>
+          requireCommitted(v)
+          // a no-op commit (e.g. an empty streamed batch) changes no
+          // files — skipping it also keeps cdc away from its
+          // empty-diff-of-an-empty-table loud path
+          val changed = table.files(v).toSet != table.files(v - 1).toSet
+          if (table.dataChange(v) && changed)
+            Some(shape(table.cdc(v - 1, v), v))
+          else None // OPTIMIZE/no-op: nothing to deliver
+        }
+    }
+    val batch = pieces.reduceOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema))
+    org.apache.spark.sql.GraftSqlBridge.asStreaming(spark, batch)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftChangeFeedSource[$man]"
 }
 
 /** The committed manifest AS a [[FileIndex]] — nothing is ever listed

@@ -163,7 +163,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * like OPTIMIZE can interleave without shifting any batch onto an
     * already-committed version number). */
   def tryCommitManifest(entries: DataFrame, v: Int,
-      tag: Option[String] = None): Boolean = {
+      tag: Option[String] = None, noData: Boolean = false): Boolean = {
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(man, s"_tmp_v${v}_$attempt")
     entries.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -175,6 +175,12 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       require(touch(manFs, new Path(tmp, s"_tag_$t")),
         s"could not record commit tag $t")
     }
+    // Delta's dataChange=false: a content-identical layout commit
+    // (OPTIMIZE) marks itself so change-feed consumers can skip its
+    // re-added files instead of re-delivering repacked rows
+    if (noData)
+      require(touch(manFs, new Path(tmp, GraftTable.NoDataMarker)),
+        "could not record the no-data (layout-only) marker")
     val won = GraftTable.atomicPublish(manFs, tmp,
       new Path(manifestPath(v)), witness = s"_commit_$attempt")
     if (!won) manFs.delete(tmp, true)
@@ -207,6 +213,14 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
           s"($winnerN entries vs our $oursN) — concurrent non-replay " +
           "writers on one version; use commitAppendOcc for multi-writer tables")
     }
+
+  /** Whether version v's commit changed row content (Delta's
+    * `dataChange`): false only for layout-only commits (OPTIMIZE) that
+    * recorded the no-data marker. Pre-marker manifests read as true —
+    * conservative for change-feed consumers (at worst a re-delivery,
+    * never a missed row). */
+  def dataChange(v: Int): Boolean =
+    !manFs.exists(new Path(manifestPath(v), GraftTable.NoDataMarker))
 
   /** The committed version carrying `tag`, if any — O(#versions)
     * driver-side, like all manifest planning. */
@@ -480,7 +494,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         if (tryCommitManifest(
             manifest(base).filter(!col("file").isin(smallFiles: _*))
               .unionByName(if (added.isEmpty) emptyEntries else fileStats(added)),
-            base + 1))
+            base + 1, noData = true)) // content-identical: dataChange=false
           return small.length
         // lost: this attempt's packed output becomes vacuum-reclaimable
         // orphans; replan from the winner's version
@@ -701,6 +715,10 @@ object GraftTable {
     StructField("bytes", LongType)))
 
   private[table] val PropsFile = "_table_props"
+
+  /** Marker riding a layout-only commit (OPTIMIZE) — Delta's
+    * `dataChange=false`. */
+  private[table] val NoDataMarker = "_nodata"
 
   /** A table's declared shape as persisted in its `_table_props` file —
     * what makes a manifest dir self-describing: a reader or writer

@@ -159,9 +159,11 @@ class GraftDataSourceSpec extends TestBase {
       .coalesce(1).write.mode("append").parquet(data)
 
     val seen = scala.collection.mutable.Set[Long]()
+    val nDelivered = new java.util.concurrent.atomic.AtomicLong(0)
     val q = spark.readStream.format("graft").load(man)
       .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         val ids = b.select("o_orderkey").collect().map(_.getLong(0))
+        nDelivered.addAndGet(ids.length)
         seen.synchronized { ids.foreach(seen += _) }
       }.start()
     try {
@@ -176,6 +178,87 @@ class GraftDataSourceSpec extends TestBase {
       val all = orders.select("o_orderkey").collect().map(_.getLong(0)).toSet
       assert(seen.synchronized(seen.toSet) == all,
         "new commit not delivered exactly once")
+
+      // OPTIMIZE under the live stream: dataChange=false, so the
+      // repacked (content-identical) files must NOT re-deliver — the
+      // ROW counter is the witness (re-delivered rows carry already-
+      // seen keys, so the key set alone could not catch them)
+      val deliveredBefore = nDelivered.get()
+      val packed = t.commitCompaction(t.committedVersions.max,
+        targetBytes = 1L << 30)
+      assert(packed > 1, s"compaction packed nothing (packed=$packed)")
+      q.processAllAvailable()
+      assert(nDelivered.get() == deliveredBefore,
+        s"compaction re-delivered ${nDelivered.get() - deliveredBefore} " +
+          "repacked rows through the stream")
+      // ...while an append AFTER the compaction still delivers exactly
+      // its own rows (the walk advanced the seen set past the repack)
+      t.commitAppendOcc(orders.orderBy("o_orderkey").limit(7).select(
+        (col("o_orderkey") + 95000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice")))
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) ==
+        all ++ all.toSeq.sorted.take(7).map(_ + 95000000L),
+        "post-compaction append not delivered exactly once")
+    } finally q.stop()
+  }
+
+  test("readChangeFeed stream: row-level ops per commit, snapshot as inserts, OPTIMIZE silent") {
+    val (data, man) = freshDirs("cdf")
+    val t = GraftTable(spark, data, man, "o_orderkey")
+    val base = orders.filter(col("o_orderkey") <= 2000)
+    t.create(base, 3)
+
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").load(man)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("op", "_commit_version", "o_orderkey").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        got.synchronized { rows.foreach(got += _) }
+      }.start()
+    try {
+      q.processAllAvailable()
+      val n0 = base.count()
+      assert(got.synchronized(got.size) == n0,
+        s"snapshot delivered ${got.size} of $n0 rows")
+      assert(got.synchronized(got.forall(c => c._1 == "insert" && c._2 == 1L)),
+        "starting snapshot must deliver as insert@v1")
+
+      // a merge delivers row-level update/insert ops stamped v=2;
+      // rewritten-but-unchanged survivors do NOT deliver (cdc contract)
+      val updates = base.filter(col("o_orderkey") <= 300)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+      // strictly positive keys only: -0 would collide with an existing
+      // identical row 0 and (correctly) drop as an unchanged survivor
+      val inserts = base.filter(col("o_orderkey").between(1, 40))
+        .select((-col("o_orderkey")).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      val nUpd = updates.count(); val nIns = inserts.count()
+      t.commitMerge(updates.unionByName(inserts), 1)
+      q.processAllAvailable()
+      val d2 = got.synchronized(got.filter(_._2 == 2L).toList)
+      assert(d2.count(_._1 == "update") == nUpd &&
+        d2.count(_._1 == "insert") == nIns && d2.size == nUpd + nIns,
+        s"merge CDF: ${d2.groupBy(_._1).view.mapValues(_.size).toMap} " +
+          s"vs expected update=$nUpd insert=$nIns")
+
+      // OPTIMIZE: dataChange=false, the change feed stays silent
+      val before = got.synchronized(got.size)
+      assert(t.commitCompaction(t.committedVersions.max, 1L << 30) > 1)
+      q.processAllAvailable()
+      assert(got.synchronized(got.size) == before,
+        "compaction delivered rows through the change feed")
+
+      // post-compaction append delivers its own inserts at v=4
+      t.commitAppend(base.filter(col("o_orderkey") <= 16)
+        .select((col("o_orderkey") + 97000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice")), t.committedVersions.max)
+      q.processAllAvailable()
+      val d4 = got.synchronized(got.filter(_._3 >= 97000000L).toList)
+      assert(d4.nonEmpty && d4.forall(c => c._1 == "insert" && c._2 == 4L),
+        s"post-compaction append CDF wrong: ${d4.take(3)}")
     } finally q.stop()
   }
 
