@@ -496,6 +496,13 @@ object GraftStreams {
       schema: org.apache.spark.sql.types.StructType)(
       process: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery =
+    // NOTE: this is the built-from-existing-primitives construction (a
+    // file stream over the manifest dir) and delivers at FILE
+    // granularity — it cannot see per-version markers, so an OPTIMIZE's
+    // content-identical repacks re-deliver here. The first-class
+    // `readStream.format("graft")` source (GraftStreamSource) walks
+    // versions and honors dataChange=false; prefer it on tables that
+    // compact under a live stream.
     spark.readStream
       .schema(graft.table.GraftTable.manifestSchema)
       .parquet(s"$man/v=*")
