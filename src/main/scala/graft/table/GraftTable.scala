@@ -815,14 +815,22 @@ object GraftTable {
         "manifest (existence of a version dir implies a complete rename)")
 
     var sparkSchema: StructType = null
+    var firstMsg: org.apache.parquet.schema.MessageType = null
     val out = Seq.newBuilder[Row]
     parts.foreach { st =>
       val reader =
         ParquetFileReader.open(HadoopInputFile.fromPath(st.getPath, conf))
       try {
         val msg = reader.getFooter.getFileMetaData.getSchema
-        // flat-primitive schema mapping; one writer job per manifest,
-        // so every part shares the first footer's schema
+        // flat-primitive schema mapping; rows are decoded by FIELD
+        // INDEX against the first footer's schema, so a part whose
+        // column order/types drifted (manifests grown by separate
+        // append jobs) must fail loudly, never decode shifted
+        if (firstMsg == null) firstMsg = msg
+        else require(msg == firstMsg,
+          s"manifest part ${st.getPath.getName} schema differs from the " +
+            s"first part's — $dirPath mixes writer schemas:\n$msg\nvs\n" +
+            firstMsg)
         if (sparkSchema == null) sparkSchema = StructType(
           (0 until msg.getFieldCount).map { i =>
             val f = msg.getType(i)

@@ -169,6 +169,22 @@ class ManifestDirectReadSpec extends TestBase {
     assert(e.getMessage.contains("no parquet files"))
   }
 
+  test("parts with drifted column order are rejected, never decoded shifted") {
+    import spark.implicits._
+    val root = scratch("drift")
+    val man = s"$root/man_drift"
+    (0 until 5).map(i => (s"f$i", i.toLong)).toDF("file", "lo")
+      .coalesce(1).write.parquet(man)
+    // a second appended part with the columns SWAPPED: index-based
+    // decoding would silently write lo values into `file`
+    (0 until 5).map(i => (i.toLong, s"g$i")).toDF("lo", "file")
+      .coalesce(1).write.mode("append").parquet(man)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.readManifestRows(spark, man)
+    }
+    assert(e.getMessage.contains("mixes writer schemas"), e.getMessage)
+  }
+
   test("a nested-schema parquet is rejected as not-a-manifest") {
     import spark.implicits._
     val root = scratch("nested")
