@@ -141,6 +141,21 @@ class TableInvariantSpec extends TestBase {
       }
       check()
     }
+
+    // epilogue: branch at a random retained version, then diverge the
+    // source and prove the branch is frozen at its model
+    val cloneAt = models.keys.toSeq.sorted.apply(rnd.nextInt(models.size))
+    val cl = t.shallowClone(cloneAt,
+      s"$root/clone_data", s"$root/clone_man")
+    assert(readModel(cl.readAsOf(1)) == models(cloneAt),
+      s"seed=$seed: clone@v=$cloneAt != model")
+    val extra = freshRows(15)
+    t.commitAppend(toDf(extra), latest, 2)
+    latest += 1
+    models += latest -> (models(latest - 1) ++ extra)
+    check()
+    assert(readModel(cl.readAsOf(1)) == models(cloneAt),
+      s"seed=$seed: source divergence leaked into the clone")
   }
 
   test("op-sequence fuzz, seed 1: model equivalence holds across 14 ops") {
