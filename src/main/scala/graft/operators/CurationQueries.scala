@@ -1568,6 +1568,73 @@ object CurationQueries {
       |  FROM orders WHERE o_orderkey % 5 = 0 GROUP BY o_orderstatus
       |) ORDER BY side, o_orderstatus""".stripMargin
 
+  // ---- 120. Incremental aggregate maintenance from the change feed
+  // (materialized-view maintenance, the Delta/Materialize IVM pattern):
+  // a per-customer summary is maintained by applying cdc(v1, v2)
+  // DELTAS — each change row contributes (-old) at its old group and
+  // (+new) at its new group, handling updates that MOVE groups — never
+  // by rescanning the table. At 100 TB this is the difference between
+  // reading a commit's churn (~0.2% of the table) and recomputing the
+  // aggregate over everything. Amounts are integer CENTS so the
+  // incremental sum is exactly associative: the DuckDB oracle
+  // recomputes the merged state from scratch, and hash-equality of the
+  // two results IS the IVM correctness proof. ----
+  val q120_incremental_agg: Q = (s, dir) => {
+    val out = RelationalQueries.scratch("q120_layout", dir)
+    val man = RelationalQueries.scratch("q120_manifest", dir)
+    val base = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val tbl = GraftTable(s, out, man, "o_orderkey")
+    tbl.create(base, 8)
+    // v1 summary — the expensive full aggregate, computed ONCE
+    val summary0 = tbl.readAsOf(1).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("total_cents"))
+    val updates = base.filter(col("o_orderkey").between(500, 1500))
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("cents") + 1000L).as("cents"))
+    val inserts = base.filter(col("o_orderkey").between(1, 40))
+      .select((-col("o_orderkey")).as("o_orderkey"),
+        col("o_custkey"), col("cents"))
+    tbl.commitMerge(updates.unionByName(inserts), 1)
+    // maintenance: fold the change feed into group-keyed deltas
+    val delta = tbl.cdc(1, 2)
+    val minus = delta.filter(col("op").isin("update", "delete"))
+      .select(col("old_o_custkey").as("o_custkey"),
+        lit(-1L).as("dn"), (-col("old_cents")).as("dc"))
+    val plus = delta.filter(col("op").isin("update", "insert"))
+      .select(col("new_o_custkey").as("o_custkey"),
+        lit(1L).as("dn"), col("new_cents").as("dc"))
+    val d = minus.unionByName(plus).groupBy("o_custkey")
+      .agg(sum("dn").as("dn"), sum("dc").as("dc"))
+    summary0.join(d, Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        (coalesce(col("n_orders"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_orders"),
+        (coalesce(col("total_cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as("total_cents"))
+      .filter(col("n_orders") > 0)
+      .orderBy("o_custkey")
+  }
+
+  val q120_incremental_agg_sql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |), merged AS (
+      |  SELECT o_custkey,
+      |    cents + CASE WHEN o_orderkey BETWEEN 500 AND 1500
+      |                 THEN 1000 ELSE 0 END AS cents
+      |  FROM base
+      |  UNION ALL
+      |  SELECT o_custkey, cents FROM base WHERE o_orderkey BETWEEN 1 AND 40
+      |)
+      |SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(sum(cents) AS BIGINT) AS total_cents
+      |FROM merged GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val q114_snapshot_sql_prune_sql: String =
     """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
       |  min(o_orderkey) AS min_key, max(o_custkey) AS max_cust
@@ -1703,6 +1770,7 @@ object CurationQueries {
     "q116_datasource" -> q116_datasource,
     "q118_sql_changes" -> q118_sql_changes,
     "q119_shallow_clone" -> q119_shallow_clone,
+    "q120_incremental_agg" -> q120_incremental_agg,
     "q68b_stratified_agg" -> q68b_stratified_agg,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
@@ -1738,6 +1806,7 @@ object CurationQueries {
     "q116_datasource" -> q116_datasource_sql,
     "q118_sql_changes" -> q118_sql_changes_sql,
     "q119_shallow_clone" -> q119_shallow_clone_sql,
+    "q120_incremental_agg" -> q120_incremental_agg_sql,
     // q68b: same selection as q68, bounded-heap agg instead of a window
     "q68b_stratified_agg" -> q68_stratified_sample_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,
