@@ -165,4 +165,12 @@ class TableInvariantSpec extends TestBase {
   test("op-sequence fuzz, seed 42: model equivalence holds across 14 ops") {
     runSeed(seed = 42, nOps = 14)
   }
+
+  test("op-sequence fuzz, seed 7: model equivalence holds across 14 ops") {
+    runSeed(seed = 7, nOps = 14)
+  }
+
+  test("op-sequence fuzz, seed 123: model equivalence holds across 14 ops") {
+    runSeed(seed = 123, nOps = 14)
+  }
 }
