@@ -75,6 +75,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "between two committed snapshots (insert|update|delete); reads " +
           "only the churned files"),
       (es: Seq[Expression]) => graft.table.SnapshotSql.changesPlan(es)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_history"),
+      info("graft_history",
+        "graft_history(manifestDir) - one row per committed snapshot: " +
+          "(version, n_files, n_rows, bytes, data_change, commit_ts); " +
+          "computed from manifests alone, no data read"),
+      (es: Seq[Expression]) => graft.table.SnapshotSql.historyPlan(es)))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",

@@ -1635,6 +1635,43 @@ object CurationQueries {
       |  CAST(sum(cents) AS BIGINT) AS total_cents
       |FROM merged GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  // ---- 121. Table history from SQL: graft_history('<man>') — Delta's
+  // DESCRIBE HISTORY. One row per committed snapshot with file/row
+  // counts and the dataChange flag, computed from manifests and commit
+  // markers alone (zero data reads, zero Spark jobs — the direct
+  // manifest reader). The history SHAPE is deterministic — clustered
+  // create (8 files) -> append (4 more) -> OPTIMIZE (packs all 12 into
+  // 1, dataChange=false) — so the DuckDB oracle states it literally
+  // with counts recomputed from orders. commit_ts/bytes are excluded
+  // from the checked projection (wall-clock and compression are not
+  // deterministic). ----
+  val q121_sql_history: Q = (s, dir) => {
+    graft.table.SnapshotSql.register(s)
+    val out = RelationalQueries.scratch("q121_layout", dir)
+    val man = RelationalQueries.scratch("q121_manifest", dir)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val tbl = GraftTable(s, out, man, "o_orderkey")
+    tbl.create(o.filter(col("o_orderkey") % 4 === 0), 8)
+    tbl.commitAppend(o.filter(col("o_orderkey") % 4 === 1), 1, 4)
+    tbl.commitCompaction(2, targetBytes = 1L << 30) // packs 12 -> 1
+    s.sql(
+      s"""SELECT version, n_files, n_rows, data_change
+         |FROM graft_history('$man') ORDER BY version""".stripMargin)
+  }
+
+  val q121_sql_history_sql: String =
+    """WITH b AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 4 = 0),
+      |     a AS (SELECT count(*) AS n FROM orders WHERE o_orderkey % 4 = 1)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS version, CAST(8 AS BIGINT) AS n_files,
+      |    (SELECT n FROM b) AS n_rows, TRUE AS data_change
+      |  UNION ALL
+      |  SELECT 2, 12, (SELECT n FROM b) + (SELECT n FROM a), TRUE
+      |  UNION ALL
+      |  SELECT 3, 1, (SELECT n FROM b) + (SELECT n FROM a), FALSE
+      |) ORDER BY version""".stripMargin
+
   val q114_snapshot_sql_prune_sql: String =
     """SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
       |  min(o_orderkey) AS min_key, max(o_custkey) AS max_cust
@@ -1771,6 +1808,7 @@ object CurationQueries {
     "q118_sql_changes" -> q118_sql_changes,
     "q119_shallow_clone" -> q119_shallow_clone,
     "q120_incremental_agg" -> q120_incremental_agg,
+    "q121_sql_history" -> q121_sql_history,
     "q68b_stratified_agg" -> q68b_stratified_agg,
     "q78_dict_encode" -> q78_dict_encode,
     "q79_equidepth" -> q79_equidepth,
@@ -1807,6 +1845,7 @@ object CurationQueries {
     "q118_sql_changes" -> q118_sql_changes_sql,
     "q119_shallow_clone" -> q119_shallow_clone_sql,
     "q120_incremental_agg" -> q120_incremental_agg_sql,
+    "q121_sql_history" -> q121_sql_history_sql,
     // q68b: same selection as q68, bounded-heap agg instead of a window
     "q68b_stratified_agg" -> q68_stratified_sample_sql,
     "q78_dict_encode" -> q78_dict_encode_sql,

@@ -664,6 +664,27 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     orphans
   }
 
+  /** DESCRIBE HISTORY (the Delta surface): one row per committed
+    * version — (version, n_files, n_rows, bytes, data_change,
+    * commit_ts) — computed from manifests and commit markers alone
+    * (O(#versions x #files) driver-side, zero data reads, zero Spark
+    * jobs via the direct manifest reader). `bytes` is NULL for
+    * manifests from before the column existed. */
+  def history(): DataFrame = {
+    import spark.implicits._
+    committedVersions.map { v =>
+      val rows = GraftTable.readManifestRows(spark, manifestPath(v))._1
+      def sumCol(c: String): Option[Long] =
+        if (rows.isEmpty) Some(0L)
+        else if (!rows.head.schema.fieldNames.contains(c)) None
+        else Some(rows.map(r => Option(r.getAs[Number](c))
+          .map(_.longValue).getOrElse(0L)).sum)
+      (v.toLong, rows.size.toLong, sumCol("n_rows"), sumCol("bytes"),
+        dataChange(v), new java.sql.Timestamp(commitTimeOf(v)))
+    }.toDF("version", "n_files", "n_rows", "bytes", "data_change",
+      "commit_ts")
+  }
+
   /** Incremental CDC `vFrom -> vTo`: diff only the CHURNED files — the
     * symmetric difference of the versions' file sets (COW invariant: a
     * changed row lives in a rewritten file, so rows in shared files

@@ -123,6 +123,29 @@ object SnapshotSql {
     org.apache.spark.sql.GraftSqlBridge.analyzed(table.cdc(vFrom, vTo))
   }
 
+  private[table] val historyUsage: String =
+    "usage: graft_history('<manifestDir>') — one row per committed " +
+      "version: (version, n_files, n_rows, bytes, data_change, commit_ts)"
+
+  /** `SELECT * FROM graft_history('<man>')` — [[GraftTable.history]]
+    * from pure SQL (Delta's DESCRIBE HISTORY). */
+  def historyPlan(es: Seq[Expression]): LogicalPlan = {
+    def fail(detail: String): Nothing =
+      throw new IllegalArgumentException(s"$detail\n$historyUsage")
+    if (es.length != 1)
+      fail(s"graft_history takes 1 argument, got ${es.length}")
+    val man = es.head match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => fail(s"manifestDir must be a string literal; got '$other'")
+    }
+    val spark = SparkSession.active
+    val table = GraftTable(spark, data = "", man = man, key = "")
+    if (table.committedVersions.isEmpty)
+      fail(s"no committed snapshots under $man — not a GraftTable " +
+        "manifest dir (or the table was never created)")
+    org.apache.spark.sql.GraftSqlBridge.analyzed(table.history())
+  }
+
   /** Per-session programmatic registration (the extensions-free path —
     * [[graft.GraftExtensions]] wires the same pieces cluster-wide via
     * config). Idempotent: the TVF registry replaces, the optimizer list
@@ -142,5 +165,10 @@ object SnapshotSql {
       new ExpressionInfo(getClass.getName, null, "graft_changes",
         changesUsage, ""),
       (es: Seq[Expression]) => changesPlan(es))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_history"),
+      new ExpressionInfo(getClass.getName, null, "graft_history",
+        historyUsage, ""),
+      (es: Seq[Expression]) => historyPlan(es))
   }
 }

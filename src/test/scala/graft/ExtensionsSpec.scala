@@ -209,6 +209,45 @@ class ExtensionsSpec extends TestBase {
     }
   }
 
+  test("graft_history lists versions from SQL (parity with history(), misuse loud)") {
+    graft.table.SnapshotSql.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlhist").toString
+    val t = graft.table.GraftTable(spark, s"$root/data", s"$root/man", "id")
+    import spark.implicits._
+    t.create((1L to 80L).map(i => (i, i * 2L)).toDF("id", "v"), 4)
+    t.commitAppend((81L to 120L).map(i => (i, i)).toDF("id", "v"), 1, 2)
+    t.commitCompaction(2, targetBytes = 1L << 30)
+    val viaSql = spark.sql(
+      s"""SELECT version, n_files, n_rows, data_change
+         |FROM graft_history('${t.man}') ORDER BY version""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(viaSql == Seq((1L, 4L, 80L, true), (2L, 6L, 120L, true),
+      (3L, 1L, 120L, false)), s"$viaSql")
+    val api = t.history()
+      .select("version", "n_files", "n_rows", "data_change")
+      .orderBy("version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(viaSql == api)
+    // commit_ts surfaces the commit-embedded clock, not dir mtime
+    val ts = t.history().select("commit_ts").collect()
+      .map(_.getTimestamp(0).getTime)
+    assert(ts.forall(_ > 0) && ts.sorted.sameElements(ts),
+      s"history commit_ts must be monotone: ${ts.toSeq}")
+    val badArity = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_history('/x', 2)")
+        .queryExecution.analyzed
+    }
+    assert(badArity.getMessage.contains("1 argument"))
+    val notATable = java.nio.file.Files.createTempDirectory("graft_nohist")
+    val badMan = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_history('$notATable')")
+        .queryExecution.analyzed
+    }
+    assert(badMan.getMessage.contains("no committed snapshots"))
+  }
+
   test("change feed runs from pure SQL text via graft_changes (same rows as cdc)") {
     import org.apache.spark.sql.functions._
     graft.table.SnapshotSql.register(spark)
