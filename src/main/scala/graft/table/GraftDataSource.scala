@@ -72,11 +72,16 @@ final class GraftDataSource extends RelationProvider
     require(probe.isCommitted(v),
       s"no committed snapshot v=$v under $man (committed: ${vs.mkString(", ")})")
     val entries = probe.manifest(v).collect().toSeq // O(#files) planning
-    require(entries.nonEmpty,
-      s"snapshot v=$v of $man references no data files " +
-        "(empty snapshots carry no schema to scan)")
     val files = entries.map(_.getAs[String]("file"))
-    val schema = spark.read.parquet(files: _*).schema
+    // schema from the commit's _schema.ddl when recorded — planning a
+    // format("graft") read then opens ZERO data files (the footer read
+    // remains only as the pre-round-11 fallback)
+    val schema = probe.versionSchema(v).getOrElse {
+      require(entries.nonEmpty,
+        s"snapshot v=$v of $man references no data files and records " +
+          "no schema (empty pre-r11 snapshots carry no schema to scan)")
+      spark.read.parquet(files: _*).schema
+    }
     val props = GraftTable.loadProps(spark, man)
       .getOrElse(GraftTable.TableProps(None, Nil, Nil, None))
     val manCols = entries.head.schema.fieldNames.toSet
@@ -103,11 +108,13 @@ final class GraftDataSource extends RelationProvider
     val probe = GraftTable(spark, data = "", man = man, key = "")
     val vs = probe.committedVersions
     require(vs.nonEmpty, s"no committed snapshots under $man")
-    val files = probe.files(vs.max)
-    require(files.nonEmpty,
-      s"latest snapshot of $man references no files — pass .schema(...) " +
-        "to stream a still-empty table")
-    spark.read.parquet(files: _*).schema
+    probe.versionSchema(vs.max).getOrElse {
+      val files = probe.files(vs.max)
+      require(files.nonEmpty,
+        s"latest snapshot of $man references no files and records no " +
+          "schema — pass .schema(...) to stream a still-empty pre-r11 table")
+      spark.read.parquet(files: _*).schema
+    }
   }
 
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
@@ -163,7 +170,8 @@ final class GraftDataSource extends RelationProvider
       : GraftTable = {
     val key = opts.get("key").orElse(props.flatMap(_.key)).getOrElse(
       throw new IllegalArgumentException(
-        "creating a graft table needs .option(\"key\", <integral column>)"))
+        "creating a graft table needs .option(\"key\", <column>) — an " +
+          "integral, timestamp, date or string cluster/skip key"))
     val data = opts.get("data").orElse(props.flatMap(_.data)).getOrElse(
       throw new IllegalArgumentException(
         "creating a graft table needs .option(\"data\", <data dir>)"))
@@ -485,9 +493,8 @@ final class GraftManifestFileIndex(man: String, version: Int,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val bounds = SnapshotPruning.extractBounds(dataFilters, prunable)
-    val probes = SnapshotPruning.extractProbes(dataFilters, bloomable)
-    val kept = SnapshotPruning.pruneEntries(entries, key, bounds, probes)
+    val kept = SnapshotPruning.keepTest(dataFilters, key, prunable, bloomable)
+      .map(test => entries.filter(test)).getOrElse(entries)
     Seq(PartitionDirectory(InternalRow.empty, kept.map(statusOf).toArray))
   }
 

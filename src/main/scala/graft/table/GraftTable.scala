@@ -55,7 +55,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     key: String, statsCols: Seq[String] = Nil,
     bloomCols: Seq[String] = Nil,
     bloomItems: Long = GraftTable.DefaultBloomItems,
-    bloomFpp: Double = GraftTable.DefaultBloomFpp) {
+    bloomFpp: Double = GraftTable.DefaultBloomFpp,
+    logStore: String = "") {
 
   import GraftTable.{listStatusSafe, touch}
 
@@ -65,6 +66,16 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     new Path(man).getFileSystem(hconf)
   @transient private lazy val dataFs: FileSystem =
     new Path(data).getFileSystem(hconf)
+
+  /** The active commit/publish strategy (the LogStore seam). Explicitly
+    * declared on the instance, else whatever `_table_props` recorded at
+    * creation (so a reader holding only the manifest path resolves
+    * pointer-committed tables correctly), else the rename default. */
+  @transient private lazy val store: GraftTable.LogStore =
+    GraftTable.logStoreOf(
+      if (logStore.nonEmpty) logStore
+      else GraftTable.loadProps(spark, man).flatMap(_.logStore)
+        .getOrElse(GraftTable.RenameLogStore.name))
 
   // ---- physical layout ---------------------------------------------
 
@@ -93,10 +104,11 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * which pruning treats as "cannot skip on this dimension". */
   def fileStats(files: Seq[String]): DataFrame = {
     val df = spark.read.parquet(files: _*)
-    (key +: statsCols).foreach(c => GraftTable.requireIntegral(df, c))
+    val codecs = (key +: statsCols).map(c =>
+      c -> GraftTable.codecFor(df.schema(c).dataType, c)).toMap
     bloomCols.foreach(c => GraftTable.requireBloomable(df, c))
     val extra = statsCols.flatMap(c => Seq(
-      min(c).cast("long").as(s"lo_$c"), max(c).cast("long").as(s"hi_$c"))) ++
+      codecs(c).loAgg(c).as(s"lo_$c"), codecs(c).hiAgg(c).as(s"hi_$c"))) ++
       // per-file bloom sketch per declared bloom column: point-lookup
       // skipping on columns the layout is NOT clustered by (the q102
       // idea, recorded by EVERY commit path since they all stat through
@@ -106,8 +118,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       // driver-memory x per-file-NDV sizing math
       bloomCols.map(c => graft.functions.BloomAgg
         .bloom_agg(col(c), bloomItems, bloomFpp).as(s"bloom_$c"))
-    val aggs = Seq(min(key).cast("long").as("lo"),
-      max(key).cast("long").as("hi"), count(lit(1)).as("n_rows"),
+    val aggs = Seq(codecs(key).loAgg(key).as("lo"),
+      codecs(key).hiAgg(key).as("hi"), count(lit(1)).as("n_rows"),
       max(col("_metadata.file_size")).as("bytes")) ++ extra :+
       count(col(key)).as("__nn")
     val rows = df.groupBy(col("_metadata.file_path").as("file"))
@@ -119,33 +131,72 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         "non-null (NULL keys cannot be merge-matched and min/max " +
         "skipping would silently drop their rows)")
     import scala.jdk.CollectionConverters._
-    spark.createDataFrame( // drop the census column, keep the schema
-      rows.map(r => Row.fromSeq(r.toSeq.dropRight(1))).toList.asJava,
-      entriesSchema)
+    // driver-side store normalization: exact aggregated bounds become
+    // their stored form — identity for long boxes, the bounded-prefix
+    // truncation for string boxes (conservative by construction)
+    val stored = rows.map { r =>
+      val vals = r.toSeq.dropRight(1).toArray // drop the census column
+      vals(1) = codecs(key).storeLo(vals(1))
+      vals(2) = codecs(key).storeHi(vals(2))
+      statsCols.zipWithIndex.foreach { case (c, i) =>
+        vals(5 + 2 * i) = codecs(c).storeLo(vals(5 + 2 * i))
+        vals(6 + 2 * i) = codecs(c).storeHi(vals(6 + 2 * i))
+      }
+      Row.fromSeq(vals.toIndexedSeq)
+    }
+    spark.createDataFrame(stored.toList.asJava, entriesSchema(codecs))
   }
 
-  private def entriesSchema: org.apache.spark.sql.types.StructType =
-    org.apache.spark.sql.types.StructType(
-      GraftTable.manifestSchema.fields ++ statsCols.flatMap(c => Seq(
-        org.apache.spark.sql.types.StructField(s"lo_$c",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField(s"hi_$c",
-          org.apache.spark.sql.types.LongType))) ++ bloomCols.map(c =>
-        org.apache.spark.sql.types.StructField(s"bloom_$c",
-          org.apache.spark.sql.types.BinaryType)))
+  private def entriesSchema(codecs: Map[String, GraftTable.BoxCodec])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StringType,
+      StructField, StructType}
+    StructType(
+      Seq(StructField("file", StringType),
+        StructField("lo", codecs(key).boxType),
+        StructField("hi", codecs(key).boxType),
+        StructField("n_rows", LongType), StructField("bytes", LongType)) ++
+      statsCols.flatMap(c => Seq(StructField(s"lo_$c", codecs(c).boxType),
+        StructField(s"hi_$c", codecs(c).boxType))) ++
+      bloomCols.map(c => StructField(s"bloom_$c", BinaryType)))
+  }
+
+  /** prev-manifest ∪ new-stats with box-type reconciliation: an EMPTY
+    * side adopts the other's schema (a createEmpty() v=1 carries
+    * default long boxes until the first batch declares the real key
+    * type); non-empty sides whose box columns differ in type mean the
+    * key type changed mid-table — fail loudly (a silent unionByName
+    * would coerce long boxes to strings and corrupt skipping forever). */
+  private def unionEntries(prev: DataFrame, stats: DataFrame): DataFrame = {
+    def shape(df: DataFrame) =
+      df.schema.fields.map(f => f.name -> f.dataType).toMap
+    if (shape(prev) == shape(stats)) prev.unionByName(stats)
+    else if (prev.isEmpty) stats // local relations — driver-cheap checks
+    else if (stats.isEmpty) prev
+    else throw new IllegalStateException(
+      s"manifest schema changed mid-table: committed entries are " +
+        s"${prev.schema.simpleString}, the new batch computed " +
+        s"${stats.schema.simpleString} — a table's key/stats box types " +
+        "are fixed at creation")
+  }
 
   // ---- commit protocol ---------------------------------------------
 
-  def manifestPath(v: Int): String = s"$man/v=$v"
+  /** Version v's committed directory, resolved through the log store
+    * (the rename store's `man/v=N`; the pointer store's pointed-to
+    * staging dir). Falls back to the rename-store target path for an
+    * uncommitted version, so `exists`-style probes behave as before. */
+  def manifestPath(v: Int): String =
+    store.resolve(manFs, new Path(man), v)
+      .map(_.toString).getOrElse(s"$man/v=$v")
 
-  /** Existence IS the commit marker — see the atomic-rename contract in
-    * the class doc. */
-  def isCommitted(v: Int): Boolean = manFs.exists(new Path(manifestPath(v)))
+  /** A resolvable version IS the commit marker — see the publish
+    * contract in the class doc. */
+  def isCommitted(v: Int): Boolean =
+    store.resolve(manFs, new Path(man), v).isDefined
 
   def committedVersions: Seq[Int] =
-    listStatusSafe(manFs, new Path(man))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName.drop(2).toInt).toSeq.sorted
+    store.committedVersions(manFs, new Path(man))
 
   /** Attempt to commit `entries` as manifest version `v`: write to a
     * staging dir, rename into place ([[GraftTable.atomicPublish]] — the
@@ -163,7 +214,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * like OPTIMIZE can interleave without shifting any batch onto an
     * already-committed version number). */
   def tryCommitManifest(entries: DataFrame, v: Int,
-      tag: Option[String] = None, noData: Boolean = false): Boolean = {
+      tag: Option[String] = None, noData: Boolean = false,
+      schemaDdl: Option[String] = None): Boolean = {
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(man, s"_tmp_v${v}_$attempt")
     entries.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -181,8 +233,16 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     if (noData)
       require(touch(manFs, new Path(tmp, GraftTable.NoDataMarker)),
         "could not record the no-data (layout-only) marker")
-    val won = GraftTable.atomicPublish(manFs, tmp,
-      new Path(manifestPath(v)), witness = s"_commit_$attempt")
+    // the snapshot's DATA schema (DDL) rides the commit itself, so
+    // readers plan with zero data-file footer reads (Delta records the
+    // schema in the log for the same reason); absent for batches whose
+    // coverage of older files is unknown — those fall back to footers
+    schemaDdl.foreach { ddl =>
+      val out = manFs.create(new Path(tmp, GraftTable.SchemaFile), true)
+      try out.write(ddl.getBytes("UTF-8")) finally out.close()
+    }
+    val won = store.publish(manFs, new Path(man), v, tmp,
+      witness = s"_commit_$attempt")
     if (!won) manFs.delete(tmp, true)
     won
   }
@@ -196,22 +256,30 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * drop a batch, so it fails loudly. Use [[commitAppendOcc]] when
     * concurrent writers may commit DIFFERENT content. */
   def commitManifest(entries: DataFrame, v: Int,
-      tag: Option[String] = None): Unit =
-    if (!tryCommitManifest(entries, v, tag)) {
+      tag: Option[String] = None, schemaDdl: Option[String] = None): Unit =
+    if (!tryCommitManifest(entries, v, tag, schemaDdl = schemaDdl)) {
       require(isCommitted(v),
-        s"manifest commit v=$v failed: rename refused and no committed version present")
+        s"manifest commit v=$v failed: publish refused and no committed version present")
       tag.foreach { t =>
         require(manFs.exists(new Path(manifestPath(v), s"_tag_$t")),
           s"lost the commit race for v=$v to a snapshot NOT carrying tag " +
             s"'$t' — concurrent non-replay writers on one version; use " +
             "commitAppendOcc for multi-writer tables")
       }
-      val winnerN = manifest(v).count() // O(#files) manifest read
-      val oursN = entries.count()
-      require(winnerN == oursN,
+      // CONTENT equivalence, not just count: the winner must reference
+      // the exact same file set (a replay of the same batch does, by
+      // construction). Both lists are already on the driver, so the
+      // complete check costs the same O(#files) as the count it
+      // replaces — and closes the same-count-different-content hole.
+      val winnerFiles = manifest(v).collect()
+        .map(_.getAs[String]("file")).sorted.toSeq
+      val ourFiles = entries.select("file").collect()
+        .map(_.getString(0)).sorted.toSeq
+      require(winnerFiles == ourFiles,
         s"lost the commit race for v=$v to a DIFFERENT snapshot " +
-          s"($winnerN entries vs our $oursN) — concurrent non-replay " +
-          "writers on one version; use commitAppendOcc for multi-writer tables")
+          s"(${winnerFiles.size} entries vs our ${ourFiles.size}; file " +
+          "sets differ) — concurrent non-replay writers on one version; " +
+          "use commitAppendOcc for multi-writer tables")
     }
 
   /** Whether version v's commit changed row content (Delta's
@@ -256,17 +324,67 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     if (manFs.exists(manDir)) manFs.delete(manDir, true)
     manFs.mkdirs(manDir)
     writeProps()
-    commitManifest(fileStats(Seq(data)), 1)
+    commitManifest(fileStats(Seq(data)), 1,
+      schemaDdl = Some(df.schema.toDDL))
     this
   }
 
-  /** Create with an EMPTY v=1 (the streaming-ingest starting point). */
-  def createEmpty(): GraftTable = {
+  /** Create with an EMPTY v=1 (the streaming-ingest starting point).
+    * Pass the data schema when known (a stream declares one): it types
+    * the empty manifest's boxes by the real key type and lets readers
+    * plan the still-empty table without any data file to infer from. */
+  def createEmpty(schema: Option[org.apache.spark.sql.types.StructType] =
+      None): GraftTable = {
     dataFs.mkdirs(new Path(data))
     writeProps()
-    if (!isCommitted(1)) commitManifest(emptyEntries, 1)
+    if (!isCommitted(1)) {
+      val entries = schema match {
+        case Some(sch) =>
+          val codecs = (key +: statsCols).map(c =>
+            c -> GraftTable.codecFor(sch(c).dataType, c)).toMap
+          spark.createDataFrame(
+            java.util.Collections.emptyList[Row](), entriesSchema(codecs))
+        case None => emptyEntries
+      }
+      commitManifest(entries, 1, schemaDdl = schema.map(_.toDDL))
+    }
     this
   }
+
+  /** The data schema version v's commit recorded (rides the atomic
+    * commit as `_schema.ddl`), when present — the zero-footer-read
+    * planning path. Pre-round-11 manifests return None (readers fall
+    * back to parquet footer inference). */
+  def versionSchema(v: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val p = new Path(manifestPath(v), GraftTable.SchemaFile)
+    if (!manFs.exists(p)) None
+    else {
+      val in = manFs.open(p)
+      val txt = try {
+        val bos = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+        bos.toString("UTF-8")
+      } finally in.close()
+      Some(org.apache.spark.sql.types.StructType.fromDDL(txt))
+    }
+  }
+
+  /** The schema DDL a commit on top of `base` should record, given the
+    * batch's schema: the base version's recorded fields plus any new
+    * ones (append-time schema evolution widens, never rewrites). None
+    * when the base recorded no schema AND still references files — the
+    * union with unknown historical columns cannot be stated, so the
+    * commit records nothing and readers keep the footer fallback. */
+  private def evolvedSchemaDdl(base: Int,
+      batch: org.apache.spark.sql.types.StructType): Option[String] =
+    versionSchema(base) match {
+      case Some(prev) =>
+        val have = prev.fieldNames.toSet
+        Some(org.apache.spark.sql.types.StructType(
+          prev.fields ++ batch.fields.filterNot(f => have(f.name))).toDDL)
+      case None =>
+        if (files(base).isEmpty) Some(batch.toDDL) else None
+    }
 
   /** SHALLOW CLONE (Delta `CLONE`/Iceberg snapshot-ref): a NEW table
     * whose v=1 manifest references THIS table's snapshot-v data files —
@@ -294,8 +412,16 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       : GraftTable = {
     require(isCommitted(v),
       s"cannot clone uncommitted snapshot v=$v of $man")
-    require(new Path(targetMan) != new Path(man) &&
-      new Path(targetData) != new Path(data),
+    // compare FULLY QUALIFIED paths (scheme + authority + absolute):
+    // an alias of the same directory — 'file:/x/man' vs '/x/man',
+    // relative vs absolute — must not slip past the guard, because the
+    // next statements recursively DELETE the target manifest dir
+    def qualified(p: String): Path = {
+      val path = new Path(p)
+      path.getFileSystem(hconf).makeQualified(path)
+    }
+    require(qualified(targetMan) != qualified(man) &&
+      qualified(targetData) != qualified(data),
       "a shallow clone needs its OWN manifest and data directories — " +
         "sharing either with the source would let one table's vacuum " +
         "reclaim files the other still references")
@@ -305,7 +431,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     clone.manFs.mkdirs(cloneManDir)
     clone.dataFs.mkdirs(new Path(targetData))
     clone.writeProps(provenance = Some(s"source=$man@v=$v"))
-    clone.commitManifest(manifest(v), 1)
+    clone.commitManifest(manifest(v), 1,
+      schemaDdl = versionSchema(v).map(_.toDDL))
     clone
   }
 
@@ -322,15 +449,22 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       (s"key=$key\nstats=${statsCols.mkString(",")}\n" +
         s"bloom=${bloomCols.mkString(",")}\ndata=$data\n" +
         s"bloom_items=$bloomItems\nbloom_fpp=$bloomFpp\n" +
+        s"logstore=${store.name}\n" +
         // free-form provenance (e.g. a shallow clone's source ref);
         // loadProps ignores unknown keys, so this is operator-facing
         provenance.map(_ + "\n").getOrElse("")).getBytes("UTF-8"))
     finally out.close()
   }
 
+  /** Typed-empty entry list with the default long boxes — only ever
+    * unioned through [[unionEntries]], which lets a non-empty side's
+    * schema win, so the placeholder type never leaks into a manifest
+    * that has real entries. */
   private def emptyEntries: DataFrame =
     spark.createDataFrame(
-      java.util.Collections.emptyList[Row](), entriesSchema)
+      java.util.Collections.emptyList[Row](),
+      entriesSchema((key +: statsCols)
+        .map(_ -> (GraftTable.IntegralCodec: GraftTable.BoxCodec)).toMap))
 
   /** Write the batch's clustered files through a UNIQUE staging subdir
     * and move them into the layout, returning exactly the added files'
@@ -368,7 +502,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       tag: Option[String] = None): Unit = {
     val added = stagedAppend(batch, nParts)
     val stats = if (added.isEmpty) emptyEntries else fileStats(added)
-    commitManifest(manifest(prevV).unionByName(stats), prevV + 1, tag)
+    commitManifest(unionEntries(manifest(prevV), stats), prevV + 1, tag,
+      schemaDdl = evolvedSchemaDdl(prevV, batch.schema))
   }
 
   /** Optimistic-concurrency append for MULTI-WRITER tables (the Delta
@@ -399,7 +534,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       require(vs.nonEmpty,
         s"no committed versions under $man — call create()/createEmpty() first")
       val base = vs.max
-      if (tryCommitManifest(manifest(base).unionByName(stats), base + 1, tag))
+      if (tryCommitManifest(unionEntries(manifest(base), stats), base + 1, tag,
+          schemaDdl = evolvedSchemaDdl(base, batch.schema)))
         return base + 1
       attempts += 1 // lost the race — rebase onto the winner's version
     }
@@ -413,48 +549,80 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * is deleted at commit — version `prevV` still references the old
     * files; `prevV+1` does not. [[vacuum]] reclaims later. The anti
     * join carries no hint: the batch is corpus-derived, AQE decides.
-    * Merges are single-writer by contract: unlike appends, two merges
-    * can rewrite the SAME impacted files, so a lost commit race cannot
-    * be rebased mechanically — a real conflict needs re-running the
-    * merge against the winner's snapshot. */
-  def commitMerge(batch: DataFrame, prevV: Int, nParts: Int = 2): Unit = {
+    *
+    * Concurrency (the Delta conflict-checker rule): a merge that loses
+    * the publish race REBASES MECHANICALLY when the winner's commit
+    * provably cannot interact with it — every impacted file survived
+    * into the winner's snapshot (the winner rewrote/dropped none of
+    * what this merge replaces) and none of the winner's NEW files'
+    * key boxes intersect this batch's envelope (no row the winner
+    * added could have matched this merge). Anything else is a real
+    * conflict: the snapshot moved underneath the merge and its rewrite
+    * is stale — fail loudly, never silently drop the batch. So two
+    * merges on DISJOINT key envelopes both commit; overlapping merges
+    * still fail loudly. `tag` records replay provenance (the streaming
+    * upsert sink keys exactly-once on it). */
+  def commitMerge(batch: DataFrame, prevV: Int, nParts: Int = 2,
+      tag: Option[String] = None, maxRebases: Int = 5): Unit = {
     // one pass computes the key envelope AND the null-key census: a
     // NULL merge key can never be matched by the anti join, so such a
     // row would duplicate on every re-merge and sit outside its file's
-    // box — reject any, not just the all-NULL case min/max would hide
-    // min/max cast to long so getLong is safe for every integral key
-    // width (Row.getLong on a boxed Integer throws)
-    val env = batch.agg(min(key).cast("long"), max(key).cast("long"),
+    // box — reject any, not just the all-NULL case min/max would hide.
+    // The envelope comes through the key's box codec (exact, not the
+    // stored-truncated form — exact is sharper), so long and string
+    // keys compare against manifest boxes in their own order.
+    val codec = GraftTable.codecFor(batch.schema(key).dataType, key)
+    val env = batch.agg(codec.loAgg(key), codec.hiAgg(key),
       count(lit(1)), count(col(key))).head
     val (total, nonNull) = (env.getLong(2), env.getLong(3))
-    def commitOrFail(entries: DataFrame): Unit =
-      if (!tryCommitManifest(entries, prevV + 1))
-        // merges are single-writer by contract; a lost race means the
-        // snapshot moved underneath this merge and its rewrite is stale
-        // — the lenient fallback would silently drop the whole batch
-        throw new java.util.ConcurrentModificationException(
-          s"merge lost the commit race for v=${prevV + 1}: another writer " +
-            "committed first; re-run the merge against the latest snapshot")
+    def conflict(v: Int): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"merge lost the commit race for v=$v to a commit that may " +
+          "interact with it (it rewrote an impacted file or added rows " +
+          "inside this batch's key envelope); re-run the merge against " +
+          "the latest snapshot")
     if (total == 0) { // empty batch: commit a carry-forward version
-      commitOrFail(manifest(prevV))
+      if (!tryCommitManifest(manifest(prevV), prevV + 1, tag))
+        conflict(prevV + 1)
       return
     }
     require(nonNull == total,
       s"merge batch has ${total - nonNull} NULL '$key' key(s) — " +
         "the merge key must be non-null")
-    val impacted = manifest(prevV).collect().filter { r =>
-      r.getAs[Number]("hi").longValue >= env.getLong(0) &&
-        r.getAs[Number]("lo").longValue <= env.getLong(1)
-    }.map(_.getAs[String]("file")).toSeq
+    val (qlo, qhi) = (env.get(0), env.get(1))
+    val prevEntries = manifest(prevV).collect()
+    val impacted = prevEntries
+      .filter(GraftTable.boxIntersects(_, "lo", "hi", qlo, qhi))
+      .map(_.getAs[String]("file")).toSeq
     val replacement =
       (if (impacted.isEmpty) batch.limit(0)
        else spark.read.parquet(impacted: _*)
          .join(batch.select(key).distinct(), Seq(key), "left_anti"))
         .unionByName(batch)
     val added = stagedAppend(replacement, nParts)
-    commitOrFail(
-      manifest(prevV).filter(!col("file").isin(impacted: _*))
-        .unionByName(if (added.isEmpty) emptyEntries else fileStats(added)))
+    val stats = if (added.isEmpty) emptyEntries else fileStats(added)
+    var base = prevV
+    var baseFiles = prevEntries.map(_.getAs[String]("file")).toSet
+    var rebases = 0
+    while (true) {
+      val entries = unionEntries(
+        manifest(base).filter(!col("file").isin(impacted: _*)), stats)
+      if (tryCommitManifest(entries, base + 1, tag,
+          schemaDdl = evolvedSchemaDdl(base, batch.schema)))
+        return
+      // lost the race — O(#files) driver-side disjointness check
+      val winner = manifest(base + 1).collect()
+      val winnerFiles = winner.map(_.getAs[String]("file")).toSet
+      val newEntries =
+        winner.filterNot(r => baseFiles(r.getAs[String]("file")))
+      rebases += 1
+      if (rebases > maxRebases || !impacted.forall(winnerFiles) ||
+          newEntries.exists(
+            GraftTable.boxIntersects(_, "lo", "hi", qlo, qhi)))
+        conflict(base + 1)
+      base += 1
+      baseFiles = winnerFiles
+    }
   }
 
   /** OPTIMIZE: bin-pack the snapshot's small files into ~targetBytes
@@ -492,9 +660,11 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
         val added = stagedAppend(spark.read.parquet(smallFiles: _*), nOut)
         if (tryCommitManifest(
-            manifest(base).filter(!col("file").isin(smallFiles: _*))
-              .unionByName(if (added.isEmpty) emptyEntries else fileStats(added)),
-            base + 1, noData = true)) // content-identical: dataChange=false
+            unionEntries(
+              manifest(base).filter(!col("file").isin(smallFiles: _*)),
+              if (added.isEmpty) emptyEntries else fileStats(added)),
+            base + 1, noData = true, // content-identical: dataChange=false
+            schemaDdl = versionSchema(base).map(_.toDDL)))
           return small.length
         // lost: this attempt's packed output becomes vacuum-reclaimable
         // orphans; replan from the winner's version
@@ -548,15 +718,17 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
           "is empty: an empty table has no schema to scan")
   }
 
-  /** Min/max skipping against version v's manifest. */
-  def prune(v: Int, qlo: Long, qhi: Long): (Seq[String], Int) =
+  /** Min/max skipping against version v's manifest. Bounds are Long
+    * for integral/timestamp/date keys (epoch micros / days — the box
+    * representation), String for string keys. */
+  def prune(v: Int, qlo: Any, qhi: Any): (Seq[String], Int) =
     GraftTable.pruneManifest(spark, manifestPath(v), qlo, qhi)
 
   /** Multi-column min/max skipping against version v's manifest: keep
     * the files whose box intersects EVERY queried column's range. The
     * table key prunes on its (lo, hi) box; declared stats columns on
     * their (lo_c, hi_c) boxes. Same O(#files) driver planning. */
-  def pruneMulti(v: Int, preds: Seq[(String, Long, Long)])
+  def pruneMulti(v: Int, preds: Seq[(String, Any, Any)])
       : (Seq[String], Int) = {
     val named = preds.map { case (c, qlo, qhi) =>
       require(c == key || statsCols.contains(c),
@@ -591,7 +763,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   }
 
   /** Metadata-only split against version v's manifest. */
-  def statsOnlySplit(v: Int, qlo: Long, qhi: Long): (Long, Seq[String], Int) =
+  def statsOnlySplit(v: Int, qlo: Any, qhi: Any): (Long, Seq[String], Int) =
     GraftTable.statsOnlySplit(spark, manifestPath(v), qlo, qhi)
 
   /** VACUUM: drop manifest versions below `keepFrom`, then delete every
@@ -648,12 +820,18 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
               s"could not preserve commit tag $t in the ledger")
           }
         }
-        manFs.delete(d, true)
+        store.expire(manFs, new Path(man), v)
       }
     }
+    // crashed commit attempts: under the pointer store a LIVE version
+    // dir keeps its staging name, so only dirs no retained version
+    // resolves to are reclaimable
+    val liveDirs = committedVersions
+      .flatMap(v => store.resolve(manFs, new Path(man), v))
+      .map(_.getName).toSet
     listStatusSafe(manFs, new Path(man))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("_tmp_")
-        && aged(st))
+        && aged(st) && !liveDirs(st.getPath.getName))
       .foreach(st => manFs.delete(st.getPath, true))
     // crashed data-side staging dirs (writer died before the move) are
     // invisible to readers (underscore-hidden) but still hold bytes
@@ -741,6 +919,248 @@ object GraftTable {
     * `dataChange=false`. */
   private[table] val NoDataMarker = "_nodata"
 
+  /** Per-version data-schema DDL file, written in staging so it rides
+    * the atomic commit (readers plan with zero footer reads). */
+  private[table] val SchemaFile = "_schema.ddl"
+
+  // ---- key/stats box codecs ----------------------------------------
+
+  /** How a column's per-file (lo, hi) box is computed, stored and
+    * compared. Integral, timestamp and date columns store LOSSLESS long
+    * boxes (epoch micros / days — conversions that cannot truncate, so
+    * skipping stays conservative). String columns store BOUNDED-PREFIX
+    * boxes (the Iceberg `truncate(16)` idea): lo is the min's
+    * 16-code-point prefix (a prefix sorts <= every string extending it
+    * in UTF-8 order), hi is the max's prefix with its last code point
+    * incremented (sorts >= every string sharing the prefix) — so boxes
+    * stay small on arbitrarily long keys while remaining conservative
+    * BY CONSTRUCTION: a stored box only ever widens the true one, so a
+    * file can be kept too often but never skipped wrongly. Driver-side
+    * comparisons use unsigned UTF-8 byte order ([[utf8Cmp]]), matching
+    * the UTF8String/parquet binary ordering Spark's min/max aggregated
+    * with — a mismatch there could wrongly skip a non-ASCII key. */
+  private[table] sealed abstract class BoxCodec(
+      val boxType: org.apache.spark.sql.types.DataType) {
+    def loAgg(c: String): Column
+    def hiAgg(c: String): Column
+    /** Driver-side normalization of a collected exact bound into its
+      * stored form (identity except the string truncation). */
+    def storeLo(v: Any): Any = v
+    def storeHi(v: Any): Any = v
+  }
+  private[table] case object IntegralCodec extends BoxCodec(LongType) {
+    def loAgg(c: String): Column = min(c).cast("long")
+    def hiAgg(c: String): Column = max(c).cast("long")
+  }
+  private[table] case object TimestampCodec extends BoxCodec(LongType) {
+    def loAgg(c: String): Column = unix_micros(min(c))
+    def hiAgg(c: String): Column = unix_micros(max(c))
+  }
+  private[table] case object DateCodec extends BoxCodec(LongType) {
+    def loAgg(c: String): Column = unix_date(min(c)).cast("long")
+    def hiAgg(c: String): Column = unix_date(max(c)).cast("long")
+  }
+  private[table] case object StringCodec extends BoxCodec(StringType) {
+    def loAgg(c: String): Column = min(c)
+    def hiAgg(c: String): Column = max(c)
+    override def storeLo(v: Any): Any = truncLo(v.asInstanceOf[String])
+    override def storeHi(v: Any): Any = truncHi(v.asInstanceOf[String])
+  }
+
+  private[table] def codecFor(dt: org.apache.spark.sql.types.DataType,
+      c: String): BoxCodec = {
+    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType,
+      ShortType, TimestampType}
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType => IntegralCodec
+      case TimestampType => TimestampCodec
+      case DateType => DateCodec
+      case StringType => StringCodec
+      case other => throw new IllegalArgumentException(
+        s"manifest stats support integral, timestamp, date and string " +
+          s"columns (lossless long boxes or bounded-prefix string " +
+          s"boxes); got $other for '$c'")
+    }
+  }
+
+  /** Stored string-box prefix length, in code points (Iceberg's
+    * `truncate(16)` default). */
+  private[table] val StringBoxLen = 16
+
+  /** Conservative stored LOWER bound: short strings store exactly;
+    * longer ones store the 16-code-point prefix — in UTF-8 byte order a
+    * proper prefix sorts <= every string extending it, so truncation
+    * can only WIDEN the box downward. */
+  private[table] def truncLo(s: String): String =
+    if (s == null || s.codePointCount(0, s.length) <= StringBoxLen) s
+    else s.substring(0, s.offsetByCodePoints(0, StringBoxLen))
+
+  /** Conservative stored UPPER bound: short strings store exactly;
+    * longer ones store the 16-code-point prefix with its last
+    * incrementable code point bumped and the tail dropped — past every
+    * string sharing the prefix, so truncation can only WIDEN the box
+    * upward. A prefix of all-max code points (pathological) stores
+    * NULL = unbounded, which [[boxIntersects]] treats as cannot-skip. */
+  private[table] def truncHi(s: String): String =
+    if (s == null || s.codePointCount(0, s.length) <= StringBoxLen) s
+    else incrementCodePoints(
+      s.substring(0, s.offsetByCodePoints(0, StringBoxLen)))
+
+  /** The least string greater than every string with prefix `s`:
+    * increment s's last incrementable code point (skipping the
+    * surrogate block, which is not a valid code point) and drop what
+    * follows; null when no code point can be incremented. */
+  private[table] def incrementCodePoints(s: String): String = {
+    val cps = s.codePoints().toArray
+    var j = cps.length - 1
+    while (j >= 0 && cps(j) >= Character.MAX_CODE_POINT) j -= 1
+    if (j < 0) null
+    else {
+      var next = cps(j) + 1
+      if (next >= Character.MIN_SURROGATE.toInt &&
+          next <= Character.MAX_SURROGATE.toInt) next = 0xE000
+      val out = new java.lang.StringBuilder()
+      (0 until j).foreach(i => out.appendCodePoint(cps(i)))
+      out.appendCodePoint(next)
+      out.toString
+    }
+  }
+
+  /** Unsigned UTF-8 byte comparison — the order Spark's UTF8String and
+    * parquet binary stats use. Driver-side box math must match it, or a
+    * key outside ASCII could order differently than the executor-side
+    * min/max did and wrongly skip a file. */
+  private[table] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  /** Compare a manifest box value against a query bound: longs
+    * numerically, strings in UTF-8 byte order. A type mismatch means
+    * the bound doesn't match the manifest's box type — fail loudly
+    * rather than silently not pruning (which would mask the caller's
+    * type error forever). The planner-integrated path uses the lenient
+    * [[boxCmpOpt]] instead: inside the optimizer a mismatch must
+    * conservatively KEEP, never break the query. */
+  private[table] def boxCmp(a: Any, b: Any): Int =
+    boxCmpOpt(a, b).getOrElse(throw new IllegalArgumentException(
+      s"box/bound type mismatch: ${a.getClass.getSimpleName} vs " +
+        s"${b.getClass.getSimpleName} — the query bound must match the " +
+        "manifest box type (long boxes for integral/timestamp/date " +
+        "keys, string boxes for string keys)"))
+
+  private[table] def boxCmpOpt(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (x: Number, y: Number) =>
+      Some(java.lang.Long.compare(x.longValue, y.longValue))
+    case (x: String, y: String) => Some(utf8Cmp(x, y))
+    case _ => None
+  }
+
+  // ---- log stores ---------------------------------------------------
+
+  /** The commit/publish strategy — the LogStore seam (Delta's LogStore
+    * abstraction) made swappable. `rename` (default) requires atomic,
+    * fail-if-destination-exists directory rename (POSIX local, HDFS).
+    * `pointer` requires only atomic EXCLUSIVE CREATE of one small file
+    * (HDFS `create(overwrite=false)`; S3 conditional PUT): the staged
+    * dir stays where it was written and a pointer file `_ptr_v=N`
+    * (content: the dir's name) is the atomic commit decision — the
+    * commit path performs NO rename at all, so it survives stores whose
+    * rename is copy+delete or mv-into-dir (LogStoreSpec proves it over
+    * a deliberately broken-rename filesystem). */
+  private[table] sealed trait LogStore {
+    def name: String
+    /** Commit `src` (a fully-written staging dir under `man`) as
+      * version v. True iff OUR payload is the committed version. */
+    def publish(fs: FileSystem, man: Path, v: Int, src: Path,
+        witness: String): Boolean
+    /** The committed dir for version v, if v is committed. */
+    def resolve(fs: FileSystem, man: Path, v: Int): Option[Path]
+    def committedVersions(fs: FileSystem, man: Path): Seq[Int]
+    /** Expire a committed version (vacuum). */
+    def expire(fs: FileSystem, man: Path, v: Int): Unit
+  }
+
+  private[table] case object RenameLogStore extends LogStore {
+    val name = "rename"
+    def publish(fs: FileSystem, man: Path, v: Int, src: Path,
+        witness: String): Boolean =
+      atomicPublish(fs, src, new Path(man, s"v=$v"), witness)
+    def resolve(fs: FileSystem, man: Path, v: Int): Option[Path] = {
+      val p = new Path(man, s"v=$v")
+      if (fs.exists(p)) Some(p) else None
+    }
+    def committedVersions(fs: FileSystem, man: Path): Seq[Int] =
+      listStatusSafe(fs, man)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+        .map(_.getPath.getName.drop(2).toInt).toSeq.sorted
+    def expire(fs: FileSystem, man: Path, v: Int): Unit = {
+      val p = new Path(man, s"v=$v")
+      if (fs.exists(p)) fs.delete(p, true)
+      ()
+    }
+  }
+
+  private[table] case object PointerLogStore extends LogStore {
+    val name = "pointer"
+    private def ptr(man: Path, v: Int) = new Path(man, s"_ptr_v=$v")
+    def publish(fs: FileSystem, man: Path, v: Int, src: Path,
+        witness: String): Boolean = {
+      val p = ptr(man, v)
+      if (fs.exists(p)) return false // fast-path loss
+      try {
+        // exclusive create decides the race; content names the payload
+        // dir. The store must make create+write+close effectively
+        // atomic (S3 conditional PUT is; HDFS is at close) — the same
+        // per-store caveat Delta's FileSystem-based log stores carry.
+        val out = fs.create(p, false)
+        try out.write(src.getName.getBytes("UTF-8")) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
+    def resolve(fs: FileSystem, man: Path, v: Int): Option[Path] = {
+      val p = ptr(man, v)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val nm = try {
+          val bos = new java.io.ByteArrayOutputStream()
+          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+          bos.toString("UTF-8").trim
+        } finally in.close()
+        require(nm.nonEmpty,
+          s"torn pointer $p: committed but empty — the store's exclusive " +
+            "create+write is not atomic; use the rename log store here")
+        Some(new Path(man, nm))
+      }
+    }
+    def committedVersions(fs: FileSystem, man: Path): Seq[Int] =
+      listStatusSafe(fs, man)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("_ptr_v="))
+        .map(_.getPath.getName.drop(7).toInt).toSeq.sorted
+    def expire(fs: FileSystem, man: Path, v: Int): Unit = {
+      // pointer FIRST (readers stop resolving), payload dir second
+      val payload = resolve(fs, man, v)
+      fs.delete(ptr(man, v), false)
+      payload.foreach(fs.delete(_, true))
+    }
+  }
+
+  private[table] def logStoreOf(name: String): LogStore = name match {
+    case RenameLogStore.name => RenameLogStore
+    case PointerLogStore.name => PointerLogStore
+    case other => throw new IllegalArgumentException(
+      s"unknown log store '$other' (supported: rename, pointer)")
+  }
+
   /** A table's declared shape as persisted in its `_table_props` file —
     * what makes a manifest dir self-describing: a reader or writer
     * holding only the manifest path can reconstruct the full
@@ -750,7 +1170,8 @@ object GraftTable {
   final case class TableProps(key: Option[String], statsCols: Seq[String],
       bloomCols: Seq[String], data: Option[String],
       bloomItems: Long = DefaultBloomItems,
-      bloomFpp: Double = DefaultBloomFpp)
+      bloomFpp: Double = DefaultBloomFpp,
+      logStore: Option[String] = None)
 
   /** Default per-file bloom sizing: ~9.6 bits/item at 1% fpp =
     * ~78 KiB/file/column. The knob matters at scale — see docs/TABLE.md
@@ -783,7 +1204,8 @@ object GraftTable {
         kv.get("bloom").toSeq.flatMap(_.split(",")).filter(_.nonEmpty),
         kv.get("data").filter(_.nonEmpty),
         kv.get("bloom_items").map(_.toLong).getOrElse(DefaultBloomItems),
-        kv.get("bloom_fpp").map(_.toDouble).getOrElse(DefaultBloomFpp)))
+        kv.get("bloom_fpp").map(_.toDouble).getOrElse(DefaultBloomFpp),
+        kv.get("logstore").filter(_.nonEmpty)))
     }
   }
 
@@ -1040,13 +1462,14 @@ object GraftTable {
   }
 
   /** Conservative box test: a NULL box (all-NULL column in that file —
-    * legal for non-key stats columns) can rule nothing out, so the
-    * file is kept. */
+    * legal for non-key stats columns; a truncation-overflowed string
+    * hi) can rule nothing out, so the file is kept. Bounds are Long for
+    * integral/timestamp/date boxes, String for string boxes. */
   private[table] def boxIntersects(r: Row, loCol: String, hiCol: String,
-      qlo: Long, qhi: Long): Boolean = {
-    val lo = r.getAs[Number](loCol); val hi = r.getAs[Number](hiCol)
+      qlo: Any, qhi: Any): Boolean = {
+    val lo = r.getAs[Any](loCol); val hi = r.getAs[Any](hiCol)
     lo == null || hi == null ||
-      (hi.longValue >= qlo && lo.longValue <= qhi)
+      (boxCmp(hi, qlo) >= 0 && boxCmp(lo, qhi) <= 0)
   }
 
   /** Multi-column min/max skipping: keep the files whose box intersects
@@ -1080,7 +1503,7 @@ object GraftTable {
     * count. O(#files) rows on the driver — this IS the planning step,
     * not a data collect. */
   def pruneManifest(spark: SparkSession, manPath: String,
-      qlo: Long, qhi: Long): (Seq[String], Int) = {
+      qlo: Any, qhi: Any): (Seq[String], Int) = {
     val rows = readManifestRows(spark, manPath)._1
     val kept = rows.filter(boxIntersects(_, "lo", "hi", qlo, qhi))
       .map(_.getAs[String]("file")).toSeq
@@ -1093,14 +1516,16 @@ object GraftTable {
     * Returns (rows answered from stats, boundary files to scan,
     * #covered files). */
   def statsOnlySplit(spark: SparkSession, manPath: String,
-      qlo: Long, qhi: Long): (Long, Seq[String], Int) = {
+      qlo: Any, qhi: Any): (Long, Seq[String], Int) = {
     val rows = readManifestRows(spark, manPath)._1
     val (covered, boundary) = rows
       .filter(boxIntersects(_, "lo", "hi", qlo, qhi)) // intersecting only
-      .partition { r => // fully inside: stats answer, no read
-        val lo = r.getAs[Number]("lo"); val hi = r.getAs[Number]("hi")
+      .partition { r => // fully inside: stats answer, no read — and a
+        // STORED box is only ever wider than the true one, so
+        // fully-inside on it is stricter than the truth: conservative
+        val lo = r.getAs[Any]("lo"); val hi = r.getAs[Any]("hi")
         lo != null && hi != null &&
-          lo.longValue >= qlo && hi.longValue <= qhi
+          boxCmp(lo, qlo) >= 0 && boxCmp(hi, qhi) <= 0
       }
     (covered.map(_.getAs[Number]("n_rows").longValue).sum,
       boundary.map(_.getAs[String]("file")).toSeq, covered.length)

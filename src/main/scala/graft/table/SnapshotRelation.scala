@@ -38,14 +38,14 @@ import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType,
   *    pushdown and whole-stage codegen; this layer adds file-level
   *    skipping ABOVE row-group-level skipping, never replacing it.
   *
-  * Extraction is deliberately conservative: only conjuncts of the form
-  * `col (= | < | <= | > | >=) integral-literal` (either side), `col IN
-  * (literals...)`, and integral up-casts of `col` narrow a bound;
-  * anything else — OR trees, expressions over the column, non-integral
-  * casts — contributes nothing and the file is kept. The residual
-  * Filter always stays on top, so pruning can only ever remove files
-  * whose box proves they hold no qualifying rows (boxes with NULL
-  * bounds prune nothing, same contract as [[GraftTable.boxIntersects]]).
+  * Extraction is deliberately conservative — see [[SnapshotPruning]]:
+  * comparisons/IN/LIKE-prefix over the table key, declared stats
+  * columns (integral, timestamp, date or string) and bloom columns
+  * prune, composed through arbitrary AND/OR trees; anything
+  * unrecognized keeps files. The residual Filter always stays on top,
+  * so pruning can only ever remove files whose box/sketch proves they
+  * hold no qualifying rows (NULL boxes prune nothing, same contract as
+  * [[GraftTable.boxIntersects]]).
   */
 final case class GraftSnapshotRelation(
     man: String,
@@ -98,158 +98,203 @@ final case class GraftSnapshotRelation(
       s"files=${kept.size}/${entries.size} ${output.take(maxFields).mkString("[", ", ", "]")}"
 }
 
+/** Conservative compilation of pushed-down predicates into per-manifest-
+  * entry keep tests. The shape is a recursive evaluator over the
+  * expression tree (not a per-column bounds fold), so DISJUNCTIONS
+  * prune: `k BETWEEN a AND b OR k BETWEEN c AND d` keeps a file iff it
+  * intersects EITHER range — the common time-travel slice-union that a
+  * conjunct-only fold had to keep everything for. Per node:
+  *
+  *  - And: recognized children AND together; an unrecognized child
+  *    contributes nothing (its sibling still prunes).
+  *  - Or: prunes only when BOTH disjuncts are recognized (an
+  *    unrecognized disjunct could match anything, so the whole Or must
+  *    keep everything — `None`).
+  *  - Comparisons/IN over the table key / declared stats columns → box
+  *    intersection tests; equality/IN over declared bloom columns ALSO
+  *    probe the per-file sketch. IN tests per VALUE (sharper than the
+  *    [min,max] envelope: `IN (1, 10^9)` skips a [500,600] file).
+  *  - `StartsWith` (what LIKE 'p%' simplifies to) over a string column
+  *    → the [p, p⁺) prefix box, the natural point lookup on a
+  *    string-keyed corpus table.
+  *  - Everything else (Not, expressions over the column, non-literal
+  *    sides, type mismatches) → None: keep, never guess.
+  *
+  * Bounds are carried in the manifest's box representation — Long for
+  * integral/timestamp/date columns (Catalyst's internal timestamp
+  * micros / date days ARE the box encoding, so literals transfer
+  * directly), String (UTF-8 order) for string columns. Strict bounds on
+  * longs use exact ±1 saturating arithmetic; on strings they relax to
+  * inclusive (conservative). Comparisons inside the optimizer use the
+  * lenient [[GraftTable.boxCmpOpt]] — a box/bound type mismatch keeps
+  * the file rather than failing the query. */
 object SnapshotPruning extends PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.{And, In, Or, StartsWith}
+  import org.apache.spark.sql.types.{DateType, StringType, TimestampType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  type EntryTest = Row => Boolean
 
   private def integral(dt: DataType): Boolean =
     dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
 
-  /** The prunable column a comparison side denotes: a bare attribute or
-    * a value-preserving integral up-cast of one (the analyzer inserts
-    * `CAST(int_col AS BIGINT)` when comparing against a bigint literal;
-    * the cast is injective, so literal bounds transfer to the column). */
-  private def colOf(e: Expression, cols: Set[String]): Option[String] = e match {
-    case a: AttributeReference if cols(a.name) && integral(a.dataType) =>
-      Some(a.name)
+  private def supported(dt: DataType): Boolean =
+    integral(dt) || dt == StringType || dt == TimestampType || dt == DateType
+
+  /** The column a comparison side denotes: a bare attribute of a
+    * supported type, or a value-preserving integral up-cast of one (the
+    * analyzer inserts `CAST(int_col AS BIGINT)` against bigint
+    * literals; the cast is injective, so bounds transfer). */
+  private def colOf(e: Expression, cols: Set[String])
+      : Option[(String, DataType)] = e match {
+    case a: AttributeReference if cols(a.name) && supported(a.dataType) =>
+      Some((a.name, a.dataType))
     case c: Cast if integral(c.dataType) => c.child match {
       case a: AttributeReference if cols(a.name) && integral(a.dataType) =>
-        Some(a.name)
+        Some((a.name, a.dataType))
       case _ => None
     }
     case _ => None
   }
 
-  private def litOf(e: Expression): Option[Long] = e match {
-    case Literal(v, dt) if integral(dt) && v != null => Some(v match {
-      case b: Byte => b.toLong
-      case s: Short => s.toLong
-      case i: Int => i.toLong
-      case l: Long => l
-    })
+  /** A literal in the column's box representation: Long for integral
+    * (and for timestamp/date, whose Catalyst internal values are
+    * already micros/days), String for string columns. None for NULL,
+    * non-literals, or a type that doesn't match the column's. */
+  private def litRepr(e: Expression, colDt: DataType): Option[Any] = e match {
+    case Literal(null, _) => None
+    case Literal(v, dt) =>
+      if (integral(colDt) && integral(dt)) Some(v match {
+        case b: Byte => b.toLong
+        case s: Short => s.toLong
+        case i: Int => i.toLong
+        case l: Long => l
+      })
+      else if (colDt == StringType && dt == StringType) Some(v.toString)
+      else if (colDt == TimestampType && dt == TimestampType)
+        Some(v.asInstanceOf[Long]) // internal = micros, the box encoding
+      else if (colDt == DateType && dt == DateType)
+        Some(v.asInstanceOf[Int].toLong) // internal = days
+      else None
     case _ => None
   }
 
-  /** Fold every recognizable conjunct into per-column [lo, hi] bounds
-    * (strict bounds use saturating arithmetic — `x > MAX_LONG` yields
-    * an empty interval, pruning every file, which is exact: the
-    * residual Filter would reject every row anyway). Unrecognized
-    * conjuncts contribute nothing (conservative). */
-  def extractBounds(conjuncts: Seq[Expression], cols: Set[String])
-      : Map[String, (Long, Long)] = {
-    def one(e: Expression): Option[(String, Long, Long)] = e match {
-      case EqualTo(l, r) =>
-        colOf(l, cols).flatMap(c => litOf(r).map(v => (c, v, v)))
-          .orElse(colOf(r, cols).flatMap(c => litOf(l).map(v => (c, v, v))))
-      case EqualNullSafe(l, r) =>
-        colOf(l, cols).flatMap(c => litOf(r).map(v => (c, v, v)))
-          .orElse(colOf(r, cols).flatMap(c => litOf(l).map(v => (c, v, v))))
-      case GreaterThanOrEqual(l, r) => // c >= v | v >= c
-        colOf(l, cols).flatMap(c => litOf(r).map(v => (c, v, Long.MaxValue)))
-          .orElse(colOf(r, cols).flatMap(c =>
-            litOf(l).map(v => (c, Long.MinValue, v))))
-      case LessThanOrEqual(l, r) => // c <= v | v <= c
-        colOf(l, cols).flatMap(c => litOf(r).map(v => (c, Long.MinValue, v)))
-          .orElse(colOf(r, cols).flatMap(c =>
-            litOf(l).map(v => (c, v, Long.MaxValue))))
-      case GreaterThan(l, r) => // c > v | v > c
-        colOf(l, cols).flatMap(c => litOf(r).map(v =>
-            (c, if (v == Long.MaxValue) Long.MaxValue else v + 1, Long.MaxValue)))
-          .orElse(colOf(r, cols).flatMap(c => litOf(l).map(v =>
-            (c, Long.MinValue, if (v == Long.MinValue) Long.MinValue else v - 1))))
-      case LessThan(l, r) => // c < v | v < c
-        colOf(l, cols).flatMap(c => litOf(r).map(v =>
-            (c, Long.MinValue, if (v == Long.MinValue) Long.MinValue else v - 1)))
-          .orElse(colOf(r, cols).flatMap(c => litOf(l).map(v =>
-            (c, if (v == Long.MaxValue) Long.MaxValue else v + 1, Long.MaxValue))))
-      case In(v, list) if list.nonEmpty =>
-        colOf(v, cols).flatMap { c =>
-          val vs = list.map(litOf)
-          if (vs.forall(_.isDefined)) {
-            val longs = vs.flatten
-            Some((c, longs.min, longs.max))
-          } else None
-        }
-      case _ => None
-    }
-    conjuncts.flatMap(one).foldLeft(Map.empty[String, (Long, Long)]) {
-      case (acc, (c, lo, hi)) =>
-        val (alo, ahi) = acc.getOrElse(c, (Long.MinValue, Long.MaxValue))
-        acc.updated(c, (math.max(alo, lo), math.min(ahi, hi)))
-    }
+  /** Strict-bound adjustment: exact ±1 on longs (saturating — an empty
+    * interval then prunes everything, which is exact: the residual
+    * Filter rejects every row anyway); inclusive relaxation on
+    * strings (conservative). */
+  private def strictLo(v: Any): Any = v match {
+    case l: java.lang.Long =>
+      if (l == Long.MaxValue) l else java.lang.Long.valueOf(l + 1L)
+    case other => other
+  }
+  private def strictHi(v: Any): Any = v match {
+    case l: java.lang.Long =>
+      if (l == Long.MinValue) l else java.lang.Long.valueOf(l - 1L)
+    case other => other
   }
 
-  /** The bloomable column an equality side denotes: the integral shapes
-    * [[colOf]] accepts, plus bare string attributes (blooms hash string
-    * columns as UTF-8 bytes, so only an un-cast string column probes
-    * losslessly). */
-  private def bloomColOf(e: Expression, cols: Set[String]): Option[String] =
-    e match {
-      case a: AttributeReference if cols(a.name) &&
-          a.dataType == org.apache.spark.sql.types.StringType => Some(a.name)
-      case _ => colOf(e, cols)
-    }
-
-  /** A probe value in the representation the build side hashed: Long
-    * for integral literals, String for string literals. */
-  private def probeOf(e: Expression): Option[Any] = e match {
-    case Literal(s: org.apache.spark.unsafe.types.UTF8String,
-        org.apache.spark.sql.types.StringType) => Some(s.toString)
-    case _ => litOf(e)
-  }
-
-  /** Equality/IN conjuncts over bloomable columns, one entry per
-    * conjunct: `(column, probe values)` — the file must pass EVERY
-    * conjunct, and passes one when ANY of its values might be present
-    * (IN-list semantics). Anything not an exact equality shape — ranges,
-    * OR trees, expressions over the column, non-literal probes —
-    * contributes nothing (bloom answers membership only). */
-  def extractProbes(conjuncts: Seq[Expression], cols: Set[String])
-      : Seq[(String, Seq[Any])] = {
-    def eq(l: Expression, r: Expression): Option[(String, Seq[Any])] =
-      bloomColOf(l, cols).flatMap(c => probeOf(r).map(v => (c, Seq(v))))
-        .orElse(bloomColOf(r, cols).flatMap(c =>
-          probeOf(l).map(v => (c, Seq(v)))))
-    conjuncts.flatMap {
-      case EqualTo(l, r) => eq(l, r)
-      case EqualNullSafe(l, r) => eq(l, r)
-      case In(v, list) if list.nonEmpty =>
-        bloomColOf(v, cols).flatMap { c =>
-          val ps = list.map(probeOf)
-          if (ps.forall(_.isDefined)) Some((c, ps.flatten)) else None
-        }
-      case _ => None
-    }
-  }
-
-  /** Manifest entries whose per-file boxes intersect every bound AND
-    * whose bloom sketches pass every probe conjunct. An interval with
-    * lo > hi (unsatisfiable conjunction) keeps nothing; a missing or
-    * NULL sketch keeps the file (never skip on absent evidence). The
-    * shared row-level core of the TVF leaf's pruning and the
-    * data-source [[GraftManifestFileIndex]]. */
-  def pruneEntries(entries: Seq[Row], key: Option[String],
-      bounds: Map[String, (Long, Long)],
-      probes: Seq[(String, Seq[Any])]): Seq[Row] = {
-    val tests = bounds.toSeq.map { case (c, (qlo, qhi)) =>
-      val (loC, hiC) =
-        if (key.contains(c)) ("lo", "hi") else (s"lo_$c", s"hi_$c")
-      (loC, hiC, qlo, qhi)
-    }
-    entries.filter { row =>
-      tests.forall { case (loC, hiC, qlo, qhi) =>
-        qlo <= qhi && GraftTable.boxIntersects(row, loC, hiC, qlo, qhi)
-      } && probes.forall { case (c, vs) =>
-        val bytes = row.getAs[Array[Byte]](s"bloom_$c")
-        vs.exists(GraftTable.bloomMightContain(bytes, _))
+  /** Box-intersection test for one column against [lo, hi] (None =
+    * unbounded side). NULL boxes and type mismatches keep the file. */
+  private def boxTest(key: Option[String], c: String,
+      lo: Option[Any], hi: Option[Any]): EntryTest = {
+    val (loC, hiC) =
+      if (key.contains(c)) ("lo", "hi") else (s"lo_$c", s"hi_$c")
+    row => {
+      val rLo = row.getAs[Any](loC); val rHi = row.getAs[Any](hiC)
+      // unsatisfiable interval (lo > hi): keep nothing
+      val satisfiable = (lo, hi) match {
+        case (Some(a), Some(b)) => GraftTable.boxCmpOpt(a, b).forall(_ <= 0)
+        case _ => true
       }
+      satisfiable && (rLo == null || rHi == null || (
+        lo.forall(q => GraftTable.boxCmpOpt(rHi, q).forall(_ >= 0)) &&
+        hi.forall(q => GraftTable.boxCmpOpt(rLo, q).forall(_ <= 0))))
     }
   }
 
-  /** Files of `r` surviving box + bloom pruning. */
-  def pruneFiles(r: GraftSnapshotRelation,
-      bounds: Map[String, (Long, Long)],
-      probes: Seq[(String, Seq[Any])] = Nil): Seq[String] =
-    pruneEntries(r.entries, r.key, bounds, probes)
-      .map(_.getAs[String]("file"))
+  /** Point test for an equality/IN value: box intersection AND (when
+    * the column carries a per-file sketch) the bloom probe — a missing
+    * or NULL sketch keeps the file (never skip on absent evidence). */
+  private def pointTest(key: Option[String], prunable: Set[String],
+      bloomable: Set[String], c: String, v: Any): Option[EntryTest] = {
+    val box: Option[EntryTest] =
+      if (prunable(c)) Some(boxTest(key, c, Some(v), Some(v))) else None
+    val bloom: Option[EntryTest] =
+      if (bloomable(c)) Some { row =>
+        GraftTable.bloomMightContain(row.getAs[Array[Byte]](s"bloom_$c"), v)
+      } else None
+    (box, bloom) match {
+      case (Some(a), Some(b)) => Some(row => a(row) && b(row))
+      case (a, b) => a.orElse(b)
+    }
+  }
+
+  /** Compile one predicate into a conservative keep test; None when
+    * nothing in it is recognizable (the caller keeps everything). */
+  def compile(e: Expression, key: Option[String], prunable: Set[String],
+      bloomable: Set[String]): Option[EntryTest] = {
+    def rec(e: Expression): Option[EntryTest] = e match {
+      case And(l, r) => (rec(l), rec(r)) match {
+        case (Some(a), Some(b)) => Some(row => a(row) && b(row))
+        case (a, b) => a.orElse(b)
+      }
+      case Or(l, r) =>
+        for { a <- rec(l); b <- rec(r) } yield
+          (row => a(row) || b(row)): EntryTest
+      case EqualTo(l, r) => eq(l, r).orElse(eq(r, l))
+      case EqualNullSafe(l, r) => eq(l, r).orElse(eq(r, l))
+      case GreaterThanOrEqual(l, r) => // c >= v | v >= c
+        cmp(l, r, v => (Some(v), None)).orElse(cmp(r, l, v => (None, Some(v))))
+      case LessThanOrEqual(l, r) => // c <= v | v <= c
+        cmp(l, r, v => (None, Some(v))).orElse(cmp(r, l, v => (Some(v), None)))
+      case GreaterThan(l, r) => // c > v | v > c
+        cmp(l, r, v => (Some(strictLo(v)), None))
+          .orElse(cmp(r, l, v => (None, Some(strictHi(v)))))
+      case LessThan(l, r) => // c < v | v < c
+        cmp(l, r, v => (None, Some(strictHi(v))))
+          .orElse(cmp(r, l, v => (Some(strictLo(v)), None)))
+      case In(v, list) if list.nonEmpty =>
+        colOf(v, prunable ++ bloomable).flatMap { case (c, dt) =>
+          val reprs = list.map(litRepr(_, dt))
+          if (!reprs.forall(_.isDefined)) None
+          else {
+            val tests = reprs.flatten.flatMap(
+              pointTest(key, prunable, bloomable, c, _))
+            if (tests.isEmpty) None
+            else Some(row => tests.exists(_(row)))
+          }
+        }
+      case StartsWith(l, Literal(p: UTF8String, StringType)) =>
+        colOf(l, prunable).collect { case (c, StringType) =>
+          val prefix = p.toString
+          boxTest(key, c, Some(prefix),
+            Option(GraftTable.incrementCodePoints(prefix)))
+        }
+      case _ => None
+    }
+    def eq(colSide: Expression, litSide: Expression): Option[EntryTest] =
+      colOf(colSide, prunable ++ bloomable).flatMap { case (c, dt) =>
+        litRepr(litSide, dt).flatMap(
+          pointTest(key, prunable, bloomable, c, _))
+      }
+    def cmp(colSide: Expression, litSide: Expression,
+        mk: Any => (Option[Any], Option[Any])): Option[EntryTest] =
+      colOf(colSide, prunable).flatMap { case (c, dt) =>
+        litRepr(litSide, dt).map { v =>
+          val (lo, hi) = mk(v)
+          boxTest(key, c, lo, hi)
+        }
+      }
+    rec(e)
+  }
+
+  /** Compile a conjunction; None when no conjunct is recognizable. */
+  def keepTest(conjuncts: Seq[Expression], key: Option[String],
+      prunable: Set[String], bloomable: Set[String]): Option[EntryTest] = {
+    val ts = conjuncts.flatMap(compile(_, key, prunable, bloomable))
+    if (ts.isEmpty) None else Some(row => ts.forall(_(row)))
+  }
 }
 
 /** Filter-to-manifest pruning. Runs in the operator-optimization batch
@@ -262,13 +307,12 @@ object SnapshotPruneRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, r: GraftSnapshotRelation)
         if r.prunableCols.nonEmpty || r.bloomableCols.nonEmpty =>
-      val conjuncts = splitConjunctivePredicates(cond)
-      val bounds = SnapshotPruning.extractBounds(conjuncts, r.prunableCols)
-      val probes = SnapshotPruning.extractProbes(conjuncts, r.bloomableCols)
-      if (bounds.isEmpty && probes.isEmpty) f
-      else {
-        val kept2 = SnapshotPruning.pruneFiles(r, bounds, probes)
-        if (kept2 == r.kept) f else Filter(cond, r.copy(kept = kept2))
+      SnapshotPruning.keepTest(splitConjunctivePredicates(cond), r.key,
+        r.prunableCols, r.bloomableCols) match {
+        case None => f
+        case Some(test) =>
+          val kept2 = r.entries.filter(test).map(_.getAs[String]("file"))
+          if (kept2 == r.kept) f else Filter(cond, r.copy(kept = kept2))
       }
   }
 }

@@ -65,10 +65,19 @@ object SnapshotSql {
         s"(committed: ${table.committedVersions.mkString(", ")})")
     val entries = table.manifest(v).collect().toSeq // O(#files) planning
     val files = entries.map(_.getAs[String]("file"))
-    if (files.isEmpty)
-      fail(s"snapshot v=$v of $man references no data files " +
-        "(empty snapshots carry no schema to scan)")
-    val output = spark.read.parquet(files: _*).queryExecution.analyzed.output
+    // schema from the commit's own _schema.ddl when recorded (zero
+    // data-file footer reads at planning — the Delta-log shape);
+    // pre-round-11 manifests fall back to footer inference
+    val schema = table.versionSchema(v).getOrElse {
+      if (files.isEmpty)
+        fail(s"snapshot v=$v of $man references no data files and " +
+          "records no schema (empty pre-r11 snapshots carry no schema " +
+          "to scan)")
+      spark.read.parquet(files: _*).schema
+    }
+    val output = schema.map(f =>
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        f.name, f.dataType, f.nullable, f.metadata)()).toSeq
     // Table properties (key + stats columns) make the scan PRUNABLE:
     // SnapshotPruneRule can then fold WHERE conjuncts into manifest box
     // pruning. Tables created before the props file existed resolve with
