@@ -341,41 +341,67 @@ object GraftStreams {
   }
 
   /** Idempotent keyed upsert sink — the foreachBatch exactly-once
-    * pattern. Structured Streaming replays a failed micro-batch with
-    * the SAME batchId and contents; a non-transactional sink must make
-    * apply() idempotent itself. This sink uses the versioned-state +
-    * commit-ledger shape (the contract behind a Delta/Iceberg MERGE
-    * txn log): state version `v<batchId>` is written FIRST, the commit
-    * marker SECOND, and readers see only marker-committed versions —
-    * so a replayed batch either finds its marker (skip) or
-    * deterministically rewrites the identical version and re-marks.
+    * pattern, expressed as a thin POLICY over the table format's MERGE
+    * (`GraftTable.commitMerge` + the `<appId>-batch<id>` replay tag the
+    * Delta txn protocol uses): the tag rides the committed manifest
+    * version atomically, so a replayed batch either finds its tag
+    * (skip) or deterministically re-merges — there is no marker-vs-
+    * state crash window at all, because tag and state are ONE atomic
+    * publish. Work per batch is CHURN-proportional, not O(state): the
+    * current rows consulted are read from only the manifest-pruned
+    * files intersecting the batch's key envelope (the same files the
+    * merge rewrites), and everything is addressed through the Hadoop
+    * FileSystem API like the rest of the table module.
+    *
     * The merge itself is last-writer-wins per user_id ordered by
-    * (ts, event_id) — a total order, so apply order and retries cannot
-    * change the result. The local full-state rewrite stands in for a
-    * table-format MERGE at scale; the ledger/versioning contract is
-    * what carries over unchanged. */
-  final class IdempotentUpsertSink(spark: SparkSession, root: String) {
+    * (ts, event_id) — a TOTAL order over (state ∪ batch), so apply
+    * order, out-of-order event time across batches, and retries cannot
+    * change the result. A crash between data write and manifest commit
+    * leaves only unreferenced orphans the replay supersedes and vacuum
+    * reclaims. `appId` namespaces the replay tags per checkpoint
+    * (batchIds restart at 0 under a fresh checkpoint — the standing
+    * appId:checkpoint = 1:1 contract). */
+  final class IdempotentUpsertSink(spark: SparkSession, root: String,
+      appId: String = "upsert") {
     import org.apache.spark.sql.expressions.Window
-    private def commitDir = new java.io.File(root, "_commits")
-    private def committed: Seq[Long] = {
-      val fs = commitDir.listFiles()
-      if (fs == null) Nil else fs.map(_.getName.toLong).toSeq.sorted
+    private val table = graft.table.GraftTable(
+      spark, s"$root/data", s"$root/man", "user_id")
+    table.createEmpty()
+
+    private val byKey = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    private def winners(df: DataFrame): DataFrame =
+      df.withColumn("rn", row_number().over(byKey))
+        .filter(col("rn") === 1).drop("rn")
+
+    /** Newest committed state, if any batch has committed rows yet. */
+    def latest: Option[DataFrame] = {
+      val v = table.committedVersions.max
+      if (table.files(v).isEmpty) None else Some(table.readAsOf(v))
     }
 
-    /** Newest committed state, if any batch has committed yet. */
-    def latest: Option[DataFrame] =
-      committed.lastOption.map(v => spark.read.parquet(s"$root/v$v"))
-
     def apply(batch: DataFrame, batchId: Long): Unit = {
-      if (committed.contains(batchId)) return // replay of an applied batch
-      val byKey = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
-      val merged = latest.map(_.unionByName(batch)).getOrElse(batch)
-        .withColumn("rn", row_number().over(byKey))
-        .filter(col("rn") === 1).drop("rn")
-      merged.coalesce(1).write.mode("overwrite").parquet(s"$root/v$batchId")
-      commitDir.mkdirs()
-      java.nio.file.Files.createFile(commitDir.toPath.resolve(batchId.toString))
+      val tag = s"$appId-batch$batchId"
+      if (table.tagCommitted(tag))
+        return // committed replay — the tag rode the atomic commit
+      val v = table.committedVersions.max
+      val dedup = winners(batch.select("user_id", "event_id", "ts", "value"))
+      // current rows for the batch's keys, read from ONLY the
+      // envelope-pruned files (exactly the set the merge rewrites) —
+      // the winner-resolution input stays churn-proportional
+      val env = dedup.agg(min("user_id").cast("long"),
+        max("user_id").cast("long")).head
+      if (env.isNullAt(0)) { // empty batch: tag a carry-forward commit
+        table.commitMerge(dedup, v, tag = Some(tag))
+        return
+      }
+      val (files, _) = table.prune(v, env.getLong(0), env.getLong(1))
+      val current =
+        if (files.isEmpty) dedup.limit(0)
+        else spark.read.parquet(files: _*)
+          .join(dedup.select("user_id"), Seq("user_id"), "left_semi")
+      table.commitMerge(winners(current.unionByName(dedup)), v,
+        tag = Some(tag))
     }
   }
 

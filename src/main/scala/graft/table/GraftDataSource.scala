@@ -278,13 +278,38 @@ final class GraftDataSource extends RelationProvider
   * one. */
 final class GraftStreamSink(spark: SparkSession, table: GraftTable,
     appId: String, nParts: Int)
-    extends org.apache.spark.sql.execution.streaming.Sink {
+    extends org.apache.spark.sql.execution.streaming.Sink
+    with org.apache.spark.internal.Logging {
+
+  /** Max batchId this appId ever committed (live tags + vacuum
+    * ledger) — the high-water mark a legitimate replay sits AT, never
+    * below: Spark only ever re-delivers the latest possibly-uncommitted
+    * batch. O(#versions) driver-side, computed only on the skip path. */
+  private def highWater(): Option[Long] =
+    table.committedTags(s"$appId-batch")
+      .flatMap(t => t.stripPrefix(s"$appId-batch").toLongOption)
+      .maxOption
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val tag = s"$appId-batch$batchId"
-    if (table.tagCommitted(tag))
-      return // committed replay — even if vacuum expired the version,
-             // the _tags ledger still remembers the batch
+    if (table.tagCommitted(tag)) {
+      // committed replay — even if vacuum expired the version, the
+      // _tags ledger still remembers the batch. A batchId BELOW the
+      // appId's high-water mark is NOT a replay: batchIds restarted
+      // (a new checkpoint reusing this appId), and silently skipping
+      // would drop the new run's data — fail loudly instead.
+      val hw = highWater()
+      hw.filter(batchId < _).foreach { h =>
+        throw new IllegalStateException(
+          s"appId '$appId' batch $batchId is far below its committed " +
+            s"high-water mark $h — batchIds restarted (a NEW checkpoint " +
+            "is reusing this appId); appId must be 1:1 with the " +
+            "query's checkpoint: pick a new appId for a new checkpoint")
+      }
+      logWarning(s"skipping replayed batch $batchId of appId '$appId' " +
+        s"(tag '$tag' already committed)")
+      return
+    }
     // the incoming DataFrame is bound to the micro-batch's incremental
     // execution and cannot be re-planned by the batch write inside
     // commitAppendOcc — rebind its rows as a batch DataFrame first
@@ -410,6 +435,22 @@ final class GraftChangeFeedSource(spark: SparkSession, man: String,
           "expired it before this consumer caught up; vacuum retention " +
           "must exceed the slowest consumer's lag")
 
+  /** One-slot manifest memo: the walk reuses each version's file set as
+    * the next step's `from`, and across triggers the previous end
+    * offset's set is still warm — so a steady-state trigger reads each
+    * NEW manifest exactly once (the contract was being paid ~3x:
+    * files(v), files(v-1), then cdc's own reads). Manifests are
+    * immutable once committed, so the memo can never go stale. */
+  private var memo: Option[(Int, Set[String])] = None
+
+  private def filesOf(v: Int): Set[String] = memo match {
+    case Some((mv, fs)) if mv == v => fs
+    case _ =>
+      val fs = table.files(v).toSet
+      memo = Some((v, fs))
+      fs
+  }
+
   override def getOffset: Option[V1Offset] = {
     val vs = table.committedVersions
     if (vs.isEmpty) None else Some(LongOffset(vs.max.toLong))
@@ -445,15 +486,20 @@ final class GraftChangeFeedSource(spark: SparkSession, man: String,
       case Some(o) =>
         val v0 = version(o)
         requireCommitted(v0)
+        var prev = filesOf(v0)
         ((v0 + 1) to vEnd).flatMap { v =>
           requireCommitted(v)
+          val cur = table.files(v).toSet
+          memo = Some((v, cur)) // warm for the next trigger's v0
           // a no-op commit (e.g. an empty streamed batch) changes no
           // files — skipping it also keeps cdc away from its
           // empty-diff-of-an-empty-table loud path
-          val changed = table.files(v).toSet != table.files(v - 1).toSet
-          if (table.dataChange(v) && changed)
-            Some(shape(table.cdc(v - 1, v), v))
-          else None // OPTIMIZE/no-op: nothing to deliver
+          val out =
+            if (table.dataChange(v) && cur != prev)
+              Some(shape(table.cdcOf(prev, cur, v - 1, v), v))
+            else None // OPTIMIZE/no-op: nothing to deliver
+          prev = cur
+          out
         }
     }
     val batch = pieces.reduceOption(_ unionByName _).getOrElse(

@@ -304,6 +304,22 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     versionWithTag(tag).isDefined ||
       manFs.exists(new Path(s"$man/_tags", s"_tag_$tag"))
 
+  /** All committed tags starting with `prefix` — live versions plus the
+    * vacuum ledger. O(#versions) driver-side; the streaming sinks use
+    * it to recover their appId's batch high-water mark and fail loudly
+    * when a NEW checkpoint silently restarts batchIds at 0 against an
+    * appId that already committed far past them. */
+  def committedTags(prefix: String): Seq[String] = {
+    val live = committedVersions.flatMap { v =>
+      listStatusSafe(manFs, new Path(manifestPath(v)))
+        .map(_.getPath.getName).filter(_.startsWith("_tag_"))
+    }
+    val ledger = listStatusSafe(manFs, new Path(s"$man/_tags"))
+      .map(_.getPath.getName).filter(_.startsWith("_tag_"))
+    (live ++ ledger).map(_.stripPrefix("_tag_"))
+      .distinct.filter(_.startsWith(prefix))
+  }
+
   /** Snapshot v's manifest as a DataFrame. Read driver-side
     * ([[GraftTable.readManifestRows]]) — planning never schedules a
     * Spark job; the result is a local relation, so downstream
@@ -870,8 +886,14 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * insert/update/delete; rewritten-but-unchanged survivors fall out
     * as equal pairs. Output: (key, old_<c>.., new_<c>.., op). At 100 TB
     * a 0.1% churn commit reads ~0.2% of the table instead of 200%. */
-  def cdc(vFrom: Int, vTo: Int): DataFrame = {
-    val (from, to) = (files(vFrom).toSet, files(vTo).toSet)
+  def cdc(vFrom: Int, vTo: Int): DataFrame =
+    cdcOf(files(vFrom).toSet, files(vTo).toSet, vFrom, vTo)
+
+  /** [[cdc]] over ALREADY-READ file sets — the change-feed source walks
+    * versions and reuses each step's `to` as the next step's `from`, so
+    * a trigger reads each manifest ONCE instead of three times. */
+  private[graft] def cdcOf(from: Set[String], to: Set[String],
+      vFrom: Int, vTo: Int): DataFrame = {
     if ((from ++ to).isEmpty)
       throw new IllegalStateException(
         s"cdc v=$vFrom -> v=$vTo: both snapshots reference no files, so " +

@@ -556,21 +556,42 @@ class StreamingSpec extends TestBase {
     assert(got.nonEmpty && got == want)
 
     // 2. replaying an already-committed batchId — even with different
-    // data — must be a no-op (the ledger, not the data, decides)
-    val committedId = new java.io.File(root, "_commits")
-      .listFiles().map(_.getName.toLong).max
+    // data — must be a no-op (the commit-riding tag, not the data,
+    // decides; the sink is now a policy over GraftTable.commitMerge)
+    val stateTable = graft.table.GraftTable(
+      spark, s"$root/data", s"$root/man", "user_id")
+    val committedId = (0L to 1000L).filter(b =>
+      stateTable.tagCommitted(s"upsert-batch$b")).max
     val garbage = Tables.load(spark, sfDir, "events")
       .select("user_id", "event_id", "ts", "value").limit(5)
       .withColumn("value", lit(-1.0))
     sink.apply(garbage, committedId)
     assert(state() == want, "replay of a committed batch mutated state")
 
-    // 3. crash-window replay: marker lost AFTER the version was
-    // written — re-applying the same batch must converge to the same
-    // state (deterministic rewrite + re-mark)
-    val lastBatch = spark.read.parquet(s"$root/v$committedId")
-    assert(new java.io.File(s"$root/_commits/$committedId").delete())
-    sink.apply(lastBatch, committedId)
-    assert(state() == want, "crash-replay did not converge")
+    // 3. crash-window replay: a crashed attempt moved data files into
+    // the layout but died BEFORE the manifest commit (the only crash
+    // window the atomic tag+state publish leaves). Its orphans are
+    // invisible to readers, and re-applying a NEW batch converges:
+    // the upsert is last-writer-wins under a total order, so replaying
+    // the same rows cannot change the state
+    val vBefore = stateTable.committedVersions.max
+    val lastBatch = Tables.load(spark, sfDir, "events")
+      .select("user_id", "event_id", "ts", "value").limit(50)
+    // simulate the crashed attempt: bytes in the data dir that no
+    // manifest references
+    lastBatch.limit(7).write.mode("overwrite")
+      .parquet(s"$root/data/_stage_crashed")
+    val crashedFs = new org.apache.hadoop.fs.Path(s"$root/data")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    crashedFs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/data/_stage_crashed"))
+      .filter(_.getPath.getName.startsWith("part-")).foreach { st =>
+        assert(crashedFs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+          s"$root/data", "part-crashed-" + st.getPath.getName.drop(5))))
+      }
+    assert(state() == want, "unreferenced orphans leaked into the state")
+    sink.apply(lastBatch, committedId + 1)
+    assert(state() == want, "replay of already-applied rows did not converge")
+    assert(stateTable.committedVersions.max == vBefore + 1)
   }
 }
