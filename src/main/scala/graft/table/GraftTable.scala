@@ -1152,15 +1152,27 @@ object GraftTable {
       val p = ptr(man, v)
       if (!fs.exists(p)) None
       else {
-        val in = fs.open(p)
-        val nm = try {
-          val bos = new java.io.ByteArrayOutputStream()
-          org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
-          bos.toString("UTF-8").trim
-        } finally in.close()
+        // an existing pointer IS the commit decision; its content may
+        // trail by the store's create→write gap (a store whose
+        // conditional PUT uploads content atomically — S3 — has no gap
+        // at all). Bounded retry bridges it; a pointer that stays empty
+        // is a crashed writer mid-publish — fail loudly, never guess.
+        var nm = ""
+        var attempts = 0
+        while (nm.isEmpty && attempts < 50) {
+          val in = fs.open(p)
+          nm = try {
+            val bos = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+            bos.toString("UTF-8").trim
+          } finally in.close()
+          attempts += 1
+          if (nm.isEmpty) Thread.sleep(20L)
+        }
         require(nm.nonEmpty,
-          s"torn pointer $p: committed but empty — the store's exclusive " +
-            "create+write is not atomic; use the rename log store here")
+          s"torn pointer $p: committed but still empty — a writer " +
+            "crashed between claiming the version and recording its " +
+            "payload; delete the pointer to roll the version back")
         Some(new Path(man, nm))
       }
     }
