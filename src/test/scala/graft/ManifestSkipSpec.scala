@@ -138,4 +138,81 @@ class ManifestSkipSpec extends TestBase {
       .filter(col("l_orderkey") === maxKey).count()
     assert(n > 0, "boundary row lost by pruning")
   }
+
+  // ---- string keys: bounded-prefix boxes ----------------------------
+
+  test("string-keyed boxes skip files; pruned read equals the full filter") {
+    import spark.implicits._
+    import graft.table.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_strbox").toString
+    val docs = (0 until 2000).map(i => (f"doc$i%06d", i.toLong))
+      .toDF("doc_id", "v")
+    val t = GraftTable(spark, s"$root/data", s"$root/man", "doc_id")
+    t.create(docs, 8)
+    val (kept, total) = t.prune(1, "doc000100", "doc000399")
+    assert(total == 8 && kept.nonEmpty && kept.size < total,
+      s"string range must skip files: kept ${kept.size} of $total")
+    val pred = col("doc_id").between("doc000100", "doc000399")
+    val pruned = spark.read.parquet(kept: _*).filter(pred)
+    val full = t.readAsOf(1).filter(pred)
+    assert(pruned.count() == 300 && full.count() == 300)
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty)
+    // out-of-domain ranges prune everything, both sides
+    assert(t.prune(1, "a", "b")._1.isEmpty)
+    assert(t.prune(1, "e", "f")._1.isEmpty)
+  }
+
+  test("prefix-collision boundary: keys equal through the truncation length never falsely skip") {
+    import spark.implicits._
+    import graft.table.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_strcoll").toString
+    // every key shares the SAME 16-code-point prefix and is longer than
+    // it, so both files' stored boxes collapse to the identical
+    // [prefix, prefix⁺) interval — the boxes cannot tell the files
+    // apart, and the only correct behavior is to keep BOTH
+    val prefix = "sharedprefix0123" // exactly 16 code points
+    val low = (0 until 50).map(i => (f"$prefix-a$i%04d", i.toLong))
+    val high = (0 until 50).map(i => (f"$prefix-z$i%04d", 100L + i))
+    val t = GraftTable(spark, s"$root/data", s"$root/man", "doc_id")
+    t.create(low.toDF("doc_id", "v"), 1)
+    t.commitAppend(high.toDF("doc_id", "v"), 1, 1)
+    // stored boxes really are truncated (not the full 21-char keys)
+    val entries = t.manifest(2).collect()
+    assert(entries.length == 2)
+    entries.foreach { r =>
+      assert(r.getAs[String]("lo").length <= prefix.length &&
+        r.getAs[String]("hi").length <= prefix.length + 1,
+        s"box not truncated: ${r.getAs[String]("lo")} / ${r.getAs[String]("hi")}")
+    }
+    // a point probe on a LOW-file key must keep the low file — and,
+    // boxes being identical, conservatively keeps the high file too
+    val probe = low(5)._1
+    val (kept, total) = t.prune(2, probe, probe)
+    assert(total == 2 && kept.size == 2,
+      s"collision boxes are indistinguishable — must keep both, kept ${kept.size}")
+    assert(spark.read.parquet(kept: _*)
+      .filter(col("doc_id") === probe).count() == 1, "false skip on collision")
+    // below/above the shared prefix still prunes everything
+    assert(t.prune(2, "shared", "sharedprefix0122")._1.isEmpty)
+    assert(t.prune(2, "sharedprefix0125", "z")._1.isEmpty)
+  }
+
+  test("non-ASCII string keys: UTF-8 box order matches Spark's min/max order") {
+    import spark.implicits._
+    import graft.table.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_strutf8").toString
+    // mix ASCII, Latin-1, CJK and an astral-plane emoji — UTF-8 byte
+    // order differs from UTF-16 code-unit order exactly here
+    val keys = Seq("alpha", "zeta", "étude", "中文键", "日本語",
+      "😀emoji", "ÿclose", "zz�repl")
+    val t = GraftTable(spark, s"$root/data", s"$root/man", "doc_id")
+    t.create(keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("doc_id", "v"), 4)
+    keys.foreach { k =>
+      val (kept, _) = t.prune(1, k, k)
+      assert(spark.read.parquet(kept: _*)
+        .filter(col("doc_id") === k).count() == 1,
+        s"false skip on non-ASCII key '$k'")
+    }
+  }
 }

@@ -102,4 +102,57 @@ class TableConcurrencySpec extends TestBase {
       assert(!inflight.exists())
     } finally pool.shutdown()
   }
+
+  test("concurrent merges: disjoint key envelopes both commit, overlap fails loudly") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft_dm_data").toString
+    val man = java.nio.file.Files.createTempDirectory("graft_dm_man").toString
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val table = GraftTable(spark, out, man, "o_orderkey").create(orders, 4)
+    val n = orders.count()
+
+    // two merges BOTH planned against v=1 (the deterministic spelling
+    // of a race): A commits v=2 first; B — whose key envelope sits in
+    // files A never touched and outside A's new entries' boxes — must
+    // REBASE mechanically onto v=2 and commit v=3 (the Delta conflict-
+    // checker rule), not fail
+    val lowMax = 1000L
+    val highMin = orders.agg(org.apache.spark.sql.functions
+      .expr("percentile(o_orderkey, 0.9)")).head.getDouble(0).toLong
+    val a = orders.filter(col("o_orderkey") <= lowMax)
+      .withColumn("o_totalprice", col("o_totalprice") * 2)
+    val b = orders.filter(col("o_orderkey") >= highMin)
+      .withColumn("o_totalprice", col("o_totalprice") * 3)
+    table.commitMerge(a, 1) // v=2
+    table.commitMerge(b, 1) // loses v=2, rebases, commits v=3
+    assert(table.committedVersions == Seq(1, 2, 3))
+    val merged = table.readAsOf(3)
+    assert(merged.count() == n, "rebased merge changed the row count")
+    // both merges' effects present
+    val expectLow = orders.filter(col("o_orderkey") <= lowMax)
+      .agg(org.apache.spark.sql.functions.sum(col("o_totalprice") * 2))
+      .head.getDouble(0)
+    val gotLow = merged.filter(col("o_orderkey") <= lowMax)
+      .agg(org.apache.spark.sql.functions.sum("o_totalprice"))
+      .head.getDouble(0)
+    assert(math.abs(expectLow - gotLow) < 1e-6, "merge A's update lost")
+    val expectHigh = orders.filter(col("o_orderkey") >= highMin)
+      .agg(org.apache.spark.sql.functions.sum(col("o_totalprice") * 3))
+      .head.getDouble(0)
+    val gotHigh = merged.filter(col("o_orderkey") >= highMin)
+      .agg(org.apache.spark.sql.functions.sum("o_totalprice"))
+      .head.getDouble(0)
+    assert(math.abs(expectHigh - gotHigh) < 1e-6, "merge B's update lost")
+
+    // an OVERLAPPING merge still planned against v=1 targets files the
+    // winner rewrote — its rewrite is stale; must fail loudly
+    val c = orders.filter(col("o_orderkey") <= lowMax)
+      .withColumn("o_totalprice", col("o_totalprice") * 5)
+    intercept[java.util.ConcurrentModificationException] {
+      table.commitMerge(c, 1)
+    }
+    // and the failed attempt left only vacuumable orphans, no commit
+    assert(table.committedVersions == Seq(1, 2, 3))
+  }
 }

@@ -59,6 +59,28 @@ class GraftDataSourceSpec extends TestBase {
       .count() == orders.count())
   }
 
+  test("planning opens ZERO data files: the schema rides the commit") {
+    val (data, man) = freshDirs("zeroio")
+    orders.write.format("graft").mode(SaveMode.Overwrite)
+      .option("key", "o_orderkey").option("data", data).save(man)
+    val expected = spark.read.format("graft").load(man).schema
+    // hide every data byte: if planning needed a footer, it would fail
+    val fs = new org.apache.hadoop.fs.Path(data)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val hidden = new org.apache.hadoop.fs.Path(data + ".hidden")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(data), hidden))
+    try {
+      val df = spark.read.format("graft").load(man)
+      assert(df.schema == expected, s"${df.schema} vs $expected")
+      // the TVF surface plans schema-from-commit too
+      graft.table.SnapshotSql.register(spark)
+      val tvf = spark.sql(s"SELECT * FROM graft_snapshot('$man', 1)")
+      assert(tvf.schema.fieldNames.toSeq == expected.fieldNames.toSeq)
+    } finally assert(fs.rename(hidden, new org.apache.hadoop.fs.Path(data)))
+    // data restored: the same plans execute
+    assert(spark.read.format("graft").load(man).count() == orders.count())
+  }
+
   test("pushed-down key filters prune files at the physical scan") {
     val (data, man) = freshDirs("prune")
     orders.write.format("graft").mode(SaveMode.Overwrite)

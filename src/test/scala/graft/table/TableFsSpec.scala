@@ -156,6 +156,16 @@ class TableFsSpec extends TestBase {
       table.commitManifest(v1Entries, 1, tag = Some("never-committed"))
     }
     assert(e2.getMessage.contains("NOT carrying tag"), e2.getMessage)
+
+    // SAME entry count, DIFFERENT file set: the guard is content-
+    // complete (sorted file lists), so a same-size different snapshot
+    // cannot slip through as an assumed replay
+    val sameCountDifferent = v1Entries
+      .withColumn("file", concat(lit("not/"), col("file")))
+    val e3 = intercept[IllegalArgumentException] {
+      table.commitManifest(sameCountDifferent, 1)
+    }
+    assert(e3.getMessage.contains("file sets differ"), e3.getMessage)
   }
 
   // ---- 4. loud contract failures -----------------------------------
