@@ -82,6 +82,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "(version, n_files, n_rows, bytes, data_change, commit_ts); " +
           "computed from manifests alone, no data read"),
       (es: Seq[Expression]) => graft.table.SnapshotSql.historyPlan(es)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_optimize"),
+      info("graft_optimize",
+        "graft_optimize(manifestDir, targetBytes) - bin-pack the latest " +
+          "snapshot's small files as a dataChange=false commit; returns " +
+          "(compacted_files, latest_version)"),
+      (es: Seq[Expression]) => graft.table.SnapshotSql.optimizePlan(es)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_vacuum"),
+      info("graft_vacuum",
+        "graft_vacuum(manifestDir, keepFrom[, graceMs]) - drop versions " +
+          "below keepFrom and reclaim unreferenced data files; one row " +
+          "per deleted file"),
+      (es: Seq[Expression]) => graft.table.SnapshotSql.vacuumPlan(es)))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",

@@ -1787,7 +1787,140 @@ object CurationQueries {
       |  md5(array_to_string(chunk, ' ')) AS chunk_md5
       |FROM chunks ORDER BY doc_id, start""".stripMargin
 
+  // ---- 122. STRING table keys — the table format governing the
+  // actual LLM-corpus table (VERDICT r10 top item): `documents` is
+  // keyed by a string doc key, and the manifest stores BOUNDED-PREFIX
+  // boxes (the Iceberg truncate(16) idea — conservative by
+  // construction, so skipping stays exact on arbitrarily long keys).
+  // The full lifecycle on a string key: clustered create, a COW merge
+  // whose impacted-file planning compares string envelopes in UTF-8
+  // order (updates re-score a key slice; inserts land BETWEEN existing
+  // keys with suffixed ids), then a key-range read through
+  // graft_snapshot SQL whose WHERE folds into manifest pruning inside
+  // the optimizer (SnapshotPruneSpec proves the file counts; the
+  // DuckDB oracle proves the rows). At 100 TB this is what lets
+  // merge/travel/CDC/prune run on a doc_id-keyed corpus without
+  // synthesizing surrogate integer keys. ----
+  val q122_string_key_table: Q = (s, dir) => {
+    graft.table.SnapshotSql.register(s)
+    val out = RelationalQueries.scratch("q122_layout", dir)
+    val man = RelationalQueries.scratch("q122_manifest", dir)
+    val base = t(s, dir, "documents").select(
+      concat(lit("doc"), lpad(col("doc_id").cast("string"), 8, "0"))
+        .as("doc_key"),
+      col("doc_id"), col("lang"), col("n_chars"))
+    val tbl = GraftTable(s, out, man, "doc_key")
+    tbl.create(base.drop("doc_id"), 8)
+    val updates = base
+      .filter(col("doc_key").between("doc00000100", "doc00000299"))
+      .select(col("doc_key"), col("lang"),
+        (col("n_chars") + 100000L).as("n_chars"))
+    val inserts = base.filter(col("doc_id").between(150, 199))
+      .select(concat(col("doc_key"), lit("-aug")).as("doc_key"),
+        lit("xx").as("lang"), col("n_chars"))
+    tbl.commitMerge(updates.unionByName(inserts), 1, 4)
+    s.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+         |FROM graft_snapshot('$man', 2)
+         |WHERE doc_key BETWEEN 'doc00000050' AND 'doc00000399'
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val q122_string_key_table_sql: String =
+    """WITH base AS (
+      |  SELECT 'doc' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS doc_key,
+      |    doc_id, lang, n_chars
+      |  FROM documents
+      |), merged AS (
+      |  SELECT doc_key, lang,
+      |    n_chars + CASE WHEN doc_key BETWEEN 'doc00000100' AND 'doc00000299'
+      |                   THEN 100000 ELSE 0 END AS n_chars
+      |  FROM base
+      |  UNION ALL
+      |  SELECT doc_key || '-aug', 'xx', n_chars FROM base
+      |  WHERE doc_id BETWEEN 150 AND 199
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM merged
+      |WHERE doc_key BETWEEN 'doc00000050' AND 'doc00000399'
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- 123. The SQL DML surface completed: OPTIMIZE and VACUUM as
+  // TVF procedures — maintenance joins travel (graft_snapshot),
+  // changes (graft_changes) and history (graft_history) in pure SQL,
+  // so an operator never needs the Scala API. Deterministic shape:
+  // create (8 files) + append (4 files) -> graft_optimize packs all 12
+  // into 1 as a dataChange=false commit -> graft_vacuum drops the old
+  // versions and reclaims exactly the 12 packed-away files -> history
+  // shows the single surviving layout-only snapshot. ----
+  val q123_sql_maintenance: Q = (s, dir) => {
+    graft.table.SnapshotSql.register(s)
+    val out = RelationalQueries.scratch("q123_layout", dir)
+    val man = RelationalQueries.scratch("q123_manifest", dir)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val tbl = GraftTable(s, out, man, "o_orderkey")
+    tbl.create(o.filter(col("o_orderkey") % 4 === 0), 8)
+    tbl.commitAppend(o.filter(col("o_orderkey") % 4 === 1), 1, 4)
+    val opt = s.sql(
+      s"SELECT compacted_files, latest_version FROM graft_optimize('$man', ${1L << 30})")
+      .head
+    val reclaimed = s.sql(
+      s"SELECT count(*) AS c FROM graft_vacuum('$man', ${opt.getLong(1)})")
+      .head.getLong(0)
+    s.sql(
+      s"""SELECT version, n_files, n_rows, data_change
+         |FROM graft_history('$man') ORDER BY version""".stripMargin)
+      .withColumn("compacted_files", lit(opt.getLong(0)))
+      .withColumn("files_reclaimed", lit(reclaimed))
+  }
+
+  val q123_sql_maintenance_sql: String =
+    """SELECT CAST(3 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_files,
+      |  (SELECT count(*) FROM orders WHERE o_orderkey % 4 IN (0, 1))
+      |    AS n_rows,
+      |  FALSE AS data_change, CAST(12 AS BIGINT) AS compacted_files,
+      |  CAST(12 AS BIGINT) AS files_reclaimed""".stripMargin
+
+  // ---- 124. TIMESTAMP table keys: an events table clustered and
+  // manifest-boxed directly on its event time (epoch-micros boxes —
+  // lossless, unlike a seconds cast), so a time-window read through
+  // graft_snapshot SQL file-prunes from the manifest exactly like a
+  // Delta table partitioned on time, without the partition-column
+  // ceremony. Catalyst timestamp literals are ALREADY micros, so the
+  // pushed-down bounds transfer to the boxes with no conversion. ----
+  val q124_timestamp_key_table: Q = (s, dir) => {
+    graft.table.SnapshotSql.register(s)
+    val out = RelationalQueries.scratch("q124_layout", dir)
+    val man = RelationalQueries.scratch("q124_manifest", dir)
+    val ev = t(s, dir, "events")
+      .select("ts", "event_id", "event_type", "value")
+    val tbl = GraftTable(s, out, man, "ts")
+    tbl.create(ev, 8)
+    s.sql(
+      s"""SELECT event_type, count(*) AS n_events,
+         |  round(sum(value), 2) AS total_value
+         |FROM graft_snapshot('$man', 1)
+         |WHERE ts BETWEEN TIMESTAMP'2024-01-10 00:00:00'
+         |          AND TIMESTAMP'2024-01-12 00:00:00'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      .select(col("event_type"), col("n_events"),
+        dround(col("total_value"), 2).as("total_value"))
+  }
+
+  val q124_timestamp_key_table_sql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(sum(value), 2) + 0 AS total_value
+      |FROM events
+      |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00'
+      |          AND TIMESTAMP '2024-01-12 00:00:00'
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q122_string_key_table" -> q122_string_key_table,
+    "q123_sql_maintenance" -> q123_sql_maintenance,
+    "q124_timestamp_key_table" -> q124_timestamp_key_table,
     "q97_chunk_overlap" -> q97_chunk_overlap,
     "q94_source_mix" -> q94_source_mix,
     "q81_zorder_layout" -> q81_zorder_layout,
@@ -1825,6 +1958,9 @@ object CurationQueries {
     "q68_stratified_sample" -> q68_stratified_sample)
 
   val oracles: Map[String, String] = Map(
+    "q122_string_key_table" -> q122_string_key_table_sql,
+    "q123_sql_maintenance" -> q123_sql_maintenance_sql,
+    "q124_timestamp_key_table" -> q124_timestamp_key_table_sql,
     "q97_chunk_overlap" -> q97_chunk_overlap_sql,
     "q94_source_mix" -> q94_source_mix_sql,
     "q81_zorder_layout" -> q81_zorder_layout_sql,

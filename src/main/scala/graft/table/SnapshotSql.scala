@@ -155,6 +155,95 @@ object SnapshotSql {
     org.apache.spark.sql.GraftSqlBridge.analyzed(table.history())
   }
 
+  private[table] val optimizeUsage: String =
+    "usage: graft_optimize('<manifestDir>', targetBytes) — bin-pack the " +
+      "latest snapshot's sub-target files into ~targetBytes files as a " +
+      "new layout-only (dataChange=false) snapshot commit; returns one " +
+      "row (compacted_files, latest_version). A maintenance PROCEDURE " +
+      "surfaced as a TVF: the compaction runs when the statement is " +
+      "planned, once per spark.sql() call"
+
+  /** `SELECT * FROM graft_optimize('<man>', 128*1024*1024)` —
+    * [[GraftTable.commitCompaction]] from pure SQL (Delta's OPTIMIZE).
+    * The table's shape comes from `_table_props`, so the call needs
+    * nothing but the manifest path. */
+  def optimizePlan(es: Seq[Expression]): LogicalPlan = {
+    def fail(detail: String): Nothing =
+      throw new IllegalArgumentException(s"$detail\n$optimizeUsage")
+    if (es.length != 2)
+      fail(s"graft_optimize takes 2 arguments, got ${es.length}")
+    val man = es.head match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => fail(s"manifestDir must be a string literal; got '$other'")
+    }
+    val targetBytes = es(1) match {
+      case Literal(i: Int, IntegerType) if i > 0 => i.toLong
+      case Literal(l: Long, LongType) if l > 0 => l
+      case other => fail(s"targetBytes must be a positive integral literal; got '$other'")
+    }
+    val spark = SparkSession.active
+    val table = maintenanceTable(spark, man, fail)
+    val vs = table.committedVersions
+    if (vs.isEmpty) fail(s"no committed snapshots under $man")
+    val packed = table.commitCompaction(vs.max, targetBytes)
+    import spark.implicits._
+    org.apache.spark.sql.GraftSqlBridge.analyzed(
+      Seq((packed.toLong, table.committedVersions.max.toLong))
+        .toDF("compacted_files", "latest_version"))
+  }
+
+  private[table] val vacuumUsage: String =
+    "usage: graft_vacuum('<manifestDir>', keepFrom[, graceMs]) — drop " +
+      "manifest versions below keepFrom and delete every data file no " +
+      "retained version references (sparing anything younger than " +
+      "graceMs); returns one row per deleted file. A maintenance " +
+      "PROCEDURE surfaced as a TVF: the reclamation runs when the " +
+      "statement is planned, once per spark.sql() call"
+
+  /** `SELECT * FROM graft_vacuum('<man>', 3)` — [[GraftTable.vacuum]]
+    * from pure SQL (Delta's VACUUM). */
+  def vacuumPlan(es: Seq[Expression]): LogicalPlan = {
+    def fail(detail: String): Nothing =
+      throw new IllegalArgumentException(s"$detail\n$vacuumUsage")
+    if (es.length < 2 || es.length > 3)
+      fail(s"graft_vacuum takes 2-3 arguments, got ${es.length}")
+    val man = es.head match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => fail(s"manifestDir must be a string literal; got '$other'")
+    }
+    def longArg(e: Expression, name: String): Long = e match {
+      case Literal(i: Int, IntegerType) => i.toLong
+      case Literal(l: Long, LongType) => l
+      case other => fail(s"$name must be an integral literal; got '$other'")
+    }
+    val keepFrom = longArg(es(1), "keepFrom")
+    if (keepFrom < 1 || keepFrom > Int.MaxValue)
+      fail(s"keepFrom $keepFrom out of range [1, ${Int.MaxValue}]")
+    val graceMs = if (es.length == 3) longArg(es(2), "graceMs") else 0L
+    if (graceMs < 0) fail(s"graceMs must be >= 0, got $graceMs")
+    val spark = SparkSession.active
+    val table = maintenanceTable(spark, man, fail)
+    val vs = table.committedVersions
+    if (vs.isEmpty) fail(s"no committed snapshots under $man")
+    val removed = table.vacuum(keepFrom.toInt, vs.max, graceMs)
+    import spark.implicits._
+    org.apache.spark.sql.GraftSqlBridge.analyzed(removed.toDF("file"))
+  }
+
+  /** Maintenance ops rewrite data, so they need the FULL table shape —
+    * key, data dir, stats/bloom declarations — all from `_table_props`. */
+  private def maintenanceTable(spark: SparkSession, man: String,
+      fail: String => Nothing): GraftTable = {
+    val p = GraftTable.loadProps(spark, man).getOrElse(
+      fail(s"$man carries no _table_props — maintenance needs a table " +
+        "created through GraftTable/format(\"graft\")"))
+    val key = p.key.getOrElse(fail(s"$man's _table_props records no key"))
+    val data = p.data.getOrElse(
+      fail(s"$man's _table_props records no data dir (pre-round-10 table)"))
+    GraftTable(spark, data, man, key, p.statsCols, p.bloomCols,
+      p.bloomItems, p.bloomFpp)
+  }
+
   /** Per-session programmatic registration (the extensions-free path —
     * [[graft.GraftExtensions]] wires the same pieces cluster-wide via
     * config). Idempotent: the TVF registry replaces, the optimizer list
@@ -179,5 +268,15 @@ object SnapshotSql {
       new ExpressionInfo(getClass.getName, null, "graft_history",
         historyUsage, ""),
       (es: Seq[Expression]) => historyPlan(es))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_optimize"),
+      new ExpressionInfo(getClass.getName, null, "graft_optimize",
+        optimizeUsage, ""),
+      (es: Seq[Expression]) => optimizePlan(es))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_vacuum"),
+      new ExpressionInfo(getClass.getName, null, "graft_vacuum",
+        vacuumUsage, ""),
+      (es: Seq[Expression]) => vacuumPlan(es))
   }
 }

@@ -248,6 +248,50 @@ class ExtensionsSpec extends TestBase {
     assert(badMan.getMessage.contains("no committed snapshots"))
   }
 
+  test("OPTIMIZE and VACUUM run from pure SQL (parity with the API, misuse loud)") {
+    graft.table.SnapshotSql.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlmaint").toString
+    val t = graft.table.GraftTable(spark, s"$root/data", s"$root/man", "id")
+    import spark.implicits._
+    t.create((1L to 80L).map(i => (i, i * 2L)).toDF("id", "v"), 4)
+    t.commitAppend((81L to 120L).map(i => (i, i)).toDF("id", "v"), 1, 2)
+    // graft_optimize packs the 6 small files into 1 as a
+    // dataChange=false commit — same as commitCompaction
+    val opt = spark.sql(
+      s"SELECT * FROM graft_optimize('${t.man}', ${1L << 30})").collect()
+    assert(opt.length == 1)
+    assert(opt(0).getAs[Long]("compacted_files") == 6L, s"${opt.toSeq}")
+    assert(opt(0).getAs[Long]("latest_version") == 3L)
+    assert(!t.dataChange(3) && t.readAsOf(3).count() == 120)
+    // an already-compact table reports 0 and burns no version
+    val opt2 = spark.sql(
+      s"SELECT * FROM graft_optimize('${t.man}', ${1L << 30})").collect()
+    assert(opt2(0).getAs[Long]("compacted_files") == 0L &&
+      opt2(0).getAs[Long]("latest_version") == 3L)
+    // graft_vacuum drops versions below keepFrom and reclaims exactly
+    // the packed-away files — one row each
+    val removed = spark.sql(
+      s"SELECT * FROM graft_vacuum('${t.man}', 3)").collect()
+      .map(_.getString(0)).toSeq
+    assert(removed.size == 6, s"expected the 6 packed-away files: $removed")
+    assert(t.committedVersions == Seq(3) && t.readAsOf(3).count() == 120)
+    // a second vacuum finds nothing
+    assert(spark.sql(
+      s"SELECT * FROM graft_vacuum('${t.man}', 3)").collect().isEmpty)
+    // misuse is loud
+    val badTarget = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_optimize('${t.man}', 0)")
+        .queryExecution.analyzed
+    }
+    assert(badTarget.getMessage.contains("positive"), badTarget.getMessage)
+    val noProps = java.nio.file.Files.createTempDirectory("graft_nomaint")
+    val badMan = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_vacuum('$noProps', 1)")
+        .queryExecution.analyzed
+    }
+    assert(badMan.getMessage.contains("_table_props"), badMan.getMessage)
+  }
+
   test("change feed runs from pure SQL text via graft_changes (same rows as cdc)") {
     import org.apache.spark.sql.functions._
     graft.table.SnapshotSql.register(spark)
