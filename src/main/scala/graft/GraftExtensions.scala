@@ -96,6 +96,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "below keepFrom and reclaim unreferenced data files; one row " +
           "per deleted file"),
       (es: Seq[Expression]) => graft.table.SnapshotSql.vacuumPlan(es)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_restore"),
+      info("graft_restore",
+        "graft_restore(manifestDir, version) - commit a new snapshot " +
+          "referencing version's exact file list (zero data copied); " +
+          "returns (restored_to, new_version)"),
+      (es: Seq[Expression]) => graft.table.SnapshotSql.restorePlan(es)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_delete"),
+      info("graft_delete",
+        "graft_delete(manifestDir, lo, hi) - copy-on-write DELETE of " +
+          "rows whose table key is in [lo, hi]; rewrites only the files " +
+          "whose boxes intersect; returns (deleted_rows, latest_version)"),
+      (es: Seq[Expression]) => graft.table.SnapshotSql.deletePlan(es)))
     ext.injectFunction((
       FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity",

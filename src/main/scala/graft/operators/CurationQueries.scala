@@ -1917,7 +1917,79 @@ object CurationQueries {
       |          AND TIMESTAMP '2024-01-12 00:00:00'
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- 125. RESTORE from SQL: undo a table to an earlier snapshot's
+  // content by committing a NEW version that references that
+  // snapshot's exact file list — zero data copied (at 100 TB, undoing
+  // a bad merge costs one manifest write), history preserved (the
+  // undone version stays time-travelable), and the change feed sees
+  // ordinary COW churn. Deterministic shape: create (v1) + append
+  // (v2) -> graft_restore to v1 commits v3 whose content equals v1 —
+  // proven by reading v3 through graft_snapshot against the oracle. ----
+  val q125_sql_restore: Q = (s, dir) => {
+    graft.table.SnapshotSql.register(s)
+    val out = RelationalQueries.scratch("q125_layout", dir)
+    val man = RelationalQueries.scratch("q125_manifest", dir)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val tbl = GraftTable(s, out, man, "o_orderkey")
+    tbl.create(o.filter(col("o_orderkey") % 3 === 0), 6)
+    tbl.commitAppend(o.filter(col("o_orderkey") % 3 === 1), 1, 4)
+    val res = s.sql(
+      s"SELECT restored_to, new_version FROM graft_restore('$man', 1)")
+      .head
+    s.sql(
+      s"""SELECT count(*) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graft_snapshot('$man', ${res.getLong(1)})""".stripMargin)
+      .withColumn("restored_to", lit(res.getLong(0)))
+      .withColumn("new_version", lit(res.getLong(1)))
+  }
+
+  val q125_sql_restore_sql: String =
+    """SELECT count(*) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  CAST(1 AS BIGINT) AS restored_to,
+      |  CAST(3 AS BIGINT) AS new_version
+      |FROM orders WHERE o_orderkey % 3 = 0""".stripMargin
+
+  // ---- 126. Copy-on-write DELETE from SQL (Delta's DELETE WHERE,
+  // range form): graft_delete rewrites ONLY the files whose manifest
+  // key boxes intersect the doomed range — at 100 TB a targeted
+  // key-range purge (a takedown, a bad-ingest window) costs the
+  // envelope's files, never a table scan. The surviving content is
+  // read back through graft_snapshot and hash-matched against the
+  // oracle's NOT BETWEEN; the deleted count rides along as a column
+  // so the oracle also pins how many rows the delete removed. ----
+  val q126_sql_delete: Q = (s, dir) => {
+    graft.table.SnapshotSql.register(s)
+    val out = RelationalQueries.scratch("q126_layout", dir)
+    val man = RelationalQueries.scratch("q126_manifest", dir)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_custkey")
+    val tbl = GraftTable(s, out, man, "o_orderkey")
+    tbl.create(o, 8)
+    val del = s.sql(
+      s"SELECT deleted_rows, latest_version FROM graft_delete('$man', 1000, 2999)")
+      .head
+    s.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graft_snapshot('$man', ${del.getLong(1)})
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .withColumn("deleted_rows", lit(del.getLong(0)))
+  }
+
+  val q126_sql_delete_sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  (SELECT count(*) FROM orders
+      |   WHERE o_orderkey BETWEEN 1000 AND 2999) AS deleted_rows
+      |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 2999
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q125_sql_restore" -> q125_sql_restore,
+    "q126_sql_delete" -> q126_sql_delete,
     "q122_string_key_table" -> q122_string_key_table,
     "q123_sql_maintenance" -> q123_sql_maintenance,
     "q124_timestamp_key_table" -> q124_timestamp_key_table,
@@ -1958,6 +2030,8 @@ object CurationQueries {
     "q68_stratified_sample" -> q68_stratified_sample)
 
   val oracles: Map[String, String] = Map(
+    "q125_sql_restore" -> q125_sql_restore_sql,
+    "q126_sql_delete" -> q126_sql_delete_sql,
     "q122_string_key_table" -> q122_string_key_table_sql,
     "q123_sql_maintenance" -> q123_sql_maintenance_sql,
     "q124_timestamp_key_table" -> q124_timestamp_key_table_sql,

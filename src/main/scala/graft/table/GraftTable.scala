@@ -692,6 +692,89 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       s"compaction lost $maxRetries consecutive commit races; giving up")
   }
 
+  /** RESTORE (Delta's `RESTORE TABLE ... VERSION AS OF`): make the
+    * table's content snapshot `toV`'s again by committing a NEW version
+    * that references toV's exact file list — no data byte is copied or
+    * rewritten, so undoing a bad merge on a 100 TB table costs one
+    * manifest write. History is preserved (the undone versions stay
+    * time-travelable until [[vacuum]] expires them), and the change
+    * feed sees the restore as ordinary COW churn (deletes for undone
+    * inserts, updates reverting values — the symmetric-difference math
+    * needs no special case), so downstream consumers converge. The
+    * restored snapshot's recorded schema rides along: a restore past a
+    * widening append narrows the schema back, exactly like Delta.
+    * Returns the version now carrying the content: a new commit, or
+    * the CURRENT latest unchanged when its file set already equals
+    * toV's (no burned version, no empty change-feed batch). Fails
+    * loudly when a referenced file no longer exists (vacuumed past the
+    * restore point) — a restore must never commit an unreadable
+    * snapshot. Single-writer like all maintenance: losing the publish
+    * race fails loudly instead of clobbering a concurrent batch. */
+  def commitRestore(toV: Int): Int = {
+    require(isCommitted(toV),
+      s"cannot restore to uncommitted snapshot v=$toV of $man " +
+        s"(committed: ${committedVersions.mkString(", ")})")
+    val latest = committedVersions.max
+    val targetFiles = files(toV)
+    if (files(latest).toSet == targetFiles.toSet) return latest
+    // O(#files) existence probes — driver-side planning, the same cost
+    // class as a manifest read. Entries may point outside this table's
+    // data dir (a shallow clone's source), so each path resolves its
+    // own FileSystem rather than assuming dataFs.
+    val missing = targetFiles.filterNot { p =>
+      val path = new Path(p)
+      path.getFileSystem(hconf).exists(path)
+    }
+    require(missing.isEmpty,
+      s"cannot restore $man to v=$toV: ${missing.size} referenced data " +
+        "file(s) no longer exist (vacuumed past the restore point); " +
+        s"e.g. ${missing.take(3).mkString(", ")}")
+    commitManifest(manifest(toV), latest + 1,
+      schemaDdl = versionSchema(toV).map(_.toDDL))
+    latest + 1
+  }
+
+  /** COW DELETE by key range (`DELETE WHERE key BETWEEN lo AND hi` —
+    * the Delta/Iceberg copy-on-write delete, completing the DML
+    * triangle with [[commitAppend]] and [[commitMerge]]): the manifest
+    * names the files whose key boxes intersect [qlo, qhi]; ONLY those
+    * are read — once to count the doomed rows, once to rewrite
+    * survivors — so at 100 TB a targeted delete costs the key
+    * envelope's files, never a table scan. Bounds are given in BOX
+    * representation, exactly like [[prune]]: Long for
+    * integral/timestamp/date keys (raw value / epoch micros / epoch
+    * days), String for string keys; the row predicate maps the key
+    * through the same codec the boxes were aggregated with, so the
+    * rewrite and the planning can never disagree on membership.
+    * Returns the number of rows deleted; when the range holds none
+    * (box intersection is conservative) NO version is burned — the
+    * count scan is the only cost. For scattered non-range deletes use
+    * the MoR deletion vectors ([[GraftTable.dvDelete]]) instead.
+    * Snapshot-isolated and single-writer: a lost publish race fails
+    * loudly ([[commitManifest]]'s contract), never drops the delete. */
+  def commitDeleteRange(qlo: Any, qhi: Any, prevV: Int, nParts: Int = 2,
+      tag: Option[String] = None): Long = {
+    val prevEntries = manifest(prevV).collect()
+    val impacted = prevEntries
+      .filter(GraftTable.boxIntersects(_, "lo", "hi", qlo, qhi))
+      .map(_.getAs[String]("file")).toSeq
+    if (impacted.isEmpty) return 0L
+    val df = spark.read.parquet(impacted: _*)
+    val codec = GraftTable.codecFor(df.schema(key).dataType, key)
+    val doomed = codec.toBox(col(key)).between(lit(qlo), lit(qhi))
+    val nDel = df.filter(doomed).count()
+    if (nDel == 0L) return 0L // conservative boxes kept files whose
+                              // rows all miss the range: no-op, no
+                              // burned version, no rewrite
+    val added = stagedAppend(df.filter(!doomed), nParts)
+    val stats = if (added.isEmpty) emptyEntries else fileStats(added)
+    commitManifest(
+      unionEntries(
+        manifest(prevV).filter(!col("file").isin(impacted: _*)), stats),
+      prevV + 1, tag, schemaDdl = versionSchema(prevV).map(_.toDDL))
+    nDel
+  }
+
   /** Version v's commit time: the `_ts_<epochMs>` marker the commit
     * itself carried (written in staging, published by the same atomic
     * rename — so it survives file-system surgery like a copy/restore
@@ -965,6 +1048,12 @@ object GraftTable {
       val boxType: org.apache.spark.sql.types.DataType) {
     def loAgg(c: String): Column
     def hiAgg(c: String): Column
+    /** Per-row mapping of the column into box space — the same space
+      * [[loAgg]]/[[hiAgg]] aggregate in, so a query bound given in box
+      * representation compares EXACTLY against row values (the ranged
+      * DELETE's predicate must agree with the pruning that planned its
+      * impacted set, or a row could escape both). */
+    def toBox(c: Column): Column
     /** Driver-side normalization of a collected exact bound into its
       * stored form (identity except the string truncation). */
     def storeLo(v: Any): Any = v
@@ -973,18 +1062,22 @@ object GraftTable {
   private[table] case object IntegralCodec extends BoxCodec(LongType) {
     def loAgg(c: String): Column = min(c).cast("long")
     def hiAgg(c: String): Column = max(c).cast("long")
+    def toBox(c: Column): Column = c.cast("long")
   }
   private[table] case object TimestampCodec extends BoxCodec(LongType) {
     def loAgg(c: String): Column = unix_micros(min(c))
     def hiAgg(c: String): Column = unix_micros(max(c))
+    def toBox(c: Column): Column = unix_micros(c)
   }
   private[table] case object DateCodec extends BoxCodec(LongType) {
     def loAgg(c: String): Column = unix_date(min(c)).cast("long")
     def hiAgg(c: String): Column = unix_date(max(c)).cast("long")
+    def toBox(c: Column): Column = unix_date(c).cast("long")
   }
   private[table] case object StringCodec extends BoxCodec(StringType) {
     def loAgg(c: String): Column = min(c)
     def hiAgg(c: String): Column = max(c)
+    def toBox(c: Column): Column = c
     override def storeLo(v: Any): Any = truncLo(v.asInstanceOf[String])
     override def storeHi(v: Any): Any = truncHi(v.asInstanceOf[String])
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Pure-SQL surface for GraftTable time travel (the q108 capability
@@ -230,6 +230,92 @@ object SnapshotSql {
     org.apache.spark.sql.GraftSqlBridge.analyzed(removed.toDF("file"))
   }
 
+  private[table] val restoreUsage: String =
+    "usage: graft_restore('<manifestDir>', version) — commit a NEW " +
+      "snapshot whose content is `version`'s exact file list (zero data " +
+      "copied; undone versions stay time-travelable until vacuum); " +
+      "returns one row (restored_to, new_version) where new_version is " +
+      "the current latest unchanged when its content already equals the " +
+      "target's. A maintenance PROCEDURE surfaced as a TVF: the restore " +
+      "runs when the statement is planned, once per spark.sql() call"
+
+  /** `SELECT * FROM graft_restore('<man>', 2)` —
+    * [[GraftTable.commitRestore]] from pure SQL (Delta's RESTORE). Needs
+    * only the manifest (the restore re-references committed files; no
+    * data is read or written). */
+  def restorePlan(es: Seq[Expression]): LogicalPlan = {
+    def fail(detail: String): Nothing =
+      throw new IllegalArgumentException(s"$detail\n$restoreUsage")
+    if (es.length != 2)
+      fail(s"graft_restore takes 2 arguments, got ${es.length}")
+    val man = es.head match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => fail(s"manifestDir must be a string literal; got '$other'")
+    }
+    val toV = es(1) match {
+      case Literal(i: Int, IntegerType) => i
+      case Literal(l: Long, LongType) if l >= 1 && l <= Int.MaxValue => l.toInt
+      case other => fail(s"version must be an integer literal; got '$other'")
+    }
+    val spark = SparkSession.active
+    val table = GraftTable(spark, data = "", man = man, key = "")
+    if (!table.isCommitted(toV))
+      fail(s"no committed snapshot v=$toV under $man " +
+        s"(committed: ${table.committedVersions.mkString(", ")})")
+    val v = table.commitRestore(toV)
+    import spark.implicits._
+    org.apache.spark.sql.GraftSqlBridge.analyzed(
+      Seq((toV.toLong, v.toLong)).toDF("restored_to", "new_version"))
+  }
+
+  private[table] val deleteUsage: String =
+    "usage: graft_delete('<manifestDir>', lo, hi) — copy-on-write " +
+      "DELETE of every row whose TABLE KEY is between lo and hi " +
+      "(inclusive): only the files whose manifest boxes intersect the " +
+      "range are rewritten. Bounds are literals in the key's box " +
+      "representation: integral keys take integral literals, timestamp " +
+      "keys TIMESTAMP literals, date keys DATE literals, string keys " +
+      "string literals. Returns one row (deleted_rows, latest_version); " +
+      "a range holding no rows burns no version. A maintenance " +
+      "PROCEDURE surfaced as a TVF: the delete runs when the statement " +
+      "is planned, once per spark.sql() call"
+
+  /** `SELECT * FROM graft_delete('<man>', 1000, 4999)` —
+    * [[GraftTable.commitDeleteRange]] from pure SQL (Delta's DELETE
+    * WHERE, range form). The table's shape comes from `_table_props`. */
+  def deletePlan(es: Seq[Expression]): LogicalPlan = {
+    def fail(detail: String): Nothing =
+      throw new IllegalArgumentException(s"$detail\n$deleteUsage")
+    if (es.length != 3)
+      fail(s"graft_delete takes 3 arguments, got ${es.length}")
+    val man = es.head match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => fail(s"manifestDir must be a string literal; got '$other'")
+    }
+    // bounds in BOX representation (the prune/commitDeleteRange space):
+    // Catalyst timestamp literals are ALREADY epoch micros and date
+    // literals epoch days, so the conversion is a pure re-typing
+    def boundArg(e: Expression, name: String): Any = e match {
+      case Literal(i: Int, IntegerType) => i.toLong
+      case Literal(l: Long, LongType) => l
+      case Literal(us: Long, TimestampType) => us
+      case Literal(d: Int, DateType) => d.toLong
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => fail(s"$name must be an integral, timestamp, date " +
+        s"or string literal; got '$other'")
+    }
+    val (qlo, qhi) = (boundArg(es(1), "lo"), boundArg(es(2), "hi"))
+    val spark = SparkSession.active
+    val table = maintenanceTable(spark, man, fail)
+    val vs = table.committedVersions
+    if (vs.isEmpty) fail(s"no committed snapshots under $man")
+    val nDel = table.commitDeleteRange(qlo, qhi, vs.max)
+    import spark.implicits._
+    org.apache.spark.sql.GraftSqlBridge.analyzed(
+      Seq((nDel, table.committedVersions.max.toLong))
+        .toDF("deleted_rows", "latest_version"))
+  }
+
   /** Maintenance ops rewrite data, so they need the FULL table shape —
     * key, data dir, stats/bloom declarations — all from `_table_props`. */
   private def maintenanceTable(spark: SparkSession, man: String,
@@ -278,5 +364,15 @@ object SnapshotSql {
       new ExpressionInfo(getClass.getName, null, "graft_vacuum",
         vacuumUsage, ""),
       (es: Seq[Expression]) => vacuumPlan(es))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_restore"),
+      new ExpressionInfo(getClass.getName, null, "graft_restore",
+        restoreUsage, ""),
+      (es: Seq[Expression]) => restorePlan(es))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_delete"),
+      new ExpressionInfo(getClass.getName, null, "graft_delete",
+        deleteUsage, ""),
+      (es: Seq[Expression]) => deletePlan(es))
   }
 }
