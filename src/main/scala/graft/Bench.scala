@@ -100,6 +100,14 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
     val slowest = results.sortBy(-_._2).take(10)
+    // each durable top-10 entry pairs its median with its min, so the
+    // driver record is self-adjudicating: a median far above its own
+    // min IS host contention, readable without opening bench_out.json
+    val minOf = mins.toMap
+    val slowestPairs = slowest.map { case (k, med) =>
+      "\"" + k + "\":{\"med\":" + fmt(med) +
+        ",\"min\":" + fmt(minOf.getOrElse(k, -1.0)) + "}"
+    }.mkString("{", ",", "}")
 
     // ---- bench_fs: the caching-FS observable at bench scale (BASELINE.md
     // §4, previously proven at unit scale only). A read-path query subset
@@ -292,7 +300,7 @@ object Bench {
     // burned one proving 41 s of the driver number was contention)
     val totalMin = mins.map(_._2).filter(_ >= 0).sum
     val shortLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"iters":3,"n_queries":${results.size},"n_failed":$failed,"queries":${jsonMap(slowest)},"queries_full":"bench_out.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"iters":3,"n_queries":${results.size},"n_failed":$failed,"queries":$slowestPairs,"queries_full":"bench_out.json","sf":"$sfDir"}"""
     val fullLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":3,"queries":${jsonMap(results)},"queries_min":${jsonMap(mins)}$fsSection$approxSection$rangeSection,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullLine + "\n")

@@ -507,6 +507,22 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     moved.map(n => s"$data/$n")
   }
 
+  /** Read a set of ALREADY-COMMITTED data files with the schema version
+    * `v` recorded — the one read that must survive heterogeneous file
+    * schemas: after a widening append, older files lack the widened
+    * column, and a plain `spark.read.parquet` would infer the schema
+    * from ONE sampled file — if that sample is an old file, a rewrite
+    * (merge survivors, delete survivors, compaction) would silently
+    * drop the widened column's data while the commit still records the
+    * full DDL. The recorded `_schema.ddl` is authoritative (absent
+    * columns read as NULL, exactly parquet-by-name semantics);
+    * pre-r11 manifests without one fall back to `mergeSchema`, which
+    * unions every footer instead of sampling. */
+  private def readCommitted(v: Int, files: Seq[String]): DataFrame =
+    versionSchema(v).map(s => spark.read.schema(s))
+      .getOrElse(spark.read.option("mergeSchema", "true"))
+      .parquet(files: _*)
+
   /** Append-commit: new clustered data files + a new manifest version =
     * previous complete entry list + ONLY the new files' stats (existing
     * entries are never rescanned — rebuilding a 100 TB table's manifest
@@ -612,7 +628,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       .map(_.getAs[String]("file")).toSeq
     val replacement =
       (if (impacted.isEmpty) batch.limit(0)
-       else spark.read.parquet(impacted: _*)
+       else readCommitted(prevV, impacted)
          .join(batch.select(key).distinct(), Seq(key), "left_anti"))
         .unionByName(batch)
     val added = stagedAppend(replacement, nParts)
@@ -674,7 +690,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         val smallFiles = small.map(_.getAs[String]("file")).toSeq
         val totalBytes = small.map(_.getAs[Long]("bytes")).sum
         val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-        val added = stagedAppend(spark.read.parquet(smallFiles: _*), nOut)
+        val added = stagedAppend(readCommitted(base, smallFiles), nOut)
         if (tryCommitManifest(
             unionEntries(
               manifest(base).filter(!col("file").isin(smallFiles: _*)),
@@ -716,7 +732,12 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         s"(committed: ${committedVersions.mkString(", ")})")
     val latest = committedVersions.max
     val targetFiles = files(toV)
-    if (files(latest).toSet == targetFiles.toSet) return latest
+    // no-op only when BOTH content and recorded schema already match:
+    // an empty widening append changes the schema without touching the
+    // file set, and the restore contract says the target's schema rides
+    // along (narrows back) — so a schema difference must still commit
+    if (files(latest).toSet == targetFiles.toSet &&
+        versionSchema(latest) == versionSchema(toV)) return latest
     // O(#files) existence probes — driver-side planning, the same cost
     // class as a manifest read. Entries may point outside this table's
     // data dir (a shallow clone's source), so each path resolves its
@@ -759,7 +780,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       .filter(GraftTable.boxIntersects(_, "lo", "hi", qlo, qhi))
       .map(_.getAs[String]("file")).toSeq
     if (impacted.isEmpty) return 0L
-    val df = spark.read.parquet(impacted: _*)
+    val df = readCommitted(prevV, impacted)
     val codec = GraftTable.codecFor(df.schema(key).dataType, key)
     val doomed = codec.toBox(col(key)).between(lit(qlo), lit(qhi))
     val nDel = df.filter(doomed).count()
@@ -981,11 +1002,20 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       throw new IllegalStateException(
         s"cdc v=$vFrom -> v=$vTo: both snapshots reference no files, so " +
           "there is no schema to type the (empty) change feed with")
+    // the two snapshots may straddle a widening append, so the diff's
+    // schema must be the UNION of every churned footer (mergeSchema) —
+    // a sampled-file inference could silently drop the widened column
+    // from the feed — and BOTH sides must then be read with that one
+    // unified schema: the old side's own files may predate the widened
+    // column entirely (it reads as NULL, parquet-by-name semantics)
+    val unified = spark.read.option("mergeSchema", "true")
+      .parquet((from ++ to).toSeq: _*).schema
     def readFiles(fs: Set[String]): DataFrame =
       if (fs.isEmpty) // typed empty relation, same shape as the layout
-        spark.read.parquet((from ++ to).head).limit(0)
-      else spark.read.parquet(fs.toSeq: _*)
-    val valueCols = readFiles(from ++ to).columns.filter(_ != key).toSeq
+        spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), unified)
+      else spark.read.schema(unified).parquet(fs.toSeq: _*)
+    val valueCols = unified.fieldNames.filter(_ != key).toSeq
     // presence flags, not value-NULL checks, classify the op — a NULL in
     // a value column must not masquerade as an insert/delete
     val old = readFiles(from -- to).select(

@@ -294,21 +294,48 @@ object SnapshotSql {
     }
     // bounds in BOX representation (the prune/commitDeleteRange space):
     // Catalyst timestamp literals are ALREADY epoch micros and date
-    // literals epoch days, so the conversion is a pure re-typing
-    def boundArg(e: Expression, name: String): Any = e match {
-      case Literal(i: Int, IntegerType) => i.toLong
-      case Literal(l: Long, LongType) => l
-      case Literal(us: Long, TimestampType) => us
-      case Literal(d: Int, DateType) => d.toLong
-      case Literal(s: UTF8String, StringType) => s.toString
+    // literals epoch days, so the conversion is a pure re-typing. Each
+    // bound also remembers its literal KIND: two bounds of different
+    // kinds (a DATE lo with a TIMESTAMP hi — both coerce to Long with
+    // incompatible units) or a kind not matching the table key's codec
+    // would silently delete the wrong range, so both are rejected loudly
+    // here with the TVF usage text instead of falling through to
+    // boxCmp's generic message (or worse, to a wrong answer).
+    def boundArg(e: Expression, name: String): (Any, String) = e match {
+      case Literal(i: Int, IntegerType) => (i.toLong, "integral")
+      case Literal(l: Long, LongType) => (l, "integral")
+      case Literal(us: Long, TimestampType) => (us, "timestamp")
+      case Literal(d: Int, DateType) => (d.toLong, "date")
+      case Literal(s: UTF8String, StringType) => (s.toString, "string")
       case other => fail(s"$name must be an integral, timestamp, date " +
         s"or string literal; got '$other'")
     }
-    val (qlo, qhi) = (boundArg(es(1), "lo"), boundArg(es(2), "hi"))
+    val ((qlo, loKind), (qhi, hiKind)) =
+      (boundArg(es(1), "lo"), boundArg(es(2), "hi"))
+    if (loKind != hiKind)
+      fail(s"lo and hi must be literals of the SAME kind; got $loKind " +
+        s"lo with $hiKind hi — mixed kinds coerce to incompatible box " +
+        "units and would delete the wrong range")
     val spark = SparkSession.active
     val table = maintenanceTable(spark, man, fail)
     val vs = table.committedVersions
     if (vs.isEmpty) fail(s"no committed snapshots under $man")
+    // the recorded data schema names the key's actual type — when
+    // present, the bounds' kind must be the key codec's own
+    table.versionSchema(vs.max).filter(_.fieldNames.contains(table.key))
+      .foreach { sch =>
+        import org.apache.spark.sql.types.{ByteType, ShortType}
+        val expect = sch(table.key).dataType match {
+          case ByteType | ShortType | IntegerType | LongType => "integral"
+          case TimestampType => "timestamp"
+          case DateType => "date"
+          case StringType => "string"
+          case other => other.simpleString
+        }
+        if (expect != loKind)
+          fail(s"table key '${table.key}' is ${sch(table.key).dataType
+            .simpleString} — bounds must be $expect literals, got $loKind")
+      }
     val nDel = table.commitDeleteRange(qlo, qhi, vs.max)
     import spark.implicits._
     org.apache.spark.sql.GraftSqlBridge.analyzed(

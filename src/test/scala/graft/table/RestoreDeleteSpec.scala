@@ -68,6 +68,24 @@ class RestoreDeleteSpec extends TestBase {
       "restore must record the restored snapshot's schema, not the latest's")
   }
 
+  test("restore: a schema-only difference is NOT a no-op — the target schema narrows back") {
+    val r = root("restore_schema_only")
+    val tbl = GraftTable(spark, s"$r/data", s"$r/man", "o_orderkey")
+    tbl.create(orders, 4) // v1
+    // v2: an EMPTY append that only widens the recorded schema — the
+    // file set is v1's exactly, so a file-set-only no-op check would
+    // wrongly return v2 and never narrow the schema back
+    tbl.commitAppend(orders.limit(0).withColumn("flag", lit(true)), 1, 2)
+    assert(tbl.files(2).toSet == tbl.files(1).toSet,
+      "precondition: the empty widening append must not add files")
+    assert(tbl.versionSchema(2) != tbl.versionSchema(1),
+      "precondition: v2 must record a widened schema")
+    val v = tbl.commitRestore(1)
+    assert(v == 3, s"schema-only restore must commit a new version, got $v")
+    assert(tbl.versionSchema(3) == tbl.versionSchema(1),
+      "the restored version must record the target's (narrow) schema")
+  }
+
   test("restore: identical content is a no-op — no burned version") {
     val r = root("restore_noop")
     val tbl = GraftTable(spark, s"$r/data", s"$r/man", "o_orderkey")
@@ -167,6 +185,48 @@ class RestoreDeleteSpec extends TestBase {
     assert(tt.readAsOf(2).count() == ev.count() - doomed)
   }
 
+  test("delete/OPTIMIZE across a widening append rewrite with the RECORDED schema") {
+    // After a widening append the table's files have heterogeneous
+    // schemas; a rewrite that read them with sampled-file inference
+    // could pick a pre-widening file and silently drop the widened
+    // column from every survivor. Both rewrite paths must read with the
+    // commit-recorded schema instead.
+    val r = root("delete_widen")
+    // split the key space by quantiles so the test holds at any sf
+    val Array(q40, q60, q80) = orders.stat
+      .approxQuantile("o_orderkey", Array(0.4, 0.6, 0.8), 0.0)
+      .map(_.toLong)
+    val tbl = GraftTable(spark, s"$r/data", s"$r/man", "o_orderkey")
+    tbl.create(orders.filter(col("o_orderkey") <= q40), 2) // v1: narrow files
+    tbl.commitAppend(orders.filter(col("o_orderkey") > q40)
+      .withColumn("flag", lit(true)), 1, 2) // v2: widened files
+    // the doomed range straddles old and new files; widened rows with
+    // keys above it SURVIVE inside impacted files and must keep `flag`
+    val nWideSurvivors = orders.filter(col("o_orderkey") > q80).count()
+    assert(nWideSurvivors > 0)
+    val nDel = tbl.commitDeleteRange(q60, q80, 2)
+    assert(nDel ==
+      orders.filter(col("o_orderkey").between(q60, q80)).count())
+    val surv = tbl.readAsOf(3)
+    assert(surv.columns.contains("flag"),
+      "the delete rewrite dropped the widened column")
+    assert(surv.filter(col("o_orderkey") > q80 && col("flag")).count()
+      == nWideSurvivors,
+      "surviving widened rows lost their `flag` values in the rewrite")
+    assert(tbl.versionSchema(3).exists(_.fieldNames.contains("flag")),
+      "the delete commit must keep recording the widened schema")
+
+    // OPTIMIZE over the same mixed-schema population: fold everything
+    // into one file and the widened values must survive verbatim
+    val packed = tbl.commitCompaction(3, 1L << 30)
+    assert(packed > 0, "precondition: compaction must fold some files")
+    val opt = tbl.readAsOf(tbl.committedVersions.max)
+    assert(opt.columns.contains("flag") &&
+      opt.filter(col("o_orderkey") > q80 && col("flag")).count()
+        == nWideSurvivors,
+      "compaction lost widened-column values on the mixed-schema table")
+  }
+
   test("SQL: graft_restore / graft_delete parity, and misuse is loud") {
     SnapshotSql.register(spark)
     val r = root("sql_dml")
@@ -193,5 +253,20 @@ class RestoreDeleteSpec extends TestBase {
     intercept[IllegalArgumentException] { // string bounds on a long key
       spark.sql(s"SELECT * FROM graft_delete('$r/man', 'a', 'z')")
     }
+    val mixed = intercept[IllegalArgumentException] { // DATE lo, TIMESTAMP hi
+      spark.sql(s"SELECT * FROM graft_delete('$r/man', " +
+        "DATE'2024-01-01', TIMESTAMP'2024-01-02 00:00:00')")
+    }
+    assert(mixed.getMessage.contains("SAME kind"), mixed.getMessage)
+    val wrongKind = intercept[IllegalArgumentException] { // ts on long key
+      spark.sql(s"SELECT * FROM graft_delete('$r/man', " +
+        "TIMESTAMP'2024-01-01 00:00:00', TIMESTAMP'2024-01-02 00:00:00')")
+    }
+    assert(wrongKind.getMessage.contains("must be integral"),
+      wrongKind.getMessage)
+    val strOnLong = intercept[IllegalArgumentException] { // int lo, str hi
+      spark.sql(s"SELECT * FROM graft_delete('$r/man', 1000, 'z')")
+    }
+    assert(strOnLong.getMessage.contains("SAME kind"), strOnLong.getMessage)
   }
 }
