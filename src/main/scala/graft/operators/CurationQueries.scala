@@ -1987,9 +1987,46 @@ object CurationQueries {
       |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 2999
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- 127. DOUBLE table keys and stats columns: the table format
+  // governs a price/value-keyed layout directly — per-file DOUBLE
+  // boxes (float widens losslessly; NaN bounds store NULL=unbounded;
+  // signed-zero bounds normalized so SQL's -0.0==0.0 can never skip a
+  // matching file), and SnapshotPruneRule extracts double literals so
+  // a `WHERE price BETWEEN a AND b` SQL read file-prunes from the
+  // manifest. Clustered on the double key, so the boxes are tight and
+  // the range read touches only the envelope's files at 100 TB. ----
+  val q127_double_key_table: Q = (s, dir) => {
+    graft.table.SnapshotSql.register(s)
+    val out = RelationalQueries.scratch("q127_layout", dir)
+    val man = RelationalQueries.scratch("q127_manifest", dir)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val tbl = GraftTable(s, out, man, "o_totalprice")
+    tbl.create(o, 8)
+    s.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+         |  round(sum(o_totalprice), 2) AS price_sum
+         |FROM graft_snapshot('$man', 1)
+         |WHERE o_totalprice BETWEEN CAST(50000.0 AS DOUBLE)
+         |                       AND CAST(150000.0 AS DOUBLE)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .select(col("o_orderpriority"), col("n_orders"), col("key_sum"),
+        dround(col("price_sum"), 2).as("price_sum"))
+  }
+
+  val q127_double_key_table_sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  round(sum(o_totalprice), 2) + 0 AS price_sum
+      |FROM orders
+      |WHERE o_totalprice BETWEEN 50000.0 AND 150000.0
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q125_sql_restore" -> q125_sql_restore,
     "q126_sql_delete" -> q126_sql_delete,
+    "q127_double_key_table" -> q127_double_key_table,
     "q122_string_key_table" -> q122_string_key_table,
     "q123_sql_maintenance" -> q123_sql_maintenance,
     "q124_timestamp_key_table" -> q124_timestamp_key_table,
@@ -2032,6 +2069,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "q125_sql_restore" -> q125_sql_restore_sql,
     "q126_sql_delete" -> q126_sql_delete_sql,
+    "q127_double_key_table" -> q127_double_key_table_sql,
     "q122_string_key_table" -> q122_string_key_table_sql,
     "q123_sql_maintenance" -> q123_sql_maintenance_sql,
     "q124_timestamp_key_table" -> q124_timestamp_key_table_sql,

@@ -105,7 +105,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   def fileStats(files: Seq[String]): DataFrame = {
     val df = spark.read.parquet(files: _*)
     val codecs = (key +: statsCols).map(c =>
-      c -> GraftTable.codecFor(df.schema(c).dataType, c)).toMap
+      c -> GraftTable.codecFor(df.schema(c).dataType, c, forKey = c == key))
+      .toMap
     bloomCols.foreach(c => GraftTable.requireBloomable(df, c))
     val extra = statsCols.flatMap(c => Seq(
       codecs(c).loAgg(c).as(s"lo_$c"), codecs(c).hiAgg(c).as(s"hi_$c"))) ++
@@ -357,7 +358,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       val entries = schema match {
         case Some(sch) =>
           val codecs = (key +: statsCols).map(c =>
-            c -> GraftTable.codecFor(sch(c).dataType, c)).toMap
+            c -> GraftTable.codecFor(sch(c).dataType, c, forKey = c == key))
+            .toMap
           spark.createDataFrame(
             java.util.Collections.emptyList[Row](), entriesSchema(codecs))
         case None => emptyEntries
@@ -603,7 +605,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     // The envelope comes through the key's box codec (exact, not the
     // stored-truncated form — exact is sharper), so long and string
     // keys compare against manifest boxes in their own order.
-    val codec = GraftTable.codecFor(batch.schema(key).dataType, key)
+    val codec = GraftTable.codecFor(batch.schema(key).dataType, key,
+      forKey = true)
     val env = batch.agg(codec.loAgg(key), codec.hiAgg(key),
       count(lit(1)), count(col(key))).head
     val (total, nonNull) = (env.getLong(2), env.getLong(3))
@@ -781,7 +784,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       .map(_.getAs[String]("file")).toSeq
     if (impacted.isEmpty) return 0L
     val df = readCommitted(prevV, impacted)
-    val codec = GraftTable.codecFor(df.schema(key).dataType, key)
+    val codec = GraftTable.codecFor(df.schema(key).dataType, key,
+      forKey = true)
     val doomed = codec.toBox(col(key)).between(lit(qlo), lit(qhi))
     val nDel = df.filter(doomed).count()
     if (nDel == 0L) return 0L // conservative boxes kept files whose
@@ -827,7 +831,11 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
 
   def readAsOf(v: Int): DataFrame = {
     val fs = files(v)
-    if (fs.nonEmpty) spark.read.parquet(fs: _*)
+    // the commit-recorded schema, not sampled-footer inference: after a
+    // widening append the snapshot's files are heterogeneous and a
+    // sampled old file would silently hide the widened column
+    if (fs.nonEmpty) versionSchema(v).map(s => spark.read.schema(s))
+      .getOrElse(spark.read.option("mergeSchema", "true")).parquet(fs: _*)
     else if (data.nonEmpty && partFiles.nonEmpty)
       spark.read.parquet(data).limit(0) // typed empty, schema from layout
     else
@@ -1112,19 +1120,76 @@ object GraftTable {
     override def storeHi(v: Any): Any = truncHi(v.asInstanceOf[String])
   }
 
+  /** float/double stats: DOUBLE boxes (float widens losslessly). The
+    * IEEE corner cases, Iceberg's rules: a NaN bound stores NULL =
+    * unbounded (Spark's min/max order NaN greatest, so any NaN in the
+    * file surfaces as hi — a NULL box keeps the file, never skips it);
+    * a zero bound is stored signed-conservatively (lo as -0.0, hi as
+    * +0.0) because SQL comparison treats -0.0 == 0.0 while the
+    * driver's Double.compare orders them — without the normalization a
+    * file whose max is -0.0 would be skipped by a `>= 0.0` query that
+    * its rows actually satisfy. ±Infinity needs no care: it is totally
+    * ordered and exactly representable. */
+  private[table] case object DoubleCodec
+      extends BoxCodec(org.apache.spark.sql.types.DoubleType) {
+    def loAgg(c: String): Column = min(col(c).cast("double"))
+    def hiAgg(c: String): Column = max(col(c).cast("double"))
+    def toBox(c: Column): Column = c.cast("double")
+    override def storeLo(v: Any): Any = v match {
+      case null => null
+      case d: java.lang.Double =>
+        if (d.isNaN) null
+        else if (d.doubleValue == 0.0) java.lang.Double.valueOf(-0.0) else d
+    }
+    override def storeHi(v: Any): Any = v match {
+      case null => null
+      case d: java.lang.Double =>
+        if (d.isNaN) null
+        else if (d.doubleValue == 0.0) java.lang.Double.valueOf(+0.0) else d
+    }
+  }
+
+  /** decimal stats: LOSSY double boxes, widened one ulp outward
+    * (nextDown/nextUp) so the double rounding of an exact decimal
+    * bound can never narrow the true box — conservative by
+    * construction, like the string prefix truncation. Lossiness is
+    * also why a decimal column cannot be the TABLE KEY (the ranged
+    * DELETE's row predicate must agree EXACTLY with planning);
+    * [[codecFor]] rejects that combination loudly. */
+  private[table] case object DecimalCodec
+      extends BoxCodec(org.apache.spark.sql.types.DoubleType) {
+    def loAgg(c: String): Column = min(col(c)).cast("double")
+    def hiAgg(c: String): Column = max(col(c)).cast("double")
+    def toBox(c: Column): Column = c.cast("double")
+    override def storeLo(v: Any): Any = v match {
+      case null => null
+      case d: java.lang.Double => java.lang.Double.valueOf(Math.nextDown(d.doubleValue))
+    }
+    override def storeHi(v: Any): Any = v match {
+      case null => null
+      case d: java.lang.Double => java.lang.Double.valueOf(Math.nextUp(d.doubleValue))
+    }
+  }
+
   private[table] def codecFor(dt: org.apache.spark.sql.types.DataType,
-      c: String): BoxCodec = {
-    import org.apache.spark.sql.types.{ByteType, DateType, IntegerType,
-      ShortType, TimestampType}
+      c: String, forKey: Boolean = false): BoxCodec = {
+    import org.apache.spark.sql.types.{ByteType, DateType, DecimalType,
+      DoubleType, FloatType, IntegerType, ShortType, TimestampType}
     dt match {
       case ByteType | ShortType | IntegerType | LongType => IntegralCodec
       case TimestampType => TimestampCodec
       case DateType => DateCodec
       case StringType => StringCodec
+      case FloatType | DoubleType => DoubleCodec
+      case _: DecimalType if !forKey => DecimalCodec
+      case _: DecimalType => throw new IllegalArgumentException(
+        s"a decimal column cannot be the table KEY: its boxes are lossy " +
+          s"doubles, so a ranged DELETE's row predicate could disagree " +
+          s"with planning — use '$c' as a stats column, or key on an " +
+          "integral/timestamp/date/string/double column")
       case other => throw new IllegalArgumentException(
-        s"manifest stats support integral, timestamp, date and string " +
-          s"columns (lossless long boxes or bounded-prefix string " +
-          s"boxes); got $other for '$c'")
+        s"manifest stats support integral, timestamp, date, string, " +
+          s"float/double and decimal columns; got $other for '$c'")
     }
   }
 
@@ -1202,11 +1267,23 @@ object GraftTable {
         "manifest box type (long boxes for integral/timestamp/date " +
         "keys, string boxes for string keys)"))
 
-  private[table] def boxCmpOpt(a: Any, b: Any): Option[Int] = (a, b) match {
-    case (x: Number, y: Number) =>
-      Some(java.lang.Long.compare(x.longValue, y.longValue))
-    case (x: String, y: String) => Some(utf8Cmp(x, y))
-    case _ => None
+  private[table] def boxCmpOpt(a: Any, b: Any): Option[Int] = {
+    def fractional(v: Any): Boolean =
+      v.isInstanceOf[java.lang.Double] || v.isInstanceOf[java.lang.Float]
+    def integralN(v: Any): Boolean = v.isInstanceOf[Number] && !fractional(v)
+    (a, b) match {
+      // both fractional: IEEE total order via Double.compare (float
+      // widens losslessly). A MIXED integral/fractional pair stays a
+      // mismatch: silently comparing a long box against a double bound
+      // would mask the caller's type error (and lose precision past
+      // 2^53), exactly what the strict boxCmp exists to catch.
+      case (x: Number, y: Number) if fractional(x) && fractional(y) =>
+        Some(java.lang.Double.compare(x.doubleValue, y.doubleValue))
+      case (x: Number, y: Number) if integralN(x) && integralN(y) =>
+        Some(java.lang.Long.compare(x.longValue, y.longValue))
+      case (x: String, y: String) => Some(utf8Cmp(x, y))
+      case _ => None
+    }
   }
 
   // ---- log stores ---------------------------------------------------

@@ -138,13 +138,24 @@ object SnapshotPruning extends PredicateHelper {
   private def integral(dt: DataType): Boolean =
     dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
 
+  private def fractional(dt: DataType): Boolean =
+    dt == org.apache.spark.sql.types.FloatType ||
+      dt == org.apache.spark.sql.types.DoubleType
+
   private def supported(dt: DataType): Boolean =
-    integral(dt) || dt == StringType || dt == TimestampType || dt == DateType
+    integral(dt) || dt == StringType || dt == TimestampType ||
+      dt == DateType || fractional(dt)
 
   /** The column a comparison side denotes: a bare attribute of a
-    * supported type, or a value-preserving integral up-cast of one (the
+    * supported type, or a value-preserving up-cast of one (the
     * analyzer inserts `CAST(int_col AS BIGINT)` against bigint
-    * literals; the cast is injective, so bounds transfer). */
+    * literals and `CAST(float_col AS DOUBLE)` against double literals;
+    * both casts are injective and order-preserving, so bounds
+    * transfer). Decimal columns are deliberately ABSENT: their box
+    * values are lossy doubles and a literal's double rounding could
+    * narrow a bound, so the rule conservatively keeps decimal files
+    * (the programmatic pruneMulti path takes pre-widened double
+    * bounds instead). */
   private def colOf(e: Expression, cols: Set[String])
       : Option[(String, DataType)] = e match {
     case a: AttributeReference if cols(a.name) && supported(a.dataType) =>
@@ -154,6 +165,12 @@ object SnapshotPruning extends PredicateHelper {
         Some((a.name, a.dataType))
       case _ => None
     }
+    case c: Cast if c.dataType == org.apache.spark.sql.types.DoubleType =>
+      c.child match {
+        case a: AttributeReference if cols(a.name) && fractional(a.dataType) =>
+          Some((a.name, a.dataType))
+        case _ => None
+      }
     case _ => None
   }
 
@@ -175,6 +192,10 @@ object SnapshotPruning extends PredicateHelper {
         Some(v.asInstanceOf[Long]) // internal = micros, the box encoding
       else if (colDt == DateType && dt == DateType)
         Some(v.asInstanceOf[Int].toLong) // internal = days
+      else if (fractional(colDt) && fractional(dt)) Some(v match {
+        case f: Float => f.toDouble // lossless widening — the box space
+        case d: Double => d
+      })
       else None
     case _ => None
   }
@@ -186,11 +207,15 @@ object SnapshotPruning extends PredicateHelper {
   private def strictLo(v: Any): Any = v match {
     case l: java.lang.Long =>
       if (l == Long.MaxValue) l else java.lang.Long.valueOf(l + 1L)
+    case d: java.lang.Double => // c > v ⇔ c >= nextUp(v): exact on IEEE
+      java.lang.Double.valueOf(Math.nextUp(d.doubleValue))
     case other => other
   }
   private def strictHi(v: Any): Any = v match {
     case l: java.lang.Long =>
       if (l == Long.MinValue) l else java.lang.Long.valueOf(l - 1L)
+    case d: java.lang.Double =>
+      java.lang.Double.valueOf(Math.nextDown(d.doubleValue))
     case other => other
   }
 

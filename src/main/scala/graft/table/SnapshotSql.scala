@@ -307,8 +307,12 @@ object SnapshotSql {
       case Literal(us: Long, TimestampType) => (us, "timestamp")
       case Literal(d: Int, DateType) => (d.toLong, "date")
       case Literal(s: UTF8String, StringType) => (s.toString, "string")
-      case other => fail(s"$name must be an integral, timestamp, date " +
-        s"or string literal; got '$other'")
+      case Literal(d: Double, org.apache.spark.sql.types.DoubleType) =>
+        (d, "fractional")
+      case Literal(f: Float, org.apache.spark.sql.types.FloatType) =>
+        (f.toDouble, "fractional")
+      case other => fail(s"$name must be an integral, timestamp, date, " +
+        s"string or double literal; got '$other'")
     }
     val ((qlo, loKind), (qhi, hiKind)) =
       (boundArg(es(1), "lo"), boundArg(es(2), "hi"))
@@ -324,12 +328,14 @@ object SnapshotSql {
     // present, the bounds' kind must be the key codec's own
     table.versionSchema(vs.max).filter(_.fieldNames.contains(table.key))
       .foreach { sch =>
-        import org.apache.spark.sql.types.{ByteType, ShortType}
+        import org.apache.spark.sql.types.{ByteType, DoubleType, FloatType,
+          ShortType}
         val expect = sch(table.key).dataType match {
           case ByteType | ShortType | IntegerType | LongType => "integral"
           case TimestampType => "timestamp"
           case DateType => "date"
           case StringType => "string"
+          case FloatType | DoubleType => "fractional"
           case other => other.simpleString
         }
         if (expect != loKind)

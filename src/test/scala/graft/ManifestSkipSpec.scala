@@ -215,4 +215,78 @@ class ManifestSkipSpec extends TestBase {
         s"false skip on non-ASCII key '$k'")
     }
   }
+
+  test("double boxes: NaN, signed zero and infinities never cause a false skip") {
+    import spark.implicits._
+    import graft.table.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_dbl").toString
+    // three key blocks so the clustered write lands them in distinct
+    // files: a normal block whose x-max is -0.0 (the signed-zero trap),
+    // a NaN-carrying block (its x-box must store NULL = unbounded),
+    // and an infinities block
+    val df = Seq(
+      (1L, -5.5), (2L, -1.25), (3L, -0.0),
+      (11L, 7.0), (12L, Double.NaN), (13L, 9.0),
+      (21L, Double.NegativeInfinity), (22L, 42.0),
+      (23L, Double.PositiveInfinity)).toDF("id", "x")
+    val t = GraftTable(spark, s"$root/data", s"$root/man", "id",
+      statsCols = Seq("x"))
+    t.create(df, 3)
+    val total = t.manifest(1).count()
+    assert(total == 3, s"expected 3 clustered files, got $total")
+    // conservative everywhere: pruned read == full filter, row for row
+    val probes = Seq(
+      (0.0, 1.0),                          // catches a -0.0 max stored raw
+      (-0.0, -0.0),                        // signed-zero point probe
+      (8.0, 10.0),
+      (Double.NegativeInfinity, -1.0),
+      (100.0, Double.PositiveInfinity))
+    probes.foreach { case (lo, hi) =>
+      val (kept, _) = t.pruneMulti(1, Seq(("x", lo, hi)))
+      val pruned =
+        (if (kept.isEmpty) df.limit(0) else spark.read.parquet(kept: _*))
+          .filter(col("x").between(lo, hi))
+      val full = t.readAsOf(1).filter(col("x").between(lo, hi))
+      assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+        s"pruned read differs from full filter for [$lo, $hi]")
+    }
+    // the signed-zero trap specifically: the file holding -0.0 must be
+    // KEPT by a [0.0, 1.0] query (SQL: -0.0 == 0.0)
+    val (keptZero, _) = t.pruneMulti(1, Seq(("x", 0.0, 1.0)))
+    assert(spark.read.parquet(keptZero: _*).filter(col("id") === 3L)
+      .count() == 1, "file with x = -0.0 was falsely skipped by [0.0, 1.0]")
+    // the NaN file is unbounded — kept by every probe
+    val (keptHigh, _) = t.pruneMulti(1, Seq(("x", 1e6, 1e7)))
+    assert(spark.read.parquet(keptHigh: _*).filter(col("id") === 12L)
+      .count() == 1, "NaN-carrying file must store a NULL box and be kept")
+    // and skipping still happens: the normal block is out of range
+    assert(keptHigh.size < total,
+      s"no file skipped for [1e6, 1e7] (kept ${keptHigh.size} of $total)")
+  }
+
+  test("decimal stats prune via one-ulp-widened double boxes; a decimal KEY is rejected") {
+    import spark.implicits._
+    import graft.table.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_dec").toString
+    val df = (1L to 400L).map(i => (i, BigDecimal(i) * BigDecimal("1.01")))
+      .toDF("id", "amt")
+      .select(col("id"), col("amt").cast("decimal(12,2)").as("amt"))
+    val t = GraftTable(spark, s"$root/data", s"$root/man", "id",
+      statsCols = Seq("amt"))
+    t.create(df, 4)
+    // bounds are given in box space (doubles); conservative row-for-row
+    val (kept, total) = t.pruneMulti(1, Seq(("amt", 101.0, 202.0)))
+    assert(kept.size < total, "no file skipped on the decimal stats column")
+    val pruned = spark.read.parquet(kept: _*)
+      .filter(col("amt").between(101.0, 202.0))
+    val full = t.readAsOf(1).filter(col("amt").between(101.0, 202.0))
+    assert(pruned.exceptAll(full).isEmpty && full.exceptAll(pruned).isEmpty,
+      "decimal pruning dropped matching rows")
+    // a decimal table KEY would make the ranged DELETE's predicate
+    // disagree with its lossy planning — rejected loudly at stats time
+    val e = intercept[IllegalArgumentException] {
+      GraftTable(spark, s"$root/data2", s"$root/man2", "amt").create(df, 2)
+    }
+    assert(e.getMessage.contains("cannot be the table KEY"), e.getMessage)
+  }
 }

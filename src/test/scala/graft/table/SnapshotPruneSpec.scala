@@ -348,6 +348,30 @@ class SnapshotPruneSpec extends TestBase {
     assert(q.count() == 61)
   }
 
+  test("a DOUBLE key range prunes through SQL (double boxes, strict bounds)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dbl_prune").toString
+    val df = (0 until 800).map(i => (i * 0.5, i.toLong)).toDF("price", "v")
+    val t = GraftTable(spark, s"$root/data", s"$root/man", "price")
+    t.create(df, 8)
+    val q = spark.sql(
+      s"""SELECT * FROM graft_snapshot('${t.man}', 1)
+         |WHERE price >= CAST(100.0 AS DOUBLE)
+         |  AND price < CAST(150.0 AS DOUBLE)""".stripMargin)
+    val seen = scannedFiles(q)
+    assert(seen.nonEmpty && seen.size < 8,
+      s"double range must prune: ${seen.size} of 8")
+    assert(q.count() == 100) // [100.0, 150.0): ids 200..299
+    // plain SQL decimal literals coerce through constant folding to
+    // double literals before the rule runs — they must prune too
+    val q2 = spark.sql(
+      s"""SELECT * FROM graft_snapshot('${t.man}', 1)
+         |WHERE price BETWEEN 100.0 AND 149.5""".stripMargin)
+    assert(scannedFiles(q2).size < 8,
+      "uncast fractional literals did not prune")
+    assert(q2.count() == 100)
+  }
+
   test("self-joining one snapshot resolves (MultiInstanceRelation)") {
     val n = spark.sql(
       s"""SELECT count(*) AS n FROM graft_snapshot('$man', 1) a
