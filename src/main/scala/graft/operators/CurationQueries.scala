@@ -2023,10 +2023,58 @@ object CurationQueries {
       |WHERE o_totalprice BETWEEN 50000.0 AND 150000.0
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- 128. MERGE-ON-READ upsert (deletion-vector MERGE): the same
+  // upsert semantics as q105's COW merge, but superseded rows are
+  // MASKED by a position-delete vector and the batch appends — per-
+  // batch write cost O(batch churn) instead of O(envelope bytes), the
+  // difference between a feasible and an infeasible continuous upsert
+  // on a 100 TB uniformly-keyed table. Scattered updates (every 7th
+  // key) make COW worst-case: its envelope spans every file. The live
+  // result is read back through graft_snapshot SQL (the TVF plans the
+  // MoR anti-join), so the oracle hash also proves the DV read path. ----
+  val q128_mor_merge: Q = (s, dir) => {
+    graft.table.SnapshotSql.register(s)
+    val out = RelationalQueries.scratch("q128_layout", dir)
+    val man = RelationalQueries.scratch("q128_manifest", dir)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val tbl = GraftTable(s, out, man, "o_orderkey")
+    tbl.create(o, 8)
+    val updates = o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        dround(col("o_totalprice") * 1.1, 2).as("o_totalprice"))
+    val inserts = o.filter(col("o_orderkey").between(1, 5))
+      .select((-col("o_orderkey")).as("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"))
+    tbl.commitMergeMor(updates.unionByName(inserts), 1, 4)
+    s.sql(
+      s"""SELECT count(*) AS n_rows, round(sum(o_totalprice), 2) AS total,
+         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         |FROM graft_snapshot('$man', 2)""".stripMargin)
+      .select(col("n_rows"), dround(col("total"), 2).as("total"),
+        col("min_key"), col("max_key"))
+  }
+
+  val q128_mor_merge_sql: String =
+    """WITH merged AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0
+      |         THEN round(o_totalprice * 1.1, 2)
+      |         ELSE o_totalprice END AS price
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT -o_orderkey AS o_orderkey, o_totalprice AS price
+      |  FROM orders WHERE o_orderkey BETWEEN 1 AND 5
+      |)
+      |SELECT count(*) AS n_rows, round(sum(price), 2) + 0 AS total,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      |FROM merged""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q125_sql_restore" -> q125_sql_restore,
     "q126_sql_delete" -> q126_sql_delete,
     "q127_double_key_table" -> q127_double_key_table,
+    "q128_mor_merge" -> q128_mor_merge,
     "q122_string_key_table" -> q122_string_key_table,
     "q123_sql_maintenance" -> q123_sql_maintenance,
     "q124_timestamp_key_table" -> q124_timestamp_key_table,
@@ -2070,6 +2118,7 @@ object CurationQueries {
     "q125_sql_restore" -> q125_sql_restore_sql,
     "q126_sql_delete" -> q126_sql_delete_sql,
     "q127_double_key_table" -> q127_double_key_table_sql,
+    "q128_mor_merge" -> q128_mor_merge_sql,
     "q122_string_key_table" -> q122_string_key_table_sql,
     "q123_sql_maintenance" -> q123_sql_maintenance_sql,
     "q124_timestamp_key_table" -> q124_timestamp_key_table_sql,

@@ -362,7 +362,7 @@ object GraftStreams {
     * (batchIds restart at 0 under a fresh checkpoint — the standing
     * appId:checkpoint = 1:1 contract). */
   final class IdempotentUpsertSink(spark: SparkSession, root: String,
-      appId: String = "upsert") {
+      appId: String = "upsert", mor: Boolean = false) {
     import org.apache.spark.sql.expressions.Window
     private val table = graft.table.GraftTable(
       spark, s"$root/data", s"$root/man", "user_id")
@@ -398,11 +398,20 @@ object GraftStreams {
       val (files, _) = table.prune(v, env.getLong(0), env.getLong(1))
       val current =
         if (files.isEmpty) dedup.limit(0)
-        else spark.read.parquet(files: _*)
+        else table.readAsOf(v, files) // DV-aware: masked rows stay dead
           .join(dedup.select("user_id"), Seq("user_id"), "left_semi")
-      table.commitMerge(winners(current.unionByName(dedup)), v,
-        tag = Some(tag))
+      val merged = winners(current.unionByName(dedup))
+      // mor=true: per-batch WRITE cost is O(batch churn) — superseded
+      // rows are DV-masked, never rewritten; the COW default rewrites
+      // every envelope-intersecting file (Delta-COW parity). A
+      // periodic optimize() folds the vectors back into clean files.
+      if (mor) table.commitMergeMor(merged, v, tag = Some(tag))
+      else table.commitMerge(merged, v, tag = Some(tag))
     }
+
+    /** Fold accumulated DVs / pack the ingest tail (OPTIMIZE). */
+    def optimize(targetBytes: Long = 128L << 20): Int =
+      table.commitCompaction(table.committedVersions.max, targetBytes)
   }
 
   /** Maintain the latest event per user in an external keyed store,

@@ -72,6 +72,20 @@ final class GraftDataSource extends RelationProvider
     require(probe.isCommitted(v),
       s"no committed snapshot v=$v under $man (committed: ${vs.mkString(", ")})")
     val entries = probe.manifest(v).collect().toSeq // O(#files) planning
+    // format("graft") reads plan as a native parquet HadoopFsRelation —
+    // a pure file-list scan that CANNOT apply deletion vectors. A
+    // snapshot with live DVs must fail loudly here (reading raw files
+    // would resurrect masked rows): read it via graft_snapshot /
+    // readAsOf, or run graft_optimize to fold the DVs back in.
+    val liveDvs = entries.headOption
+      .exists(_.schema.fieldNames.contains("dv")) &&
+      entries.exists(_.getAs[String]("dv") != null)
+    require(!liveDvs,
+      s"snapshot v=$v of $man carries live deletion vectors (MoR " +
+        "merges pending compaction) — format(\"graft\") plans a raw " +
+        "parquet scan that cannot apply them; read through " +
+        "graft_snapshot(...)/GraftTable.readAsOf, or run " +
+        "graft_optimize to fold the DVs into clean files first")
     val files = entries.map(_.getAs[String]("file"))
     // schema from the commit's _schema.ddl when recorded — planning a
     // format("graft") read then opens ZERO data files (the footer read
@@ -354,6 +368,15 @@ final class GraftStreamSource(spark: SparkSession, man: String,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val vEnd = version(end)
+    // fresh stream on a table carrying deletion vectors: the initial
+    // replay must deliver LIVE rows (DVs applied), not raw files —
+    // incremental batches are unaffected because a commit's NEWLY
+    // referenced files are always DV-free at their own version
+    if (start.isEmpty && probe.hasLiveDvs(vEnd))
+      return org.apache.spark.sql.GraftSqlBridge.asStreaming(spark,
+        probe.readAsOf(vEnd)
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq: _*))
     val fresh: Seq[String] = start match {
       case None => probe.files(vEnd) // fresh stream: replay the snapshot
       case Some(o) =>
@@ -435,20 +458,23 @@ final class GraftChangeFeedSource(spark: SparkSession, man: String,
           "expired it before this consumer caught up; vacuum retention " +
           "must exceed the slowest consumer's lag")
 
-  /** One-slot manifest memo: the walk reuses each version's file set as
-    * the next step's `from`, and across triggers the previous end
-    * offset's set is still warm — so a steady-state trigger reads each
+  /** One-slot manifest memo: the walk reuses each version's entry list
+    * as the next step's `from`, and across triggers the previous end
+    * offset's list is still warm — so a steady-state trigger reads each
     * NEW manifest exactly once (the contract was being paid ~3x:
     * files(v), files(v-1), then cdc's own reads). Manifests are
-    * immutable once committed, so the memo can never go stale. */
-  private var memo: Option[(Int, Set[String])] = None
+    * immutable once committed, so the memo can never go stale. Entries
+    * are (file, dv) PAIRS: a MoR merge changes a file's effective
+    * content by changing only its deletion vector, and a file-set-only
+    * walk would deliver nothing for such a commit. */
+  private var memo: Option[(Int, Seq[(String, Option[String])])] = None
 
-  private def filesOf(v: Int): Set[String] = memo match {
-    case Some((mv, fs)) if mv == v => fs
+  private def pairsOf(v: Int): Seq[(String, Option[String])] = memo match {
+    case Some((mv, ps)) if mv == v => ps
     case _ =>
-      val fs = table.files(v).toSet
-      memo = Some((v, fs))
-      fs
+      val ps = table.entryPairs(v)
+      memo = Some((v, ps))
+      ps
   }
 
   override def getOffset: Option[V1Offset] = {
@@ -469,12 +495,12 @@ final class GraftChangeFeedSource(spark: SparkSession, man: String,
     val vEnd = version(end)
     val pieces: Seq[DataFrame] = start match {
       case None =>
-        // starting snapshot as inserts: every current row, old_* NULL
+        // starting snapshot as inserts: every current LIVE row (DVs
+        // applied), old_* NULL
         requireCommitted(vEnd)
-        val files = table.files(vEnd)
-        if (files.isEmpty) Nil
+        if (table.files(vEnd).isEmpty) Nil
         else {
-          val snap = spark.read.parquet(files: _*)
+          val snap = table.readAsOf(vEnd)
           val values = snap.columns.filterNot(_ == table.key).toSeq
           Seq(shape(snap.select(
             col(table.key) +:
@@ -486,16 +512,16 @@ final class GraftChangeFeedSource(spark: SparkSession, man: String,
       case Some(o) =>
         val v0 = version(o)
         requireCommitted(v0)
-        var prev = filesOf(v0)
+        var prev = pairsOf(v0)
         ((v0 + 1) to vEnd).flatMap { v =>
           requireCommitted(v)
-          val cur = table.files(v).toSet
+          val cur = table.entryPairs(v)
           memo = Some((v, cur)) // warm for the next trigger's v0
           // a no-op commit (e.g. an empty streamed batch) changes no
-          // files — skipping it also keeps cdc away from its
+          // entries — skipping it also keeps cdc away from its
           // empty-diff-of-an-empty-table loud path
           val out =
-            if (table.dataChange(v) && cur != prev)
+            if (table.dataChange(v) && cur.toSet != prev.toSet)
               Some(shape(table.cdcOf(prev, cur, v - 1, v), v))
             else None // OPTIMIZE/no-op: nothing to deliver
           prev = cur

@@ -168,7 +168,18 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * type); non-empty sides whose box columns differ in type mean the
     * key type changed mid-table — fail loudly (a silent unionByName
     * would coerce long boxes to strings and corrupt skipping forever). */
-  private def unionEntries(prev: DataFrame, stats: DataFrame): DataFrame = {
+  private def unionEntries(prev0: DataFrame, stats0: DataFrame): DataFrame = {
+    // `dv` (the MoR deletion-vector pointer) is the one OPTIONAL
+    // manifest column: fresh stats never carry it and pre-MoR
+    // manifests don't either, so a side missing it aligns with a NULL
+    // column rather than tripping the shape check
+    def withDv(df: DataFrame): DataFrame =
+      if (df.columns.contains("dv")) df
+      else df.withColumn("dv", lit(null).cast("string"))
+    val (prev, stats) =
+      if (prev0.columns.contains("dv") != stats0.columns.contains("dv"))
+        (withDv(prev0), withDv(stats0))
+      else (prev0, stats0)
     def shape(df: DataFrame) =
       df.schema.fields.map(f => f.name -> f.dataType).toMap
     if (shape(prev) == shape(stats)) prev.unionByName(stats)
@@ -660,6 +671,221 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     }
   }
 
+  // ---- merge-on-read (deletion-vector) merge ------------------------
+
+  /** Snapshot v's entries as (file, deletion-vector path) pairs — the
+    * EFFECTIVE content identity of an entry. Pre-MoR manifests have no
+    * `dv` column; every pair reads None. */
+  private[graft] def entryPairs(v: Int): Seq[(String, Option[String])] = {
+    val df = manifest(v)
+    val hasDv = df.columns.contains("dv")
+    df.collect().map { r =>
+      (r.getAs[String]("file"),
+        if (hasDv) Option(r.getAs[String]("dv")) else None)
+    }.toSeq
+  }
+
+  /** Live rows of the given (file, dv) entries read with `schema`:
+    * DV-free files stream straight from the scan with no join work at
+    * all; files carrying a deletion vector anti-join ONLY their
+    * recorded positions on (file_path, row_index) — the Iceberg v2
+    * position-delete read. The DV side is O(#masked rows); AQE
+    * broadcasts it while small. */
+  private def morRead(pairs: Seq[(String, Option[String])],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val reader = schema.map(s => spark.read.schema(s))
+      .getOrElse(spark.read.option("mergeSchema", "true"))
+    val (dirty, clean) = pairs.partition(_._2.isDefined)
+    val cleanDf =
+      if (clean.isEmpty) None else Some(reader.parquet(clean.map(_._1): _*))
+    val dirtyDf =
+      if (dirty.isEmpty) None
+      else {
+        val dvPaths = dirty.flatMap(_._2).distinct
+        val dv = spark.read.parquet(dvPaths: _*)
+          .select(col("file").as("__file"), col("pos").as("__pos"))
+        Some(reader.parquet(dirty.map(_._1): _*)
+          .withColumn("__file", col("_metadata.file_path"))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(dv, Seq("__file", "__pos"), "left_anti")
+          .drop("__file", "__pos"))
+      }
+    (cleanDf, dirtyDf) match {
+      case (Some(c), Some(d)) => c.unionByName(d)
+      case (c, d) => c.orElse(d).getOrElse(
+        throw new IllegalStateException("morRead over zero entries"))
+    }
+  }
+
+  /** [[readAsOf]] restricted to a pruned subset of snapshot v's files,
+    * with each file's deletion vector still applied — what a policy
+    * layer that planned its own file list (the streaming upsert sink's
+    * envelope-pruned current-state read) must use on a table that may
+    * carry DVs: a raw `spark.read.parquet` would resurrect masked
+    * rows. */
+  def readAsOf(v: Int, only: Seq[String]): DataFrame = {
+    val want = only.toSet
+    morRead(entryPairs(v).filter(p => want(p._1)), versionSchema(v))
+  }
+
+  /** MERGE-ON-READ upsert commit — the write-amplification complement
+    * of [[commitMerge]]'s COW: instead of REWRITING every file whose
+    * key box intersects the batch envelope, the superseded rows are
+    * masked by a deletion vector and the batch appends as new files.
+    * Per-batch WRITE cost is O(batch + masked positions) — at 100 TB
+    * with uniformly distributed upsert keys, the difference between a
+    * feasible continuous upsert and an O(table)-per-batch one. The
+    * price is read-side: masked files anti-join their DV until
+    * [[commitCompaction]] folds the vectors back in (OPTIMIZE reads
+    * DV-carrying files through the MoR scan and re-packs them clean).
+    *
+    * Mechanics, all riding the ordinary commit protocol:
+    *  - ONE column-pruned distributed scan of the impacted files
+    *    (key + parquet metadata only — no value bytes) semi-joins the
+    *    batch's keys into (file, row_index) masked positions;
+    *  - positions union with the impacted files' EXISTING DVs
+    *    (re-merging a hot envelope accumulates one combined vector per
+    *    commit — a reader applies exactly one DV per file);
+    *  - the combined vector lands as one `dv-<uuid>.parquet` in the
+    *    data dir; impacted entries point at it, their `n_rows`
+    *    maintained as LIVE counts (manifest stats stay truthful for
+    *    history()/planning); an entry masked to zero live rows is
+    *    DROPPED (its file becomes a vacuum-reclaimable orphan once
+    *    prior versions expire);
+    *  - the batch itself appends as clustered files with fresh stats.
+    *
+    * Content equivalence with the COW path is exact: live(v+1) =
+    * (old − batch.keys) ∪ batch, proven hash-equal in MorMergeSpec.
+    * Like all maintenance-class commits this is single-writer: a lost
+    * publish race fails loudly rather than guessing at rebase safety
+    * (the winner may have rewritten a file whose positions this DV
+    * masks — positions are only stable while the file is). */
+  def commitMergeMor(batch: DataFrame, prevV: Int, nParts: Int = 2,
+      tag: Option[String] = None): Unit = {
+    val codec = GraftTable.codecFor(batch.schema(key).dataType, key,
+      forKey = true)
+    val env = batch.agg(codec.loAgg(key), codec.hiAgg(key),
+      count(lit(1)), count(col(key))).head
+    val (total, nonNull) = (env.getLong(2), env.getLong(3))
+    if (total == 0) { // empty batch: commit a carry-forward version
+      if (!tryCommitManifest(manifest(prevV), prevV + 1, tag))
+        throw new java.util.ConcurrentModificationException(
+          s"MoR merge lost the commit race for v=${prevV + 1}")
+      return
+    }
+    require(nonNull == total,
+      s"merge batch has ${total - nonNull} NULL '$key' key(s) — " +
+        "the merge key must be non-null")
+    val (qlo, qhi) = (env.get(0), env.get(1))
+    val prevMan = manifest(prevV)
+    val hasDv = prevMan.columns.contains("dv")
+    val prevEntries = prevMan.collect()
+    val impactedRows = prevEntries
+      .filter(GraftTable.boxIntersects(_, "lo", "hi", qlo, qhi))
+    val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
+    val reader = versionSchema(prevV).map(s => spark.read.schema(s))
+      .getOrElse(spark.read.option("mergeSchema", "true"))
+
+    // masked positions: key column + parquet metadata only — the scan
+    // is column-pruned, so even a wide table pays key-bytes, not rows
+    val maskedNew =
+      if (impacted.isEmpty) None
+      else Some(reader.parquet(impacted: _*)
+        .select(col(key),
+          col("_metadata.file_path").as("file"),
+          col("_metadata.row_index").as("pos"))
+        .join(batch.select(key).distinct(), Seq(key), "left_semi")
+        .select("file", "pos"))
+    val oldDvPaths =
+      if (!hasDv) Nil
+      else impactedRows.flatMap(r => Option(r.getAs[String]("dv")))
+        .distinct.toSeq
+    val dvAll = maskedNew.map { m =>
+      val withOld =
+        if (oldDvPaths.isEmpty) m
+        else m.unionByName(spark.read.parquet(oldDvPaths: _*)
+          .filter(col("file").isin(impacted: _*))
+          .select("file", "pos"))
+      withOld.distinct()
+    }
+    // per-file masked totals: O(#impacted files) driver-side planning
+    val allCnt: Map[String, Long] = dvAll
+      .map(_.groupBy("file").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap)
+      .getOrElse(Map.empty)
+    val oldCnt: Map[String, Long] =
+      if (oldDvPaths.isEmpty) Map.empty
+      else spark.read.parquet(oldDvPaths: _*)
+        .filter(col("file").isin(impacted: _*))
+        .groupBy("file").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap
+
+    // the batch's new clustered files (stats recorded like any append)
+    val added = stagedAppend(batch, nParts)
+    val stats = if (added.isEmpty) emptyEntries else fileStats(added)
+
+    if (allCnt.isEmpty) {
+      // no key overlap (or no impacted files): a pure append commit —
+      // no DV written, no dv column introduced
+      commitManifest(unionEntries(prevMan, stats), prevV + 1, tag,
+        schemaDdl = evolvedSchemaDdl(prevV, batch.schema))
+      return
+    }
+
+    // one combined DV file per commit, placed as a single parquet FILE
+    // (not a dir) so vacuum's name-based reference counting covers it
+    val dvPath = writeDvFile(dvAll.get)
+
+    import org.apache.spark.sql.types.StringType
+    val baseSchema = prevMan.schema
+    val outSchema =
+      if (hasDv) baseSchema
+      else org.apache.spark.sql.types.StructType(
+        baseSchema.fields :+
+          org.apache.spark.sql.types.StructField("dv", StringType))
+    val idxN = outSchema.fieldIndex("n_rows")
+    val idxDv = outSchema.fieldIndex("dv")
+    val updated = prevEntries.flatMap { r =>
+      val f = r.getAs[String]("file")
+      val vals = (if (hasDv) r.toSeq else r.toSeq :+ null).toArray
+      allCnt.get(f) match {
+        case Some(maskedTotal) =>
+          val live = r.getAs[Long]("n_rows") -
+            (maskedTotal - oldCnt.getOrElse(f, 0L))
+          if (live <= 0L) None // fully masked: drop the entry entirely
+          else {
+            vals(idxN) = live
+            vals(idxDv) = dvPath
+            Some(Row.fromSeq(vals.toIndexedSeq))
+          }
+        case None => Some(Row.fromSeq(vals.toIndexedSeq))
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val prevUpdated =
+      spark.createDataFrame(updated.toList.asJava, outSchema)
+    commitManifest(unionEntries(prevUpdated, stats), prevV + 1, tag,
+      schemaDdl = evolvedSchemaDdl(prevV, batch.schema))
+  }
+
+  /** Write `dv` (file, pos) as ONE parquet file `dv-<uuid>.parquet` in
+    * the data dir, via a staging dir so the placement is atomic-ish and
+    * a crash leaves only an underscore-hidden stage for vacuum. */
+  private def writeDvFile(dv: DataFrame): String = {
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new Path(data, s"_stage_dv_$id")
+    dv.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = dataFs.listStatus(stage)
+      .filter(_.getPath.getName.startsWith("part-")).head.getPath
+    val dst = new Path(data, s"dv-$id.parquet")
+    require(dataFs.rename(part, dst), s"could not place DV file $dst")
+    dataFs.delete(stage, true)
+    dst.toString
+  }
+
+  /** Whether snapshot v carries any live deletion vector. */
+  def hasLiveDvs(v: Int): Boolean = entryPairs(v).exists(_._2.isDefined)
+
   /** OPTIMIZE: bin-pack the snapshot's small files into ~targetBytes
     * files as a NEW snapshot version. Content-identical to `prevV` —
     * a pure layout change, so readers see the same rows — and
@@ -684,23 +910,38 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       // pack set must be recomputed, not just the version number —
       // compaction may never be "accepted" by someone else's snapshot
       // winning the rename (that snapshot doesn't contain the pack)
-      val entries = manifest(base).select("file", "bytes").collect()
-      val small = entries.filter(_.getAs[Long]("bytes") < targetBytes)
-      if (small.length <= 1) return 0 // already compact: no commit, no
-                                      // burned version, no no-op batch
-                                      // for change-feed consumers
+      val man0 = manifest(base)
+      val hasDv = man0.columns.contains("dv")
+      val entries = man0.collect()
+      // the pack set: sub-target files, PLUS any file carrying a
+      // deletion vector — OPTIMIZE is also how MoR merges fold their
+      // DVs back into clean files (the packed rewrite reads through
+      // the MoR scan, so masked rows vanish and the new entries carry
+      // no dv)
+      def dvOf(r: Row): Option[String] =
+        if (hasDv) Option(r.getAs[String]("dv")) else None
+      val pack = entries.filter(r =>
+        r.getAs[Long]("bytes") < targetBytes || dvOf(r).isDefined)
+      val anyDv = pack.exists(dvOf(_).isDefined)
+      if (pack.length <= 1 && !anyDv) return 0
+        // already compact and DV-free: no commit, no burned version,
+        // no no-op batch for change-feed consumers
       else {
-        val smallFiles = small.map(_.getAs[String]("file")).toSeq
-        val totalBytes = small.map(_.getAs[Long]("bytes")).sum
+        val packFiles = pack.map(_.getAs[String]("file")).toSeq
+        val totalBytes = pack.map(_.getAs[Long]("bytes")).sum
         val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-        val added = stagedAppend(readCommitted(base, smallFiles), nOut)
+        val packPairs = pack.map(r => (r.getAs[String]("file"), dvOf(r))).toSeq
+        val added = stagedAppend(
+          morRead(packPairs, versionSchema(base)), nOut)
         if (tryCommitManifest(
             unionEntries(
-              manifest(base).filter(!col("file").isin(smallFiles: _*)),
+              man0.filter(!col("file").isin(packFiles: _*)),
               if (added.isEmpty) emptyEntries else fileStats(added)),
-            base + 1, noData = true, // content-identical: dataChange=false
+            base + 1, noData = true, // LIVE-content-identical:
+                                     // dataChange=false (masked rows
+                                     // were already dead)
             schemaDdl = versionSchema(base).map(_.toDDL)))
-          return small.length
+          return pack.length
         // lost: this attempt's packed output becomes vacuum-reclaimable
         // orphans; replan from the winner's version
       }
@@ -831,11 +1072,12 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
 
   def readAsOf(v: Int): DataFrame = {
     val fs = files(v)
-    // the commit-recorded schema, not sampled-footer inference: after a
+    // the commit-recorded schema, not sampled-footer inference (after a
     // widening append the snapshot's files are heterogeneous and a
-    // sampled old file would silently hide the widened column
-    if (fs.nonEmpty) versionSchema(v).map(s => spark.read.schema(s))
-      .getOrElse(spark.read.option("mergeSchema", "true")).parquet(fs: _*)
+    // sampled old file would silently hide the widened column); and
+    // the MoR path: entries carrying a deletion vector anti-join their
+    // masked positions — DV-free files stream straight from the scan
+    if (fs.nonEmpty) morRead(entryPairs(v), versionSchema(v))
     else if (data.nonEmpty && partFiles.nonEmpty)
       spark.read.parquet(data).limit(0) // typed empty, schema from layout
     else
@@ -915,14 +1157,24 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val upper = math.max(latest, vs.max)
     // versions below an earlier vacuum's horizon no longer exist —
     // skip them instead of failing the whole reclamation on a read
-    val referenced = (keepFrom to upper).filter(isCommitted).flatMap { v =>
+    val retained = (keepFrom to upper).filter(isCommitted)
+    val referenced = retained.flatMap { v =>
       files(v).map(p => new Path(p).getName)
+    }.toSet
+    // deletion-vector files referenced by any retained version's `dv`
+    // column — reclaimed by the same name-based counting as data files
+    val referencedDv = retained.flatMap { v =>
+      entryPairs(v).flatMap(_._2).map(p => new Path(p).getName)
     }.toSet
     val cutoff = System.currentTimeMillis() - graceMs
     def aged(st: FileStatus): Boolean = st.getModificationTime <= cutoff
     val orphans = listStatusSafe(dataFs, new Path(data))
-      .filter(st => st.getPath.getName.startsWith("part-") &&
-        !referenced(st.getPath.getName) && aged(st))
+      .filter { st =>
+        val n = st.getPath.getName
+        aged(st) &&
+          ((n.startsWith("part-") && !referenced(n)) ||
+            (n.startsWith("dv-") && !referencedDv(n)))
+      }
       .map(_.getPath.getName).toSeq.sorted
     orphans.foreach { n =>
       require(dataFs.delete(new Path(data, n), false), s"could not vacuum $n")
@@ -999,17 +1251,27 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * as equal pairs. Output: (key, old_<c>.., new_<c>.., op). At 100 TB
     * a 0.1% churn commit reads ~0.2% of the table instead of 200%. */
   def cdc(vFrom: Int, vTo: Int): DataFrame =
-    cdcOf(files(vFrom).toSet, files(vTo).toSet, vFrom, vTo)
+    cdcOf(entryPairs(vFrom), entryPairs(vTo), vFrom, vTo)
 
-  /** [[cdc]] over ALREADY-READ file sets — the change-feed source walks
-    * versions and reuses each step's `to` as the next step's `from`, so
-    * a trigger reads each manifest ONCE instead of three times. */
-  private[graft] def cdcOf(from: Set[String], to: Set[String],
-      vFrom: Int, vTo: Int): DataFrame = {
+  /** [[cdc]] over ALREADY-READ entry-pair lists — the change-feed
+    * source walks versions and reuses each step's `to` as the next
+    * step's `from`, so a trigger reads each manifest ONCE instead of
+    * three times. Entries are (file, dv) pairs: under MoR a commit can
+    * change a file's EFFECTIVE content by changing only its deletion
+    * vector, so the churn set is the symmetric difference of the
+    * PAIRS — a file whose DV changed contributes its old live rows to
+    * the `from` side and its new live rows to the `to` side, and the
+    * unchanged survivors fall out as equal pairs exactly like COW
+    * rewrites. */
+  private[graft] def cdcOf(from: Seq[(String, Option[String])],
+      to: Seq[(String, Option[String])], vFrom: Int, vTo: Int): DataFrame = {
     if ((from ++ to).isEmpty)
       throw new IllegalStateException(
         s"cdc v=$vFrom -> v=$vTo: both snapshots reference no files, so " +
           "there is no schema to type the (empty) change feed with")
+    val (fromS, toS) = (from.toSet, to.toSet)
+    val churnedOld = from.filterNot(toS)
+    val churnedNew = to.filterNot(fromS)
     // the two snapshots may straddle a widening append, so the diff's
     // schema must be the UNION of every churned footer (mergeSchema) —
     // a sampled-file inference could silently drop the widened column
@@ -1017,19 +1279,19 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     // unified schema: the old side's own files may predate the widened
     // column entirely (it reads as NULL, parquet-by-name semantics)
     val unified = spark.read.option("mergeSchema", "true")
-      .parquet((from ++ to).toSeq: _*).schema
-    def readFiles(fs: Set[String]): DataFrame =
-      if (fs.isEmpty) // typed empty relation, same shape as the layout
+      .parquet((from ++ to).map(_._1).distinct: _*).schema
+    def readSide(pairs: Seq[(String, Option[String])]): DataFrame =
+      if (pairs.isEmpty) // typed empty relation, same shape as the layout
         spark.createDataFrame(
           java.util.Collections.emptyList[Row](), unified)
-      else spark.read.schema(unified).parquet(fs.toSeq: _*)
+      else morRead(pairs, Some(unified))
     val valueCols = unified.fieldNames.filter(_ != key).toSeq
     // presence flags, not value-NULL checks, classify the op — a NULL in
     // a value column must not masquerade as an insert/delete
-    val old = readFiles(from -- to).select(
+    val old = readSide(churnedOld).select(
       col(key) +: lit(true).as("__old") +:
         valueCols.map(c => col(c).as(s"old_$c")): _*)
-    val neu = readFiles(to -- from).select(
+    val neu = readSide(churnedNew).select(
       col(key) +: lit(true).as("__new") +:
         valueCols.map(c => col(c).as(s"new_$c")): _*)
     // a key-only table has nothing to differ on: same-key pairs are

@@ -64,6 +64,18 @@ object SnapshotSql {
       fail(s"no committed snapshot v=$v under $man " +
         s"(committed: ${table.committedVersions.mkString(", ")})")
     val entries = table.manifest(v).collect().toSeq // O(#files) planning
+    // a snapshot carrying live deletion vectors (MoR merges pending
+    // compaction) cannot be a plain file-list relation: masked rows
+    // must be anti-joined out. It plans as the analyzed MoR read —
+    // Catalyst still pushes filters and column pruning into the scans
+    // beneath the union/anti-join; manifest FILE pruning for such
+    // snapshots returns after graft_optimize folds the DVs back in
+    // (the read-side cost of MoR's O(batch) writes, by design).
+    val liveDvs = entries.headOption
+      .exists(_.schema.fieldNames.contains("dv")) &&
+      entries.exists(_.getAs[String]("dv") != null)
+    if (liveDvs)
+      return org.apache.spark.sql.GraftSqlBridge.analyzed(table.readAsOf(v))
     val files = entries.map(_.getAs[String]("file"))
     // schema from the commit's own _schema.ddl when recorded (zero
     // data-file footer reads at planning — the Delta-log shape);

@@ -594,4 +594,86 @@ class StreamingSpec extends TestBase {
     assert(state() == want, "replay of already-applied rows did not converge")
     assert(stateTable.committedVersions.max == vBefore + 1)
   }
+
+  test("MoR upsert sink: O(churn) per-batch writes on a big state; same result as COW") {
+    import spark.implicits._
+    // a LARGE keyed state (50k users) + SMALL scattered update batches
+    // (1-in-100 users, spanning the whole key domain) — the workload
+    // MoR exists for: the COW path's envelope covers every file, so
+    // each small batch rewrites the whole state; the MoR path masks a
+    // few rows per file and appends only the batch
+    val nUsers = 50000
+    val initial = (0 until nUsers).map(u =>
+      (u.toLong, u.toLong, new java.sql.Timestamp(1700000000000L + u),
+        1.0)).toDF("user_id", "event_id", "ts", "value")
+    def smallBatch(b: Int): org.apache.spark.sql.DataFrame =
+      (0 until nUsers).filter(_ % 100 == b).map(u =>
+        (u.toLong, (nUsers + b * 1000 + u).toLong,
+          new java.sql.Timestamp(1700000000000L + 1000000L * b + u),
+          b.toDouble)).toDF("user_id", "event_id", "ts", "value")
+    def drive(root: String, appId: String, mor: Boolean)
+        : GraftStreams.IdempotentUpsertSink = {
+      val sink = new GraftStreams.IdempotentUpsertSink(
+        spark, root, appId, mor)
+      sink.apply(initial, 0L)
+      (1 to 3).foreach(b => sink.apply(smallBatch(b), b.toLong))
+      sink
+    }
+    val rCow = java.nio.file.Files.createTempDirectory("graft_up_cow").toString
+    val rMor = java.nio.file.Files.createTempDirectory("graft_up_mor").toString
+    val cowSink = drive(rCow, "cowup", mor = false)
+    val morSink = drive(rMor, "morup", mor = true)
+
+    // 1. identical final state on both paths
+    def state(s: GraftStreams.IdempotentUpsertSink): Seq[Seq[Any]] =
+      s.latest.get.orderBy("user_id").collect().map(_.toSeq).toSeq
+    val want = state(cowSink)
+    assert(want.size == nUsers)
+    assert(state(morSink) == want, "MoR state differs from the COW state")
+
+    // 2. the bytes each SMALL batch wrote: every file added after v2
+    // (initial state is v2: createEmpty v1 + batch0 commit) plus the
+    // DV files. COW rewrote the ~50k-row state per batch; MoR wrote
+    // only the ~500-row batches + vectors — require a 5x gap, the
+    // asymptotic claim with generous slack
+    def smallBatchBytes(root: String): Long = {
+      val t = graft.table.GraftTable(
+        spark, s"$root/data", s"$root/man", "user_id")
+      val vs = t.committedVersions
+      val baseline = t.manifest(vs.min + 1).select("file").collect()
+        .map(_.getString(0)).toSet // batch0's state files
+      val added = vs.filter(_ > vs.min + 1).flatMap { v =>
+        t.manifest(v).select("file", "bytes").collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+      }.toMap.view.filterKeys(!baseline(_)).values.sum
+      val fs = new org.apache.hadoop.fs.Path(s"$root/data")
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val dvBytes = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/data"))
+        .filter(_.getPath.getName.startsWith("dv-")).map(_.getLen).sum
+      added + dvBytes
+    }
+    val (cowB, morB) = (smallBatchBytes(rCow), smallBatchBytes(rMor))
+    assert(morB * 5 < cowB,
+      s"small batches cost $morB bytes under MoR vs $cowB under COW — " +
+        "expected at least a 5x gap (MoR must write O(churn), not O(state))")
+
+    // 3. no pre-existing data file is ever rewritten by a MoR batch
+    val mt = graft.table.GraftTable(
+      spark, s"$rMor/data", s"$rMor/man", "user_id")
+    val vs = mt.committedVersions
+    vs.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert((mt.files(a).toSet -- mt.files(b).toSet).isEmpty,
+          s"v$a->v$b lost a file — a MoR batch rewrote pre-existing data")
+      case _ =>
+    }
+
+    // 4. optimize() folds the DVs; state unchanged; raw scans work again
+    assert(mt.hasLiveDvs(vs.max), "expected live DVs before optimize")
+    assert(morSink.optimize() > 0)
+    assert(!mt.hasLiveDvs(mt.committedVersions.max), "optimize left DVs")
+    assert(state(morSink) == want, "optimize changed the state")
+    assert(spark.read.format("graft").load(s"$rMor/man").count()
+      == nUsers, "post-optimize raw-scan read differs")
+  }
 }
