@@ -40,6 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (SnapshotExpandRule, pre-CBO)
     ext.injectOptimizerRule(_ => graft.table.SnapshotPruneRule)
     ext.injectPreCBORule(s => graft.table.SnapshotExpandRule(s))
+    // name-addressed catalog tables (spark.sql.catalog.<name> =
+    // graft.table.GraftCatalog): the analyzed v2 relation over a
+    // GraftV2Table is replaced with the SAME prunable snapshot plan the
+    // graft_snapshot TVF builds, so SELECT ... FROM <name> file-prunes
+    // and broadcasts identically; write commands keep their v2 relation
+    ext.injectResolutionRule(s => graft.table.GraftV2ExpandRule(s))
     // native as-of join physical operator (AsOfJoinPlan -> AsOfJoinExec);
     // AsOfJoin.asof also self-registers via spark.experimental
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)

@@ -2070,11 +2070,56 @@ object CurationQueries {
       |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
       |FROM merged""".stripMargin
 
+  // ---- 129. NAME-ADDRESSED tables (DSv2 TableCatalog): the first
+  // thing a SQL user types — `SELECT ... FROM graft.db.t` — works, with
+  // the full machinery behind the name: CREATE TABLE registers (or
+  // creates) the table, INSERT INTO is the multi-writer OCC append
+  // commit, reads resolve through GraftV2ExpandRule to the SAME
+  // prunable snapshot plan graft_snapshot builds, and VERSION AS OF
+  // time-travels. The query exercises create -> insert -> named agg
+  // read -> VERSION AS OF, all through catalog identifiers. ----
+  val q129_catalog_table: Q = (s, dir) => {
+    val man = RelationalQueries.scratch("q129_manifest", dir)
+    val out = RelationalQueries.scratch("q129_layout", dir)
+    val cat = RelationalQueries.scratch("q129_catalog", dir)
+    // idempotent across runs: drop the name registry, recreate below
+    val catPath = new org.apache.hadoop.fs.Path(cat)
+    catPath.getFileSystem(s.sessionState.newHadoopConf())
+      .delete(catPath, true)
+    s.conf.set("spark.sql.catalog.gq", classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gq.dir", cat)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_custkey")
+    GraftTable(s, out, man, "o_orderkey")
+      .create(o.filter(col("o_orderkey") % 2 === 0), 6)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gq.db")
+    s.sql(s"CREATE TABLE gq.db.orders USING graft OPTIONS (man '$man')")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .createOrReplaceTempView("q129_odd")
+    s.sql("INSERT INTO gq.db.orders SELECT * FROM q129_odd")
+    val v1 = s.sql("SELECT count(*) AS c FROM gq.db.orders VERSION AS OF 1")
+      .head.getLong(0)
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+        |FROM gq.db.orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .withColumn("v1_rows", lit(v1))
+  }
+
+  val q129_catalog_table_sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+      |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS v1_rows
+      |FROM orders
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q125_sql_restore" -> q125_sql_restore,
     "q126_sql_delete" -> q126_sql_delete,
     "q127_double_key_table" -> q127_double_key_table,
     "q128_mor_merge" -> q128_mor_merge,
+    "q129_catalog_table" -> q129_catalog_table,
     "q122_string_key_table" -> q122_string_key_table,
     "q123_sql_maintenance" -> q123_sql_maintenance,
     "q124_timestamp_key_table" -> q124_timestamp_key_table,
@@ -2119,6 +2164,7 @@ object CurationQueries {
     "q126_sql_delete" -> q126_sql_delete_sql,
     "q127_double_key_table" -> q127_double_key_table_sql,
     "q128_mor_merge" -> q128_mor_merge_sql,
+    "q129_catalog_table" -> q129_catalog_table_sql,
     "q122_string_key_table" -> q122_string_key_table_sql,
     "q123_sql_maintenance" -> q123_sql_maintenance_sql,
     "q124_timestamp_key_table" -> q124_timestamp_key_table_sql,

@@ -63,6 +63,18 @@ object SnapshotSql {
     if (!table.isCommitted(v))
       fail(s"no committed snapshot v=$v under $man " +
         s"(committed: ${table.committedVersions.mkString(", ")})")
+    snapshotPlan(spark, man, v)
+  }
+
+  /** The logical plan of snapshot v — a prunable [[GraftSnapshotRelation]]
+    * (or the analyzed MoR read when the snapshot carries live deletion
+    * vectors). Shared by the `graft_snapshot` TVF and the name-addressed
+    * catalog ([[GraftCatalog]]), so both surfaces prune identically. */
+  private[table] def snapshotPlan(spark: SparkSession, man: String,
+      v: Int): LogicalPlan = {
+    def fail(detail: String): Nothing =
+      throw new IllegalArgumentException(s"$detail\n$usage")
+    val table = GraftTable(spark, data = "", man = man, key = "")
     val entries = table.manifest(v).collect().toSeq // O(#files) planning
     // a snapshot carrying live deletion vectors (MoR merges pending
     // compaction) cannot be a plain file-list relation: masked rows

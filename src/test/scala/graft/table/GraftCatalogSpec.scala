@@ -1,0 +1,185 @@
+package graft.table
+
+import graft.{GraftExtensions, Tables, TestBase}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** Name-addressed tables through the DSv2 [[GraftCatalog]]: CREATE
+  * TABLE / SELECT / INSERT / time travel on `graft.<ns>.<name>`
+  * identifiers. The production read path (extensions installed) must
+  * file-prune exactly like `graft_snapshot`; the extensions-free
+  * fallback must stay correct; writes are the same OCC commits as
+  * `format("graft")`. */
+class GraftCatalogSpec extends TestBase {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_catalog").toString
+
+  /** Files referenced by the optimized plan's parquet relation(s). */
+  private def scannedFiles(df: DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.inputFiles.toSeq
+        case _ => Seq.empty[String]
+      }
+    }.flatten
+
+  private def withExtSession(f: SparkSession => Unit): Unit = {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      try f(s2) finally ()
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
+  test("lifecycle: CREATE, INSERT (OCC append), pruned SELECT, time travel, OVERWRITE") {
+    withExtSession { s =>
+      val root = freshRoot()
+      s.conf.set("spark.sql.catalog.g1", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.g1.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS g1.db")
+      s.sql(
+        s"""CREATE TABLE g1.db.orders (o_orderkey BIGINT, o_custkey BIGINT,
+           |  o_totalprice DOUBLE) USING graft
+           |OPTIONS (man '$root/man', data '$root/data', key 'o_orderkey')
+           |""".stripMargin)
+      val o = Tables.load(s, sfDir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      o.createOrReplaceTempView("src_orders")
+      s.sql("INSERT INTO g1.db.orders SELECT * FROM src_orders")
+      // v1 = empty create, v2 = the insert
+      assert(s.sql("SELECT count(*) AS c FROM g1.db.orders").head.getLong(0)
+        == o.count())
+
+      // the named read PRUNES like graft_snapshot: file-count proof
+      val all = scannedFiles(s.sql("SELECT * FROM g1.db.orders"))
+      assert(all.size >= 4, s"expected a multi-file layout, got ${all.size}")
+      val lo = o.agg(min("o_orderkey")).head.getLong(0)
+      val pruned = scannedFiles(s.sql(
+        s"SELECT * FROM g1.db.orders WHERE o_orderkey BETWEEN $lo AND ${lo + 10}"))
+      assert(pruned.nonEmpty && pruned.size < all.size,
+        s"named read must file-prune: ${pruned.size} of ${all.size}")
+
+      // a second INSERT is an OCC append; VERSION AS OF sees each state
+      s.sql("INSERT INTO g1.db.orders SELECT o_orderkey + 10000000, " +
+        "o_custkey, o_totalprice FROM g1.db.orders VERSION AS OF 2")
+      assert(s.sql("SELECT count(*) AS c FROM g1.db.orders").head.getLong(0)
+        == 2 * o.count())
+      assert(s.sql("SELECT count(*) AS c FROM g1.db.orders VERSION AS OF 2")
+        .head.getLong(0) == o.count())
+      assert(s.sql("SELECT count(*) AS c FROM g1.db.orders VERSION AS OF 1")
+        .head.getLong(0) == 0L)
+
+      // TIMESTAMP AS OF: resolve to the version committed at that time
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "o_orderkey")
+      val t2 = new java.sql.Timestamp(tbl.commitTimeOf(2)).toString
+      assert(s.sql(
+        s"SELECT count(*) AS c FROM g1.db.orders TIMESTAMP AS OF '$t2'")
+        .head.getLong(0) == o.count())
+
+      // INSERT OVERWRITE recreates the table
+      o.limit(100).createOrReplaceTempView("src_orders_100")
+      s.sql("INSERT OVERWRITE g1.db.orders " +
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM src_orders_100")
+      assert(s.sql("SELECT count(*) AS c FROM g1.db.orders").head.getLong(0)
+        == 100L)
+    }
+  }
+
+  test("registering an EXISTING table needs only the manifest path") {
+    withExtSession { s =>
+      val root = freshRoot()
+      val o = Tables.load(s, sfDir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      GraftTable(s, s"$root/data", s"$root/man", "o_orderkey").create(o, 4)
+      s.conf.set("spark.sql.catalog.g2", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.g2.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS g2.default")
+      s.sql(s"CREATE TABLE g2.default.ord USING graft OPTIONS (man '$root/man')")
+      assert(s.sql("SELECT count(*) AS c FROM g2.default.ord").head.getLong(0)
+        == o.count())
+      assert(s.sql("SHOW TABLES IN g2.default").collect()
+        .map(_.getString(1)).contains("ord"))
+      // DROP removes the NAME only — the table itself stays readable
+      s.sql("DROP TABLE g2.default.ord")
+      intercept[Exception] { s.sql("SELECT * FROM g2.default.ord").collect() }
+      assert(GraftTable(s, s"$root/data", s"$root/man", "o_orderkey")
+        .readAsOf(1).count() == o.count(),
+        "dropping the catalog entry must not touch the table")
+    }
+  }
+
+  test("a MoR (deletion-vector) snapshot reads correctly through its NAME") {
+    withExtSession { s =>
+      val root = freshRoot()
+      val o = Tables.load(s, sfDir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "o_orderkey")
+      tbl.create(o, 4)
+      tbl.commitMergeMor(o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 2), 1, 2)
+      s.conf.set("spark.sql.catalog.g3", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.g3.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS g3.default")
+      s.sql(s"CREATE TABLE g3.default.t USING graft OPTIONS (man '$root/man')")
+      assert(s.sql("SELECT count(*) AS c FROM g3.default.t").head.getLong(0)
+        == o.count(), "masked rows leaked through the named MoR read")
+      val doubled = s.sql(
+        "SELECT count(*) AS c FROM g3.default.t WHERE o_orderkey % 7 = 0 " +
+          "AND o_totalprice = 2 * o_totalprice / 2").head.getLong(0)
+      assert(doubled == o.filter(col("o_orderkey") % 7 === 0).count())
+    }
+  }
+
+  test("extensions-FREE sessions still read and write correctly (V1 fallback)") {
+    // the shared TestBase session has no GraftExtensions installed, so
+    // the read goes through the V1Scan fallback — correct, if slower
+    val root = freshRoot()
+    val o = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey")
+    GraftTable(spark, s"$root/data", s"$root/man", "o_orderkey").create(o, 4)
+    spark.conf.set("spark.sql.catalog.g4", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.g4.dir", s"$root/catalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS g4.default")
+    spark.sql(s"CREATE TABLE g4.default.t USING graft OPTIONS (man '$root/man')")
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM g4.default.t WHERE o_orderkey < 1000")
+      .head.getLong(0) == o.filter(col("o_orderkey") < 1000).count())
+    spark.sql("INSERT INTO g4.default.t " +
+      "SELECT o_orderkey + 5000000, o_custkey FROM g4.default.t")
+    assert(spark.sql("SELECT count(*) AS c FROM g4.default.t").head.getLong(0)
+      == 2 * o.count())
+  }
+
+  test("misuse is loud: no dir conf, missing options, writes to pinned versions") {
+    withExtSession { s =>
+      val root = freshRoot()
+      s.conf.set("spark.sql.catalog.gbad", classOf[GraftCatalog].getName)
+      // no .dir conf
+      val e1 = intercept[Exception] {
+        s.sql("SELECT * FROM gbad.default.x").collect()
+      }
+      assert(e1.getMessage.contains("dir") || e1.getCause != null)
+      s.conf.set("spark.sql.catalog.g5", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.g5.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS g5.default")
+      // creating a NEW table without key/data
+      val e2 = intercept[Exception] {
+        s.sql(s"CREATE TABLE g5.default.t USING graft OPTIONS (man '$root/man')")
+      }
+      assert(e2.getMessage.contains("key") || e2.getMessage.contains("man"),
+        e2.getMessage)
+      // unknown table
+      intercept[Exception] { s.sql("SELECT * FROM g5.default.nope").collect() }
+    }
+  }
+}
