@@ -347,6 +347,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * dropped — otherwise a stale committed v=1 would win the
     * atomic-commit race and reference the overwritten files. */
   def create(df: DataFrame, nParts: Int): GraftTable = {
+    requireStoreCapability()
     clusteredWrite(df, nParts, "overwrite")
     val manDir = new Path(man)
     if (manFs.exists(manDir)) manFs.delete(manDir, true)
@@ -363,6 +364,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * plan the still-empty table without any data file to infer from. */
   def createEmpty(schema: Option[org.apache.spark.sql.types.StructType] =
       None): GraftTable = {
+    requireStoreCapability()
     dataFs.mkdirs(new Path(data))
     writeProps()
     if (!isCommitted(1)) {
@@ -464,6 +466,37 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       schemaDdl = versionSchema(v).map(_.toDDL))
     clone
   }
+
+  /** The pointer store's entire safety rests on the manifest store
+    * providing ATOMIC fail-if-destination-exists create — true on HDFS
+    * (namenode-arbitrated), local files (File.createNewFile under the
+    * checksum wrapper) and S3 WITH conditional PUT, but plain
+    * check-then-act on stores without it, where two racing writers
+    * could both believe they committed the same version (silent batch
+    * loss). Rather than trusting silently, table CREATION on a scheme
+    * not known to be safe fails LOUDLY; an operator who has verified
+    * their store (e.g. S3 conditional writes enabled) declares it via
+    * `spark.graft.logstore.pointer.allowSchemes=s3a` — turning a
+    * silent correctness risk into an explicit config decision. Reads
+    * and commits on an EXISTING table are not gated: the choice was
+    * made, loudly, at creation. */
+  private def requireStoreCapability(): Unit =
+    if (store == GraftTable.PointerLogStore) {
+      val scheme = Option(manFs.getUri.getScheme).getOrElse("file")
+        .toLowerCase(java.util.Locale.ROOT)
+      val allowed = GraftTable.PointerSafeSchemes ++
+        spark.conf.get("spark.graft.logstore.pointer.allowSchemes", "")
+          .split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT))
+          .filter(_.nonEmpty)
+      require(allowed(scheme),
+        s"the 'pointer' log store needs ATOMIC exclusive create " +
+          s"(fail-if-exists) from the manifest store, and scheme " +
+          s"'$scheme' is not known to provide it — a check-then-act " +
+          "create lets two racing writers both claim one version " +
+          "(silent batch loss). If your store does provide it (e.g. " +
+          "S3 conditional PUT), declare that explicitly: " +
+          s"spark.graft.logstore.pointer.allowSchemes=$scheme")
+    }
 
   /** Persist the table's declared shape (key + stats columns) next to
     * the version dirs, so a reader holding only the manifest path — the
@@ -1649,6 +1682,14 @@ object GraftTable {
       payload.foreach(fs.delete(_, true))
     }
   }
+
+  /** Schemes whose `create(overwrite=false)` is known atomic: HDFS
+    * (namenode-arbitrated), local/checksum-local (File.createNewFile),
+    * the repo's own `graft://` caching scheme (delegates to one of
+    * those). Everything else must be declared via
+    * `spark.graft.logstore.pointer.allowSchemes`. */
+  private[table] val PointerSafeSchemes: Set[String] =
+    Set("file", "hdfs", "viewfs", "graft")
 
   private[table] def logStoreOf(name: String): LogStore = name match {
     case RenameLogStore.name => RenameLogStore

@@ -60,9 +60,16 @@ object SnapshotSql {
     }
     val spark = SparkSession.active
     val table = GraftTable(spark, data = "", man = man, key = "")
-    if (!table.isCommitted(v))
+    if (!table.isCommitted(v)) {
+      val vs = table.committedVersions
+      if (vs.nonEmpty && v < vs.min)
+        fail(s"snapshot v=$v of $man has been EXPIRED by vacuum — the " +
+          s"retained version range is [${vs.min}, ${vs.max}]; time " +
+          "travel below the vacuum horizon is permanently gone " +
+          "(raise the retention if consumers need deeper history)")
       fail(s"no committed snapshot v=$v under $man " +
-        s"(committed: ${table.committedVersions.mkString(", ")})")
+        s"(committed: ${vs.mkString(", ")})")
+    }
     snapshotPlan(spark, man, v)
   }
 
@@ -217,12 +224,16 @@ object SnapshotSql {
   }
 
   private[table] val vacuumUsage: String =
-    "usage: graft_vacuum('<manifestDir>', keepFrom[, graceMs]) — drop " +
-      "manifest versions below keepFrom and delete every data file no " +
-      "retained version references (sparing anything younger than " +
-      "graceMs); returns one row per deleted file. A maintenance " +
-      "PROCEDURE surfaced as a TVF: the reclamation runs when the " +
-      "statement is planned, once per spark.sql() call"
+    "usage: graft_vacuum('<manifestDir>', keepFrom[, graceMs]) or " +
+      "graft_vacuum('<manifestDir>', 'retain N hours'[, graceMs]) — " +
+      "drop manifest versions below keepFrom (or below the oldest " +
+      "version committed within the last N hours — commit timestamps, " +
+      "not directory mtimes; the latest version is always retained) " +
+      "and delete every data file no retained version references " +
+      "(sparing anything younger than graceMs); returns one row per " +
+      "deleted file. A maintenance PROCEDURE surfaced as a TVF: the " +
+      "reclamation runs when the statement is planned, once per " +
+      "spark.sql() call"
 
   /** `SELECT * FROM graft_vacuum('<man>', 3)` — [[GraftTable.vacuum]]
     * from pure SQL (Delta's VACUUM). */
@@ -240,15 +251,30 @@ object SnapshotSql {
       case Literal(l: Long, LongType) => l
       case other => fail(s"$name must be an integral literal; got '$other'")
     }
-    val keepFrom = longArg(es(1), "keepFrom")
-    if (keepFrom < 1 || keepFrom > Int.MaxValue)
-      fail(s"keepFrom $keepFrom out of range [1, ${Int.MaxValue}]")
     val graceMs = if (es.length == 3) longArg(es(2), "graceMs") else 0L
     if (graceMs < 0) fail(s"graceMs must be >= 0, got $graceMs")
     val spark = SparkSession.active
     val table = maintenanceTable(spark, man, fail)
     val vs = table.committedVersions
     if (vs.isEmpty) fail(s"no committed snapshots under $man")
+    val Retain = """(?i)\s*retain\s+(\d+)\s+hours?\s*""".r
+    val keepFrom: Long = es(1) match {
+      // time-based retention: keep every version committed within the
+      // last N hours, judged by the COMMIT-EMBEDDED timestamps (the
+      // same clock graft_history shows — survives mtime-rewriting
+      // copies); the latest version is always retained
+      case Literal(s: UTF8String, StringType) => s.toString match {
+        case Retain(h) =>
+          val horizon = System.currentTimeMillis() - h.toLong * 3600000L
+          vs.filter(v => table.commitTimeOf(v) >= horizon)
+            .minOption.getOrElse(vs.max).toLong
+        case other => fail(
+          s"unrecognized retention spelling '$other' — use 'retain N hours'")
+      }
+      case e => longArg(e, "keepFrom")
+    }
+    if (keepFrom < 1 || keepFrom > Int.MaxValue)
+      fail(s"keepFrom $keepFrom out of range [1, ${Int.MaxValue}]")
     val removed = table.vacuum(keepFrom.toInt, vs.max, graceMs)
     import spark.implicits._
     org.apache.spark.sql.GraftSqlBridge.analyzed(removed.toDF("file"))

@@ -57,7 +57,43 @@ class LogStoreSpec extends TestBase {
   private def brokenRoot(tag: String): String = {
     val hc = spark.sparkContext.hadoopConfiguration
     hc.set("fs.broken.impl", classOf[BrokenRenameFileSystem].getName)
+    // the capability gate doesn't know 'broken:'; this FS's exclusive
+    // create IS atomic (File.createNewFile), so declare it — exactly
+    // the override an operator uses for S3-with-conditional-PUT
+    spark.conf.set("spark.graft.logstore.pointer.allowSchemes", "broken")
     "broken:" + java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+  }
+
+  test("capability gate: pointer-store CREATE on an undeclared scheme fails loudly") {
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.broken.impl", classOf[BrokenRenameFileSystem].getName)
+    val root = "broken:" +
+      java.nio.file.Files.createTempDirectory("graft_gate").toString
+    val prev = spark.conf.getOption("spark.graft.logstore.pointer.allowSchemes")
+    spark.conf.unset("spark.graft.logstore.pointer.allowSchemes")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GraftTable(spark, s"$root/data", s"$root/man", "o_orderkey",
+          logStore = "pointer").create(orders, 2)
+      }
+      assert(e.getMessage.contains("ATOMIC exclusive create") &&
+        e.getMessage.contains("allowSchemes=broken"), e.getMessage)
+      // declaring the scheme turns the same create into a success
+      spark.conf.set("spark.graft.logstore.pointer.allowSchemes", "broken")
+      val t = GraftTable(spark, s"$root/data", s"$root/man", "o_orderkey",
+        logStore = "pointer").create(orders, 2)
+      assert(t.committedVersions == Seq(1))
+      // known-safe schemes (local file) need no declaration
+      spark.conf.unset("spark.graft.logstore.pointer.allowSchemes")
+      val local = java.nio.file.Files.createTempDirectory("graft_gate2").toString
+      assert(GraftTable(spark, s"$local/data", s"$local/man", "o_orderkey",
+        logStore = "pointer").create(orders.limit(10), 1)
+        .committedVersions == Seq(1))
+    } finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.graft.logstore.pointer.allowSchemes", v)
+      case None => () // brokenRoot re-sets it for the other tests
+    }
   }
 
   private def orders: DataFrame =
