@@ -2082,10 +2082,12 @@ object CurationQueries {
     val man = RelationalQueries.scratch("q129_manifest", dir)
     val out = RelationalQueries.scratch("q129_layout", dir)
     val cat = RelationalQueries.scratch("q129_catalog", dir)
-    // idempotent across runs: drop the name registry, recreate below
-    val catPath = new org.apache.hadoop.fs.Path(cat)
-    catPath.getFileSystem(s.sessionState.newHadoopConf())
-      .delete(catPath, true)
+    // Spark's CatalogManager caches the plugin per name, so re-pointing
+    // `.dir` here must be honored at CALL time (GraftCatalog resolves
+    // the conf live — the r12 bench crash was a warm-up at another sf
+    // dir poisoning a captured-once dir), and cleanup goes THROUGH the
+    // live catalog (DROP TABLE IF EXISTS) instead of deleting a
+    // registry directory out from under it
     s.conf.set("spark.sql.catalog.gq", classOf[graft.table.GraftCatalog].getName)
     s.conf.set("spark.sql.catalog.gq.dir", cat)
     val o = t(s, dir, "orders")
@@ -2093,6 +2095,7 @@ object CurationQueries {
     GraftTable(s, out, man, "o_orderkey")
       .create(o.filter(col("o_orderkey") % 2 === 0), 6)
     s.sql("CREATE NAMESPACE IF NOT EXISTS gq.db")
+    s.sql("DROP TABLE IF EXISTS gq.db.orders")
     s.sql(s"CREATE TABLE gq.db.orders USING graft OPTIONS (man '$man')")
     o.filter(col("o_orderkey") % 2 === 1)
       .createOrReplaceTempView("q129_odd")
@@ -2114,12 +2117,61 @@ object CurationQueries {
       |FROM orders
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- 130. NAME-ADDRESSED maintenance DML: every maintenance TVF's
+  // first argument accepts a registered `catalog.ns.table` name —
+  // Delta's DML is name-first, and a user who registered gq.db.orders
+  // should never need its manifest path to run DELETE or OPTIMIZE.
+  // The query runs graft_delete + graft_optimize + graft_history BY
+  // NAME and reads the final state BY NAME through graft_snapshot;
+  // resolution goes through the live catalog registry
+  // (SnapshotSql.resolveRef -> GraftCatalog.manifestOf), so the same
+  // re-pointable `.dir` semantics apply. Content must equal the
+  // path-addressed q126 delete (OPTIMIZE is layout-only). ----
+  val q130_named_maintenance: Q = (s, dir) => {
+    graft.table.SnapshotSql.register(s)
+    val out = RelationalQueries.scratch("q130_layout", dir)
+    val man = RelationalQueries.scratch("q130_manifest", dir)
+    val cat = RelationalQueries.scratch("q130_catalog", dir)
+    s.conf.set("spark.sql.catalog.gq130",
+      classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gq130.dir", cat)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_custkey")
+    GraftTable(s, out, man, "o_orderkey").create(o, 8)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gq130.db")
+    s.sql("DROP TABLE IF EXISTS gq130.db.orders")
+    s.sql(s"CREATE TABLE gq130.db.orders USING graft OPTIONS (man '$man')")
+    val del = s.sql(
+      "SELECT deleted_rows, latest_version " +
+        "FROM graft_delete('gq130.db.orders', 1000, 2999)").head
+    s.sql("SELECT * FROM graft_optimize('gq130.db.orders', 134217728)")
+      .collect()
+    val latest = s
+      .sql("SELECT max(version) AS v FROM graft_history('gq130.db.orders')")
+      .head.getLong(0).toInt
+    s.sql(
+      s"""SELECT o_orderpriority, count(*) AS n_orders,
+         |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+         |FROM graft_snapshot('gq130.db.orders', $latest)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .withColumn("deleted_rows", lit(del.getLong(0)))
+  }
+
+  val q130_named_maintenance_sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  (SELECT count(*) FROM orders
+      |   WHERE o_orderkey BETWEEN 1000 AND 2999) AS deleted_rows
+      |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 2999
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q125_sql_restore" -> q125_sql_restore,
     "q126_sql_delete" -> q126_sql_delete,
     "q127_double_key_table" -> q127_double_key_table,
     "q128_mor_merge" -> q128_mor_merge,
     "q129_catalog_table" -> q129_catalog_table,
+    "q130_named_maintenance" -> q130_named_maintenance,
     "q122_string_key_table" -> q122_string_key_table,
     "q123_sql_maintenance" -> q123_sql_maintenance,
     "q124_timestamp_key_table" -> q124_timestamp_key_table,
@@ -2165,6 +2217,7 @@ object CurationQueries {
     "q127_double_key_table" -> q127_double_key_table_sql,
     "q128_mor_merge" -> q128_mor_merge_sql,
     "q129_catalog_table" -> q129_catalog_table_sql,
+    "q130_named_maintenance" -> q130_named_maintenance_sql,
     "q122_string_key_table" -> q122_string_key_table_sql,
     "q123_sql_maintenance" -> q123_sql_maintenance_sql,
     "q124_timestamp_key_table" -> q124_timestamp_key_table_sql,

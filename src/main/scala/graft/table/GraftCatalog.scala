@@ -66,12 +66,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
-  private var dir: String = _
+  private var initDir: String = _
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    dir = Option(options.get("dir")).getOrElse(
+    initDir = Option(options.get("dir")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog '$name' needs spark.sql.catalog.$name.dir = " +
           "<registry directory> (one small name->manifest mapping file " +
@@ -79,6 +79,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def name(): String = catalogName
+
+  /** The registry dir, resolved from the LIVE session conf on every
+    * call: Spark's CatalogManager caches catalog plugins per name, so
+    * a dir captured once at [[initialize]] would make a later
+    * `spark.sql.catalog.<name>.dir` change SILENTLY ignored — every
+    * read and write keeps hitting the old registry while the user
+    * believes they re-pointed it (the r12 bench crash). Falls back to
+    * the initialize-time value only when the conf entry is absent
+    * (an isolated session whose conf clone dropped it). */
+  private def dir: String =
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.dir")
+      .getOrElse(initDir)
 
   private def spark: SparkSession = SparkSession.active
   private def fs = new Path(dir).getFileSystem(
@@ -101,7 +113,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     } finally in.close()
   }
 
-  private def manOf(ident: Identifier): String = {
+  /** The manifest dir a registered name maps to — also the resolution
+    * hook for name-addressed maintenance TVFs ([[SnapshotSql]] accepts
+    * `'catalog.ns.table'` wherever a manifest path is taken). */
+  def manifestOf(ident: Identifier): String = {
     val p = tblPath(ident)
     if (!fs.exists(p)) throw new NoSuchTableException(ident)
     readSmall(p).linesIterator
@@ -109,6 +124,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .getOrElse(throw new IllegalStateException(
         s"catalog entry $p records no manifest path"))
   }
+  private def manOf(ident: Identifier): String = manifestOf(ident)
 
   // ---- TableCatalog ------------------------------------------------
 
@@ -165,9 +181,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val exists = GraftTable.loadProps(spark, man).isDefined &&
       GraftTable(spark, data = "", man = man, key = "")
         .committedVersions.nonEmpty
-    if (!exists) {
-      // a NEW table: declare its shape and commit an empty v=1 typed by
-      // the CREATE TABLE column list (when given)
+    // a NEW table's required options are validated BEFORE anything is
+    // registered or written, so a malformed CREATE leaves no trace
+    val newTable = if (exists) None else {
       val key = opt("key").getOrElse(throw new IllegalArgumentException(
         s"no graft table exists at $man yet — creating one needs " +
           "OPTIONS (key '<cluster/skip column>', data '<data dir>')"))
@@ -176,12 +192,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "OPTIONS (data '<data dir>')"))
       def list(k: String) = opt(k).toSeq.flatMap(_.split(","))
         .map(_.trim).filter(_.nonEmpty)
-      GraftTable(spark, data, man, key, list("stats"), list("bloom"))
-        .createEmpty(if (schema.isEmpty) None else Some(schema))
+      Some(GraftTable(spark, data, man, key, list("stats"), list("bloom")))
     }
+    // name-race arbitration rides fs.create(overwrite = false) — the
+    // SAME storage capability the pointer log store gates: on a store
+    // without atomic exclusive create two racing CREATEs could both
+    // register. One allowSchemes declaration covers both surfaces.
+    GraftTable.requireAtomicCreate(spark, fs,
+      s"catalog '$catalogName' name registration (.tbl exclusive create)")
     fs.mkdirs(nsPath(ident.namespace()))
     val out = fs.create(tblPath(ident), false) // exclusive: name races lose
     try out.write(s"man=$man\n".getBytes("UTF-8")) finally out.close()
+    // physical creation AFTER the name is won: a lost name race leaves
+    // no orphaned data/manifest dirs, and a failed physical create
+    // takes its registration back out before rethrowing
+    newTable.foreach { t =>
+      try t.createEmpty(if (schema.isEmpty) None else Some(schema))
+      catch { case e: Throwable =>
+        fs.delete(tblPath(ident), false); throw e }
+    }
     loadTable(ident)
   }
 
@@ -292,7 +321,7 @@ final case class GraftV2Table(ident: String, man: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       require(pinned.isEmpty,
-        s"cannot write to the time-travel pinned snapshot $name()")
+        s"cannot write to the time-travel pinned snapshot ${name()}")
       private var overwrite = false
       override def truncate(): WriteBuilder = { overwrite = true; this }
       override def build(): V1Write = new V1Write {

@@ -481,22 +481,9 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * and commits on an EXISTING table are not gated: the choice was
     * made, loudly, at creation. */
   private def requireStoreCapability(): Unit =
-    if (store == GraftTable.PointerLogStore) {
-      val scheme = Option(manFs.getUri.getScheme).getOrElse("file")
-        .toLowerCase(java.util.Locale.ROOT)
-      val allowed = GraftTable.PointerSafeSchemes ++
-        spark.conf.get("spark.graft.logstore.pointer.allowSchemes", "")
-          .split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT))
-          .filter(_.nonEmpty)
-      require(allowed(scheme),
-        s"the 'pointer' log store needs ATOMIC exclusive create " +
-          s"(fail-if-exists) from the manifest store, and scheme " +
-          s"'$scheme' is not known to provide it — a check-then-act " +
-          "create lets two racing writers both claim one version " +
-          "(silent batch loss). If your store does provide it (e.g. " +
-          "S3 conditional PUT), declare that explicitly: " +
-          s"spark.graft.logstore.pointer.allowSchemes=$scheme")
-    }
+    if (store == GraftTable.PointerLogStore)
+      GraftTable.requireAtomicCreate(spark, manFs,
+        "the 'pointer' log store")
 
   /** Persist the table's declared shape (key + stats columns) next to
     * the version dirs, so a reader holding only the manifest path — the
@@ -553,21 +540,29 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     moved.map(n => s"$data/$n")
   }
 
-  /** Read a set of ALREADY-COMMITTED data files with the schema version
-    * `v` recorded — the one read that must survive heterogeneous file
-    * schemas: after a widening append, older files lack the widened
-    * column, and a plain `spark.read.parquet` would infer the schema
-    * from ONE sampled file — if that sample is an old file, a rewrite
-    * (merge survivors, delete survivors, compaction) would silently
-    * drop the widened column's data while the commit still records the
-    * full DDL. The recorded `_schema.ddl` is authoritative (absent
-    * columns read as NULL, exactly parquet-by-name semantics);
-    * pre-r11 manifests without one fall back to `mergeSchema`, which
-    * unions every footer instead of sampling. */
-  private def readCommitted(v: Int, files: Seq[String]): DataFrame =
-    versionSchema(v).map(s => spark.read.schema(s))
-      .getOrElse(spark.read.option("mergeSchema", "true"))
-      .parquet(files: _*)
+  /** Entries minus the named files — spelled as a BROADCAST anti-join
+    * rather than `col("file").isin(files: _*)`: a commit impacting tens
+    * of thousands of files must not build a giant In literal on the
+    * driver (the r12 plan-audit note). `files` is already O(#impacted
+    * files) driver-resident manifest planning, so the broadcast costs
+    * nothing new. */
+  private def excludeFiles(entries: DataFrame, files: Seq[String])
+      : DataFrame =
+    if (files.isEmpty) entries
+    else {
+      import spark.implicits._
+      entries.join(broadcast(files.toDF("__gone_file")),
+        col("file") === col("__gone_file"), "left_anti")
+    }
+
+  /** The semi twin of [[excludeFiles]]: keep only rows whose `file`
+    * column names one of `files`. */
+  private def restrictToFiles(df: DataFrame, files: Seq[String])
+      : DataFrame = {
+    import spark.implicits._
+    df.join(broadcast(files.toDF("__keep_file")),
+      col("file") === col("__keep_file"), "left_semi")
+  }
 
   /** Append-commit: new clustered data files + a new manifest version =
     * previous complete entry list + ONLY the new files' stats (existing
@@ -670,53 +665,66 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         "the merge key must be non-null")
     val (qlo, qhi) = (env.get(0), env.get(1))
     val prevEntries = manifest(prevV).collect()
-    val impacted = prevEntries
+    val impactedRows = prevEntries
       .filter(GraftTable.boxIntersects(_, "lo", "hi", qlo, qhi))
-      .map(_.getAs[String]("file")).toSeq
+    val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
+    // survivors read through the MoR path (deletion vectors APPLIED):
+    // after a commitMergeMor leaves live DVs on an impacted file, a raw
+    // parquet read would resurrect the masked rows as live survivors —
+    // the rewrite must start from the file's EFFECTIVE content
     val replacement =
       (if (impacted.isEmpty) batch.limit(0)
-       else readCommitted(prevV, impacted)
+       else morRead(impactedRows.map(r => (r.getAs[String]("file"),
+           entryDv(r))).toSeq, versionSchema(prevV))
          .join(batch.select(key).distinct(), Seq(key), "left_anti"))
         .unionByName(batch)
     val added = stagedAppend(replacement, nParts)
     val stats = if (added.isEmpty) emptyEntries else fileStats(added)
+    // rebase bookkeeping tracks (file, deletion-vector) PAIRS, not file
+    // names: under MoR a winner can change an impacted file's EFFECTIVE
+    // content by swapping only its DV — the file "survives" by name but
+    // this merge's survivor read is stale all the same
+    def pairsOf(rows: Array[Row]): Map[String, Option[String]] =
+      rows.map(r => r.getAs[String]("file") -> entryDv(r)).toMap
     var base = prevV
-    var baseFiles = prevEntries.map(_.getAs[String]("file")).toSet
+    var basePairs = pairsOf(prevEntries)
     var rebases = 0
     while (true) {
-      val entries = unionEntries(
-        manifest(base).filter(!col("file").isin(impacted: _*)), stats)
+      val entries = unionEntries(excludeFiles(manifest(base), impacted),
+        stats)
       if (tryCommitManifest(entries, base + 1, tag,
           schemaDdl = evolvedSchemaDdl(base, batch.schema)))
         return
       // lost the race — O(#files) driver-side disjointness check
       val winner = manifest(base + 1).collect()
-      val winnerFiles = winner.map(_.getAs[String]("file")).toSet
+      val winnerPairs = pairsOf(winner)
       val newEntries =
-        winner.filterNot(r => baseFiles(r.getAs[String]("file")))
+        winner.filterNot(r => basePairs.contains(r.getAs[String]("file")))
       rebases += 1
-      if (rebases > maxRebases || !impacted.forall(winnerFiles) ||
+      if (rebases > maxRebases ||
+          !impacted.forall(f => winnerPairs.get(f).contains(basePairs(f))) ||
           newEntries.exists(
             GraftTable.boxIntersects(_, "lo", "hi", qlo, qhi)))
         conflict(base + 1)
       base += 1
-      baseFiles = winnerFiles
+      basePairs = winnerPairs
     }
   }
 
   // ---- merge-on-read (deletion-vector) merge ------------------------
 
+  /** A manifest entry's deletion-vector path — None for pre-MoR
+    * manifests (no `dv` column) and DV-free entries alike. */
+  private def entryDv(r: Row): Option[String] =
+    if (r.schema.fieldNames.contains("dv")) Option(r.getAs[String]("dv"))
+    else None
+
   /** Snapshot v's entries as (file, deletion-vector path) pairs — the
     * EFFECTIVE content identity of an entry. Pre-MoR manifests have no
     * `dv` column; every pair reads None. */
-  private[graft] def entryPairs(v: Int): Seq[(String, Option[String])] = {
-    val df = manifest(v)
-    val hasDv = df.columns.contains("dv")
-    df.collect().map { r =>
-      (r.getAs[String]("file"),
-        if (hasDv) Option(r.getAs[String]("dv")) else None)
-    }.toSeq
-  }
+  private[graft] def entryPairs(v: Int): Seq[(String, Option[String])] =
+    manifest(v).collect()
+      .map(r => (r.getAs[String]("file"), entryDv(r))).toSeq
 
   /** Live rows of the given (file, dv) entries read with `schema`:
     * DV-free files stream straight from the scan with no join work at
@@ -836,9 +844,9 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val dvAll = maskedNew.map { m =>
       val withOld =
         if (oldDvPaths.isEmpty) m
-        else m.unionByName(spark.read.parquet(oldDvPaths: _*)
-          .filter(col("file").isin(impacted: _*))
-          .select("file", "pos"))
+        else m.unionByName(
+          restrictToFiles(spark.read.parquet(oldDvPaths: _*), impacted)
+            .select("file", "pos"))
       withOld.distinct()
     }
     // per-file masked totals: O(#impacted files) driver-side planning
@@ -848,8 +856,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       .getOrElse(Map.empty)
     val oldCnt: Map[String, Long] =
       if (oldDvPaths.isEmpty) Map.empty
-      else spark.read.parquet(oldDvPaths: _*)
-        .filter(col("file").isin(impacted: _*))
+      else restrictToFiles(spark.read.parquet(oldDvPaths: _*), impacted)
         .groupBy("file").agg(count(lit(1)).as("n")).collect()
         .map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap
 
@@ -968,7 +975,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
           morRead(packPairs, versionSchema(base)), nOut)
         if (tryCommitManifest(
             unionEntries(
-              man0.filter(!col("file").isin(packFiles: _*)),
+              excludeFiles(man0, packFiles),
               if (added.isEmpty) emptyEntries else fileStats(added)),
             base + 1, noData = true, // LIVE-content-identical:
                                      // dataChange=false (masked rows
@@ -1053,11 +1060,15 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   def commitDeleteRange(qlo: Any, qhi: Any, prevV: Int, nParts: Int = 2,
       tag: Option[String] = None): Long = {
     val prevEntries = manifest(prevV).collect()
-    val impacted = prevEntries
+    val impactedRows = prevEntries
       .filter(GraftTable.boxIntersects(_, "lo", "hi", qlo, qhi))
-      .map(_.getAs[String]("file")).toSeq
+    val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
     if (impacted.isEmpty) return 0L
-    val df = readCommitted(prevV, impacted)
+    // the MoR read, not a raw parquet scan: an impacted file carrying a
+    // live deletion vector must not resurrect its masked rows into the
+    // survivor rewrite, and already-dead rows must not inflate nDel
+    val df = morRead(impactedRows.map(r =>
+      (r.getAs[String]("file"), entryDv(r))).toSeq, versionSchema(prevV))
     val codec = GraftTable.codecFor(df.schema(key).dataType, key,
       forKey = true)
     val doomed = codec.toBox(col(key)).between(lit(qlo), lit(qhi))
@@ -1068,8 +1079,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val added = stagedAppend(df.filter(!doomed), nParts)
     val stats = if (added.isEmpty) emptyEntries else fileStats(added)
     commitManifest(
-      unionEntries(
-        manifest(prevV).filter(!col("file").isin(impacted: _*)), stats),
+      unionEntries(excludeFiles(manifest(prevV), impacted), stats),
       prevV + 1, tag, schemaDdl = versionSchema(prevV).map(_.toDDL))
     nDel
   }
@@ -1690,6 +1700,33 @@ object GraftTable {
     * `spark.graft.logstore.pointer.allowSchemes`. */
   private[table] val PointerSafeSchemes: Set[String] =
     Set("file", "hdfs", "viewfs", "graft")
+
+  /** The atomic-exclusive-create capability gate shared by every race
+    * arbitrated with `create(overwrite = false)` — the pointer log
+    * store's version pointers AND the catalog's `.tbl` name
+    * registration ([[GraftCatalog.createTable]]): on a store whose
+    * exclusive create is check-then-act (raw S3 without conditional
+    * PUT) two racing writers can BOTH believe they won. Rather than
+    * trusting silently, an unknown scheme fails LOUDLY; an operator
+    * who has verified their store declares it once via
+    * `spark.graft.logstore.pointer.allowSchemes` — one declaration
+    * covers both surfaces, they are the same storage capability. */
+  private[table] def requireAtomicCreate(spark: SparkSession,
+      fs: FileSystem, what: String): Unit = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+      .toLowerCase(java.util.Locale.ROOT)
+    val allowed = PointerSafeSchemes ++
+      spark.conf.get("spark.graft.logstore.pointer.allowSchemes", "")
+        .split(",").map(_.trim.toLowerCase(java.util.Locale.ROOT))
+        .filter(_.nonEmpty)
+    require(allowed(scheme),
+      s"$what needs ATOMIC exclusive create (fail-if-exists) from the " +
+        s"store, and scheme '$scheme' is not known to provide it — a " +
+        "check-then-act create lets two racing writers both claim the " +
+        "same name/version (silent loss). If your store does provide " +
+        "it (e.g. S3 conditional PUT), declare that explicitly: " +
+        s"spark.graft.logstore.pointer.allowSchemes=$scheme")
+  }
 
   private[table] def logStoreOf(name: String): LogStore = name match {
     case RenameLogStore.name => RenameLogStore

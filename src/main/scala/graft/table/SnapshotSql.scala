@@ -29,11 +29,51 @@ import org.apache.spark.unsafe.types.UTF8String
 object SnapshotSql {
 
   private val usage =
-    "graft_snapshot(manifestDir, versionOrTimestamp): manifestDir a literal " +
-      "STRING (the GraftTable manifest directory containing v=N subdirs); " +
-      "second arg a literal INT version of a committed snapshot, or a " +
-      "TIMESTAMP literal resolving to the latest snapshot committed at or " +
-      "before it"
+    "graft_snapshot(tableRef, versionOrTimestamp): tableRef a literal " +
+      "STRING — a GraftTable manifest directory (containing v=N subdirs) " +
+      "or a registered 'catalog.namespace.table' name; second arg a " +
+      "literal INT version of a committed snapshot, or a TIMESTAMP " +
+      "literal resolving to the latest snapshot committed at or before it"
+
+  /** Every TVF's first argument resolves through here: a manifest
+    * DIRECTORY path, or a name-addressed `catalog.namespace.table`
+    * identifier registered in a [[GraftCatalog]] — Delta's DML is
+    * name-first, and a user who registered `gq.db.docs` should never
+    * need to know its manifest path to run DELETE or OPTIMIZE
+    * (VERDICT r12 #2). A 3-segment dotted ref whose first segment
+    * names a REGISTERED session catalog resolves through that
+    * catalog's registry (unknown table inside it fails with the
+    * catalog's own NoSuchTableException); naming a catalog that is
+    * not a GraftCatalog fails loudly — these TVFs commit through
+    * graft's own protocol and must not silently treat `iceberg.db.t`
+    * as a relative path. Anything else — including dotted relative
+    * paths and URIs — passes through verbatim as a path. */
+  private[table] def resolveRef(spark: SparkSession, ref: String,
+      fail: String => Nothing): String = {
+    val parts = ref.split('.')
+    if (parts.length == 3 && parts.forall(_.nonEmpty) &&
+        !ref.exists(c => c == '/' || c == ':' || c == '\\')) {
+      val plugin =
+        try Some(spark.sessionState.catalogManager.catalog(parts(0)))
+        catch {
+          case _: org.apache.spark.sql.connector.catalog
+            .CatalogNotFoundException => None // not a catalog: a path
+        }
+      plugin match {
+        case Some(g: GraftCatalog) =>
+          return g.manifestOf(
+            org.apache.spark.sql.connector.catalog.Identifier.of(
+              Array(parts(1)), parts(2)))
+        case Some(other) =>
+          fail(s"'$ref' names catalog '${parts(0)}' " +
+            s"(${other.getClass.getName}), which is not a graft " +
+            "catalog — name-addressed graft maintenance works only on " +
+            "tables registered in a graft.table.GraftCatalog")
+        case None => // fall through: the ref is a path
+      }
+    }
+    ref
+  }
 
   private def fail(detail: String): Nothing =
     throw new IllegalArgumentException(s"$detail\n$usage")
@@ -41,7 +81,8 @@ object SnapshotSql {
   def plan(es: Seq[Expression]): LogicalPlan = {
     if (es.length != 2) fail(s"graft_snapshot takes 2 arguments, got ${es.length}")
     val man = es.head match {
-      case Literal(s: UTF8String, StringType) => s.toString
+      case Literal(s: UTF8String, StringType) =>
+        resolveRef(SparkSession.active, s.toString, fail)
       case other => fail(s"manifestDir must be a string literal; got '$other'")
     }
     val v = es(1) match {
@@ -143,7 +184,8 @@ object SnapshotSql {
     if (es.length != 3)
       failChanges(s"graft_changes takes 3 arguments, got ${es.length}")
     val man = es.head match {
-      case Literal(s: UTF8String, StringType) => s.toString
+      case Literal(s: UTF8String, StringType) =>
+        resolveRef(SparkSession.active, s.toString, failChanges)
       case other => failChanges(s"manifestDir must be a string literal; got '$other'")
     }
     def intArg(e: Expression, name: String): Int = e match {
@@ -175,7 +217,8 @@ object SnapshotSql {
     if (es.length != 1)
       fail(s"graft_history takes 1 argument, got ${es.length}")
     val man = es.head match {
-      case Literal(s: UTF8String, StringType) => s.toString
+      case Literal(s: UTF8String, StringType) =>
+        resolveRef(SparkSession.active, s.toString, fail)
       case other => fail(s"manifestDir must be a string literal; got '$other'")
     }
     val spark = SparkSession.active
@@ -204,7 +247,8 @@ object SnapshotSql {
     if (es.length != 2)
       fail(s"graft_optimize takes 2 arguments, got ${es.length}")
     val man = es.head match {
-      case Literal(s: UTF8String, StringType) => s.toString
+      case Literal(s: UTF8String, StringType) =>
+        resolveRef(SparkSession.active, s.toString, fail)
       case other => fail(s"manifestDir must be a string literal; got '$other'")
     }
     val targetBytes = es(1) match {
@@ -243,7 +287,8 @@ object SnapshotSql {
     if (es.length < 2 || es.length > 3)
       fail(s"graft_vacuum takes 2-3 arguments, got ${es.length}")
     val man = es.head match {
-      case Literal(s: UTF8String, StringType) => s.toString
+      case Literal(s: UTF8String, StringType) =>
+        resolveRef(SparkSession.active, s.toString, fail)
       case other => fail(s"manifestDir must be a string literal; got '$other'")
     }
     def longArg(e: Expression, name: String): Long = e match {
@@ -299,7 +344,8 @@ object SnapshotSql {
     if (es.length != 2)
       fail(s"graft_restore takes 2 arguments, got ${es.length}")
     val man = es.head match {
-      case Literal(s: UTF8String, StringType) => s.toString
+      case Literal(s: UTF8String, StringType) =>
+        resolveRef(SparkSession.active, s.toString, fail)
       case other => fail(s"manifestDir must be a string literal; got '$other'")
     }
     val toV = es(1) match {
@@ -339,7 +385,8 @@ object SnapshotSql {
     if (es.length != 3)
       fail(s"graft_delete takes 3 arguments, got ${es.length}")
     val man = es.head match {
-      case Literal(s: UTF8String, StringType) => s.toString
+      case Literal(s: UTF8String, StringType) =>
+        resolveRef(SparkSession.active, s.toString, fail)
       case other => fail(s"manifestDir must be a string literal; got '$other'")
     }
     // bounds in BOX representation (the prune/commitDeleteRange space):

@@ -292,6 +292,55 @@ class ExtensionsSpec extends TestBase {
     assert(badMan.getMessage.contains("_table_props"), badMan.getMessage)
   }
 
+  test("maintenance TVFs accept catalog NAMES; unknown name / non-graft catalog are loud") {
+    graft.table.SnapshotSql.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_named").toString
+    val t = graft.table.GraftTable(spark, s"$root/data", s"$root/man", "id")
+    import spark.implicits._
+    t.create((1L to 100L).map(i => (i, i * 2L)).toDF("id", "v"), 4)
+    spark.conf.set("spark.sql.catalog.gnm",
+      classOf[graft.table.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gnm.dir", s"$root/catalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gnm.db")
+    spark.sql(s"CREATE TABLE gnm.db.t USING graft OPTIONS (man '$root/man')")
+    // the full maintenance surface resolves 'gnm.db.t' -> the manifest:
+    // a user who registered the name never needs the path (VERDICT r12 #2)
+    assert(spark.sql("SELECT max(version) AS v FROM graft_history('gnm.db.t')")
+      .head.getLong(0) == 1L)
+    val del = spark.sql("SELECT * FROM graft_delete('gnm.db.t', 10, 39)").head
+    assert(del.getAs[Long]("deleted_rows") == 30L &&
+      del.getAs[Long]("latest_version") == 2L, del.toString)
+    val opt = spark.sql(
+      s"SELECT * FROM graft_optimize('gnm.db.t', ${1L << 30})").head
+    assert(opt.getAs[Long]("latest_version") == 3L, opt.toString)
+    assert(spark.sql("SELECT count(*) AS c FROM graft_snapshot('gnm.db.t', 3)")
+      .head.getLong(0) == 70L)
+    // parity with the path-addressed spelling of the same snapshot
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM graft_snapshot('$root/man', 3)")
+      .head.getLong(0) == 70L)
+    // unknown table inside a graft catalog: the catalog's own error
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_history('gnm.db.nope')")
+        .queryExecution.analyzed
+    }
+    assert(e1.getMessage.toLowerCase.contains("table"), e1.getMessage)
+    // a registered NON-graft catalog must fail loudly, never be
+    // silently retried as a relative path
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_history('spark_catalog.db.t')")
+        .queryExecution.analyzed
+    }
+    assert(e2.getMessage.contains("not a graft"), e2.getMessage)
+    // a dotted ref naming NO registered catalog stays a path — the
+    // error is the manifest one, not a catalog one
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_history('no.such.cat')")
+        .queryExecution.analyzed
+    }
+    assert(e3.getMessage.contains("no committed snapshots"), e3.getMessage)
+  }
+
   test("change feed runs from pure SQL text via graft_changes (same rows as cdc)") {
     import org.apache.spark.sql.functions._
     graft.table.SnapshotSql.register(spark)

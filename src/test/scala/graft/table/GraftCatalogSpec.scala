@@ -160,6 +160,91 @@ class GraftCatalogSpec extends TestBase {
       == 2 * o.count())
   }
 
+  private def fullMsg(t: Throwable): String =
+    Option(t.getMessage).getOrElse("") +
+      Option(t.getCause).map(fullMsg).getOrElse("")
+
+  test("re-pointing spark.sql.catalog.<n>.dir mid-session is honored (no cached-plugin staleness)") {
+    withExtSession { s =>
+      val rootA = freshRoot()
+      val rootB = freshRoot()
+      val o = Tables.load(s, sfDir, "orders")
+        .select("o_orderkey", "o_custkey")
+      GraftTable(s, s"$rootA/data", s"$rootA/man", "o_orderkey")
+        .create(o, 2)
+      GraftTable(s, s"$rootB/data", s"$rootB/man", "o_orderkey")
+        .create(o.filter(col("o_orderkey") % 5 === 0), 2)
+      val nA = o.count()
+      val nB = o.filter(col("o_orderkey") % 5 === 0).count()
+      s.conf.set("spark.sql.catalog.g6", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.g6.dir", s"$rootA/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS g6.default")
+      s.sql(s"CREATE TABLE g6.default.t USING graft OPTIONS (man '$rootA/man')")
+      // instantiate + cache the plugin under registry A
+      assert(s.sql("SELECT count(*) AS c FROM g6.default.t").head.getLong(0)
+        == nA)
+      // RE-POINT the dir: Spark's CatalogManager keeps the SAME cached
+      // plugin instance, so the registry dir must resolve from the live
+      // conf (r12's bench crash: a captured-once dir silently kept every
+      // read and write on the old registry)
+      s.conf.set("spark.sql.catalog.g6.dir", s"$rootB/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS g6.default")
+      s.sql(s"CREATE TABLE g6.default.t USING graft OPTIONS (man '$rootB/man')")
+      assert(s.sql("SELECT count(*) AS c FROM g6.default.t").head.getLong(0)
+        == nB, "the re-pointed registry was not honored")
+      // and back: registry A still holds its own mapping, untouched
+      s.conf.set("spark.sql.catalog.g6.dir", s"$rootA/catalog")
+      assert(s.sql("SELECT count(*) AS c FROM g6.default.t").head.getLong(0)
+        == nA)
+      // TIMESTAMP AS OF before the first commit fails loudly
+      val e = intercept[Exception] {
+        s.sql("SELECT * FROM g6.default.t TIMESTAMP AS OF " +
+          "'1970-01-02 00:00:00'").collect()
+      }
+      assert(fullMsg(e).contains("no snapshot committed at or before"),
+        fullMsg(e))
+    }
+  }
+
+  test("name registration gates on atomic-exclusive-create, same declaration as the pointer store") {
+    withExtSession { s =>
+      val hc = s.sparkContext.hadoopConfiguration
+      hc.set("fs.broken.impl", classOf[BrokenRenameFileSystem].getName)
+      val broken = "broken:" +
+        java.nio.file.Files.createTempDirectory("graft_cat_gate").toString
+      val root = freshRoot()
+      val o = Tables.load(s, sfDir, "orders")
+        .select("o_orderkey", "o_custkey").filter(col("o_orderkey") < 2000)
+      GraftTable(s, s"$root/data", s"$root/man", "o_orderkey").create(o, 1)
+      val prev = s.conf.getOption("spark.graft.logstore.pointer.allowSchemes")
+      s.conf.unset("spark.graft.logstore.pointer.allowSchemes")
+      try {
+        s.conf.set("spark.sql.catalog.g7", classOf[GraftCatalog].getName)
+        s.conf.set("spark.sql.catalog.g7.dir", s"$broken/catalog")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS g7.default")
+        // the `.tbl` exclusive create arbitrates name races — on a
+        // scheme not known to provide atomic create it must fail LOUDLY
+        // (two racing CREATEs could both register), with the same
+        // allowSchemes escape hatch as the pointer log store
+        val e = intercept[Exception] {
+          s.sql(s"CREATE TABLE g7.default.t USING graft OPTIONS (man '$root/man')")
+        }
+        assert(fullMsg(e).contains("ATOMIC exclusive create") &&
+          fullMsg(e).contains("allowSchemes=broken"), fullMsg(e))
+        // declaring the scheme (verified store) unlocks registration
+        s.conf.set("spark.graft.logstore.pointer.allowSchemes", "broken")
+        s.sql(s"CREATE TABLE g7.default.t USING graft OPTIONS (man '$root/man')")
+        assert(s.sql("SELECT count(*) AS c FROM g7.default.t")
+          .head.getLong(0) == o.count())
+      } finally prev match {
+        case Some(v) =>
+          s.conf.set("spark.graft.logstore.pointer.allowSchemes", v)
+        case None =>
+          s.conf.unset("spark.graft.logstore.pointer.allowSchemes")
+      }
+    }
+  }
+
   test("misuse is loud: no dir conf, missing options, writes to pinned versions") {
     withExtSession { s =>
       val root = freshRoot()

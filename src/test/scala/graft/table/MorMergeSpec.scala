@@ -200,6 +200,65 @@ class MorMergeSpec extends TestBase {
       == tbl.readAsOf(tbl.committedVersions.max).count())
   }
 
+  test("COW merge AFTER a MoR merge reads survivors through the DVs: masked rows stay dead") {
+    val r = root("mor_then_cow")
+    val t = GraftTable(spark, s"$r/data", s"$r/man", "o_orderkey")
+    t.create(orders, 8)
+    // MoR: double every 7th key's price (their old rows become masked)
+    t.commitMergeMor(orders.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 2), 1, 4)
+    assert(t.hasLiveDvs(2))
+    // a COW merge overlapping the same envelope: its survivor rewrite
+    // must start from the files' EFFECTIVE content — a raw parquet read
+    // would resurrect the %7 keys' OLD rows as live duplicates (the r12
+    // ADVICE finding)
+    t.commitMerge(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") * 3), 2, 4)
+    val expect = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 3 === 0, col("o_totalprice") * 3)
+        .when(col("o_orderkey") % 7 === 0, col("o_totalprice") * 2)
+        .otherwise(col("o_totalprice")))
+    assert(t.readAsOf(3).count() == orders.count(),
+      "COW-after-MoR resurrected masked rows (duplicate keys)")
+    assert(sameRows(t.readAsOf(3), expect),
+      "COW-after-MoR content drifted from the expected upsert result")
+  }
+
+  test("range DELETE after a MoR merge: dead rows neither counted nor resurrected") {
+    val r = root("mor_then_del")
+    val t = GraftTable(spark, s"$r/data", s"$r/man", "o_orderkey")
+    t.create(orders, 8)
+    // MoR-update every row INSIDE the soon-to-be-deleted range: each
+    // key now has a masked old row and a live new one
+    t.commitMergeMor(orders.filter(col("o_orderkey").between(1000, 2999))
+      .withColumn("o_totalprice", col("o_totalprice") * 2), 1, 4)
+    val inRange = orders.filter(col("o_orderkey").between(1000, 2999)).count()
+    // delete the range: nDel counts LIVE rows only (not the masked
+    // duplicates), and the survivor rewrite applies the DVs
+    val nDel = t.commitDeleteRange(1000L, 2999L, 2, 4)
+    assert(nDel == inRange,
+      s"delete counted masked rows: $nDel deleted vs $inRange live in range")
+    assert(sameRows(t.readAsOf(3),
+      orders.filter(!col("o_orderkey").between(1000, 2999))),
+      "delete-after-MoR resurrected masked rows or dropped survivors")
+  }
+
+  test("vacuum reclaims crashed _stage_dv_ staging dirs") {
+    val r = root("dv_stage")
+    val t = GraftTable(spark, s"$r/data", s"$r/man", "o_orderkey")
+    t.create(orders.filter(col("o_orderkey") < 2000), 2)
+    // simulate a MoR writer that died between staging its DV file and
+    // the rename — the stage is underscore-hidden (invisible to reads)
+    // but still holds bytes; vacuum's _stage_* sweep must reclaim it
+    val fs = new Path(s"$r/data")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = new Path(s"$r/data", "_stage_dv_deadbeef")
+    fs.mkdirs(stage)
+    fs.create(new Path(stage, "part-00000.parquet"), true).close()
+    t.vacuum(1, 1)
+    assert(!fs.exists(stage), "crashed DV staging dir not reclaimed")
+  }
+
   test("no-key-overlap MoR merge is a pure append: no DV, no dv column") {
     val r = root("mor_disjoint")
     val tbl = GraftTable(spark, s"$r/data", s"$r/man", "o_orderkey")
