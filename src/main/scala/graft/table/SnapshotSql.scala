@@ -168,7 +168,7 @@ object SnapshotSql {
   }
 
   private val changesUsage =
-    "graft_changes(manifestDir, vFrom, vTo): row-level change feed " +
+    "graft_changes(tableRef, vFrom, vTo): tableRef a manifest dir or a registered catalog.ns.table name; row-level change feed " +
       "between two committed snapshots — (key, old_<c>.., new_<c>.., op " +
       "in insert|update|delete). Reads only the CHURNED files (the " +
       "versions' symmetric difference); the table key comes from " +
@@ -206,7 +206,7 @@ object SnapshotSql {
   }
 
   private[table] val historyUsage: String =
-    "usage: graft_history('<manifestDir>') — one row per committed " +
+    "usage: graft_history('<manifestDir-or-catalog.ns.table>') — one row per committed " +
       "version: (version, n_files, n_rows, bytes, data_change, commit_ts)"
 
   /** `SELECT * FROM graft_history('<man>')` — [[GraftTable.history]]
@@ -230,7 +230,7 @@ object SnapshotSql {
   }
 
   private[table] val optimizeUsage: String =
-    "usage: graft_optimize('<manifestDir>', targetBytes) — bin-pack the " +
+    "usage: graft_optimize('<manifestDir-or-catalog.ns.table>', targetBytes) — bin-pack the " +
       "latest snapshot's sub-target files into ~targetBytes files as a " +
       "new layout-only (dataChange=false) snapshot commit; returns one " +
       "row (compacted_files, latest_version). A maintenance PROCEDURE " +
@@ -268,7 +268,7 @@ object SnapshotSql {
   }
 
   private[table] val vacuumUsage: String =
-    "usage: graft_vacuum('<manifestDir>', keepFrom[, graceMs]) or " +
+    "usage: graft_vacuum('<manifestDir-or-catalog.ns.table>', keepFrom[, graceMs]) or " +
       "graft_vacuum('<manifestDir>', 'retain N hours'[, graceMs]) — " +
       "drop manifest versions below keepFrom (or below the oldest " +
       "version committed within the last N hours — commit timestamps, " +
@@ -326,7 +326,7 @@ object SnapshotSql {
   }
 
   private[table] val restoreUsage: String =
-    "usage: graft_restore('<manifestDir>', version) — commit a NEW " +
+    "usage: graft_restore('<manifestDir-or-catalog.ns.table>', version) — commit a NEW " +
       "snapshot whose content is `version`'s exact file list (zero data " +
       "copied; undone versions stay time-travelable until vacuum); " +
       "returns one row (restored_to, new_version) where new_version is " +
@@ -365,7 +365,7 @@ object SnapshotSql {
   }
 
   private[table] val deleteUsage: String =
-    "usage: graft_delete('<manifestDir>', lo, hi) — copy-on-write " +
+    "usage: graft_delete('<manifestDir-or-catalog.ns.table>', lo, hi) — copy-on-write " +
       "DELETE of every row whose TABLE KEY is between lo and hi " +
       "(inclusive): only the files whose manifest boxes intersect the " +
       "range are rewritten. Bounds are literals in the key's box " +

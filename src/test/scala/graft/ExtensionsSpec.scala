@@ -319,6 +319,18 @@ class ExtensionsSpec extends TestBase {
     assert(spark.sql(
       s"SELECT count(*) AS c FROM graft_snapshot('$root/man', 3)")
       .head.getLong(0) == 70L)
+    // changes / restore / vacuum resolve the same way — the whole
+    // maintenance surface is name-first
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM graft_changes('gnm.db.t', 1, 2) " +
+        "WHERE op = 'delete'").head.getLong(0) == 30L)
+    val rst = spark.sql("SELECT * FROM graft_restore('gnm.db.t', 1)").head
+    assert(rst.getAs[Long]("new_version") == 4L, rst.toString)
+    assert(spark.sql("SELECT count(*) AS c FROM graft_snapshot('gnm.db.t', 4)")
+      .head.getLong(0) == 100L)
+    assert(spark.sql("SELECT * FROM graft_vacuum('gnm.db.t', 4)").collect()
+      .nonEmpty, "vacuum by name reclaimed nothing despite expired versions")
+    assert(t.committedVersions == Seq(4))
     // unknown table inside a graft catalog: the catalog's own error
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM graft_history('gnm.db.nope')")
