@@ -63,14 +63,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * `VERSION AS OF` / `TIMESTAMP AS OF` resolve through the catalog's
   * time-travel `loadTable` overloads to a version-pinned table.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var initDir: String = _
+  // the session whose CatalogManager owns this plugin instance, captured
+  // at initialize: registry reads/writes resolve against ITS conf, so a
+  // background thread (or setActiveSession misuse) whose active session
+  // differs cannot silently hit another session's
+  // spark.sql.catalog.<name>.dir (ADVICE r13). SparkSession.active stays
+  // the fallback for the initialize-outside-a-session edge.
+  @transient private var ownerSession: Option[SparkSession] = None
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    ownerSession = SparkSession.getActiveSession
     initDir = Option(options.get("dir")).getOrElse(
       throw new IllegalArgumentException(
         s"catalog '$name' needs spark.sql.catalog.$name.dir = " +
@@ -87,12 +96,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * read and write keeps hitting the old registry while the user
     * believes they re-pointed it (the r12 bench crash). Falls back to
     * the initialize-time value only when the conf entry is absent
-    * (an isolated session whose conf clone dropped it). */
+    * (an isolated session whose conf clone dropped it — note a
+    * conf.unset AFTER a re-point therefore resurrects the ORIGINAL
+    * dir, not the re-pointed one; re-point with set, don't unset). */
   private def dir: String =
     spark.conf.getOption(s"spark.sql.catalog.$catalogName.dir")
       .getOrElse(initDir)
 
-  private def spark: SparkSession = SparkSession.active
+  private def spark: SparkSession =
+    ownerSession.filterNot(_.sparkContext.isStopped)
+      .getOrElse(SparkSession.active)
   private def fs = new Path(dir).getFileSystem(
     spark.sessionState.newHadoopConf())
 
@@ -136,8 +149,39 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       .map(st => Identifier.of(ns, st.getPath.getName.stripSuffix(".tbl")))
   }
 
+  /** Whether a USABLE table is registered under the name. A crashed
+    * half-create — a hard kill between the exclusive `.tbl` create and
+    * the physical createEmpty leaves a registered name whose manifest
+    * has NEITHER `_table_props` NOR any committed version — reads as
+    * NONEXISTENT once aged past the adoption grace, because Spark's
+    * CREATE pre-checks this method: reporting the wedged name as
+    * existing would make re-running CREATE TABLE throw
+    * TableAlreadyExists while reads also fail, with manual `.tbl`
+    * surgery the only recovery. The grace (default 5 min,
+    * `spark.graft.catalog.adoptGraceMs`) keeps an IN-FLIGHT create —
+    * name registered, createEmpty still running — visible, so a
+    * concurrent CREATE cannot adopt it mid-flight. */
   override def tableExists(ident: Identifier): Boolean =
-    try fs.exists(tblPath(ident)) catch { case _: IllegalArgumentException => false }
+    try fs.exists(tblPath(ident)) && !crashedHalfCreate(ident)
+    catch { case _: IllegalArgumentException => false }
+
+  private def adoptGraceMs: Long =
+    spark.conf.get("spark.graft.catalog.adoptGraceMs", "300000").toLong
+
+  /** True when the registered name is provably a crashed half-create:
+    * aged past the grace AND its manifest has neither props nor any
+    * committed version (every successful create writes props before
+    * its v=1 commit; a torn `.tbl` with no man= line also qualifies). */
+  private def crashedHalfCreate(ident: Identifier): Boolean = {
+    val st = fs.getFileStatus(tblPath(ident))
+    st.getModificationTime <= System.currentTimeMillis() - adoptGraceMs &&
+      scala.util.Try {
+        val staleMan = manifestOf(ident)
+        GraftTable.loadProps(spark, staleMan).isEmpty &&
+          GraftTable(spark, data = "", man = staleMan, key = "")
+            .committedVersions.isEmpty
+      }.getOrElse(true)
+  }
 
   override def loadTable(ident: Identifier): Table =
     GraftV2Table(ident.toString, manOf(ident), pinned = None)
@@ -163,10 +207,29 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       pinned = Some(t.versionAsOfTime(timestampMicros / 1000L)))
   }
 
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform],
-      properties: util.Map[String, String]): Table = {
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+  /** Reject-or-adopt on an already-registered name: a hard kill between
+    * the exclusive `.tbl` create and the physical createEmpty leaves a
+    * registered name whose manifest has NEITHER `_table_props` NOR any
+    * committed version — permanently wedged (CREATE says exists, reads
+    * say no snapshots) unless adopted. Such a name is provably a
+    * crashed half-create (every successful create writes props before
+    * its v=1 commit), so the stale registration is reclaimed and the
+    * CREATE proceeds. A manifest with props but no versions is
+    * indistinguishable from a concurrent create past writeProps —
+    * those fail with explicit DROP TABLE recovery instead. */
+  private def requireAbsentOrAdopt(ident: Identifier): Unit =
+    if (fs.exists(tblPath(ident))) {
+      if (crashedHalfCreate(ident)) fs.delete(tblPath(ident), false)
+      else throw new TableAlreadyExistsException(ident)
+    }
+
+  /** Validated CREATE inputs: the manifest path plus the physical table
+    * to create when the manifest holds no committed content yet (None =
+    * pure name registration over an existing table). Validation runs
+    * BEFORE anything is registered or written, so a malformed CREATE
+    * leaves no trace. */
+  private def planCreate(schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): (String, Option[GraftTable]) = {
     require(partitions.isEmpty,
       "graft tables take no PARTITIONED BY — the physical layout is " +
         "range-clustered on the table key")
@@ -181,8 +244,6 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val exists = GraftTable.loadProps(spark, man).isDefined &&
       GraftTable(spark, data = "", man = man, key = "")
         .committedVersions.nonEmpty
-    // a NEW table's required options are validated BEFORE anything is
-    // registered or written, so a malformed CREATE leaves no trace
     val newTable = if (exists) None else {
       val key = opt("key").getOrElse(throw new IllegalArgumentException(
         s"no graft table exists at $man yet — creating one needs " +
@@ -194,15 +255,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         .map(_.trim).filter(_.nonEmpty)
       Some(GraftTable(spark, data, man, key, list("stats"), list("bloom")))
     }
-    // name-race arbitration rides fs.create(overwrite = false) — the
-    // SAME storage capability the pointer log store gates: on a store
-    // without atomic exclusive create two racing CREATEs could both
-    // register. One allowSchemes declaration covers both surfaces.
+    (man, newTable)
+  }
+
+  /** Atomically register `ident -> man`: exclusive `.tbl` create decides
+    * name races. The SAME storage capability the pointer log store
+    * gates; one allowSchemes declaration covers both surfaces. */
+  private def register(ident: Identifier, man: String): Unit = {
     GraftTable.requireAtomicCreate(spark, fs,
       s"catalog '$catalogName' name registration (.tbl exclusive create)")
     fs.mkdirs(nsPath(ident.namespace()))
     val out = fs.create(tblPath(ident), false) // exclusive: name races lose
     try out.write(s"man=$man\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    requireAbsentOrAdopt(ident)
+    val (man, newTable) = planCreate(schema, partitions, properties)
+    register(ident, man)
     // physical creation AFTER the name is won: a lost name race leaves
     // no orphaned data/manifest dirs, and a failed physical create
     // takes its registration back out before rethrowing
@@ -214,16 +286,82 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  // ---- StagingTableCatalog: atomic CTAS ------------------------------
+  // `CREATE TABLE <name> USING graft OPTIONS (...) AS SELECT ...` with
+  // the registration as the commit point: the physical table is created
+  // and the query's rows written BEFORE the name exists, so a failed or
+  // raced CTAS leaves no registered name (abort reclaims the fresh
+  // physical dirs). The inverse of createTable's order, because here
+  // the expensive step is the data write and the atomic step must come
+  // last — exactly Delta/Iceberg's staged-commit shape.
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    requireAbsentOrAdopt(ident)
+    // the registration gate is checked NOW, not only at commit: failing
+    // after the full CTAS write because the scheme cannot arbitrate the
+    // name would waste the write
+    GraftTable.requireAtomicCreate(spark, fs,
+      s"catalog '$catalogName' name registration (.tbl exclusive create)")
+    val (man, newTable) = planCreate(schema, partitions, properties)
+    newTable.foreach(_.createEmpty(if (schema.isEmpty) None
+      else Some(schema)))
+    new StagedGraftTable(this, ident,
+      GraftV2Table(ident.toString, man, pinned = None),
+      freshPhysical = newTable)
+  }
+
+  private[table] def commitStaged(ident: Identifier, man: String): Unit =
+    register(ident, man)
+
+  /** ADD COLUMN(S) — the DDL face of the format's append-time schema
+    * evolution: a layout-identical commit records the widened schema
+    * ([[GraftTable.commitWidenSchema]]); existing files read the new
+    * columns as NULL (q103 semantics), no data byte moves. Every other
+    * TableChange is rejected loudly — narrowing/retyping would make
+    * committed manifests lie about their files, and renames would
+    * break the box/bloom column bindings. */
   override def alterTable(ident: Identifier,
-      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported — graft schema evolution is " +
-        "append-time (a widening batch widens the recorded schema)")
+      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
+    import org.apache.spark.sql.connector.catalog.TableChange
+    val man = manOf(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn => a
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE on a graft table supports ADD COLUMN(S) only — " +
+          s"got ${other.getClass.getSimpleName}; the table's key/stats/" +
+          "bloom bindings and committed boxes are fixed at creation")
+    }
+    val t = GraftTable(spark, data = "", man = man, key = "")
+    val vs = t.committedVersions
+    if (vs.isEmpty) throw new NoSuchTableException(ident)
+    val base = t.versionSchema(vs.max).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$ident's latest snapshot records no schema (pre-r11 table) — " +
+          "ALTER TABLE needs the commit-recorded schema to extend"))
+    val widened = adds.foldLeft(base) { (sch, a) =>
+      require(a.fieldNames().length == 1,
+        s"nested ADD COLUMN is not supported — graft tables are flat " +
+          s"(got ${a.fieldNames().mkString(".")})")
+      val n = a.fieldNames().head
+      require(!sch.fieldNames.contains(n),
+        s"column '$n' already exists in $ident")
+      require(a.isNullable,
+        s"ADD COLUMN '$n' must be nullable — existing files backfill NULL")
+      StructType(sch.fields :+ org.apache.spark.sql.types.StructField(
+        n, a.dataType(), nullable = true))
+    }
+    t.commitWidenSchema(widened, vs.max)
+    loadTable(ident)
+  }
 
   /** Drops the NAME MAPPING only — the table's data and manifest stay
-    * untouched (re-register with CREATE TABLE ... OPTIONS (man ...)). */
+    * untouched (re-register with CREATE TABLE ... OPTIONS (man ...)).
+    * Unguarded delete: a direct drop must also clear a crashed
+    * half-create's registration (which [[tableExists]] hides). */
   override def dropTable(ident: Identifier): Boolean =
-    tableExists(ident) && fs.delete(tblPath(ident), false)
+    try fs.delete(tblPath(ident), false)
+    catch { case _: IllegalArgumentException => false }
 
   override def renameTable(from: Identifier, to: Identifier): Unit = {
     if (!tableExists(from)) throw new NoSuchTableException(from)
@@ -280,9 +418,27 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * version (`VERSION AS OF` / `TIMESTAMP AS OF`). The fast read path is
   * [[GraftV2ExpandRule]]; [[newScanBuilder]] is the extensions-free
   * fallback. Writes go through [[V1Write]] to the same OCC
-  * append / create commits as `df.write.format("graft")`. */
+  * append / create commits as `df.write.format("graft")`.
+  *
+  * `DELETE FROM <name> WHERE <pred>` works through [[SupportsDelete]]:
+  * Spark pushes the condition as v1 filters and
+  * [[GraftTable.commitDelete]] turns them into manifest pruning (only
+  * the envelope's files rewrite) plus the row predicate — any pushable
+  * predicate, not just key ranges; an untranslatable condition fails
+  * loudly at analysis (Spark's own translation error).
+  *
+  * STREAMING by name rides [[V2TableWithV1Fallback]] (the public Delta
+  * shape): `spark.readStream.table(<name>)` and
+  * `df.writeStream.toTable(<name>)` resolve through [[v1Table]] to the
+  * SAME v1 source/sink `format("graft")` provides —
+  * [[GraftStreamSource]] / [[GraftChangeFeedSource]] on the read side
+  * (pass `readChangeFeed`/`startingVersion` as reader options),
+  * [[GraftStreamSink]]'s exactly-once manifest commits on the write
+  * side (`.option("appId", ...)` required, as ever). */
 final case class GraftV2Table(ident: String, man: String,
-    pinned: Option[Int]) extends Table with SupportsRead with SupportsWrite {
+    pinned: Option[Int]) extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.GraftV1StreamFallback {
 
   private def spark: SparkSession = SparkSession.active
   private def probe: GraftTable =
@@ -310,6 +466,79 @@ final case class GraftV2Table(ident: String, man: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  // ---- row-level DELETE (SupportsDeleteV2) --------------------------
+
+  /** Always claimable: any pushed predicate either has a Catalyst
+    * translation (the common case — v2 pushdown speaks general scalar
+    * expressions, so modulo/arithmetic conditions arrive intact) or
+    * deleteWhere fails LOUDLY naming the offending conjunct; returning
+    * false here would only trade that precise error for Spark's
+    * generic one. */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Boolean = true
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions
+        .filter.Predicate]): Unit = {
+    import org.apache.spark.sql.GraftSqlBridge
+    require(pinned.isEmpty,
+      s"cannot DELETE from the time-travel pinned snapshot ${name()}")
+    val t = SnapshotSql.tableForMaintenance(spark, man,
+      detail => throw new IllegalStateException(detail))
+    val vs = t.committedVersions
+    require(vs.nonEmpty, s"no committed snapshots under $man")
+    if (predicates.isEmpty || predicates.forall(_.isInstanceOf[
+        org.apache.spark.sql.connector.expressions.filter.AlwaysTrue])) {
+      // unconditional DELETE FROM t (also TRUNCATE's default route):
+      // commit a zero-entry snapshot at the recorded schema — no scan,
+      // no rewrite; old versions stay time-travelable until vacuum
+      t.commitManifest(t.manifest(vs.max).limit(0), vs.max + 1,
+        schemaDdl = t.versionSchema(vs.max).map(_.toDDL))
+      return
+    }
+    // the full condition is the ROW predicate (Catalyst translation —
+    // general scalar expressions included); the conjuncts with a v1
+    // FILTER form additionally drive manifest box/bloom pruning, so
+    // only the predicate's envelope rewrites
+    val pred = predicates.toIndexedSeq.map { p =>
+      GraftSqlBridge.v2ToCatalyst(p).map(GraftSqlBridge.column).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE predicate '$p' has no Catalyst translation — " +
+            "rewrite the condition, or use the graft_delete TVF for a " +
+            "key-range delete"))
+    }.reduce(_ && _)
+    val pruneFilters = predicates.toIndexedSeq
+      .flatMap(GraftSqlBridge.v2PredicateToV1)
+    t.commitDelete(pruneFilters, pred, vs.max, 2, None)
+    ()
+  }
+
+  // ---- streaming by name (V2TableWithV1Fallback) --------------------
+
+  /** The v1 face streaming resolution falls back to when the table
+    * declares no MICRO_BATCH_READ/STREAMING_WRITE capability (it
+    * doesn't — the engine's streaming is the v1 source/sink): a
+    * synthetic EXTERNAL CatalogTable whose provider is `graft` and
+    * whose storage names the manifest dir, so
+    * `readStream.table(<name>)` / `writeStream.toTable(<name>)` build
+    * exactly the `format("graft").load/start(<man>)` plan. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat,
+      CatalogTable, CatalogTableType}
+    require(pinned.isEmpty,
+      s"cannot stream the time-travel pinned snapshot ${name()}")
+    val parts = ident.split('.')
+    CatalogTable(
+      identifier = TableIdentifier(parts.last, parts.dropRight(1).lastOption),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        properties = Map("path" -> man)),
+      schema = schema(),
+      provider = Some("graft"))
+  }
 
   // ---- fallback read path (no extensions installed) ----------------
 
@@ -343,6 +572,42 @@ final case class GraftV2Table(ident: String, man: String,
               else { t.commitAppendOcc(data, 8); () }
             }
           }
+      }
+    }
+}
+
+/** The staged face of an atomic CTAS ([[GraftCatalog.stageCreate]]):
+  * delegates reads/writes to the (already physically created, still
+  * UNREGISTERED) [[GraftV2Table]]; [[commitStagedChanges]] performs the
+  * one atomic step — the exclusive `.tbl` registration — after the
+  * query's rows are durably committed, and [[abortStagedChanges]]
+  * reclaims the physical dirs ONLY when this CTAS created them fresh
+  * (a registration-CTAS over an existing manifest must never delete
+  * the pre-existing table's data). */
+final class StagedGraftTable(catalog: GraftCatalog, ident: Identifier,
+    table: GraftV2Table, freshPhysical: Option[GraftTable])
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with SupportsRead with SupportsWrite {
+
+  override def name(): String = table.name()
+  override def schema(): StructType = table.schema()
+  override def capabilities(): util.Set[TableCapability] =
+    table.capabilities()
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = table.newScanBuilder(options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    table.newWriteBuilder(info)
+
+  override def commitStagedChanges(): Unit =
+    catalog.commitStaged(ident, table.man)
+
+  override def abortStagedChanges(): Unit =
+    freshPhysical.foreach { t =>
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      Seq(t.man, t.data).foreach { d =>
+        val p = new Path(d)
+        val dfs = p.getFileSystem(conf)
+        if (dfs.exists(p)) dfs.delete(p, true)
       }
     }
 }
@@ -427,6 +692,10 @@ final case class GraftV2ExpandRule(spark: SparkSession)
         // the write TARGET stays a v2 relation; only the query rewrites
         val q2 = rewrite(w.query)
         if (q2 eq w.query) w else w.withNewQuery(q2)
+      case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable =>
+        d // DELETE's target must STAY a v2 relation: planning routes it
+          // to SupportsDelete.deleteWhere, which prunes from the
+          // manifest itself — expanding here would orphan the command
       case r: DataSourceV2Relation => r.table match {
         case t: GraftV2Table => expand(r, t)
         case _ => r

@@ -135,8 +135,14 @@ final class GraftDataSource extends RelationProvider
       providerName: String, parameters: Map[String, String])
       : (String, StructType) = {
     val opts = CaseInsensitiveMap(parameters)
+    // a user schema that is NOT change-feed-shaped is ignored when
+    // readChangeFeed is set: the by-name streaming path
+    // (readStream.table through V2TableWithV1Fallback) always supplies
+    // the TABLE schema, which is the wrong shape for the feed
+    val given = schema.filter(s =>
+      !wantsChangeFeed(opts) || s.fieldNames.contains("op"))
     (shortName(),
-      schema.getOrElse(
+      given.getOrElse(
         if (wantsChangeFeed(opts)) cdfSchema(ctx.sparkSession, manifestOf(opts))
         else latestSchema(ctx.sparkSession, manifestOf(opts))))
   }
@@ -171,12 +177,25 @@ final class GraftDataSource extends RelationProvider
     val opts = CaseInsensitiveMap(parameters)
     val man = manifestOf(opts)
     val spark = ctx.sparkSession
+    val startingVersion = opts.get("startingversion").map { s =>
+      val v = s.trim.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"startingVersion must be an integer snapshot version; got '$s'"))
+      require(v >= 1, s"startingVersion must be >= 1, got $v")
+      v
+    }
     if (wantsChangeFeed(opts))
       new GraftChangeFeedSource(spark, man,
-        schema.getOrElse(cdfSchema(spark, man)))
-    else
+        schema.filter(_.fieldNames.contains("op"))
+          .getOrElse(cdfSchema(spark, man)), startingVersion)
+    else {
+      require(startingVersion.isEmpty,
+        "startingVersion is a change-feed option — pair it with " +
+          ".option(\"readChangeFeed\", \"true\") (the committed-rows " +
+          "stream always begins from the current snapshot)")
       new GraftStreamSource(spark, man,
         schema.getOrElse(latestSchema(spark, man)))
+    }
   }
 
   private def declaredTable(spark: SparkSession, man: String,
@@ -437,7 +456,8 @@ final class GraftStreamSource(spark: SparkSession, man: String,
   * exactly-once per commit. Vacuum retention must exceed consumer lag;
   * an expired version fails loudly. */
 final class GraftChangeFeedSource(spark: SparkSession, man: String,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    startingVersion: Option[Int] = None) extends Source {
 
   private val table: GraftTable = {
     val p = GraftTable.loadProps(spark, man)
@@ -490,43 +510,71 @@ final class GraftChangeFeedSource(spark: SparkSession, man: String,
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+  /** Snapshot v's LIVE rows as `insert` ops (DVs applied, old_* NULL) —
+    * the starting-snapshot delivery, and version 1's "diff". */
+  private def snapshotInserts(v: Int): Seq[DataFrame] = {
     import org.apache.spark.sql.functions.{col, lit}
+    requireCommitted(v)
+    if (table.files(v).isEmpty) Nil
+    else {
+      val snap = table.readAsOf(v)
+      val values = snap.columns.filterNot(_ == table.key).toSeq
+      Seq(shape(snap.select(
+        col(table.key) +:
+          (values.map(c => lit(null).cast(snap.schema(c).dataType)
+            .as(s"old_$c")) ++
+            values.map(c => col(c).as(s"new_$c")) :+
+            lit("insert").as("op")): _*), v))
+    }
+  }
+
+  /** Per-commit row-level diffs of versions (vFrom, vEnd], walked so
+    * each manifest reads once (the memo contract). */
+  private def changesIn(vFrom: Int, vEnd: Int): Seq[DataFrame] = {
+    requireCommitted(vFrom)
+    var prev = pairsOf(vFrom)
+    ((vFrom + 1) to vEnd).flatMap { v =>
+      requireCommitted(v)
+      val cur = table.entryPairs(v)
+      memo = Some((v, cur)) // warm for the next trigger's v0
+      // a no-op commit (e.g. an empty streamed batch) changes no
+      // entries — skipping it also keeps cdc away from its
+      // empty-diff-of-an-empty-table loud path
+      val out =
+        if (table.dataChange(v) && cur.toSet != prev.toSet)
+          Some(shape(table.cdcOf(prev, cur, v - 1, v), v))
+        else None // OPTIMIZE/no-op: nothing to deliver
+      prev = cur
+      out
+    }
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val vEnd = version(end)
     val pieces: Seq[DataFrame] = start match {
-      case None =>
-        // starting snapshot as inserts: every current LIVE row (DVs
-        // applied), old_* NULL
-        requireCommitted(vEnd)
-        if (table.files(vEnd).isEmpty) Nil
-        else {
-          val snap = table.readAsOf(vEnd)
-          val values = snap.columns.filterNot(_ == table.key).toSeq
-          Seq(shape(snap.select(
-            col(table.key) +:
-              (values.map(c => lit(null).cast(snap.schema(c).dataType)
-                .as(s"old_$c")) ++
-                values.map(c => col(c).as(s"new_$c")) :+
-                lit("insert").as("op")): _*), vEnd))
-        }
-      case Some(o) =>
-        val v0 = version(o)
-        requireCommitted(v0)
-        var prev = pairsOf(v0)
-        ((v0 + 1) to vEnd).flatMap { v =>
-          requireCommitted(v)
-          val cur = table.entryPairs(v)
-          memo = Some((v, cur)) // warm for the next trigger's v0
-          // a no-op commit (e.g. an empty streamed batch) changes no
-          // entries — skipping it also keeps cdc away from its
-          // empty-diff-of-an-empty-table loud path
-          val out =
-            if (table.dataChange(v) && cur.toSet != prev.toSet)
-              Some(shape(table.cdcOf(prev, cur, v - 1, v), v))
-            else None // OPTIMIZE/no-op: nothing to deliver
-          prev = cur
-          out
-        }
+      case None => startingVersion match {
+        case None => snapshotInserts(vEnd) // Delta's default: snapshot
+                                           // as inserts, then tail
+        case Some(v0s) if v0s > vEnd => Nil // ahead of the log: deliver
+                                            // nothing until it catches up
+        case Some(v0s) =>
+          // resume from a known watermark: deliver commits v0s..vEnd as
+          // row-level diffs, NOT the whole snapshot. v=1 has no
+          // predecessor — its "diff" is snapshot 1 as inserts.
+          requireCommitted(v0s)
+          if (v0s == 1) snapshotInserts(1) ++ changesIn(1, vEnd)
+          else {
+            if (!table.isCommitted(v0s - 1))
+              throw new IllegalStateException(
+                s"startingVersion=$v0s of $man needs predecessor " +
+                  s"v=${v0s - 1} to compute commit $v0s's row-level " +
+                  "diff, but vacuum expired it — start at or above the " +
+                  "retained horizon's successor, or omit startingVersion " +
+                  "to begin from the current snapshot")
+            changesIn(v0s - 1, vEnd)
+          }
+      }
+      case Some(o) => changesIn(version(o), vEnd)
     }
     val batch = pieces.reduceOption(_ unionByName _).getOrElse(
       spark.createDataFrame(

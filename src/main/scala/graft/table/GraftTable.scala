@@ -1084,6 +1084,104 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     nDel
   }
 
+  /** General-predicate COW DELETE (`DELETE FROM t WHERE <any pushable
+    * predicate>` — the SQL-surface generalization of
+    * [[commitDeleteRange]]'s key-range form): the predicate arrives as
+    * the v1 [[org.apache.spark.sql.sources.Filter]] conjunction Spark's
+    * DELETE planning pushes ([[GraftV2Table]] routes `DELETE FROM
+    * <name>` here), and the SAME filters drive both sides of the
+    * operation — manifest pruning (box intersection on the key and
+    * declared stats columns, bloom probes on declared bloom columns,
+    * composed through AND/OR via [[SnapshotPruning.keepTestV1]]) plans
+    * the impacted file set, and the filters' Column translation is the
+    * row predicate the rewrite applies. A filter on a column with no
+    * recorded stats prunes nothing (every file is impacted — correct,
+    * conservative); a delete on a DECLARED stats column rewrites only
+    * its envelope's files, so at 100 TB a targeted predicate purge
+    * costs the envelope, never a table scan. Impacted files read
+    * through the MoR path (live deletion vectors applied — masked rows
+    * neither resurrect nor inflate the count). SQL three-valued logic
+    * is honored: rows where the predicate is NULL are NOT deleted
+    * (survivors keep `pred IS NOT TRUE`). A predicate matching no rows
+    * burns no version. Returns the number of rows deleted;
+    * single-writer like all maintenance commits. */
+  def commitDelete(filters: Seq[org.apache.spark.sql.sources.Filter],
+      prevV: Int, nParts: Int = 2, tag: Option[String] = None): Long = {
+    require(filters.nonEmpty,
+      "commitDelete needs at least one predicate — to drop every row, " +
+        "recreate the table (mode overwrite) instead")
+    commitDelete(filters,
+      filters.map(GraftTable.v1FilterColumn).reduce(_ && _),
+      prevV, nParts, tag)
+  }
+
+  /** [[commitDelete]] with the ROW predicate supplied separately from
+    * the PRUNING filters — the SQL `DELETE FROM` path: conjuncts with a
+    * v1-filter form drive manifest pruning, while the full condition
+    * (which may contain expressions v1 filters cannot spell — modulo,
+    * arithmetic) is the doom predicate. `pruneFilters` MUST be implied
+    * by `pred` (each a conjunct of it), or files holding doomed rows
+    * would be skipped; an EMPTY pruneFilters is legal and prunes
+    * nothing. */
+  def commitDelete(pruneFilters: Seq[org.apache.spark.sql.sources.Filter],
+      pred: Column, prevV: Int, nParts: Int, tag: Option[String]): Long = {
+    val prevEntries = manifest(prevV).collect()
+    if (prevEntries.isEmpty) return 0L
+    val manCols = prevEntries.head.schema.fieldNames.toSet
+    val prunable =
+      ((if (manCols("lo") && manCols("hi")) Seq(key) else Nil) ++
+        statsCols.filter(c => manCols(s"lo_$c") && manCols(s"hi_$c"))).toSet
+    val bloomable = bloomCols.filter(c => manCols(s"bloom_$c")).toSet
+    val impactedRows = SnapshotPruning
+      .keepTestV1(pruneFilters, Some(key), prunable, bloomable)
+      .map(test => prevEntries.filter(test)).getOrElse(prevEntries)
+    if (impactedRows.isEmpty) return 0L
+    val df = morRead(impactedRows.map(r =>
+      (r.getAs[String]("file"), entryDv(r))).toSeq, versionSchema(prevV))
+    val nDel = df.filter(pred).count()
+    if (nDel == 0L) return 0L // conservative planning kept files whose
+                              // rows all miss: no-op, no burned version
+    val added = stagedAppend(df.filter(!coalesce(pred, lit(false))), nParts)
+    val stats = if (added.isEmpty) emptyEntries else fileStats(added)
+    val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
+    commitManifest(
+      unionEntries(excludeFiles(manifest(prevV), impacted), stats),
+      prevV + 1, tag, schemaDdl = versionSchema(prevV).map(_.toDDL))
+    nDel
+  }
+
+  /** ALTER TABLE ADD COLUMN's commit: a layout-identical new version
+    * whose recorded `_schema.ddl` is `widened` — the DDL face of the
+    * format's append-time schema evolution (the same widening an
+    * appending batch performs, minus the batch): existing files read
+    * the new columns as NULL (parquet by-name semantics, the q103
+    * contract), no data byte is touched, and the commit carries the
+    * `dataChange=false` marker so change-feed consumers skip it.
+    * `widened` must EXTEND the latest recorded schema (same leading
+    * fields; new fields appended) — narrowing or retyping would make
+    * committed manifests lie about their files. Single-writer: a lost
+    * publish race fails loudly. Returns the new version. */
+  def commitWidenSchema(widened: org.apache.spark.sql.types.StructType,
+      prevV: Int): Int = {
+    val base = versionSchema(prevV).getOrElse(
+      throw new UnsupportedOperationException(
+        s"snapshot v=$prevV of $man records no schema (pre-r11 table) — " +
+          "widening needs the commit-recorded schema to extend"))
+    require(widened.fields.take(base.length).map(f => (f.name, f.dataType))
+        .sameElements(base.fields.map(f => (f.name, f.dataType))) &&
+      widened.length > base.length,
+      s"widened schema must extend the recorded one — recorded " +
+        s"${base.simpleString}, proposed ${widened.simpleString}")
+    require(widened.fields.drop(base.length).forall(_.nullable),
+      "added columns must be nullable — existing files backfill NULL")
+    if (!tryCommitManifest(manifest(prevV), prevV + 1, noData = true,
+        schemaDdl = Some(widened.toDDL)))
+      throw new java.util.ConcurrentModificationException(
+        s"schema widening lost the commit race for v=${prevV + 1}; " +
+          "re-run against the latest snapshot")
+    prevV + 1
+  }
+
   /** Version v's commit time: the `_ts_<epochMs>` marker the commit
     * itself carried (written in staging, published by the same atomic
     * rename — so it survives file-system surgery like a copy/restore
@@ -1780,6 +1878,48 @@ object GraftTable {
         kv.get("bloom_items").map(_.toLong).getOrElse(DefaultBloomItems),
         kv.get("bloom_fpp").map(_.toDouble).getOrElse(DefaultBloomFpp),
         kv.get("logstore").filter(_.nonEmpty)))
+    }
+  }
+
+  /** A v1 [[org.apache.spark.sql.sources.Filter]] as a Column row
+    * predicate — the DELETE rewrite's filter. The v1 filter algebra is
+    * covered completely (comparisons, IN, null tests, string matches,
+    * AND/OR/NOT, Always*); an unknown future filter class fails loudly
+    * naming the `graft_delete` TVF fallback rather than guessing.
+    * Values are external Scala/Java types (Timestamp, Date, BigDecimal,
+    * ...) exactly as Spark's filter translation produced them — `lit`
+    * round-trips them all. */
+  private[table] def v1FilterColumn(
+      f: org.apache.spark.sql.sources.Filter): Column = {
+    import org.apache.spark.sql.{sources => s}
+    // attribute names arrive dot-separated for nested fields; graft
+    // tables are flat by construction, so quote the whole name — a
+    // column literally named "a.b" must not resolve as a struct path
+    def c(n: String): Column = col("`" + n.replace("`", "``") + "`")
+    f match {
+      case s.AlwaysTrue() => lit(true)
+      case s.AlwaysFalse() => lit(false)
+      case s.EqualTo(a, v) => c(a) === lit(v)
+      case s.EqualNullSafe(a, v) => c(a) <=> lit(v)
+      case s.GreaterThan(a, v) => c(a) > lit(v)
+      case s.GreaterThanOrEqual(a, v) => c(a) >= lit(v)
+      case s.LessThan(a, v) => c(a) < lit(v)
+      case s.LessThanOrEqual(a, v) => c(a) <= lit(v)
+      // a DELETE's IN-list is user-typed SQL text, not data-derived —
+      // bounded by construction, so the literal list is fine here
+      case s.In(a, vs) => c(a).isin(vs.toIndexedSeq: _*)
+      case s.IsNull(a) => c(a).isNull
+      case s.IsNotNull(a) => c(a).isNotNull
+      case s.StringStartsWith(a, p) => c(a).startsWith(p)
+      case s.StringEndsWith(a, p) => c(a).endsWith(p)
+      case s.StringContains(a, p) => c(a).contains(p)
+      case s.Not(child) => !v1FilterColumn(child)
+      case s.And(l, r) => v1FilterColumn(l) && v1FilterColumn(r)
+      case s.Or(l, r) => v1FilterColumn(l) || v1FilterColumn(r)
+      case other => throw new UnsupportedOperationException(
+        s"DELETE predicate '$other' is not supported by the graft " +
+          "row-level delete — rewrite the condition, or use the " +
+          "graft_delete TVF for a key-range delete")
     }
   }
 

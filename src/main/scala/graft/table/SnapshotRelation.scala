@@ -320,6 +320,83 @@ object SnapshotPruning extends PredicateHelper {
     val ts = conjuncts.flatMap(compile(_, key, prunable, bloomable))
     if (ts.isEmpty) None else Some(row => ts.forall(_(row)))
   }
+
+  /** A v1-filter value in box representation: Long for integral /
+    * timestamp / date values (epoch micros / days — the manifest box
+    * encoding), String for strings, Double for float/double. None for
+    * anything else (NULL, decimals, binaries) — the caller keeps. v1
+    * filter values are EXTERNAL types (java.sql.Timestamp /
+    * java.time.Instant, java.sql.Date / LocalDate), unlike Catalyst
+    * literals, so the conversion goes through DateTimeUtils. */
+  private def v1BoxRepr(v: Any): Option[Any] = {
+    import org.apache.spark.sql.catalyst.util.DateTimeUtils
+    v match {
+      case null => None
+      case b: Byte => Some(b.toLong)
+      case s: Short => Some(s.toLong)
+      case i: Int => Some(i.toLong)
+      case l: Long => Some(l)
+      case s: String => Some(s)
+      case ts: java.sql.Timestamp => Some(DateTimeUtils.fromJavaTimestamp(ts))
+      case i: java.time.Instant => Some(DateTimeUtils.instantToMicros(i))
+      case d: java.sql.Date => Some(DateTimeUtils.fromJavaDate(d).toLong)
+      case d: java.time.LocalDate =>
+        Some(DateTimeUtils.localDateToDays(d).toLong)
+      case f: Float => Some(f.toDouble)
+      case d: Double => Some(d)
+      case _ => None
+    }
+  }
+
+  /** [[keepTest]] over v1 [[org.apache.spark.sql.sources.Filter]]s —
+    * the pruning face of the SQL row-level DELETE ([[GraftTable
+    * .commitDelete]]), compiling the SAME conservative algebra as the
+    * Catalyst path: comparisons/IN prune on box intersection (equality
+    * and IN also bloom-probe), LIKE-'p%' prunes on the prefix box,
+    * AND composes partially, OR only when both sides are recognized,
+    * anything else keeps. The column's data type is unknown here (v1
+    * filters carry only names) — the value's external type implies it,
+    * and a residual mismatch is conservatively kept by boxCmpOpt. */
+  def keepTestV1(filters: Seq[org.apache.spark.sql.sources.Filter],
+      key: Option[String], prunable: Set[String], bloomable: Set[String])
+      : Option[EntryTest] = {
+    import org.apache.spark.sql.{sources => s}
+    def point(c: String, v: Any): Option[EntryTest] =
+      if (!prunable(c) && !bloomable(c)) None
+      else v1BoxRepr(v).flatMap(pointTest(key, prunable, bloomable, c, _))
+    def range(c: String, v: Any, mk: Any => (Option[Any], Option[Any]))
+        : Option[EntryTest] =
+      if (!prunable(c)) None
+      else v1BoxRepr(v).map { b =>
+        val (lo, hi) = mk(b)
+        boxTest(key, c, lo, hi)
+      }
+    def rec(f: s.Filter): Option[EntryTest] = f match {
+      case s.And(l, r) => (rec(l), rec(r)) match {
+        case (Some(a), Some(b)) => Some(row => a(row) && b(row))
+        case (a, b) => a.orElse(b)
+      }
+      case s.Or(l, r) =>
+        for { a <- rec(l); b <- rec(r) } yield
+          (row => a(row) || b(row)): EntryTest
+      case s.EqualTo(c, v) => point(c, v)
+      case s.EqualNullSafe(c, v) if v != null => point(c, v)
+      case s.GreaterThanOrEqual(c, v) => range(c, v, b => (Some(b), None))
+      case s.LessThanOrEqual(c, v) => range(c, v, b => (None, Some(b)))
+      case s.GreaterThan(c, v) => range(c, v, b => (Some(strictLo(b)), None))
+      case s.LessThan(c, v) => range(c, v, b => (None, Some(strictHi(b))))
+      case s.In(c, vs) if vs.nonEmpty =>
+        val tests = vs.toSeq.map(point(c, _))
+        if (!tests.forall(_.isDefined)) None
+        else Some(row => tests.flatten.exists(_(row)))
+      case s.StringStartsWith(c, p) if prunable(c) =>
+        Some(boxTest(key, c, Some(p),
+          Option(GraftTable.incrementCodePoints(p))))
+      case _ => None // IsNull/Not/unknowns: keep, never guess
+    }
+    val ts = filters.flatMap(rec)
+    if (ts.isEmpty) None else Some(row => ts.forall(_(row)))
+  }
 }
 
 /** Filter-to-manifest pruning. Runs in the operator-optimization batch

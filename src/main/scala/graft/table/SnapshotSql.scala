@@ -51,7 +51,8 @@ object SnapshotSql {
   private[table] def resolveRef(spark: SparkSession, ref: String,
       fail: String => Nothing): String = {
     val parts = ref.split('.')
-    if (parts.length == 3 && parts.forall(_.nonEmpty) &&
+    if ((parts.length == 2 || parts.length == 3) &&
+        parts.forall(_.nonEmpty) &&
         !ref.exists(c => c == '/' || c == ':' || c == '\\')) {
       val plugin =
         try Some(spark.sessionState.catalogManager.catalog(parts(0)))
@@ -61,18 +62,53 @@ object SnapshotSql {
         }
       plugin match {
         case Some(g: GraftCatalog) =>
-          return g.manifestOf(
-            org.apache.spark.sql.connector.catalog.Identifier.of(
-              Array(parts(1)), parts(2)))
+          // 2-segment refs resolve against the catalog's default
+          // namespace, matching what `SELECT * FROM gq.t` means in SQL
+          val id =
+            if (parts.length == 3)
+              org.apache.spark.sql.connector.catalog.Identifier.of(
+                Array(parts(1)), parts(2))
+            else org.apache.spark.sql.connector.catalog.Identifier.of(
+              g.defaultNamespace(), parts(1))
+          return g.manifestOf(id)
         case Some(other) =>
           fail(s"'$ref' names catalog '${parts(0)}' " +
             s"(${other.getClass.getName}), which is not a graft " +
             "catalog — name-addressed graft maintenance works only on " +
             "tables registered in a graft.table.GraftCatalog")
-        case None => // fall through: the ref is a path
+        case None =>
+          // the ref is a path — but a dotted-3 path that holds no graft
+          // table at all, in a session WITH registered graft catalogs,
+          // is almost certainly a typo'd catalog name: fail with the
+          // registered names instead of the bare manifest error
+          if (parts.length == 3) {
+            val gcats = registeredGraftCatalogs(spark)
+            val holdsTable = scala.util.Try {
+              GraftTable.loadProps(spark, ref).isDefined ||
+                GraftTable(spark, data = "", man = ref, key = "")
+                  .committedVersions.nonEmpty
+            }.getOrElse(false)
+            if (gcats.nonEmpty && !holdsTable)
+              fail(s"no committed snapshots under '$ref' — " +
+                s"'${parts(0)}' names no registered catalog and no " +
+                "graft manifest exists at that relative path; " +
+                s"registered graft catalog(s): ${gcats.mkString(", ")} " +
+                "(a dotted ref whose head names no catalog falls " +
+                "through to path semantics)")
+          }
       }
     }
     ref
+  }
+
+  /** Session catalog names configured as [[GraftCatalog]]s — the typo
+    * hint's candidate list. Conf-derived (`spark.sql.catalog.<name>`),
+    * so unloaded-but-configured catalogs are named too. */
+  private def registeredGraftCatalogs(spark: SparkSession): Seq[String] = {
+    val P = """spark\.sql\.catalog\.([^.]+)""".r
+    spark.conf.getAll.collect {
+      case (P(n), v) if v == classOf[GraftCatalog].getName => n
+    }.toSeq.sorted
   }
 
   private def fail(detail: String): Nothing =
@@ -447,7 +483,12 @@ object SnapshotSql {
   }
 
   /** Maintenance ops rewrite data, so they need the FULL table shape —
-    * key, data dir, stats/bloom declarations — all from `_table_props`. */
+    * key, data dir, stats/bloom declarations — all from `_table_props`.
+    * Shared with the catalog's row-level DELETE ([[GraftV2Table
+    * .deleteWhere]]) under the [[tableForMaintenance]] name. */
+  private[table] def tableForMaintenance(spark: SparkSession, man: String,
+      fail: String => Nothing): GraftTable = maintenanceTable(spark, man, fail)
+
   private def maintenanceTable(spark: SparkSession, man: String,
       fail: String => Nothing): GraftTable = {
     val p = GraftTable.loadProps(spark, man).getOrElse(

@@ -11,6 +11,22 @@ object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** A DSv2 expression (a pushed DELETE predicate) as an UNRESOLVED
+    * Catalyst expression — field references become UnresolvedAttributes
+    * that the target DataFrame's analysis resolves. None when the v2
+    * node has no Catalyst counterpart (the caller fails loudly). */
+  def v2ToCatalyst(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[Expression] =
+    catalyst.expressions.V2ExpressionUtils.toCatalyst(e)
+
+  /** The v1-filter view of a DSv2 predicate, when one exists — what the
+    * delete path PRUNES with (box/bloom math speaks v1 filters); a
+    * predicate with no v1 form simply doesn't prune. */
+  def v2PredicateToV1(
+      p: org.apache.spark.sql.connector.expressions.filter.Predicate)
+      : Option[org.apache.spark.sql.sources.Filter] =
+    internal.connector.PredicateUtils.toV1(p)
+
   /** Build a DataFrame from a logical plan (Dataset.ofRows is
     * private[sql]) — the entry point for custom logical operators. */
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =

@@ -267,4 +267,228 @@ class GraftCatalogSpec extends TestBase {
       intercept[Exception] { s.sql("SELECT * FROM g5.default.nope").collect() }
     }
   }
+
+  test("SQL row-level DELETE by name: key range, non-key predicate, MoR, no-op, truncate") {
+    withExtSession { s =>
+      val root = freshRoot()
+      val o = Tables.load(s, sfDir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_custkey")
+      // o_orderpriority declared as a STATS column: the non-key DELETE
+      // below must rewrite only its envelope's files
+      GraftTable(s, s"$root/data", s"$root/man", "o_orderkey",
+        statsCols = Seq("o_custkey")).create(o, 6)
+      s.conf.set("spark.sql.catalog.gd", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gd.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gd.db")
+      s.sql(s"CREATE TABLE gd.db.t USING graft OPTIONS (man '$root/man')")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "o_orderkey",
+        statsCols = Seq("o_custkey"))
+
+      // 1. key-range DELETE — the standard Delta spelling, by name
+      s.sql("DELETE FROM gd.db.t WHERE o_orderkey BETWEEN 1000 AND 2999")
+      val expect1 = o.filter(!col("o_orderkey").between(1000, 2999))
+      assert(s.sql("SELECT count(*) AS c FROM gd.db.t").head.getLong(0)
+        == expect1.count())
+      // only the envelope's files were rewritten: v1 entries outside the
+      // doomed range survive into v2 BY NAME (their files untouched)
+      val v1Files = tbl.files(1).toSet
+      val v2Files = tbl.files(2).toSet
+      assert((v1Files & v2Files).nonEmpty,
+        "a key-range delete must carry the untouched files forward")
+
+      // 2. general predicate on a NON-key column (disjunct range +
+      // modulo residual): correct rows gone, count matches
+      s.sql("DELETE FROM gd.db.t WHERE o_custkey > 600 AND o_custkey % 2 = 0")
+      val expect2 = expect1.filter(
+        !(col("o_custkey") > 600 && col("o_custkey") % 2 === 0))
+      assert(s.sql("SELECT count(*) AS c FROM gd.db.t").head.getLong(0)
+        == expect2.count())
+      assert(s.sql(
+        "SELECT count(*) AS c FROM gd.db.t " +
+          "WHERE o_custkey > 600 AND o_custkey % 2 = 0").head.getLong(0)
+        == 0L)
+
+      // 3. a predicate matching NO rows burns no version
+      val before = tbl.committedVersions.max
+      s.sql("DELETE FROM gd.db.t WHERE o_orderkey = -42")
+      assert(tbl.committedVersions.max == before,
+        "a no-match DELETE must not burn a version")
+
+      // 4. DELETE on a MoR snapshot: masked rows neither resurrect nor
+      // count — mask every %7 key with a DV, then delete a range
+      val mor = o.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_custkey", col("o_custkey") + 1)
+      tbl.commitMergeMor(mor, tbl.committedVersions.max, 2)
+      val live = s.sql("SELECT count(*) AS c FROM gd.db.t").head.getLong(0)
+      s.sql("DELETE FROM gd.db.t WHERE o_orderkey >= 9000")
+      val liveNow = s.sql("SELECT count(*) AS c FROM gd.db.t").head.getLong(0)
+      val doomed = s.sql(
+        s"SELECT count(*) AS c FROM graft_snapshot('$root/man', " +
+          s"${tbl.committedVersions.max - 1}) WHERE o_orderkey >= 9000")
+        .head.getLong(0)
+      assert(liveNow == live - doomed,
+        s"MoR delete drift: $live - $doomed != $liveNow")
+
+      // 5. unconditional DELETE = zero-entry commit (truncate), schema kept
+      s.sql("DELETE FROM gd.db.t")
+      assert(s.sql("SELECT count(*) AS c FROM gd.db.t").head.getLong(0) == 0L)
+      assert(s.sql("SELECT * FROM gd.db.t").schema.fieldNames
+        .sameElements(Array("o_orderkey", "o_orderpriority", "o_custkey")))
+      // old versions still time-travel
+      assert(s.sql("SELECT count(*) AS c FROM gd.db.t VERSION AS OF 2")
+        .head.getLong(0) == expect1.count())
+    }
+  }
+
+  test("DELETE plans from the manifest: only the predicate's envelope is rewritten") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      // 4 files of 250 keys each; delete a slice inside ONE file's box
+      val df = (1L to 1000L).map(i => (i, i % 97)).toDF("id", "v")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create(df, 4)
+      s.conf.set("spark.sql.catalog.gdp", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gdp.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gdp.db")
+      s.sql(s"CREATE TABLE gdp.db.t USING graft OPTIONS (man '$root/man')")
+      val v1 = tbl.files(1).toSet
+      assert(v1.size == 4, s"expected 4 files, got ${v1.size}")
+      s.sql("DELETE FROM gdp.db.t WHERE id BETWEEN 10 AND 20")
+      val v2 = tbl.files(2).toSet
+      assert((v1 & v2).size == 3,
+        s"exactly one file's box intersects [10,20] — ${
+          (v1 & v2).size} of 4 carried forward")
+      assert(s.sql("SELECT count(*) AS c FROM gdp.db.t").head.getLong(0)
+        == 989L)
+    }
+  }
+
+  test("atomic CTAS: CREATE TABLE ... AS SELECT registers the name only after the write") {
+    withExtSession { s =>
+      val root = freshRoot()
+      val o = Tables.load(s, sfDir, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_custkey")
+      o.createOrReplaceTempView("ctas_src")
+      s.conf.set("spark.sql.catalog.gc", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gc.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gc.db")
+      s.sql(
+        s"""CREATE TABLE gc.db.t USING graft
+           |OPTIONS (man '$root/man', data '$root/data', key 'o_orderkey')
+           |AS SELECT * FROM ctas_src WHERE o_orderkey % 3 = 0""".stripMargin)
+      val expect = o.filter(col("o_orderkey") % 3 === 0).count()
+      assert(s.sql("SELECT count(*) AS c FROM gc.db.t").head.getLong(0)
+        == expect)
+      // the physical table is real: prunable, time-travelable
+      assert(s.sql("SELECT count(*) AS c FROM gc.db.t VERSION AS OF 2")
+        .head.getLong(0) == expect)
+      // CTAS onto a TAKEN name fails and leaves the table untouched
+      val e = intercept[Exception] {
+        s.sql(s"""CREATE TABLE gc.db.t USING graft
+             |OPTIONS (man '$root/man2', data '$root/data2', key 'o_orderkey')
+             |AS SELECT * FROM ctas_src""".stripMargin)
+      }
+      assert(fullMsg(e).toLowerCase.contains("exists"), fullMsg(e))
+      assert(s.sql("SELECT count(*) AS c FROM gc.db.t").head.getLong(0)
+        == expect)
+      // a FAILED CTAS (NULL key rejected by the stats scan) leaves NO
+      // registered name and reclaims its fresh physical dirs
+      s.sql("SELECT CAST(NULL AS BIGINT) AS k, 'x' AS v")
+        .createOrReplaceTempView("ctas_bad")
+      intercept[Exception] {
+        s.sql(s"""CREATE TABLE gc.db.bad USING graft
+             |OPTIONS (man '$root/badman', data '$root/baddata', key 'k')
+             |AS SELECT * FROM ctas_bad""".stripMargin)
+      }
+      intercept[Exception] { s.sql("SELECT * FROM gc.db.bad").collect() }
+      assert(!new java.io.File(s"$root/badman").exists(),
+        "aborted CTAS must reclaim its fresh manifest dir")
+    }
+  }
+
+  test("ALTER TABLE ADD COLUMN widens the recorded schema; old files NULL-backfill") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create((1L to 100L).map(i => (i, i * 2)).toDF("id", "v"), 2)
+      s.conf.set("spark.sql.catalog.ga", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.ga.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS ga.db")
+      s.sql(s"CREATE TABLE ga.db.t USING graft OPTIONS (man '$root/man')")
+      s.sql("ALTER TABLE ga.db.t ADD COLUMN note STRING")
+      // widened by name; existing files read NULL (q103 semantics)
+      val rows = s.sql("SELECT id, v, note FROM ga.db.t WHERE id <= 3")
+        .collect()
+      assert(rows.length == 3 && rows.forall(_.isNullAt(2)))
+      // the widening is a dataChange=false commit: v2, layout-identical
+      assert(tbl.committedVersions == Seq(1, 2) && !tbl.dataChange(2))
+      assert(tbl.files(2) == tbl.files(1))
+      // an appended batch CARRYING the column round-trips it
+      (101L to 110L).map(i => (i, i * 2, s"n$i")).toDF("id", "v", "note")
+        .createOrReplaceTempView("alter_more")
+      s.sql("INSERT INTO ga.db.t SELECT * FROM alter_more")
+      assert(s.sql("SELECT count(*) AS c FROM ga.db.t WHERE note IS NOT NULL")
+        .head.getLong(0) == 10L)
+      // misuse is loud: duplicate column, non-ADD changes
+      val e1 = intercept[Exception] {
+        s.sql("ALTER TABLE ga.db.t ADD COLUMN v BIGINT")
+      }
+      assert(fullMsg(e1).contains("already exists"), fullMsg(e1))
+      val e2 = intercept[Exception] {
+        s.sql("ALTER TABLE ga.db.t RENAME COLUMN v TO w")
+      }
+      assert(fullMsg(e2).contains("ADD COLUMN"), fullMsg(e2))
+    }
+  }
+
+  test("a crashed half-create (registered name, no props, no versions) is adopted") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.gr", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gr.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gr.db")
+      // simulate the hard kill between the exclusive .tbl create and
+      // createEmpty: a registered name whose manifest dir has neither
+      // _table_props nor any committed version
+      val ns = new java.io.File(s"$root/catalog/db")
+      ns.mkdirs()
+      val reg = new java.io.FileWriter(s"$root/catalog/db/t.tbl")
+      try reg.write(s"man=$root/man\n") finally reg.close()
+      // the wedge the adoption cures: reads fail (no snapshots) while a
+      // naive CREATE would throw TableAlreadyExists — the name is stuck
+      intercept[Exception] { s.sql("SELECT * FROM gr.db.t").collect() }
+      // a FRESH registration is NOT adopted (it may be an in-flight
+      // concurrent create still between registration and createEmpty)
+      val eFresh = intercept[Exception] {
+        s.sql(s"""CREATE TABLE gr.db.t (id BIGINT, v BIGINT) USING graft
+             |OPTIONS (man '$root/man', data '$root/data', key 'id')
+             |""".stripMargin)
+      }
+      assert(fullMsg(eFresh).toLowerCase.contains("exists"), fullMsg(eFresh))
+      // age the registration past the adoption grace: now it is
+      // provably a crashed half-create, and CREATE TABLE adopts it
+      assert(new java.io.File(s"$root/catalog/db/t.tbl")
+        .setLastModified(System.currentTimeMillis() - 3600 * 1000L))
+      s.sql(s"""CREATE TABLE gr.db.t (id BIGINT, v BIGINT) USING graft
+           |OPTIONS (man '$root/man', data '$root/data', key 'id')
+           |""".stripMargin)
+      (1L to 10L).map(i => (i, i)).toDF("id", "v")
+        .createOrReplaceTempView("adopt_src")
+      s.sql("INSERT INTO gr.db.t SELECT * FROM adopt_src")
+      assert(s.sql("SELECT count(*) AS c FROM gr.db.t").head.getLong(0)
+        == 10L)
+      // a HEALTHY table is never adopted: CREATE still fails loudly
+      val e = intercept[Exception] {
+        s.sql(s"""CREATE TABLE gr.db.t (id BIGINT, v BIGINT) USING graft
+             |OPTIONS (man '$root/man2', data '$root/data2', key 'id')
+             |""".stripMargin)
+      }
+      assert(fullMsg(e).toLowerCase.contains("exists"), fullMsg(e))
+      assert(s.sql("SELECT count(*) AS c FROM gr.db.t").head.getLong(0)
+        == 10L)
+    }
+  }
 }
