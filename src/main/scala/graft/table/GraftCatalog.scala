@@ -184,7 +184,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table =
-    GraftV2Table(ident.toString, manOf(ident), pinned = None)
+    GraftV2Table(s"$catalogName.$ident", manOf(ident), pinned = None)
 
   /** `VERSION AS OF <v>` on the named table. */
   override def loadTable(ident: Identifier, version: String): Table = {
@@ -196,14 +196,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(t.isCommitted(v),
       s"no committed snapshot v=$v of $ident " +
         s"(committed: ${t.committedVersions.mkString(", ")})")
-    GraftV2Table(ident.toString, man, pinned = Some(v))
+    GraftV2Table(s"$catalogName.$ident", man, pinned = Some(v))
   }
 
   /** `TIMESTAMP AS OF <ts>` — micros since epoch, Spark's contract. */
   override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
     val man = manOf(ident)
     val t = GraftTable(spark, data = "", man = man, key = "")
-    GraftV2Table(ident.toString, man,
+    GraftV2Table(s"$catalogName.$ident", man,
       pinned = Some(t.versionAsOfTime(timestampMicros / 1000L)))
   }
 
@@ -307,7 +307,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     newTable.foreach(_.createEmpty(if (schema.isEmpty) None
       else Some(schema)))
     new StagedGraftTable(this, ident,
-      GraftV2Table(ident.toString, man, pinned = None),
+      GraftV2Table(s"${name()}.$ident", man, pinned = None),
       freshPhysical = newTable)
   }
 
@@ -532,9 +532,18 @@ final case class GraftV2Table(ident: String, man: String,
       s"cannot stream the time-travel pinned snapshot ${name()}")
     val parts = ident.split('.')
     CatalogTable(
-      identifier = TableIdentifier(parts.last, parts.dropRight(1).lastOption),
+      // the FULL three-part identifier: post-batch metadata refresh
+      // re-resolves it, and without the catalog segment `db.sink`
+      // would be looked up in the session catalog and not found
+      identifier = TableIdentifier(parts.last,
+        parts.dropRight(1).lastOption,
+        if (parts.length >= 3) Some(parts.head) else None),
       tableType = CatalogTableType.EXTERNAL,
+      // the write fallback streams to table.location; the read fallback
+      // to storage properties' path — both are the MANIFEST dir (the
+      // one address format("graft") takes)
       storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new Path(man).toUri),
         properties = Map("path" -> man)),
       schema = schema(),
       provider = Some("graft"))

@@ -344,13 +344,26 @@ class ExtensionsSpec extends TestBase {
         .queryExecution.analyzed
     }
     assert(e2.getMessage.contains("not a graft"), e2.getMessage)
-    // a dotted ref naming NO registered catalog stays a path — the
-    // error is the manifest one, not a catalog one
+    // a dotted-3 ref naming NO registered catalog falls through to path
+    // semantics — and when that path holds no graft table either, the
+    // error NAMES the registered graft catalogs (a typo'd catalog name
+    // is the overwhelmingly likely cause)
     val e3 = intercept[Exception] {
       spark.sql("SELECT * FROM graft_history('no.such.cat')")
         .queryExecution.analyzed
     }
-    assert(e3.getMessage.contains("no committed snapshots"), e3.getMessage)
+    assert(e3.getMessage.contains("no committed snapshots") &&
+      e3.getMessage.contains("registered graft catalog") &&
+      e3.getMessage.contains("gnm"), e3.getMessage)
+    // a 2-segment ref resolves against the catalog's DEFAULT namespace
+    // ('gnm.dt' == 'gnm.default.dt'), so the TVF spelling matches what
+    // an unqualified name means under USE gnm
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gnm.default")
+    spark.sql(
+      s"CREATE TABLE gnm.default.dt USING graft OPTIONS (man '$root/man')")
+    assert(spark.sql("SELECT max(version) AS v FROM graft_history('gnm.dt')")
+      .head.getLong(0) == t.committedVersions.max.toLong,
+      "2-segment ref did not resolve through the default namespace")
   }
 
   test("change feed runs from pure SQL text via graft_changes (same rows as cdc)") {

@@ -386,6 +386,176 @@ class GraftDataSourceSpec extends TestBase {
     assert(pruned < all, s"streamed commits did not gain pruning: $pruned/$all")
   }
 
+  test("readChangeFeed startingVersion: resume from a watermark, no snapshot replay; vacuumed start loud") {
+    val (data, man) = freshDirs("cdf_sv")
+    val t = GraftTable(spark, data, man, "o_orderkey")
+    val base = orders.filter(col("o_orderkey") <= 2000)
+    t.create(base, 3)
+    // v2: a merge (updates + inserts); v3: an append
+    val updates = base.filter(col("o_orderkey") <= 300)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+    val inserts = base.filter(col("o_orderkey").between(1, 40))
+      .select((-col("o_orderkey")).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+    val (nUpd, nIns) = (updates.count(), inserts.count())
+    t.commitMerge(updates.unionByName(inserts), 1)
+    t.commitAppend(base.limit(10).select(
+      (col("o_orderkey") + 98000000L).as("o_orderkey"),
+      col("o_custkey"), col("o_totalprice")), 2)
+
+    // start AT v2: deliver commits 2 and 3 as row-level diffs — the
+    // v1 snapshot must NOT replay (that is the option's entire point:
+    // a restarted consumer resumes from its watermark)
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", 2)
+      .load(man)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("op", "_commit_version").collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        got.synchronized { rows.foreach(got += _) }
+      }.start()
+    try {
+      q.processAllAvailable()
+      val byV = got.synchronized(got.groupBy(_._2).view.mapValues(_.size).toMap)
+      assert(!byV.contains(1L), s"startingVersion=2 replayed the snapshot: $byV")
+      assert(byV.get(2L).contains((nUpd + nIns).toInt), s"v2 diff wrong: $byV")
+      assert(byV.get(3L).contains(10), s"v3 diff wrong: $byV")
+      // the stream keeps tailing: a NEW commit still delivers
+      t.commitAppend(base.limit(5).select(
+        (col("o_orderkey") + 99000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice")), 3)
+      q.processAllAvailable()
+      assert(got.synchronized(got.count(_._2 == 4L)) == 5,
+        "post-start commit not delivered")
+    } finally q.stop()
+
+    // startingVersion=1 is the v1-has-no-predecessor case: snapshot 1
+    // delivers as inserts, later commits as diffs — content-complete
+    val got1 = new java.util.concurrent.atomic.AtomicLong(0)
+    val q1 = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", 1)
+      .load(man)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got1.addAndGet(b.count()); ()
+      }.start()
+    try {
+      q1.processAllAvailable()
+      assert(got1.get() == base.count() + (nUpd + nIns) + 10 + 5,
+        s"startingVersion=1 delivered ${got1.get()}")
+    } finally q1.stop()
+
+    // vacuum away v1..v2: a start needing an expired predecessor (or an
+    // expired start itself) fails LOUDLY, never silently re-snapshots
+    t.vacuum(keepFrom = 3, latest = t.committedVersions.max)
+    val q3 = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", 3)
+      .load(man)
+      .writeStream.foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) => () }
+      .start()
+    val e = intercept[Exception] {
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    def full(t: Throwable): String =
+      Option(t.getMessage).getOrElse("") +
+        Option(t.getCause).map(full).getOrElse("")
+    assert(full(e).contains("startingVersion") && full(e).contains("vacuum"),
+      full(e))
+    // and pairing it with the committed-rows stream (no change feed)
+    // is rejected at source construction
+    val e2 = intercept[Exception] {
+      val qb = spark.readStream.format("graft")
+        .option("startingVersion", 2).load(man)
+        .writeStream.foreachBatch {
+          (_: org.apache.spark.sql.DataFrame, _: Long) => () }.start()
+      try qb.processAllAvailable() finally qb.stop()
+    }
+    assert(full(e2).contains("readChangeFeed"), full(e2))
+  }
+
+  test("streaming BY NAME: readStream.table and writeStream.toTable through the catalog") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_ds_named_stream").toString
+    spark.conf.set("spark.sql.catalog.gqs", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gqs.dir", s"$root/catalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gqs.db")
+
+    // ---- read side: the committed-rows stream, by name ----
+    val t = GraftTable(spark, s"$root/data", s"$root/man", "id")
+    t.create((1L to 50L).map(i => (i, i * 2L)).toDF("id", "v"), 2)
+    spark.sql(s"CREATE TABLE gqs.db.t USING graft OPTIONS (man '$root/man')")
+    val seen = scala.collection.mutable.Set[Long]()
+    val q = spark.readStream.table("gqs.db.t")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.select("id").collect().map(_.getLong(0))
+        seen.synchronized { ids.foreach(seen += _) }
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) == (1L to 50L).toSet,
+        s"named stream initial replay delivered ${seen.size} of 50")
+      t.commitAppendOcc((51L to 60L).map(i => (i, i * 2L)).toDF("id", "v"))
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) == (1L to 60L).toSet,
+        "named stream missed the new commit")
+    } finally q.stop()
+
+    // ---- read side: the CHANGE FEED, by name (reader options flow) ----
+    val ops = scala.collection.mutable.ArrayBuffer[String]()
+    val qc = spark.readStream
+      .option("readChangeFeed", "true").option("startingVersion", 2)
+      .table("gqs.db.t")
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val o = b.select("op").collect().map(_.getString(0))
+        ops.synchronized { o.foreach(ops += _) }
+      }.start()
+    try {
+      qc.processAllAvailable()
+      assert(ops.synchronized(ops.size) == 10 &&
+        ops.synchronized(ops.forall(_ == "insert")),
+        s"named CDF stream: ${ops.take(5)} (n=${ops.size})")
+    } finally qc.stop()
+
+    // ---- write side: writeStream.toTable with exactly-once restart ----
+    val srcDir = java.nio.file.Files
+      .createTempDirectory("graft_ds_named_src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ds_named_ckpt").toString
+    spark.sql(
+      s"""CREATE TABLE gqs.db.sink (id BIGINT, v BIGINT) USING graft
+         |OPTIONS (man '$root/man2', data '$root/data2', key 'id')
+         |""".stripMargin)
+    def feed(ids: Range): Unit =
+      ids.map(i => (i.toLong, i * 10L)).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    // .format("graft") is required: toTable's v1 fallback insists the
+    // writer's declared source match the table's provider (the same
+    // contract Delta's toTable carries)
+    def start() = spark.readStream
+      .schema("id LONG, v LONG")
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("appId", "named-sink-spec")
+      .toTable("gqs.db.sink")
+    feed(0 until 30)
+    val qw = start()
+    try qw.processAllAvailable() finally qw.stop()
+    assert(spark.sql("SELECT count(*) AS c FROM gqs.db.sink").head.getLong(0)
+      == 30L)
+    // restart on the SAME checkpoint + appId: replays are tag-detected
+    // no-ops, new data lands — exactly once overall, BY NAME
+    feed(30 until 50)
+    val qw2 = start()
+    try qw2.processAllAvailable() finally qw2.stop()
+    val ids = spark.sql("SELECT id FROM gqs.db.sink").collect()
+      .map(_.getLong(0))
+    assert(ids.length == 50 && ids.toSet == (0L until 50L).toSet,
+      s"expected exactly 0..49 once each, got ${ids.length} rows")
+  }
+
   test("writeStream.format(graft) rejects missing appId and non-append modes") {
     import spark.implicits._
     val (data, man) = freshDirs("wsink_err")
