@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft_snapshot TVF builds, so SELECT ... FROM <name> file-prunes
     // and broadcasts identically; write commands keep their v2 relation
     ext.injectResolutionRule(s => graft.table.GraftV2ExpandRule(s))
+    // SQL UPDATE / MERGE INTO on named graft tables: the resolved
+    // UpdateTable/MergeIntoTable over a GraftV2Table compiles onto the
+    // table's own envelope-pruned MoR-aware rewrite commands (the
+    // Delta Preprocess* shape) — post-hoc, before CheckAnalysis would
+    // reject the nodes as unsupported
+    ext.injectPostHocResolutionRule(s => graft.table.GraftDmlRewrite(s))
     // native as-of join physical operator (AsOfJoinPlan -> AsOfJoinExec);
     // AsOfJoin.asof also self-registers via spark.experimental
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)

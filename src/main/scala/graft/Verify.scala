@@ -13,6 +13,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // the production deployment installs the extensions via config
+      // (spark.sql.extensions=graft.GraftExtensions); the driver
+      // surfaces run the same way so SQL DML (UPDATE/MERGE) and the
+      // prunable named-read path are what gets verified and benched
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -2165,7 +2165,288 @@ object CurationQueries {
       |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 2999
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- 131. SQL row-level DELETE statement (Delta's exact spelling):
+  // `DELETE FROM catalog.ns.t WHERE key BETWEEN a AND b` — the standard
+  // DML a Delta user types, routed through SupportsDeleteV2 to the same
+  // manifest-pruned COW delete as the graft_delete TVF (q126): only the
+  // files whose key boxes intersect the range rewrite, so the statement
+  // costs the envelope at 100 TB. Final state hash-matches the q126
+  // oracle; the deleted count (before-after by name) rides along. ----
+  val q131_sql_delete_stmt: Q = (s, dir) => {
+    val out = RelationalQueries.scratch("q131_layout", dir)
+    val man = RelationalQueries.scratch("q131_manifest", dir)
+    val cat = RelationalQueries.scratch("q131_catalog", dir)
+    s.conf.set("spark.sql.catalog.gq131",
+      classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gq131.dir", cat)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_custkey")
+    GraftTable(s, out, man, "o_orderkey").create(o, 8)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gq131.db")
+    s.sql("DROP TABLE IF EXISTS gq131.db.orders")
+    s.sql(s"CREATE TABLE gq131.db.orders USING graft OPTIONS (man '$man')")
+    val before = s.sql("SELECT count(*) AS c FROM gq131.db.orders")
+      .head.getLong(0)
+    s.sql("DELETE FROM gq131.db.orders WHERE o_orderkey BETWEEN 1000 AND 2999")
+    val after = s.sql("SELECT count(*) AS c FROM gq131.db.orders")
+      .head.getLong(0)
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM gq131.db.orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .withColumn("deleted_rows", lit(before - after))
+  }
+
+  val q131_sql_delete_stmt_sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+      |  (SELECT count(*) FROM orders
+      |   WHERE o_orderkey BETWEEN 1000 AND 2999) AS deleted_rows
+      |FROM orders WHERE o_orderkey NOT BETWEEN 1000 AND 2999
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- 132. GENERAL-predicate DELETE on a NON-key column: the
+  // condition mixes a range on a declared stats column with a modulo
+  // residual no v1 filter can spell — the range conjunct still prunes
+  // (only files whose o_custkey boxes intersect (600, inf) rewrite;
+  // the layout is key-clustered so custkey boxes are loose, but the
+  // pruning CONTRACT is what the oracle pins), and the full condition
+  // (V2 general scalar expressions -> Catalyst) is the row predicate.
+  // SQL three-valued logic and MoR reads are inherited from
+  // commitDelete. ----
+  val q132_predicate_delete: Q = (s, dir) => {
+    val out = RelationalQueries.scratch("q132_layout", dir)
+    val man = RelationalQueries.scratch("q132_manifest", dir)
+    val cat = RelationalQueries.scratch("q132_catalog", dir)
+    s.conf.set("spark.sql.catalog.gq132",
+      classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gq132.dir", cat)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_custkey")
+    GraftTable(s, out, man, "o_orderkey", statsCols = Seq("o_custkey"))
+      .create(o, 8)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gq132.db")
+    s.sql("DROP TABLE IF EXISTS gq132.db.orders")
+    s.sql(s"CREATE TABLE gq132.db.orders USING graft OPTIONS (man '$man')")
+    s.sql("DELETE FROM gq132.db.orders " +
+      "WHERE o_custkey > 600 AND o_custkey % 3 = 0")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+        |FROM gq132.db.orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q132_predicate_delete_sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+      |FROM orders WHERE NOT (o_custkey > 600 AND o_custkey % 3 = 0)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- 133. Atomic CTAS through the catalog (StagingTableCatalog):
+  // `CREATE TABLE name USING graft OPTIONS (...) AS SELECT ...` — the
+  // physical create + clustered write happen UNREGISTERED; the
+  // exclusive .tbl registration is the commit point, so a failed or
+  // raced CTAS leaves no name (the Delta/Iceberg staged-commit shape).
+  // The round-trip read goes back through the same name. ----
+  val q133_ctas: Q = (s, dir) => {
+    val out = RelationalQueries.scratch("q133_layout", dir)
+    val man = RelationalQueries.scratch("q133_manifest", dir)
+    val cat = RelationalQueries.scratch("q133_catalog", dir)
+    s.conf.set("spark.sql.catalog.gq133",
+      classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gq133.dir", cat)
+    t(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_custkey")
+      .createOrReplaceTempView("q133_src")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gq133.db")
+    s.sql("DROP TABLE IF EXISTS gq133.db.sel")
+    // CTAS onto an EXISTING populated manifest would (correctly) append
+    // the query's rows — a re-run must start from a clean slate, so the
+    // scratch physical dirs are wiped like GraftTable.create would
+    Seq(man, out).foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    s.sql(
+      s"""CREATE TABLE gq133.db.sel USING graft
+         |OPTIONS (man '$man', data '$out', key 'o_orderkey')
+         |AS SELECT * FROM q133_src WHERE o_orderkey % 3 = 0""".stripMargin)
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM gq133.db.sel
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q133_ctas_sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+      |FROM orders WHERE o_orderkey % 3 = 0
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- 134. ALTER TABLE ADD COLUMN (schema-evolution DDL): the
+  // widening commits as a layout-identical dataChange=false version
+  // recording the extended schema; pre-ALTER files read the new column
+  // as NULL while a post-ALTER insert round-trips real values — q103's
+  // widening semantics, now reachable as standard DDL by name. ----
+  val q134_alter_add_column: Q = (s, dir) => {
+    val out = RelationalQueries.scratch("q134_layout", dir)
+    val man = RelationalQueries.scratch("q134_manifest", dir)
+    val cat = RelationalQueries.scratch("q134_catalog", dir)
+    s.conf.set("spark.sql.catalog.gq134",
+      classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gq134.dir", cat)
+    val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+    GraftTable(s, out, man, "o_orderkey").create(o, 4)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gq134.db")
+    s.sql("DROP TABLE IF EXISTS gq134.db.orders")
+    s.sql(s"CREATE TABLE gq134.db.orders USING graft OPTIONS (man '$man')")
+    s.sql("ALTER TABLE gq134.db.orders ADD COLUMN flag BIGINT")
+    o.orderBy("o_orderkey").limit(100)
+      .select((col("o_orderkey") + 50000000L).as("o_orderkey"),
+        col("o_orderpriority"), lit(1L).as("flag"))
+      .createOrReplaceTempView("q134_more")
+    s.sql("INSERT INTO gq134.db.orders SELECT * FROM q134_more")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(count(flag) AS BIGINT) AS n_flagged
+        |FROM gq134.db.orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q134_alter_add_column_sql: String =
+    """WITH widened AS (
+      |  SELECT o_orderpriority, CAST(NULL AS BIGINT) AS flag FROM orders
+      |  UNION ALL
+      |  SELECT o_orderpriority, 1 AS flag
+      |  FROM (SELECT * FROM orders ORDER BY o_orderkey LIMIT 100)
+      |)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(count(flag) AS BIGINT) AS n_flagged
+      |FROM widened
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- 135. SQL UPDATE statement: `UPDATE t SET ... WHERE ...` on a
+  // named table (GraftDmlRewrite -> GraftUpdateCommand). The keyed
+  // first update rewrites only its envelope's files; the second
+  // updates on a computed non-key predicate (modulo) — the general
+  // case no v1 filter can spell. Integer-only assignments keep the
+  // oracle exact. ----
+  val q135_sql_update: Q = (s, dir) => {
+    val out = RelationalQueries.scratch("q135_layout", dir)
+    val man = RelationalQueries.scratch("q135_manifest", dir)
+    val cat = RelationalQueries.scratch("q135_catalog", dir)
+    s.conf.set("spark.sql.catalog.gq135",
+      classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gq135.dir", cat)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_custkey")
+    GraftTable(s, out, man, "o_orderkey").create(o, 8)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gq135.db")
+    s.sql("DROP TABLE IF EXISTS gq135.db.orders")
+    s.sql(s"CREATE TABLE gq135.db.orders USING graft OPTIONS (man '$man')")
+    val n1 = s.sql(
+      "UPDATE gq135.db.orders SET o_custkey = o_custkey + 1000000 " +
+        "WHERE o_orderkey BETWEEN 1000 AND 2999").head.getLong(0)
+    val n2 = s.sql(
+      "UPDATE gq135.db.orders SET o_orderpriority = 'X-UPDATED' " +
+        "WHERE o_custkey % 5 = 0").head.getLong(0)
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+        |FROM gq135.db.orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .withColumn("n_keyed", lit(n1)).withColumn("n_pred", lit(n2))
+  }
+
+  val q135_sql_update_sql: String =
+    """WITH u1 AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey BETWEEN 1000 AND 2999
+      |         THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey
+      |  FROM orders
+      |), u2 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_custkey % 5 = 0 THEN 'X-UPDATED'
+      |         ELSE o_orderpriority END AS o_orderpriority,
+      |    o_custkey
+      |  FROM u1
+      |)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+      |  (SELECT count(*) FROM orders
+      |   WHERE o_orderkey BETWEEN 1000 AND 2999) AS n_keyed,
+      |  (SELECT count(*) FROM u1 WHERE o_custkey % 5 = 0) AS n_pred
+      |FROM u2
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- 136. SQL MERGE INTO (the flagship Delta statement): key-equi
+  // upsert with a conditional DELETE clause — first-matching-clause
+  // semantics, source-envelope file pruning, MoR-aware target read,
+  // exact affected_rows. WHEN MATCHED AND k%21=0 DELETE; WHEN MATCHED
+  // UPDATE; WHEN NOT MATCHED INSERT — all against a DuckDB oracle
+  // computing the same relational algebra. ----
+  val q136_merge_into: Q = (s, dir) => {
+    val out = RelationalQueries.scratch("q136_layout", dir)
+    val man = RelationalQueries.scratch("q136_manifest", dir)
+    val cat = RelationalQueries.scratch("q136_catalog", dir)
+    s.conf.set("spark.sql.catalog.gq136",
+      classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gq136.dir", cat)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_custkey")
+    GraftTable(s, out, man, "o_orderkey").create(o, 8)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gq136.db")
+    s.sql("DROP TABLE IF EXISTS gq136.db.orders")
+    s.sql(s"CREATE TABLE gq136.db.orders USING graft OPTIONS (man '$man')")
+    o.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("sid"),
+        (col("o_custkey") + 500).as("nc"), col("o_orderpriority").as("np"))
+      .unionByName(o.filter(col("o_orderkey").between(1, 5))
+        .select((-col("o_orderkey")).as("sid"), col("o_custkey").as("nc"),
+          col("o_orderpriority").as("np")))
+      .createOrReplaceTempView("q136_src")
+    val affected = s.sql(
+      """MERGE INTO gq136.db.orders t USING q136_src s
+        |ON t.o_orderkey = s.sid
+        |WHEN MATCHED AND t.o_orderkey % 21 = 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET o_custkey = s.nc
+        |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority,
+        |  o_custkey) VALUES (s.sid, s.np, s.nc)""".stripMargin)
+      .head.getLong(0)
+    s.sql(
+      """SELECT count(*) AS n_rows, CAST(sum(o_custkey) AS BIGINT)
+        |  AS cust_sum, min(o_orderkey) AS min_key,
+        |  max(o_orderkey) AS max_key
+        |FROM gq136.db.orders""".stripMargin)
+      .withColumn("affected", lit(affected))
+  }
+
+  val q136_merge_into_sql: String =
+    """WITH merged AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 500
+      |         ELSE o_custkey END AS c
+      |  FROM orders WHERE o_orderkey % 21 <> 0
+      |  UNION ALL
+      |  SELECT -o_orderkey, o_custkey FROM orders
+      |  WHERE o_orderkey BETWEEN 1 AND 5
+      |)
+      |SELECT count(*) AS n_rows, CAST(sum(c) AS BIGINT) AS cust_sum,
+      |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+      |  (SELECT count(*) FROM orders WHERE o_orderkey % 7 = 0) + 5
+      |    AS affected
+      |FROM merged""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q135_sql_update" -> q135_sql_update,
+    "q136_merge_into" -> q136_merge_into,
+    "q131_sql_delete_stmt" -> q131_sql_delete_stmt,
+    "q132_predicate_delete" -> q132_predicate_delete,
+    "q133_ctas" -> q133_ctas,
+    "q134_alter_add_column" -> q134_alter_add_column,
     "q125_sql_restore" -> q125_sql_restore,
     "q126_sql_delete" -> q126_sql_delete,
     "q127_double_key_table" -> q127_double_key_table,
@@ -2212,6 +2493,12 @@ object CurationQueries {
     "q68_stratified_sample" -> q68_stratified_sample)
 
   val oracles: Map[String, String] = Map(
+    "q135_sql_update" -> q135_sql_update_sql,
+    "q136_merge_into" -> q136_merge_into_sql,
+    "q131_sql_delete_stmt" -> q131_sql_delete_stmt_sql,
+    "q132_predicate_delete" -> q132_predicate_delete_sql,
+    "q133_ctas" -> q133_ctas_sql,
+    "q134_alter_add_column" -> q134_alter_add_column_sql,
     "q125_sql_restore" -> q125_sql_restore_sql,
     "q126_sql_delete" -> q126_sql_delete_sql,
     "q127_double_key_table" -> q127_double_key_table_sql,

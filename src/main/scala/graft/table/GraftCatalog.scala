@@ -467,6 +467,25 @@ final case class GraftV2Table(ident: String, man: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
+  /** Table shape for `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`:
+    * the manifest path plus everything `_table_props` records — an
+    * operator can recover the physical addresses and declarations from
+    * the NAME alone. */
+  override def properties(): util.Map[String, String] = {
+    val base = Map("man" -> man) ++
+      GraftTable.loadProps(spark, man).toSeq.flatMap { p =>
+        p.key.map("key" -> _).toSeq ++
+          p.data.map("data" -> _).toSeq ++
+          (if (p.statsCols.nonEmpty)
+            Seq("stats" -> p.statsCols.mkString(",")) else Nil) ++
+          (if (p.bloomCols.nonEmpty)
+            Seq("bloom" -> p.bloomCols.mkString(",")) else Nil) ++
+          p.logStore.map("logstore" -> _).toSeq
+      }
+    import scala.jdk.CollectionConverters._
+    base.asJava
+  }
+
   // ---- row-level DELETE (SupportsDeleteV2) --------------------------
 
   /** Always claimable: any pushed predicate either has a Catalyst
@@ -705,6 +724,14 @@ final case class GraftV2ExpandRule(spark: SparkSession)
         d // DELETE's target must STAY a v2 relation: planning routes it
           // to SupportsDelete.deleteWhere, which prunes from the
           // manifest itself — expanding here would orphan the command
+      case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable =>
+        u // UPDATE/MERGE targets likewise stay v2 relations for
+          // GraftDmlRewrite (post-hoc) to compile onto the table's own
+          // envelope-pruned rewrite commands
+      case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+        val s2 = rewrite(m.sourceTable) // the SOURCE still expands to
+                                        // the prunable snapshot plan
+        if (s2 eq m.sourceTable) m else m.copy(sourceTable = s2)
       case r: DataSourceV2Relation => r.table match {
         case t: GraftV2Table => expand(r, t)
         case _ => r

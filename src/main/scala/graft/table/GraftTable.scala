@@ -168,7 +168,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * type); non-empty sides whose box columns differ in type mean the
     * key type changed mid-table — fail loudly (a silent unionByName
     * would coerce long boxes to strings and corrupt skipping forever). */
-  private def unionEntries(prev0: DataFrame, stats0: DataFrame): DataFrame = {
+  private[table] def unionEntries(prev0: DataFrame, stats0: DataFrame): DataFrame = {
     // `dv` (the MoR deletion-vector pointer) is the one OPTIONAL
     // manifest column: fresh stats never carry it and pre-MoR
     // manifests don't either, so a side missing it aligns with a NULL
@@ -509,7 +509,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * unioned through [[unionEntries]], which lets a non-empty side's
     * schema win, so the placeholder type never leaks into a manifest
     * that has real entries. */
-  private def emptyEntries: DataFrame =
+  private[table] def emptyEntries: DataFrame =
     spark.createDataFrame(
       java.util.Collections.emptyList[Row](),
       entriesSchema((key +: statsCols)
@@ -546,7 +546,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * driver (the r12 plan-audit note). `files` is already O(#impacted
     * files) driver-resident manifest planning, so the broadcast costs
     * nothing new. */
-  private def excludeFiles(entries: DataFrame, files: Seq[String])
+  private[table] def excludeFiles(entries: DataFrame, files: Seq[String])
       : DataFrame =
     if (files.isEmpty) entries
     else {

@@ -1,0 +1,256 @@
+package graft.table
+
+import graft.{GraftExtensions, Tables, TestBase}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL `UPDATE` and `MERGE INTO` on named graft tables — the
+  * GraftDmlRewrite path: resolved commands compile onto the table's
+  * envelope-pruned, MoR-aware rewrite primitives. Extensions required
+  * (the Delta contract), so every case runs in an extension session. */
+class GraftDmlSpec extends TestBase {
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_dml").toString
+
+  private def withExtSession(f: SparkSession => Unit): Unit = {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      try f(s2) finally ()
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
+  private def fullMsg(t: Throwable): String =
+    Option(t.getMessage).getOrElse("") +
+      Option(t.getCause).map(fullMsg).getOrElse("")
+
+  private def register(s: SparkSession, cat: String, root: String,
+      man: String): Unit = {
+    s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.dir", s"$root/catalog")
+    s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    s.sql(s"CREATE TABLE $cat.db.t USING graft OPTIONS (man '$man')")
+  }
+
+  test("UPDATE: keyed envelope rewrite, non-key predicate, NULL logic, counts, no-burn") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      // 4 files of 250 keys; v column NULLable for the three-valued case
+      val df = (1L to 1000L).map(i =>
+        (i, if (i % 100 == 0) None else Some(i % 7), i * 2))
+        .toDF("id", "grp", "v")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create(df, 4)
+      register(s, "gu", root, s"$root/man")
+
+      // keyed range UPDATE: only the envelope's file rewrites
+      val v1Files = tbl.files(1).toSet
+      val n1 = s.sql(
+        "UPDATE gu.db.t SET v = v + 1000000 WHERE id BETWEEN 10 AND 20")
+        .head.getLong(0)
+      assert(n1 == 11L, s"updated_rows $n1")
+      val v2Files = tbl.files(2).toSet
+      assert((v1Files & v2Files).size == 3,
+        s"a keyed UPDATE must rewrite only its envelope: ${
+          (v1Files & v2Files).size} of 4 carried forward")
+      assert(s.sql(
+        "SELECT count(*) AS c FROM gu.db.t WHERE v >= 1000000")
+        .head.getLong(0) == 11L)
+
+      // non-key predicate with arithmetic; NULL grp rows must NOT
+      // update (three-valued logic: NULL predicate = not matched)
+      val n2 = s.sql(
+        "UPDATE gu.db.t SET v = -1 WHERE grp % 3 = 1").head.getLong(0)
+      val expect = df.filter(col("grp") % 3 === 1).count()
+      assert(n2 == expect, s"updated $n2 vs $expect")
+      assert(s.sql("SELECT count(*) AS c FROM gu.db.t WHERE v = -1")
+        .head.getLong(0) == expect)
+      assert(s.sql(
+        "SELECT count(*) AS c FROM gu.db.t WHERE grp IS NULL AND v = -1")
+        .head.getLong(0) == 0L, "NULL-predicate rows must survive unchanged")
+
+      // no-match burns no version
+      val before = tbl.committedVersions.max
+      assert(s.sql("UPDATE gu.db.t SET v = 0 WHERE id = -5")
+        .head.getLong(0) == 0L)
+      assert(tbl.committedVersions.max == before)
+
+      // multi-assignment, including the key itself (files re-stat)
+      val n3 = s.sql(
+        "UPDATE gu.db.t SET id = id + 5000, v = 42 WHERE id BETWEEN 1 AND 5")
+        .head.getLong(0)
+      assert(n3 == 5L)
+      assert(s.sql(
+        "SELECT count(*) AS c FROM gu.db.t WHERE id BETWEEN 5001 AND 5005 " +
+          "AND v = 42").head.getLong(0) == 5L)
+    }
+  }
+
+  test("UPDATE reads through the MoR path: masked rows neither update nor resurrect") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      val df = (1L to 300L).map(i => (i, i)).toDF("id", "v")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create(df, 2)
+      // mask every %3 key behind a deletion vector (MoR merge rewrites
+      // them as new rows with v+1000)
+      tbl.commitMergeMor(
+        df.filter(col("id") % 3 === 0).withColumn("v", col("v") + 1000), 1, 2)
+      register(s, "gm", root, s"$root/man")
+      val live = s.sql("SELECT count(*) AS c FROM gm.db.t").head.getLong(0)
+      assert(live == 300L)
+      val n = s.sql("UPDATE gm.db.t SET v = v * -1 WHERE id <= 30")
+        .head.getLong(0)
+      assert(n == 30L, s"updated $n of 30 live rows")
+      // every updated row came from the LIVE content (masked originals
+      // of %3 keys must not leak their pre-MoR v)
+      val bad = s.sql(
+        "SELECT count(*) AS c FROM gm.db.t WHERE id <= 30 AND id % 3 = 0 " +
+          "AND v <> -(id + 1000)").head.getLong(0)
+      assert(bad == 0L, "a masked row's stale value leaked into UPDATE")
+      assert(s.sql("SELECT count(*) AS c FROM gm.db.t").head.getLong(0)
+        == 300L)
+    }
+  }
+
+  test("MERGE INTO: upsert, clause conditions, DELETE, NOT MATCHED BY SOURCE, counts") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      val df = (1L to 400L).map(i => (i, i, "keep")).toDF("id", "v", "tag")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create(df, 4)
+      register(s, "gg", root, s"$root/man")
+      // source: updates for 1..50, inserts 1001..1010
+      ((1L to 50L) ++ (1001L to 1010L)).map(i => (i, i * 10))
+        .toDF("id", "nv").createOrReplaceTempView("src")
+
+      // classic upsert
+      val aff = s.sql(
+        """MERGE INTO gg.db.t t USING src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (s.id, s.nv, 'new')
+          |""".stripMargin).head.getLong(0)
+      assert(aff == 60L, s"affected $aff")
+      assert(s.sql("SELECT count(*) AS c FROM gg.db.t").head.getLong(0)
+        == 410L)
+      assert(s.sql(
+        "SELECT count(*) AS c FROM gg.db.t WHERE id <= 50 AND v = id * 10")
+        .head.getLong(0) == 50L)
+      assert(s.sql(
+        "SELECT count(*) AS c FROM gg.db.t WHERE tag = 'new'")
+        .head.getLong(0) == 10L)
+
+      // clause conditions + DELETE + NOT MATCHED BY SOURCE
+      ((40L to 60L)).map(i => (i, i * 100)).toDF("id", "nv")
+        .createOrReplaceTempView("src2")
+      val aff2 = s.sql(
+        """MERGE INTO gg.db.t t USING src2 s ON t.id = s.id
+          |WHEN MATCHED AND t.id % 2 = 0 THEN UPDATE SET v = s.nv
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED BY SOURCE AND t.id > 1005 THEN DELETE
+          |""".stripMargin).head.getLong(0)
+      // matched 40..60: evens updated (11), odds deleted (10);
+      // unmatched-by-source ids 1006..1010 deleted (5)
+      assert(aff2 == 26L, s"affected $aff2")
+      assert(s.sql(
+        "SELECT count(*) AS c FROM gg.db.t WHERE id BETWEEN 40 AND 60 " +
+          "AND id % 2 = 1").head.getLong(0) == 0L, "odd matched must delete")
+      assert(s.sql(
+        "SELECT count(*) AS c FROM gg.db.t WHERE id BETWEEN 40 AND 60 " +
+          "AND v = id * 100").head.getLong(0) == 11L)
+      assert(s.sql("SELECT count(*) AS c FROM gg.db.t WHERE id > 1005")
+        .head.getLong(0) == 0L)
+
+      // UPDATE SET * / INSERT * (star expansion by name)
+      (s.sql("SELECT id, v, tag FROM gg.db.t WHERE id <= 3")
+        .withColumn("v", col("v") + 7))
+        .unionByName(Seq((2001L, 1L, "star")).toDF("id", "v", "tag"))
+        .createOrReplaceTempView("src3")
+      val aff3 = s.sql(
+        """MERGE INTO gg.db.t t USING src3 s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin).head.getLong(0)
+      assert(aff3 == 4L, s"affected $aff3")
+      assert(s.sql(
+        "SELECT count(*) AS c FROM gg.db.t WHERE id = 2001 AND tag = 'star'")
+        .head.getLong(0) == 1L)
+    }
+  }
+
+  test("MERGE prunes to the source key envelope; misuse is loud") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      val df = (1L to 1000L).map(i => (i, i)).toDF("id", "v")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create(df, 4)
+      register(s, "gp", root, s"$root/man")
+      (10L to 20L).map(i => (i, -i)).toDF("id", "nv")
+        .createOrReplaceTempView("psrc")
+      val v1Files = tbl.files(1).toSet
+      s.sql(
+        """MERGE INTO gp.db.t t USING psrc s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin).collect()
+      val v2Files = tbl.files(2).toSet
+      assert((v1Files & v2Files).size == 3,
+        s"MERGE must rewrite only the source envelope's file: ${
+          (v1Files & v2Files).size} of 4 carried forward")
+
+      // no key-equality in ON: loud, names the key
+      val e1 = intercept[Exception] {
+        s.sql(
+          """MERGE INTO gp.db.t t USING psrc s ON t.v = s.nv
+            |WHEN MATCHED THEN DELETE""".stripMargin).collect()
+      }
+      assert(fullMsg(e1).contains("table key 'id'"), fullMsg(e1))
+
+      // duplicate source keys matching a target row: cardinality loud
+      Seq((15L, 1L), (15L, 2L)).toDF("id", "nv")
+        .createOrReplaceTempView("dupsrc")
+      val e2 = intercept[Exception] {
+        s.sql(
+          """MERGE INTO gp.db.t t USING dupsrc s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin).collect()
+      }
+      assert(fullMsg(e2).contains("cardinality"), fullMsg(e2))
+
+      // an all-miss source burns no version
+      val before = tbl.committedVersions.max
+      Seq((99999L, 0L)).toDF("id", "nv").createOrReplaceTempView("miss")
+      assert(s.sql(
+        """MERGE INTO gp.db.t t USING miss s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+        .head.getLong(0) == 0L)
+      assert(tbl.committedVersions.max == before)
+
+      // residual ON conjuncts narrow the match (key-miss residual rows
+      // become NOT MATCHED and may insert)
+      Seq((30L, 777L)).toDF("id", "nv").createOrReplaceTempView("res")
+      val aff = s.sql(
+        """MERGE INTO gp.db.t t USING res s ON t.id = s.id AND t.v < 0
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (-s.id, s.nv)
+          |""".stripMargin).head.getLong(0)
+      // id=30 exists with v=30 (>0): residual fails -> insert -30
+      assert(aff == 1L)
+      assert(s.sql(
+        "SELECT count(*) AS c FROM gp.db.t WHERE id = -30 AND v = 777")
+        .head.getLong(0) == 1L)
+      assert(s.sql("SELECT v FROM gp.db.t WHERE id = 30").head.getLong(0)
+        == 30L, "residual-failed match must leave the target row alone")
+    }
+  }
+}
