@@ -184,17 +184,26 @@ final class GraftDataSource extends RelationProvider
       require(v >= 1, s"startingVersion must be >= 1, got $v")
       v
     }
+    def posIntOpt(name: String): Option[Int] = opts.get(name).map { s =>
+      val v = s.trim.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"$name must be a positive integer; got '$s'"))
+      require(v > 0, s"$name must be > 0, got $v")
+      v
+    }
     if (wantsChangeFeed(opts))
       new GraftChangeFeedSource(spark, man,
         schema.filter(_.fieldNames.contains("op"))
-          .getOrElse(cdfSchema(spark, man)), startingVersion)
+          .getOrElse(cdfSchema(spark, man)), startingVersion,
+        posIntOpt("maxversionspertrigger"))
     else {
       require(startingVersion.isEmpty,
         "startingVersion is a change-feed option — pair it with " +
           ".option(\"readChangeFeed\", \"true\") (the committed-rows " +
           "stream always begins from the current snapshot)")
       new GraftStreamSource(spark, man,
-        schema.getOrElse(latestSchema(spark, man)))
+        schema.getOrElse(latestSchema(spark, man)),
+        posIntOpt("maxfilespertrigger"))
     }
   }
 
@@ -374,74 +383,157 @@ final class GraftStreamSink(spark: SparkSession, table: GraftTable,
   * rather than silently re-delivering the whole table. Planning per
   * trigger is O(#files) driver-side, the module contract. */
 final class GraftStreamSource(spark: SparkSession, man: String,
-    override val schema: StructType) extends Source {
+    override val schema: StructType,
+    maxFilesPerTrigger: Option[Int] = None) extends Source {
+
+  import GraftStreamSource.Pos
 
   private val probe = GraftTable(spark, data = "", man = man, key = "")
 
-  private def version(o: V1Offset): Int = o.json.trim.toInt
+  /** The last offset this source produced or replayed — what rate
+    * limiting advances FROM. Spark re-initializes a restarted source by
+    * replaying the checkpointed last batch through getBatch before the
+    * first getOffset, so the watermark survives restarts; a fresh
+    * stream starts from "nothing delivered". */
+  private var last: Option[Pos] = None
+
+  private def requireRetained(v: Int): Unit =
+    if (!probe.isCommitted(v))
+      throw new IllegalStateException(
+        s"stream version v=$v of $man no longer exists — vacuum " +
+          "expired it before this consumer caught up; vacuum " +
+          "retention must exceed the slowest consumer's lag")
+
+  /** Version v's fresh-file list for a stream anchored at `anchor`:
+    * the anchor version contributes its FULL snapshot (sorted for a
+    * deterministic, restart-stable slicing order); a later
+    * DATA-CHANGING version contributes its newly referenced files
+    * (the diff against its predecessor — layout-only repacks deliver
+    * nothing but still advance the walk, the OPTIMIZE-under-a-live-
+    * stream contract); manifests are immutable, so the list is the
+    * same on every recomputation. */
+  private def freshList(v: Int, anchor: Int): Seq[String] = {
+    requireRetained(v)
+    if (v == anchor) probe.files(v).sorted
+    else if (!probe.dataChange(v)) Nil
+    else {
+      requireRetained(v - 1)
+      val prev = probe.files(v - 1).toSet
+      probe.files(v).filterNot(prev).sorted
+    }
+  }
 
   override def getOffset: Option[V1Offset] = {
     val vs = probe.committedVersions
-    if (vs.isEmpty) None else Some(LongOffset(vs.max.toLong))
+    if (vs.isEmpty) return None
+    val latest = vs.max
+    val cur = last.getOrElse {
+      // fresh stream: anchor the snapshot at the CURRENT latest and
+      // start with nothing delivered (the first trigger never mixes
+      // the snapshot with later deltas, so the anchor is always
+      // recoverable from the offset itself)
+      Pos(latest, latest, 0)
+    }
+    val target = maxFilesPerTrigger match {
+      case None =>
+        // unlimited: everything through the latest commit
+        if (cur.v >= latest) Pos(cur.anchor, cur.v, freshList(cur.v, cur.anchor).size)
+        else Pos(cur.anchor, latest, freshList(latest, cur.anchor).size)
+      case Some(limit) =>
+        var (v, i) = (cur.v, cur.i)
+        var budget = limit
+        var list = freshList(v, cur.anchor)
+        while (budget > 0 && (i < list.size || v < latest)) {
+          if (i < list.size) {
+            val take = math.min(budget, list.size - i)
+            i += take; budget -= take
+          } else { v += 1; i = 0; list = freshList(v, cur.anchor) }
+        }
+        // close out trailing empty versions so a no-op trigger does not
+        // keep re-offering the same offset with work "pending"
+        while (i == list.size && v < latest &&
+            freshList(v + 1, cur.anchor).isEmpty) {
+          v += 1; list = Nil; i = 0
+        }
+        Pos(cur.anchor, v, i)
+    }
+    last = Some(target)
+    Some(target.offset)
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
-    val vEnd = version(end)
-    // fresh stream on a table carrying deletion vectors: the initial
-    // replay must deliver LIVE rows (DVs applied), not raw files —
-    // incremental batches are unaffected because a commit's NEWLY
-    // referenced files are always DV-free at their own version
-    if (start.isEmpty && probe.hasLiveDvs(vEnd))
-      return org.apache.spark.sql.GraftSqlBridge.asStreaming(spark,
-        probe.readAsOf(vEnd)
-          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
-            .toIndexedSeq: _*))
-    val fresh: Seq[String] = start match {
-      case None => probe.files(vEnd) // fresh stream: replay the snapshot
-      case Some(o) =>
-        // walk (vStart, vEnd] version by version: deliver each
-        // DATA-CHANGING commit's newly referenced files; a layout-only
-        // commit (OPTIMIZE, dataChange=false) re-adds content-identical
-        // repacks, which are skipped but still advance the seen set —
-        // without the walk, a compaction inside the range would
-        // re-deliver every repacked row. Intermediate versions are
-        // retained whenever the start is (vacuum horizons are
-        // contiguous), so a missing one is the same retention failure
-        // as a missing start. O(#versions-in-range x #files) driver
-        // planning per trigger — the module contract, and the range is
-        // 1-2 versions per trigger in steady state.
-        val v0 = version(o)
-        var seen: Set[String] = {
-          if (!probe.isCommitted(v0))
-            throw new IllegalStateException(
-              s"stream start version v=$v0 of $man no longer exists — " +
-                "vacuum expired it before this consumer caught up; vacuum " +
-                "retention must exceed the slowest consumer's lag")
-          probe.files(v0).toSet
-        }
-        val out = Seq.newBuilder[String]
-        ((v0 + 1) to vEnd).foreach { v =>
-          if (!probe.isCommitted(v))
-            throw new IllegalStateException(
-              s"stream version v=$v of $man no longer exists — vacuum " +
-                "expired it before this consumer caught up; vacuum " +
-                "retention must exceed the slowest consumer's lag")
-          val fv = probe.files(v)
-          if (probe.dataChange(v)) out ++= fv.filterNot(seen)
-          seen = fv.toSet
-        }
-        out.result()
-    }
+    val to = Pos.parse(end, probe)
+    val from = start.map(Pos.parse(_, probe))
+    last = Some(to) // restart replay re-establishes the watermark
+    // the slice of each version's fresh list between the two offsets;
+    // planning is O(#versions-in-range x #files) driver-side — the
+    // module contract, 1-2 versions per trigger in steady state
+    val fromV = from.map(_.v).getOrElse(to.anchor)
+    val pieces: Seq[(Int, Seq[String])] = (fromV to to.v).map { v =>
+      val list = freshList(v, to.anchor)
+      val lo = from.filter(_.v == v).map(_.i).getOrElse(0)
+      val hi = if (v == to.v) to.i else list.size
+      v -> list.slice(lo, hi)
+    }.filter(_._2.nonEmpty)
+    val fresh = pieces.flatMap(_._2)
+    // the ANCHOR snapshot may carry live deletion vectors (MoR merges
+    // pending compaction): its files must deliver LIVE rows, per-file
+    // DVs applied; later versions' fresh files are DV-free at their
+    // own version by construction
+    val anchorFiles = pieces.filter(_._1 == to.anchor).flatMap(_._2)
     val batch =
-      if (fresh.nonEmpty) spark.read.schema(schema).parquet(fresh: _*)
-      else spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      if (fresh.isEmpty)
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema)
+      else if (anchorFiles.nonEmpty && probe.hasLiveDvs(to.anchor)) {
+        val anchorDf = probe.readAsOf(to.anchor, anchorFiles)
+          .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq: _*)
+        val rest = fresh.filterNot(anchorFiles.toSet)
+        if (rest.isEmpty) anchorDf
+        else anchorDf.unionByName(spark.read.schema(schema).parquet(rest: _*))
+      } else spark.read.schema(schema).parquet(fresh: _*)
     org.apache.spark.sql.GraftSqlBridge.asStreaming(spark, batch)
   }
 
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftStreamSource[$man]"
+}
+
+object GraftStreamSource {
+  /** Stream position: `anchor` = the snapshot version the stream began
+    * at (its full file list is the stream's first content), `v` = the
+    * version currently being delivered, `i` = how many of v's
+    * fresh-file list (sorted, deterministic) have been delivered.
+    * Encoded as JSON so rate limiting can stop MID-version; legacy
+    * plain-integer offsets (pre-rate-limiting checkpoints) decode as
+    * "version fully delivered, anchored at itself" — the anchor is
+    * only consulted while v == anchor, which a legacy checkpoint is
+    * past by definition. */
+  private[table] final case class Pos(anchor: Int, v: Int, i: Int) {
+    def offset: V1Offset =
+      org.apache.spark.sql.execution.streaming.runtime
+        .SerializedOffset(s"""{"a":$anchor,"v":$v,"i":$i}""")
+  }
+  private[table] object Pos {
+    def parse(o: V1Offset, probe: GraftTable): Pos = {
+      val s = o.json.trim
+      if (s.startsWith("{")) {
+        def field(n: String): Int = {
+          val m = s"""\"$n\":(-?\\d+)""".r.findFirstMatchIn(s).getOrElse(
+            throw new IllegalStateException(s"malformed stream offset $s"))
+          m.group(1).toInt
+        }
+        Pos(field("a"), field("v"), field("i"))
+      } else {
+        // legacy long offset: version fully delivered
+        val v = s.toInt
+        Pos(v, v, probe.files(v).size)
+      }
+    }
+  }
 }
 
 /** ROW-LEVEL change feed as a stream — `spark.readStream.format("graft")
@@ -457,7 +549,8 @@ final class GraftStreamSource(spark: SparkSession, man: String,
   * an expired version fails loudly. */
 final class GraftChangeFeedSource(spark: SparkSession, man: String,
     override val schema: StructType,
-    startingVersion: Option[Int] = None) extends Source {
+    startingVersion: Option[Int] = None,
+    maxVersionsPerTrigger: Option[Int] = None) extends Source {
 
   private val table: GraftTable = {
     val p = GraftTable.loadProps(spark, man)
@@ -497,9 +590,25 @@ final class GraftChangeFeedSource(spark: SparkSession, man: String,
       ps
   }
 
+  /** The last offset delivered — the base maxVersionsPerTrigger
+    * advances from. Spark primes a restarted source by replaying the
+    * checkpointed last batch through getBatch before the first
+    * getOffset, so the watermark survives restarts. */
+  private var lastV: Option[Int] = None
+
   override def getOffset: Option[V1Offset] = {
     val vs = table.committedVersions
-    if (vs.isEmpty) None else Some(LongOffset(vs.max.toLong))
+    if (vs.isEmpty) return None
+    val latest = vs.max
+    val target = (lastV, maxVersionsPerTrigger) match {
+      case (Some(l), Some(n)) => math.min(latest, l + n)
+      case (None, Some(n)) if startingVersion.isDefined =>
+        // resuming from a watermark: the first batch too is bounded
+        math.min(latest, startingVersion.get - 1 + n)
+      case _ => latest // snapshot-mode first batch delivers whole; the
+                       // committed-rows source rate-limits by FILES
+    }
+    Some(LongOffset(target.toLong))
   }
 
   /** Align a cdc/insert-shaped frame to the declared CDF schema (column
@@ -551,6 +660,7 @@ final class GraftChangeFeedSource(spark: SparkSession, man: String,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val vEnd = version(end)
+    lastV = Some(vEnd) // restart replay re-establishes the watermark
     val pieces: Seq[DataFrame] = start match {
       case None => startingVersion match {
         case None => snapshotInserts(vEnd) // Delta's default: snapshot

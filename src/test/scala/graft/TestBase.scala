@@ -5,7 +5,11 @@ import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local SparkSession for all suites (matches the driver's
-  * Verify/Bench session config: UTC, small shuffle partition count). */
+  * Verify/Bench session config: UTC, small shuffle partition count,
+  * and — like those surfaces and the production deployment — the
+  * GraftExtensions installed, so SQL DML (UPDATE/MERGE) plans; suites
+  * that specifically test the extensions-FREE fallback build their own
+  * bare session). */
 trait TestBase extends AnyFunSuite with BeforeAndAfterAll {
 
   lazy val spark: SparkSession = TestBase.session
@@ -18,6 +22,7 @@ object TestBase {
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh").toString)
       .config("spark.sql.shuffle.partitions", "4")

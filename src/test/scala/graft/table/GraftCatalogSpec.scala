@@ -140,24 +140,45 @@ class GraftCatalogSpec extends TestBase {
     }
   }
 
+  /** A session WITHOUT the extensions — the V1Scan fallback path. */
+  private def withBareSession(f: SparkSession => Unit): Unit = {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[4]").getOrCreate()
+      try f(s2) finally ()
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("extensions-FREE sessions still read and write correctly (V1 fallback)") {
-    // the shared TestBase session has no GraftExtensions installed, so
-    // the read goes through the V1Scan fallback — correct, if slower
-    val root = freshRoot()
-    val o = Tables.load(spark, sfDir, "orders")
-      .select("o_orderkey", "o_custkey")
-    GraftTable(spark, s"$root/data", s"$root/man", "o_orderkey").create(o, 4)
-    spark.conf.set("spark.sql.catalog.g4", classOf[GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.g4.dir", s"$root/catalog")
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS g4.default")
-    spark.sql(s"CREATE TABLE g4.default.t USING graft OPTIONS (man '$root/man')")
-    assert(spark.sql(
-      "SELECT count(*) AS c FROM g4.default.t WHERE o_orderkey < 1000")
-      .head.getLong(0) == o.filter(col("o_orderkey") < 1000).count())
-    spark.sql("INSERT INTO g4.default.t " +
-      "SELECT o_orderkey + 5000000, o_custkey FROM g4.default.t")
-    assert(spark.sql("SELECT count(*) AS c FROM g4.default.t").head.getLong(0)
-      == 2 * o.count())
+    withBareSession { s =>
+      val root = freshRoot()
+      val o = Tables.load(s, sfDir, "orders")
+        .select("o_orderkey", "o_custkey")
+      GraftTable(s, s"$root/data", s"$root/man", "o_orderkey").create(o, 4)
+      s.conf.set("spark.sql.catalog.g4", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.g4.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS g4.default")
+      s.sql(s"CREATE TABLE g4.default.t USING graft OPTIONS (man '$root/man')")
+      assert(s.sql(
+        "SELECT count(*) AS c FROM g4.default.t WHERE o_orderkey < 1000")
+        .head.getLong(0) == o.filter(col("o_orderkey") < 1000).count())
+      s.sql("INSERT INTO g4.default.t " +
+        "SELECT o_orderkey + 5000000, o_custkey FROM g4.default.t")
+      assert(s.sql("SELECT count(*) AS c FROM g4.default.t").head.getLong(0)
+        == 2 * o.count())
+      // UPDATE/MERGE are extension-compiled (the Delta contract): a
+      // bare session fails with Spark's own unsupported-operation error
+      val e = intercept[Exception] {
+        s.sql("UPDATE g4.default.t SET o_custkey = 1 WHERE o_orderkey = 1")
+          .collect()
+      }
+      assert(fullMsg(e).contains("UPDATE"), fullMsg(e))
+    }
   }
 
   private def fullMsg(t: Throwable): String =

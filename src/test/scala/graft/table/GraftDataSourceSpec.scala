@@ -556,6 +556,89 @@ class GraftDataSourceSpec extends TestBase {
       s"expected exactly 0..49 once each, got ${ids.length} rows")
   }
 
+  test("maxFilesPerTrigger paces replay and tail; exactly once across restart mid-stream") {
+    import spark.implicits._
+    val (data, man) = freshDirs("rate")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ds_rate_ckpt").toString
+    val t = GraftTable(spark, data, man, "id")
+    // 8-file snapshot + one 2-file append
+    t.create((1L to 800L).map(i => (i, i)).toDF("id", "v"), 8)
+    t.commitAppend((801L to 900L).map(i => (i, i)).toDF("id", "v"), 1, 2)
+
+    val seen = scala.collection.mutable.Set[Long]()
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    def start() = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", 3).load(man)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.select("id").collect().map(_.getLong(0))
+        batchSizes.synchronized { batchSizes += ids.length }
+        seen.synchronized { ids.foreach(seen += _) }
+      }.start()
+    val q = start()
+    try {
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) == (1L to 900L).toSet,
+        s"paced replay delivered ${seen.size} of 900 rows")
+      // 10 files at <=3 per trigger: at least 4 non-empty batches, and
+      // no batch larger than 3 files' worth (3 x 100 rows)
+      val sizes = batchSizes.synchronized(batchSizes.filter(_ > 0).toList)
+      assert(sizes.size >= 4, s"expected paced batches, got $sizes")
+      assert(sizes.forall(_ <= 300L), s"a batch exceeded 3 files: $sizes")
+    } finally q.stop()
+
+    // restart on the same checkpoint: only NEW data delivers
+    t.commitAppendOcc((901L to 950L).map(i => (i, i)).toDF("id", "v"))
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) == (1L to 950L).toSet,
+        "restart lost or re-delivered rows")
+    } finally q2.stop()
+
+    // a compaction mid-stream still delivers nothing (dataChange=false
+    // versions contribute empty fresh lists in the paced walk too)
+    val q3 = start()
+    try {
+      val before = seen.synchronized(seen.size)
+      assert(t.commitCompaction(t.committedVersions.max, 1L << 30) > 1)
+      q3.processAllAvailable()
+      assert(seen.synchronized(seen.size) == before,
+        "paced stream re-delivered repacked rows")
+    } finally q3.stop()
+  }
+
+  test("CDF maxVersionsPerTrigger bounds each micro-batch's commit range") {
+    import spark.implicits._
+    val (data, man) = freshDirs("cdfrate")
+    val t = GraftTable(spark, data, man, "id")
+    t.create((1L to 100L).map(i => (i, i)).toDF("id", "v"), 2)
+    (2 to 5).foreach { k =>
+      t.commitAppend((k * 1000L to k * 1000L + 9)
+        .map(i => (i, i)).toDF("id", "v"), t.committedVersions.max, 1)
+    }
+    val perBatch = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 2)
+      .option("maxVersionsPerTrigger", 1).load(man)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vsb = b.select("_commit_version").collect()
+          .map(_.getLong(0)).toSet
+        perBatch.synchronized { perBatch += vsb }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      val nonEmpty = perBatch.synchronized(perBatch.filter(_.nonEmpty).toList)
+      assert(nonEmpty.map(_.size).forall(_ == 1),
+        s"a batch spanned multiple commits: $nonEmpty")
+      assert(nonEmpty.flatten.toSet == Set(2L, 3L, 4L, 5L),
+        s"commit coverage wrong: $nonEmpty")
+    } finally q.stop()
+  }
+
   test("writeStream.format(graft) rejects missing appId and non-append modes") {
     import spark.implicits._
     val (data, man) = freshDirs("wsink_err")
