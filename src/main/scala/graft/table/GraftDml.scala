@@ -206,6 +206,68 @@ final case class GraftMergeCommand(table: GraftV2Table,
   override val output: Seq[Attribute] =
     Seq(AttributeReference("affected_rows", LongType, nullable = false)())
 
+  /** Star clauses expanded by NAME against the source (the analyzer
+    * usually expands them already; this covers both shapes). */
+  private def starAssigns(): Seq[(String, Expression)] =
+    target.output.map(_.name).map { c =>
+      c -> source.output.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"UPDATE/INSERT * needs source column '$c' (target schema " +
+            s"${target.output.map(_.name).mkString(", ")})"))
+        .asInstanceOf[Expression]
+    }
+
+  private def assignsOf(a: MergeAction): Option[Seq[(String, Expression)]] =
+    a match {
+      case UpdateAction(_, asg, _) =>
+        Some(asg.map(x => GraftDml.assignName(x) -> x.value))
+      case InsertAction(_, asg) =>
+        Some(asg.map(x => GraftDml.assignName(x) -> x.value))
+      case UpdateStarAction(_) | InsertStarAction(_) => Some(starAssigns())
+      case DeleteAction(_) => None
+      case other => throw new UnsupportedOperationException(
+        s"unsupported MERGE action ${other.getClass.getSimpleName}")
+    }
+
+  /** The source projected to the target schema, when this statement is
+    * the CANONICAL upsert routable through the deletion-vector merge —
+    * None otherwise (the COW machinery handles the general case).
+    * Canonical: exactly one unconditional UPDATE and one unconditional
+    * INSERT, no BY SOURCE clauses, no residual ON conjuncts, both
+    * clauses assigning EVERY target column the same source-only
+    * expressions, and the key assignment agreeing with the ON key
+    * (commitMergeMor joins on the batch's key column). */
+  private def morUpsertBatch(spark: SparkSession, t: GraftTable,
+      srcDf0: org.apache.spark.sql.DataFrame,
+      srcRenames: Map[ExprId, String], srcKeyExpr: Expression,
+      residual: Seq[Expression], srcSet: AttributeSet)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    import GraftDml.rebind
+    val mode = spark.conf.get("spark.graft.merge.mode", "cow")
+    require(mode == "cow" || mode == "mor",
+      s"spark.graft.merge.mode must be cow or mor; got '$mode'")
+    if (mode != "mor") return None
+    val canonical = (matchedActions, notMatchedActions,
+        notMatchedBySourceActions, residual) match {
+      case (Seq(u), Seq(ins), Seq(), Seq())
+          if u.condition.isEmpty && ins.condition.isEmpty =>
+        for {
+          ua <- assignsOf(u); ia <- assignsOf(ins)
+          uaM = ua.toMap; iaM = ia.toMap
+          tgtNames = target.output.map(_.name)
+          if uaM.keySet == tgtNames.toSet && iaM.keySet == tgtNames.toSet
+          if tgtNames.forall(c => uaM(c).semanticEquals(iaM(c)))
+          if uaM.values.forall(_.references.subsetOf(srcSet))
+          if uaM(t.key).semanticEquals(srcKeyExpr)
+        } yield uaM
+      case _ => None
+    }
+    canonical.map { sets =>
+      srcDf0.select(target.output.toIndexedSeq.map(a =>
+        rebind(sets(a.name), srcRenames).cast(a.dataType).as(a.name)): _*)
+    }
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     import GraftDml._
     val t = maintenance(spark, table)
@@ -240,10 +302,32 @@ final case class GraftMergeCommand(table: GraftV2Table,
     val srcRenames: Map[ExprId, String] = source.output.zipWithIndex
       .map { case (a, i) => a.exprId -> s"__s$i" }.toMap
     val srcDf0 = GraftSqlBridge.ofRows(spark, source)
-    val srcDf = srcDf0
       .toDF(source.output.indices.map(i => s"__s$i"): _*)
+    val srcDf = srcDf0
       .withColumn("__src_key", rebind(srcKeyExpr, srcRenames))
       .withColumn("__s", lit(true))
+
+    // MERGE-ON-READ routing: under spark.graft.merge.mode=mor, the
+    // CANONICAL upsert (unconditional UPDATE + INSERT assigning every
+    // target column the SAME source-only expressions, no residual ON
+    // conjuncts, no BY SOURCE clauses) is semantically
+    // `commitMergeMor(f(source))` — per-statement write cost O(source
+    // churn) instead of COW's O(envelope bytes), the feasibility line
+    // for continuous upserts on a uniformly-keyed 100 TB table. A
+    // non-canonical statement under mor mode falls back to COW (the
+    // mode is a performance hint, never a semantics change).
+    morUpsertBatch(spark, t, srcDf0, srcRenames, srcKeyExpr, residual,
+      srcSet).foreach { batch =>
+      val dupKeys = batch.groupBy(col(t.key)).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count()
+      require(dupKeys == 0L,
+        "MERGE cardinality violation: a target row matched more than " +
+          "one source row — deduplicate the source on the merge key")
+      val n = batch.count()
+      if (n == 0L) return Seq(Row(0L))
+      t.commitMergeMor(batch, base, 2)
+      return Seq(Row(n))
+    }
     val keyDt = {
       val sch = t.versionSchema(base)
       sch.flatMap(s => s.fields.find(_.name == t.key).map(_.dataType))
@@ -317,26 +401,6 @@ final case class GraftMergeCommand(table: GraftV2Table,
         Option(counts.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L)
       if (affected == 0L) return Seq(Row(0L)) // nothing applied: no burn
 
-      // star clauses expand by NAME against the source (the analyzer
-      // usually expands them already; this covers both shapes)
-      def starAssigns(): Seq[(String, Expression)] = tgtCols.map { c =>
-        c -> source.output.find(_.name == c).getOrElse(
-          throw new IllegalArgumentException(
-            s"UPDATE/INSERT * needs source column '$c' (target schema " +
-              s"${tgtCols.mkString(", ")})")).asInstanceOf[Expression]
-      }
-      def assignsOf(a: MergeAction): Option[Seq[(String, Expression)]] =
-        a match {
-          case UpdateAction(_, asg, _) =>
-            Some(asg.map(x => assignName(x) -> x.value))
-          case InsertAction(_, asg) =>
-            Some(asg.map(x => assignName(x) -> x.value))
-          case UpdateStarAction(_) | InsertStarAction(_) =>
-            Some(starAssigns())
-          case DeleteAction(_) => None
-          case other => throw new UnsupportedOperationException(
-            s"unsupported MERGE action ${other.getClass.getSimpleName}")
-        }
       val updCases: Seq[(Int, Map[String, Expression])] =
         (matchedActions.zipWithIndex.map { case (a, i) => (i + 1, a) } ++
           notMatchedBySourceActions.zipWithIndex.map { case (a, i) =>

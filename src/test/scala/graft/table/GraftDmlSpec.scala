@@ -190,6 +190,64 @@ class GraftDmlSpec extends TestBase {
     }
   }
 
+  test("merge.mode=mor routes the canonical upsert through deletion vectors") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      val df = (1L to 2000L).map(i => (i, i, "t")).toDF("id", "v", "tag")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create(df, 8)
+      register(s, "gmo", root, s"$root/man")
+      // scattered keys (every 7th) make COW worst-case: its envelope
+      // spans every file — the exact shape MoR exists for
+      ((1L to 2000L).filter(_ % 7 == 0).map(i => (i, i * 10, "u")) ++
+        Seq((3001L, 1L, "n"), (3002L, 2L, "n")))
+        .toDF("id", "nv", "ntag").createOrReplaceTempView("morsrc")
+      val v1Files = tbl.files(1).toSet
+      s.conf.set("spark.graft.merge.mode", "mor")
+      try {
+        val aff = s.sql(
+          """MERGE INTO gmo.db.t t USING morsrc s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET id = s.id, v = s.nv, tag = s.ntag
+            |WHEN NOT MATCHED THEN INSERT (id, v, tag)
+            |  VALUES (s.id, s.nv, s.ntag)""".stripMargin).head.getLong(0)
+        assert(aff == 2000L / 7 + 2, s"affected $aff")
+        // NO pre-existing file was rewritten: every v1 file survives
+        // into v2 by name (the DVs mask, the batch appends)
+        assert((v1Files -- tbl.files(2).toSet).isEmpty,
+          "mor-mode MERGE rewrote pre-existing files")
+        assert(tbl.hasLiveDvs(2), "mor-mode MERGE left no deletion vector")
+        // content equals the COW semantics exactly
+        val got = s.sql("SELECT count(*) AS n, sum(v) AS sv FROM gmo.db.t")
+          .head
+        val expV = (1L to 2000L).map(i =>
+          if (i % 7 == 0) i * 10 else i).sum + 1L + 2L
+        assert(got.getLong(0) == 2002L && got.getLong(1) == expV,
+          s"mor-mode MERGE content drift: $got")
+        // duplicate source keys still fail the cardinality rule
+        Seq((14L, 1L, "x"), (14L, 2L, "y")).toDF("id", "nv", "ntag")
+          .createOrReplaceTempView("mordup")
+        val e = intercept[Exception] {
+          s.sql("""MERGE INTO gmo.db.t t USING mordup s ON t.id = s.id
+              |WHEN MATCHED THEN UPDATE SET id = s.id, v = s.nv, tag = s.ntag
+              |WHEN NOT MATCHED THEN INSERT (id, v, tag)
+              |  VALUES (s.id, s.nv, s.ntag)""".stripMargin).collect()
+        }
+        assert(fullMsg(e).contains("cardinality"), fullMsg(e))
+        // a NON-canonical statement under mor mode falls back to COW
+        // with identical semantics (the mode is a hint, never a change)
+        Seq((21L, 0L)).toDF("id", "nv").createOrReplaceTempView("morcond")
+        val aff2 = s.sql(
+          """MERGE INTO gmo.db.t t USING morcond s ON t.id = s.id
+            |WHEN MATCHED AND t.v > 100 THEN UPDATE SET v = s.nv
+            |""".stripMargin).head.getLong(0)
+        assert(aff2 == 1L)
+        assert(s.sql("SELECT v FROM gmo.db.t WHERE id = 21").head.getLong(0)
+          == 0L)
+      } finally s.conf.unset("spark.graft.merge.mode")
+    }
+  }
+
   test("MERGE prunes to the source key envelope; misuse is loud") {
     withExtSession { s =>
       val root = freshRoot()
