@@ -672,12 +672,18 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     // after a commitMergeMor leaves live DVs on an impacted file, a raw
     // parquet read would resurrect the masked rows as live survivors —
     // the rewrite must start from the file's EFFECTIVE content
+    // allowMissingColumns: the survivors carry the snapshot's RECORDED
+    // schema, which a widening (ALTER ADD COLUMN / an earlier widening
+    // append) may have grown past the batch's — the batch's missing
+    // columns NULL-backfill, exactly the append path's evolution
+    // semantics; symmetrically a WIDENING batch NULL-backfills the
+    // survivors (evolvedSchemaDdl records the union either way)
     val replacement =
       (if (impacted.isEmpty) batch.limit(0)
        else morRead(impactedRows.map(r => (r.getAs[String]("file"),
            entryDv(r))).toSeq, versionSchema(prevV))
          .join(batch.select(key).distinct(), Seq(key), "left_anti"))
-        .unionByName(batch)
+        .unionByName(batch, allowMissingColumns = true)
     val added = stagedAppend(replacement, nParts)
     val stats = if (added.isEmpty) emptyEntries else fileStats(added)
     // rebase bookkeeping tracks (file, deletion-vector) PAIRS, not file

@@ -77,9 +77,12 @@ class TableInvariantSpec extends TestBase {
           (math.min(x, y), math.max(x, y))
         }
         val (kept, _) = t.prune(latest, a, b)
+        // MoR-aware pruned read: kept files may carry deletion vectors
+        // (the fuzz mixes commitMergeMor in), so the slice must read
+        // through readAsOf, never a raw parquet scan
         val got =
           if (kept.isEmpty) Map.empty[Long, (Long, String)]
-          else readModel(spark.read.parquet(kept: _*)
+          else readModel(t.readAsOf(latest, kept)
             .filter(col("id").between(a, b)))
         assert(got == m.filter { case (id, _) => id >= a && id <= b },
           s"seed=$seed v=$latest: prune($a,$b) read != model slice")
@@ -104,15 +107,16 @@ class TableInvariantSpec extends TestBase {
       m
     }
 
+    var widened = 0
     (0 until nOps).foreach { _ =>
       val m = models(latest)
-      rnd.nextInt(10) match {
+      rnd.nextInt(14) match {
         case i if i <= 3 => // append fresh rows
           val batch = freshRows(1 + rnd.nextInt(40))
           t.commitAppend(toDf(batch), latest, 1 + rnd.nextInt(3))
           latest += 1
           models += latest -> (m ++ batch)
-        case i if i <= 6 && m.nonEmpty => // merge: updates + inserts
+        case i if i <= 6 && m.nonEmpty => // COW merge: updates + inserts
           val upd = rnd.shuffle(m.keys.toSeq)
             .take(1 + rnd.nextInt(math.max(1, m.size / 3)))
             .map(id => id -> (rnd.nextLong(1000000L), s"u${rnd.nextInt(1000)}"))
@@ -123,7 +127,19 @@ class TableInvariantSpec extends TestBase {
           // 4. the change feed's algebra closes over the commit
           assert(applyCdc(models(vFrom), vFrom, latest) == models(latest),
             s"seed=$seed: cdc($vFrom,$latest) replay != model")
-        case i if i <= 8 => // OPTIMIZE: content-identical new snapshot
+        case 7 if m.nonEmpty => // MoR merge: same semantics, DV writes —
+          // the COW/DELETE/OPTIMIZE ops that follow must compose with
+          // the live deletion vectors it leaves behind
+          val upd = rnd.shuffle(m.keys.toSeq)
+            .take(1 + rnd.nextInt(math.max(1, m.size / 3)))
+            .map(id => id -> (rnd.nextLong(1000000L), s"m${rnd.nextInt(1000)}"))
+          val ins = freshRows(rnd.nextInt(10))
+          t.commitMergeMor(toDf(upd ++ ins), latest, 1 + rnd.nextInt(3))
+          val vFrom = latest; latest += 1
+          models += latest -> (m ++ upd ++ ins)
+          assert(applyCdc(models(vFrom), vFrom, latest) == models(latest),
+            s"seed=$seed: MoR cdc($vFrom,$latest) replay != model")
+        case i if i <= 9 => // OPTIMIZE: content-identical new snapshot
           val packed = t.commitCompaction(latest, targetBytes = 1L << 30)
           if (packed > 0) {
             latest += 1
@@ -131,6 +147,44 @@ class TableInvariantSpec extends TestBase {
             assert(!t.dataChange(latest),
               s"seed=$seed: compaction v=$latest missing the no-data marker")
           }
+        case i if i <= 11 && m.nonEmpty => // general-predicate DELETE
+          import org.apache.spark.sql.{sources => sf}
+          // alternate between a KEY range (box-pruned) and a range on
+          // the v2 STATS column (non-key pruning + morRead rewrite)
+          val (filters, doomed: (((Long, (Long, String))) => Boolean)) =
+            if (rnd.nextBoolean()) {
+              val ids = m.keys.toSeq
+              val x = ids(rnd.nextInt(ids.size)); val y = ids(rnd.nextInt(ids.size))
+              val (a, b) = (math.min(x, y), math.max(x, y))
+              (Seq(sf.GreaterThanOrEqual("id", a), sf.LessThanOrEqual("id", b)),
+                (kv: (Long, (Long, String))) => kv._1 >= a && kv._1 <= b)
+            } else {
+              val a = rnd.nextLong(1000000L)
+              val b = math.min(999999L, a + rnd.nextLong(300000L))
+              (Seq(sf.GreaterThanOrEqual("v2", a), sf.LessThanOrEqual("v2", b)),
+                (kv: (Long, (Long, String))) => kv._2._1 >= a && kv._2._1 <= b)
+            }
+          val expect = m.count(doomed)
+          val nDel = t.commitDelete(filters, latest)
+          assert(nDel == expect,
+            s"seed=$seed: commitDelete removed $nDel, model says $expect")
+          if (nDel > 0) { // a no-match delete burns no version
+            latest += 1
+            models += latest -> m.filterNot(doomed)
+          } else assert(t.committedVersions.max == latest,
+            s"seed=$seed: no-match delete burned a version")
+        case 12 => // ADD COLUMN: layout-identical widening commit
+          val base = t.versionSchema(latest).get
+          widened += 1
+          val v = t.commitWidenSchema(org.apache.spark.sql.types.StructType(
+            base.fields :+ org.apache.spark.sql.types.StructField(
+              s"w$widened", org.apache.spark.sql.types.LongType)), latest)
+          latest = v
+          models += latest -> m // content identical; new col NULL-backfills
+          assert(!t.dataChange(latest),
+            s"seed=$seed: widening v=$latest missing the no-data marker")
+          assert(t.readAsOf(latest).schema.fieldNames.contains(s"w$widened"),
+            s"seed=$seed: widened column w$widened not visible")
         case _ => // vacuum: drop history behind a random retained floor
           val keepFrom = models.keys.toSeq.sorted
             .drop(rnd.nextInt(models.size))(0)
