@@ -412,16 +412,24 @@ final class GraftStreamSource(spark: SparkSession, man: String,
     * nothing but still advance the walk, the OPTIMIZE-under-a-live-
     * stream contract); manifests are immutable, so the list is the
     * same on every recomputation. */
-  private def freshList(v: Int, anchor: Int): Seq[String] = {
-    requireRetained(v)
-    if (v == anchor) probe.files(v).sorted
-    else if (!probe.dataChange(v)) Nil
-    else {
-      requireRetained(v - 1)
-      val prev = probe.files(v - 1).toSet
-      probe.files(v).filterNot(prev).sorted
-    }
-  }
+  private val freshMemo =
+    scala.collection.mutable.LinkedHashMap[(Int, Int), Seq[String]]()
+
+  private def freshList(v: Int, anchor: Int): Seq[String] =
+    freshMemo.getOrElseUpdate((v, anchor), {
+      // manifests are immutable once committed, so memoizing is safe;
+      // the bound keeps a paced multi-version walk from re-reading
+      // each manifest on every trigger while staying O(1) memory
+      if (freshMemo.size > 8) freshMemo.remove(freshMemo.head._1)
+      requireRetained(v)
+      if (v == anchor) probe.files(v).sorted
+      else if (!probe.dataChange(v)) Nil
+      else {
+        requireRetained(v - 1)
+        val prev = probe.files(v - 1).toSet
+        probe.files(v).filterNot(prev).sorted
+      }
+    })
 
   override def getOffset: Option[V1Offset] = {
     val vs = probe.committedVersions

@@ -386,12 +386,20 @@ final case class GraftMergeCommand(table: GraftV2Table,
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // SQL cardinality rule: a target row matched by >1 source row is
-      // an error, never a silent pick
-      val dup = joined.filter(isMatched).groupBy("__tid")
+      // an error, never a silent pick. Fast path first: duplicate
+      // source KEYS are a precondition for any violation, and that
+      // check is one small agg over the SOURCE — only when dup keys
+      // exist does the exact (residual-aware) per-target-row check run
+      // over the join result
+      val dupKeys = srcDf.groupBy("__src_key")
         .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
-      require(dup == 0L,
-        "MERGE cardinality violation: a target row matched more than " +
-          "one source row — deduplicate the source on the merge key")
+      if (dupKeys > 0L) {
+        val dup = joined.filter(isMatched).groupBy("__tid")
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1).limit(1).count()
+        require(dup == 0L,
+          "MERGE cardinality violation: a target row matched more than " +
+            "one source row — deduplicate the source on the merge key")
+      }
 
       val counts = joined.agg(
         sum(when(col("__act") > 0, 1L).otherwise(0L)),
