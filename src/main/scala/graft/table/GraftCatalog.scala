@@ -314,6 +314,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   private[table] def commitStaged(ident: Identifier, man: String): Unit =
     register(ident, man)
 
+  /** REPLACE cannot be atomic here: the physical create is destructive
+    * on its target dirs, so an atomic swap would need a second
+    * manifest location plus registry repointing — spell it as the
+    * explicit two steps instead of pretending. */
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    throw new UnsupportedOperationException(
+      s"REPLACE TABLE is not supported on graft tables — run DROP TABLE " +
+        s"$ident (the mapping only; data stays) then CREATE TABLE ... " +
+        "AS SELECT with fresh man/data dirs, or INSERT OVERWRITE to " +
+        "recreate content in place")
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    if (!tableExists(ident)) stageCreate(ident, schema, partitions, properties)
+    else stageReplace(ident, schema, partitions, properties)
+
   /** ADD COLUMN(S) — the DDL face of the format's append-time schema
     * evolution: a layout-identical commit records the widened schema
     * ([[GraftTable.commitWidenSchema]]); existing files read the new

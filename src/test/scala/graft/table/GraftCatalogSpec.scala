@@ -413,6 +413,17 @@ class GraftCatalogSpec extends TestBase {
       assert(fullMsg(e).toLowerCase.contains("exists"), fullMsg(e))
       assert(s.sql("SELECT count(*) AS c FROM gc.db.t").head.getLong(0)
         == expect)
+      // CREATE OR REPLACE on a taken name: the loud two-step spelling
+      // (an atomic in-place replace would need a second manifest
+      // location; never pretend)
+      val er = intercept[Exception] {
+        s.sql(s"""CREATE OR REPLACE TABLE gc.db.t USING graft
+             |OPTIONS (man '$root/man3', data '$root/data3',
+             |  key 'o_orderkey')
+             |AS SELECT * FROM ctas_src""".stripMargin)
+      }
+      assert(fullMsg(er).contains("REPLACE TABLE is not supported"),
+        fullMsg(er))
       // a FAILED CTAS (NULL key rejected by the stats scan) leaves NO
       // registered name and reclaims its fresh physical dirs
       s.sql("SELECT CAST(NULL AS BIGINT) AS k, 'x' AS v")
