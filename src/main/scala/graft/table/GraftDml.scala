@@ -87,13 +87,23 @@ private[table] object GraftDml extends PredicateHelper {
     * against a freshly-read DataFrame: attribute references lose their
     * exprIds (the new scan has new ones) and become quoted unresolved
     * names, optionally renamed (the merge join renames source columns
-    * to collision-proof `__sN`). */
+    * to collision-proof `__sN`). Subqueries are rejected LOUDLY — they
+    * were planned against the original relation and cannot survive the
+    * rebinding (the same restriction Delta's UPDATE/MERGE carry);
+    * rewrite them as a join in the source. */
   def rebind(e: Expression, renames: Map[ExprId, String] = Map.empty)
-      : Column =
+      : Column = {
+    if (org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+        .hasSubquery(e))
+      throw new UnsupportedOperationException(
+        s"subqueries are not supported in graft UPDATE/MERGE conditions " +
+          s"or assignments (got '$e') — rewrite the subquery as a join " +
+          "in the MERGE source, or pre-compute it into a temp view")
     GraftSqlBridge.column(e.transform {
       case a: AttributeReference =>
         UnresolvedAttribute.quoted(renames.getOrElse(a.exprId, a.name))
     })
+  }
 
   def conjuncts(e: Expression): Seq[Expression] =
     splitConjunctivePredicates(e)

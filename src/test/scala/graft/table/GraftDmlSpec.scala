@@ -285,6 +285,14 @@ class GraftDmlSpec extends TestBase {
       }
       assert(fullMsg(e2).contains("cardinality"), fullMsg(e2))
 
+      // subqueries in DML expressions are rejected loudly (they cannot
+      // survive the rebinding — the Delta restriction)
+      val e3 = intercept[Exception] {
+        s.sql("UPDATE gp.db.t SET v = 0 WHERE id IN (SELECT id FROM psrc)")
+          .collect()
+      }
+      assert(fullMsg(e3).toLowerCase.contains("subquer"), fullMsg(e3))
+
       // an all-miss source burns no version
       val before = tbl.committedVersions.max
       Seq((99999L, 0L)).toDF("id", "nv").createOrReplaceTempView("miss")
