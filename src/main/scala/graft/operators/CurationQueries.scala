@@ -2440,7 +2440,60 @@ object CurationQueries {
       |    AS affected
       |FROM merged""".stripMargin
 
+  // ---- 137. CHECK constraints (Delta's ADD CONSTRAINT): write-time
+  // data-quality gates recorded in the table's props and enforced
+  // inside EVERY commit path's stats scan — the one distributed pass
+  // each commit already runs over its newly-written files, so
+  // enforcement costs agg columns, not an extra scan. A violating
+  // batch is rejected ATOMICALLY (no version burns, nothing lands —
+  // at 100 TB a half-landed corrupt batch is the outage that matters);
+  // the query proves the rejected batch left no trace by hash-matching
+  // the constrained table's final content against the clean oracle,
+  // with the rejection itself pinned by the rejected_batches column
+  // (enforcement silently passing would read 0 ≠ the oracle's 1). ----
+  val q137_check_constraint: Q = (s, dir) => {
+    val out = RelationalQueries.scratch("q137_layout", dir)
+    val man = RelationalQueries.scratch("q137_manifest", dir)
+    val cat = RelationalQueries.scratch("q137_catalog", dir)
+    s.conf.set("spark.sql.catalog.gq137",
+      classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gq137.dir", cat)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_custkey")
+    GraftTable(s, out, man, "o_orderkey",
+      checks = Seq("cust_pos" -> "o_custkey >= 0"))
+      .create(o.filter(col("o_orderkey") % 2 === 0), 8)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gq137.db")
+    s.sql("DROP TABLE IF EXISTS gq137.db.orders")
+    s.sql(s"CREATE TABLE gq137.db.orders USING graft OPTIONS (man '$man')")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .createOrReplaceTempView("q137_odd")
+    // a batch with corrupted custkeys: rejected whole, by name
+    val rejected =
+      try {
+        s.sql("INSERT INTO gq137.db.orders SELECT o_orderkey + 100000000, " +
+          "o_orderpriority, -o_custkey - 1 FROM q137_odd")
+        0L
+      } catch { case _: Exception => 1L }
+    // the clean half lands; final content = the full corpus
+    s.sql("INSERT INTO gq137.db.orders SELECT * FROM q137_odd")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+        |FROM gq137.db.orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .withColumn("rejected_batches", lit(rejected))
+  }
+
+  val q137_check_constraint_sql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+      |  1 AS rejected_batches
+      |FROM orders
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q137_check_constraint" -> q137_check_constraint,
     "q135_sql_update" -> q135_sql_update,
     "q136_merge_into" -> q136_merge_into,
     "q131_sql_delete_stmt" -> q131_sql_delete_stmt,
@@ -2493,6 +2546,7 @@ object CurationQueries {
     "q68_stratified_sample" -> q68_stratified_sample)
 
   val oracles: Map[String, String] = Map(
+    "q137_check_constraint" -> q137_check_constraint_sql,
     "q135_sql_update" -> q135_sql_update_sql,
     "q136_merge_into" -> q136_merge_into_sql,
     "q131_sql_delete_stmt" -> q131_sql_delete_stmt_sql,

@@ -4,6 +4,7 @@ import java.util
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, lit, sum, when}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
   NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces,
@@ -241,10 +242,30 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val man = opt("man").getOrElse(throw new IllegalArgumentException(
       "CREATE TABLE ... USING graft needs OPTIONS (man '<manifest dir>') " +
         "— plus data/key when the manifest does not already exist"))
+    // CHECK constraints: OPTIONS ('check.<name>' '<boolean expr>') —
+    // names normalize to lowercase (option keys are case-insensitive
+    // on the format surface too); validated by createEmpty against the
+    // CREATE's declared schema, enforced by every commit's stats scan
+    val checks = props.toSeq.flatMap { case (k0, v) =>
+      val k = k0.toLowerCase(java.util.Locale.ROOT)
+      val name =
+        if (k.startsWith(TableCatalog.OPTION_PREFIX + "check."))
+          Some(k.stripPrefix(TableCatalog.OPTION_PREFIX + "check."))
+        else if (k.startsWith("check.")) Some(k.stripPrefix("check."))
+        else None
+      name.filter(_ => v.trim.nonEmpty).map(_ -> v.trim)
+    }.sortBy(_._1)
     val exists = GraftTable.loadProps(spark, man).isDefined &&
       GraftTable(spark, data = "", man = man, key = "")
         .committedVersions.nonEmpty
-    val newTable = if (exists) None else {
+    val newTable = if (exists) {
+      require(checks.isEmpty,
+        s"a graft table already exists at $man — this CREATE only " +
+          "registers the name, so declare constraints on the table " +
+          "itself with ALTER TABLE ... SET TBLPROPERTIES " +
+          "('check.<name>' = '<boolean expr>')")
+      None
+    } else {
       val key = opt("key").getOrElse(throw new IllegalArgumentException(
         s"no graft table exists at $man yet — creating one needs " +
           "OPTIONS (key '<cluster/skip column>', data '<data dir>')"))
@@ -253,7 +274,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           "OPTIONS (data '<data dir>')"))
       def list(k: String) = opt(k).toSeq.flatMap(_.split(","))
         .map(_.trim).filter(_.nonEmpty)
-      Some(GraftTable(spark, data, man, key, list("stats"), list("bloom")))
+      Some(GraftTable(spark, data, man, key, list("stats"), list("bloom"),
+        checks = checks))
     }
     (man, newTable)
   }
@@ -336,18 +358,38 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** ADD COLUMN(S) — the DDL face of the format's append-time schema
     * evolution: a layout-identical commit records the widened schema
     * ([[GraftTable.commitWidenSchema]]); existing files read the new
-    * columns as NULL (q103 semantics), no data byte moves. Every other
-    * TableChange is rejected loudly — narrowing/retyping would make
-    * committed manifests lie about their files, and renames would
-    * break the box/bloom column bindings. */
+    * columns as NULL (q103 semantics), no data byte moves.
+    *
+    * SET/UNSET TBLPROPERTIES ('check.<name>' [= '<boolean expr>']) —
+    * CHECK constraints after creation: SET validates the expression
+    * (parse / BOOLEAN type / known columns / no subquery) AND that no
+    * EXISTING row violates it (one distributed MoR-aware scan of the
+    * current snapshot — adding a constraint the data already breaks
+    * would make every future write fail), then records it in
+    * `_table_props`; UNSET drops it (idempotent). Enforcement lives in
+    * every commit path's stats scan ([[GraftTable.fileStats]]).
+    *
+    * Every other TableChange is rejected loudly — narrowing/retyping
+    * would make committed manifests lie about their files, and renames
+    * would break the box/bloom column bindings. */
   override def alterTable(ident: Identifier,
       changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
     import org.apache.spark.sql.connector.catalog.TableChange
     val man = manOf(ident)
-    val adds = changes.map {
-      case a: TableChange.AddColumn => a
+    val adds = scala.collection.mutable.ArrayBuffer.empty[TableChange.AddColumn]
+    val setChecks = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val unsetChecks = scala.collection.mutable.ArrayBuffer.empty[String]
+    changes.foreach {
+      case a: TableChange.AddColumn => adds += a
+      case sp: TableChange.SetProperty
+          if sp.property.startsWith("check.") =>
+        setChecks += sp.property.stripPrefix("check.") -> sp.value.trim
+      case rp: TableChange.RemoveProperty
+          if rp.property.startsWith("check.") =>
+        unsetChecks += rp.property.stripPrefix("check.")
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE on a graft table supports ADD COLUMN(S) only — " +
+        s"ALTER TABLE on a graft table supports ADD COLUMN(S) and " +
+          "SET/UNSET TBLPROPERTIES ('check.<name>' ...) only — " +
           s"got ${other.getClass.getSimpleName}; the table's key/stats/" +
           "bloom bindings and committed boxes are fixed at creation")
     }
@@ -370,7 +412,32 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       StructType(sch.fields :+ org.apache.spark.sql.types.StructField(
         n, a.dataType(), nullable = true))
     }
-    t.commitWidenSchema(widened, vs.max)
+    if (adds.nonEmpty) t.commitWidenSchema(widened, vs.max)
+    if (setChecks.nonEmpty) {
+      setChecks.foreach { case (n, e) =>
+        GraftTable.validateCheck(spark, n, e, widened) }
+      val tm = SnapshotSql.tableForMaintenance(spark, man,
+        detail => throw new IllegalStateException(detail))
+      val latest = tm.committedVersions.max
+      val live = tm.files(latest)
+      if (live.nonEmpty) {
+        val df = tm.readAsOf(latest, live)
+        val present = df.columns.toSet
+        val aggs = setChecks.toSeq.map { case (_, e) =>
+          sum(when(coalesce(GraftTable.checkColumn(spark, e, present),
+            lit(true)) === lit(false), 1L).otherwise(0L)) }
+        val counts = df.agg(aggs.head, aggs.tail: _*).head
+        setChecks.toSeq.zipWithIndex.foreach { case ((n, e), i) =>
+          val bad = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+          require(bad == 0,
+            s"cannot add CHECK constraint '$n' ($e) to $ident: $bad " +
+              "existing row(s) violate it — fix the data first, or " +
+              "declare a constraint the table satisfies")
+        }
+      }
+      setChecks.foreach { case (n, e) => tm.setCheckProp(n, Some(e)) }
+    }
+    unsetChecks.foreach(n => t.setCheckProp(n, None))
     loadTable(ident)
   }
 
@@ -499,7 +566,8 @@ final case class GraftV2Table(ident: String, man: String,
             Seq("stats" -> p.statsCols.mkString(",")) else Nil) ++
           (if (p.bloomCols.nonEmpty)
             Seq("bloom" -> p.bloomCols.mkString(",")) else Nil) ++
-          p.logStore.map("logstore" -> _).toSeq
+          p.logStore.map("logstore" -> _).toSeq ++
+          p.checks.map { case (n, e) => s"check.$n" -> e }
       }
     import scala.jdk.CollectionConverters._
     base.asJava
@@ -724,6 +792,13 @@ final case class GraftV2ExpandRule(spark: SparkSession)
 
   private def expand(r: DataSourceV2Relation, t: GraftV2Table)
       : LogicalPlan = {
+    // NOTE: DataFrame-side time travel — spark.read
+    // .option("versionAsOf", v).table(name) / option("timestampAsOf",
+    // ts) — needs nothing here: Spark's own TimeTravelSpec consumes
+    // those reader options during relation resolution and routes them
+    // through the catalog's time-travel loadTable overloads, so the
+    // table arrives already pinned (GraftCatalogSpec pins both
+    // spellings and their misuse errors)
     val plan = SnapshotSql.snapshotPlan(spark, t.man, t.snapshotVersion)
     require(plan.output.length == r.output.length &&
       plan.output.zip(r.output).forall { case (n, o) => n.name == o.name },

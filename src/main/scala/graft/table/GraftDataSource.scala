@@ -8,6 +8,9 @@ import org.apache.spark.sql.catalyst.util.CaseInsensitiveMap
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation,
   PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit,
+  ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl,
+  SupportsTriggerAvailableNow, Offset => V2Offset}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
@@ -201,9 +204,16 @@ final class GraftDataSource extends RelationProvider
         "startingVersion is a change-feed option — pair it with " +
           ".option(\"readChangeFeed\", \"true\") (the committed-rows " +
           "stream always begins from the current snapshot)")
+      val maxBytes = opts.get("maxbytespertrigger").map { s =>
+        val v = s.trim.toLongOption.getOrElse(
+          throw new IllegalArgumentException(
+            s"maxBytesPerTrigger must be a positive byte count; got '$s'"))
+        require(v > 0, s"maxBytesPerTrigger must be > 0, got $v")
+        v
+      }
       new GraftStreamSource(spark, man,
         schema.getOrElse(latestSchema(spark, man)),
-        posIntOpt("maxfilespertrigger"))
+        posIntOpt("maxfilespertrigger"), maxBytes)
     }
   }
 
@@ -219,11 +229,23 @@ final class GraftDataSource extends RelationProvider
         "creating a graft table needs .option(\"data\", <data dir>)"))
     def list(o: String) =
       opts.get(o).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    // CHECK constraints: .option("check.<name>", "<boolean expr>") —
+    // option keys are case-insensitive, so constraint names normalize
+    // to lowercase; validation (parse/type/columns) runs at create
+    // against the batch schema, enforcement inside every future
+    // commit's stats scan
+    val checks = opts.toSeq.flatMap { case (k0, v) =>
+      val k = k0.toLowerCase(java.util.Locale.ROOT)
+      if (k.startsWith("check.") && v.trim.nonEmpty)
+        Some(k.stripPrefix("check.") -> v.trim)
+      else None
+    }.sortBy(_._1)
     GraftTable(spark, data, man, key, list("stats"), list("bloom"),
       opts.get("bloomitems").map(_.trim.toLong)
         .getOrElse(GraftTable.DefaultBloomItems),
       opts.get("bloomfpp").map(_.trim.toDouble)
-        .getOrElse(GraftTable.DefaultBloomFpp))
+        .getOrElse(GraftTable.DefaultBloomFpp),
+      checks = checks)
   }
 
   private def existingTable(spark: SparkSession, man: String,
@@ -384,18 +406,65 @@ final class GraftStreamSink(spark: SparkSession, table: GraftTable,
   * trigger is O(#files) driver-side, the module contract. */
 final class GraftStreamSource(spark: SparkSession, man: String,
     override val schema: StructType,
-    maxFilesPerTrigger: Option[Int] = None) extends Source {
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   import GraftStreamSource.Pos
 
   private val probe = GraftTable(spark, data = "", man = man, key = "")
 
-  /** The last offset this source produced or replayed — what rate
-    * limiting advances FROM. Spark re-initializes a restarted source by
-    * replaying the checkpointed last batch through getBatch before the
-    * first getOffset, so the watermark survives restarts; a fresh
-    * stream starts from "nothing delivered". */
-  private var last: Option[Pos] = None
+  /** `Trigger.AvailableNow` fence: the latest committed version,
+    * captured when Spark prepares the run — the query drains up TO the
+    * fence in paced micro-batches and then terminates; commits landing
+    * MID-run wait for the next run (the FileStreamSource/Delta
+    * contract). Without the fence a paced source under AvailableNow
+    * would be wrapped by Spark around its FIRST offer — one budget
+    * slice — and a 100 TB backfill would silently stop at a fraction
+    * of the table. 0 = prepared against a still-empty table (deliver
+    * nothing); None = not an AvailableNow run. */
+  private var fence: Option[Int] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    fence = Some(probe.committedVersions.maxOption.getOrElse(0))
+
+  /** The declared pacing options as Spark's admission-control limits —
+    * MicroBatchExecution hands them back to [[latestOffset]] on every
+    * trigger (including AvailableNow's drain, which keeps pacing). */
+  override def getDefaultReadLimit: ReadLimit = {
+    val ls = maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      maxBytesPerTrigger.map(b => ReadLimit.maxBytes(b)).toSeq
+    ls match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
+
+  override def initialOffset(): V2Offset = Pos(0, 0, 0).offset
+
+  override def deserializeOffset(json: String): V2Offset =
+    org.apache.spark.sql.execution.streaming.runtime.SerializedOffset(json)
+
+  private def posOf(o: V2Offset): Pos = o match {
+    case v1: V1Offset => Pos.parse(v1, probe)
+    case other => Pos.parse(
+      org.apache.spark.sql.execution.streaming.runtime
+        .SerializedOffset(other.json), probe)
+  }
+
+  /** (file budget, byte budget) a trigger may admit under `limit`. */
+  private def budgets(limit: ReadLimit): (Long, Long) = limit match {
+    case f: ReadMaxFiles => (f.maxFiles.toLong, Long.MaxValue)
+    case b: ReadMaxBytes => (Long.MaxValue, b.maxBytes)
+    case c: CompositeReadLimit =>
+      c.getReadLimits.foldLeft((Long.MaxValue, Long.MaxValue)) {
+        case ((f, b), l: ReadMaxFiles) => (math.min(f, l.maxFiles.toLong), b)
+        case ((f, b), l: ReadMaxBytes) => (f, math.min(b, l.maxBytes))
+        case (acc, _) => acc
+      }
+    case _ => (Long.MaxValue, Long.MaxValue) // ReadAllAvailable & co.
+  }
 
   private def requireRetained(v: Int): Unit =
     if (!probe.isCommitted(v))
@@ -404,75 +473,97 @@ final class GraftStreamSource(spark: SparkSession, man: String,
           "expired it before this consumer caught up; vacuum " +
           "retention must exceed the slowest consumer's lag")
 
-  /** Version v's fresh-file list for a stream anchored at `anchor`:
-    * the anchor version contributes its FULL snapshot (sorted for a
-    * deterministic, restart-stable slicing order); a later
-    * DATA-CHANGING version contributes its newly referenced files
-    * (the diff against its predecessor — layout-only repacks deliver
-    * nothing but still advance the walk, the OPTIMIZE-under-a-live-
-    * stream contract); manifests are immutable, so the list is the
-    * same on every recomputation. */
+  /** Version v's fresh (file, manifest bytes) list for a stream
+    * anchored at `anchor`: the anchor version contributes its FULL
+    * snapshot (sorted for a deterministic, restart-stable slicing
+    * order); a later DATA-CHANGING version contributes its newly
+    * referenced files (the diff against its predecessor — layout-only
+    * repacks deliver nothing but still advance the walk, the
+    * OPTIMIZE-under-a-live-stream contract); manifests are immutable,
+    * so the list is the same on every recomputation. Bytes come from
+    * the manifest's own per-file stats — rate limiting never stats a
+    * data file. */
   private val freshMemo =
-    scala.collection.mutable.LinkedHashMap[(Int, Int), Seq[String]]()
+    scala.collection.mutable.LinkedHashMap[(Int, Int), Seq[(String, Long)]]()
 
-  private def freshList(v: Int, anchor: Int): Seq[String] =
+  private def entriesOf(v: Int): Seq[(String, Long)] =
+    probe.manifest(v).select("file", "bytes").collect().map(r =>
+      r.getString(0) -> (if (r.isNullAt(1)) 0L else r.getLong(1))).toSeq
+
+  private def freshList(v: Int, anchor: Int): Seq[(String, Long)] =
     freshMemo.getOrElseUpdate((v, anchor), {
       // manifests are immutable once committed, so memoizing is safe;
       // the bound keeps a paced multi-version walk from re-reading
       // each manifest on every trigger while staying O(1) memory
       if (freshMemo.size > 8) freshMemo.remove(freshMemo.head._1)
       requireRetained(v)
-      if (v == anchor) probe.files(v).sorted
+      if (v == anchor) entriesOf(v).sortBy(_._1)
       else if (!probe.dataChange(v)) Nil
       else {
         requireRetained(v - 1)
         val prev = probe.files(v - 1).toSet
-        probe.files(v).filterNot(prev).sorted
+        entriesOf(v).filterNot(e => prev(e._1)).sortBy(_._1)
       }
     })
 
-  override def getOffset: Option[V1Offset] = {
+  /** Admission-controlled offset walk (Spark calls this, not
+    * [[getOffset]], because the source declares admission control):
+    * advance from `start` toward the latest committed version —
+    * AvailableNow-fenced — taking whole files against the trigger's
+    * file/byte budgets. The byte budget is a soft max (Delta
+    * semantics): a trigger's FIRST file always delivers, else a file
+    * above the budget would stall the stream forever. */
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
     val vs = probe.committedVersions
-    if (vs.isEmpty) return None
-    val latest = vs.max
-    val cur = last.getOrElse {
+    val latest = {
+      val l0 = vs.maxOption.getOrElse(0)
+      fence.fold(l0)(math.min(_, l0))
+    }
+    if (latest <= 0) return null // nothing committed yet (or an
+                                 // AvailableNow run prepared against a
+                                 // still-empty table)
+    // Spark's v1 bridge passes null (not initialOffset()) before the
+    // first batch — both spell "nothing delivered yet"
+    val startPos = if (start == null) Pos(0, 0, 0) else posOf(start)
+    val cur = if (startPos.anchor == 0) {
       // fresh stream: anchor the snapshot at the CURRENT latest and
       // start with nothing delivered (the first trigger never mixes
       // the snapshot with later deltas, so the anchor is always
       // recoverable from the offset itself)
       Pos(latest, latest, 0)
+    } else startPos
+    if (cur.v > latest) return start // fenced below the checkpoint —
+                                     // nothing admissible this run
+    var (v, i) = (cur.v, cur.i)
+    var (files, bytes) = budgets(limit)
+    var took = 0L
+    var list = freshList(v, cur.anchor)
+    while (files > 0 && bytes > 0 && (i < list.size || v < latest)) {
+      if (i < list.size) {
+        val sz = list(i)._2
+        if (took == 0L || sz <= bytes) {
+          i += 1; took += 1; files -= 1
+          bytes = math.max(0L, bytes - sz)
+        } else bytes = 0L
+      } else { v += 1; i = 0; list = freshList(v, cur.anchor) }
     }
-    val target = maxFilesPerTrigger match {
-      case None =>
-        // unlimited: everything through the latest commit
-        if (cur.v >= latest) Pos(cur.anchor, cur.v, freshList(cur.v, cur.anchor).size)
-        else Pos(cur.anchor, latest, freshList(latest, cur.anchor).size)
-      case Some(limit) =>
-        var (v, i) = (cur.v, cur.i)
-        var budget = limit
-        var list = freshList(v, cur.anchor)
-        while (budget > 0 && (i < list.size || v < latest)) {
-          if (i < list.size) {
-            val take = math.min(budget, list.size - i)
-            i += take; budget -= take
-          } else { v += 1; i = 0; list = freshList(v, cur.anchor) }
-        }
-        // close out trailing empty versions so a no-op trigger does not
-        // keep re-offering the same offset with work "pending"
-        while (i == list.size && v < latest &&
-            freshList(v + 1, cur.anchor).isEmpty) {
-          v += 1; list = Nil; i = 0
-        }
-        Pos(cur.anchor, v, i)
+    // close out trailing empty versions so a no-op trigger does not
+    // keep re-offering the same offset with work "pending"
+    while (i == list.size && v < latest &&
+        freshList(v + 1, cur.anchor).isEmpty) {
+      v += 1; list = Nil; i = 0
     }
-    last = Some(target)
-    Some(target.offset)
+    Pos(cur.anchor, v, i).offset
   }
+
+  override def getOffset: Option[V1Offset] =
+    throw new UnsupportedOperationException(
+      "GraftStreamSource declares admission control — Spark drives it " +
+        "through latestOffset(start, limit), never getOffset")
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val to = Pos.parse(end, probe)
     val from = start.map(Pos.parse(_, probe))
-    last = Some(to) // restart replay re-establishes the watermark
     // the slice of each version's fresh list between the two offsets;
     // planning is O(#versions-in-range x #files) driver-side — the
     // module contract, 1-2 versions per trigger in steady state
@@ -481,7 +572,7 @@ final class GraftStreamSource(spark: SparkSession, man: String,
       val list = freshList(v, to.anchor)
       val lo = from.filter(_.v == v).map(_.i).getOrElse(0)
       val hi = if (v == to.v) to.i else list.size
-      v -> list.slice(lo, hi)
+      v -> list.slice(lo, hi).map(_._1)
     }.filter(_._2.nonEmpty)
     val fresh = pieces.flatMap(_._2)
     // the ANCHOR snapshot may carry live deletion vectors (MoR merges
@@ -558,7 +649,8 @@ object GraftStreamSource {
 final class GraftChangeFeedSource(spark: SparkSession, man: String,
     override val schema: StructType,
     startingVersion: Option[Int] = None,
-    maxVersionsPerTrigger: Option[Int] = None) extends Source {
+    maxVersionsPerTrigger: Option[Int] = None) extends Source
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private val table: GraftTable = {
     val p = GraftTable.loadProps(spark, man)
@@ -598,26 +690,57 @@ final class GraftChangeFeedSource(spark: SparkSession, man: String,
       ps
   }
 
-  /** The last offset delivered — the base maxVersionsPerTrigger
-    * advances from. Spark primes a restarted source by replaying the
-    * checkpointed last batch through getBatch before the first
-    * getOffset, so the watermark survives restarts. */
-  private var lastV: Option[Int] = None
+  /** `Trigger.AvailableNow` fence — see [[GraftStreamSource.fence]]:
+    * the run delivers commits up TO the prepare-time latest in paced
+    * batches and terminates; 0 = prepared against an empty table. */
+  private var fence: Option[Int] = None
 
-  override def getOffset: Option[V1Offset] = {
+  override def prepareForTriggerAvailableNow(): Unit =
+    fence = Some(table.committedVersions.maxOption.getOrElse(0))
+
+  // the per-trigger budget is maxVersionsPerTrigger, a unit Spark's
+  // ReadLimit vocabulary lacks — the source self-paces in latestOffset
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def initialOffset(): V2Offset = LongOffset(0L)
+
+  override def deserializeOffset(json: String): V2Offset =
+    org.apache.spark.sql.execution.streaming.runtime.SerializedOffset(json)
+
+  /** Admission-controlled walk (Spark calls this, not [[getOffset]]):
+    * advance from the checkpointed `start` version toward the latest —
+    * AvailableNow-fenced — at most maxVersionsPerTrigger commits per
+    * trigger. start=0 means nothing delivered yet: snapshot mode
+    * delivers the whole starting snapshot in its first batch, while a
+    * startingVersion resume bounds even its first batch. */
+  override def latestOffset(start: V2Offset, limit: ReadLimit): V2Offset = {
     val vs = table.committedVersions
-    if (vs.isEmpty) return None
-    val latest = vs.max
-    val target = (lastV, maxVersionsPerTrigger) match {
-      case (Some(l), Some(n)) => math.min(latest, l + n)
-      case (None, Some(n)) if startingVersion.isDefined =>
+    val latest = {
+      val l0 = vs.maxOption.getOrElse(0)
+      fence.fold(l0)(math.min(_, l0))
+    }
+    if (latest <= 0) return null
+    // Spark's v1 bridge passes null (not initialOffset()) before the
+    // first batch — both spell "nothing delivered yet"
+    val cur = if (start == null) 0 else start.json.trim.toInt
+    if (cur > latest) return start // fenced below the checkpoint
+    val target = (cur, maxVersionsPerTrigger) match {
+      case (0, Some(n)) if startingVersion.isDefined =>
         // resuming from a watermark: the first batch too is bounded
         math.min(latest, startingVersion.get - 1 + n)
-      case _ => latest // snapshot-mode first batch delivers whole; the
-                       // committed-rows source rate-limits by FILES
+      case (0, _) => latest // snapshot-mode first batch delivers whole;
+                            // the committed-rows source rate-limits by
+                            // FILES
+      case (l, Some(n)) => math.min(latest, l + n)
+      case (_, None) => latest
     }
-    Some(LongOffset(target.toLong))
+    LongOffset(target.toLong)
   }
+
+  override def getOffset: Option[V1Offset] =
+    throw new UnsupportedOperationException(
+      "GraftChangeFeedSource declares admission control — Spark drives " +
+        "it through latestOffset(start, limit), never getOffset")
 
   /** Align a cdc/insert-shaped frame to the declared CDF schema (column
     * order + the version stamp). */
@@ -668,7 +791,6 @@ final class GraftChangeFeedSource(spark: SparkSession, man: String,
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val vEnd = version(end)
-    lastV = Some(vEnd) // restart replay re-establishes the watermark
     val pieces: Seq[DataFrame] = start match {
       case None => startingVersion match {
         case None => snapshotInserts(vEnd) // Delta's default: snapshot

@@ -168,8 +168,8 @@ final case class GraftUpdateCommand(table: GraftV2Table,
     val (prunable, bloomable) = pruneCols(t, entries)
     val keep = condition.flatMap(c => SnapshotPruning.keepTest(
       conjuncts(c), Some(t.key), prunable, bloomable))
-    val impacted = impactedOf(t, entries, keep)
-      .map(_.getAs[String]("file")).toSeq
+    val impactedRows = impactedOf(t, entries, keep)
+    val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
     if (impacted.isEmpty) return Seq(Row(0L))
     val df = t.readAsOf(base, impacted)
     val cond = condition.map(rebind(_)).getOrElse(lit(true))
@@ -184,7 +184,11 @@ final case class GraftUpdateCommand(table: GraftV2Table,
         case None => col(c)
       }
     }: _*)
-    val added = t.stagedAppend(updated, nParts = 2)
+    // rewrite width sized from the envelope's manifest bytes (floor 2):
+    // a 100 TB keyed UPDATE fans its survivor rewrite out to
+    // ~target-file-size outputs instead of two giant write tasks
+    val added = t.stagedAppend(updated,
+      t.sizedParts(2, t.entryBytes(impactedRows)))
     val stats = if (added.isEmpty) t.emptyEntries else t.fileStats(added)
     t.commitManifest(
       t.unionEntries(t.excludeFiles(t.manifest(base), impacted), stats),
@@ -464,7 +468,8 @@ final case class GraftMergeCommand(table: GraftV2Table,
         }: _*)
 
       val replacement = survivors.unionByName(inserts)
-      val added = t.stagedAppend(replacement, nParts = 2)
+      val added = t.stagedAppend(replacement,
+        t.sizedParts(2, t.entryBytes(impactedRows)))
       val stats = if (added.isEmpty) t.emptyEntries else t.fileStats(added)
       t.commitManifest(
         t.unionEntries(t.excludeFiles(t.manifest(base), impacted), stats),

@@ -56,7 +56,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     bloomCols: Seq[String] = Nil,
     bloomItems: Long = GraftTable.DefaultBloomItems,
     bloomFpp: Double = GraftTable.DefaultBloomFpp,
-    logStore: String = "") {
+    logStore: String = "",
+    checks: Seq[(String, String)] = Nil) {
 
   import GraftTable.{listStatusSafe, touch}
 
@@ -119,10 +120,26 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       // driver-memory x per-file-NDV sizing math
       bloomCols.map(c => graft.functions.BloomAgg
         .bloom_agg(col(c), bloomItems, bloomFpp).as(s"bloom_$c"))
-    val aggs = Seq(codecs(key).loAgg(key).as("lo"),
+    // CHECK constraints piggyback on this scan — the ONE distributed
+    // pass every commit path already runs over its newly-written files
+    // (append, OCC, COW/MoR merge, UPDATE/MERGE rewrites, streaming
+    // ingest, CTAS) — as extra violation-count aggregates: near-zero
+    // marginal cost, and a violation throws BEFORE the manifest commit,
+    // so no version burns and the staged files are vacuum-reclaimable
+    // orphans (the same contract as the NULL-key rejection below). A
+    // column the batch lacks evaluates as NULL (parquet-by-name
+    // widening semantics), and SQL CHECK semantics hold: only FALSE
+    // violates — NULL satisfies.
+    val liveChecks = activeChecks
+    val checkAggs = liveChecks.zipWithIndex.map { case ((_, text), i) =>
+      sum(when(coalesce(GraftTable.checkColumn(spark, text,
+        df.columns.toSet), lit(true)) === lit(false), 1L)
+        .otherwise(0L)).as(s"__chk$i")
+    }
+    val aggs = (Seq(codecs(key).loAgg(key).as("lo"),
       codecs(key).hiAgg(key).as("hi"), count(lit(1)).as("n_rows"),
       max(col("_metadata.file_size")).as("bytes")) ++ extra :+
-      count(col(key)).as("__nn")
+      count(col(key)).as("__nn")) ++ checkAggs
     val rows = df.groupBy(col("_metadata.file_path").as("file"))
       .agg(aggs.head, aggs.tail: _*).collect() // O(#files) — planning
     val nNull = rows.map(r =>
@@ -131,12 +148,24 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       s"batch has $nNull NULL '$key' key(s) — the table key must be " +
         "non-null (NULL keys cannot be merge-matched and min/max " +
         "skipping would silently drop their rows)")
+    liveChecks.zipWithIndex.foreach { case ((name, text), i) =>
+      val bad = rows.map { r =>
+        val idx = r.fieldIndex(s"__chk$i")
+        if (r.isNullAt(idx)) 0L else r.getLong(idx)
+      }.sum
+      require(bad == 0,
+        s"CHECK constraint '$name' ($text) violated by $bad row(s) in " +
+          "the batch — nothing was committed (drop or fix the rows, or " +
+          s"remove the constraint with ALTER TABLE ... UNSET " +
+          s"TBLPROPERTIES ('check.$name'))")
+    }
     import scala.jdk.CollectionConverters._
     // driver-side store normalization: exact aggregated bounds become
     // their stored form — identity for long boxes, the bounded-prefix
     // truncation for string boxes (conservative by construction)
     val stored = rows.map { r =>
-      val vals = r.toSeq.dropRight(1).toArray // drop the census column
+      // drop the census + check-violation columns
+      val vals = r.toSeq.dropRight(1 + liveChecks.length).toArray
       vals(1) = codecs(key).storeLo(vals(1))
       vals(2) = codecs(key).storeHi(vals(2))
       statsCols.zipWithIndex.foreach { case (c, i) =>
@@ -348,6 +377,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * atomic-commit race and reference the overwritten files. */
   def create(df: DataFrame, nParts: Int): GraftTable = {
     requireStoreCapability()
+    checks.foreach { case (n, e) =>
+      GraftTable.validateCheck(spark, n, e, df.schema) }
     clusteredWrite(df, nParts, "overwrite")
     val manDir = new Path(man)
     if (manFs.exists(manDir)) manFs.delete(manDir, true)
@@ -365,6 +396,13 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   def createEmpty(schema: Option[org.apache.spark.sql.types.StructType] =
       None): GraftTable = {
     requireStoreCapability()
+    require(checks.isEmpty || schema.isDefined,
+      "CHECK constraints need the table schema to validate against — " +
+        "declare columns in CREATE TABLE, or add the constraint after " +
+        "the first write with ALTER TABLE ... SET TBLPROPERTIES " +
+        "('check.<name>' = '<boolean expr>')")
+    schema.foreach(sch => checks.foreach { case (n, e) =>
+      GraftTable.validateCheck(spark, n, e, sch) })
     dataFs.mkdirs(new Path(data))
     writeProps()
     if (!isCommitted(1)) {
@@ -456,7 +494,10 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       "a shallow clone needs its OWN manifest and data directories — " +
         "sharing either with the source would let one table's vacuum " +
         "reclaim files the other still references")
-    val clone = copy(data = targetData, man = targetMan)
+    // checks resolve LIVE from the source's props (ALTER-added ones
+    // included), so the clone's own props carry the same constraints
+    val clone = copy(data = targetData, man = targetMan,
+      checks = activeChecks)
     val cloneManDir = new Path(targetMan)
     if (clone.manFs.exists(cloneManDir)) clone.manFs.delete(cloneManDir, true)
     clone.manFs.mkdirs(cloneManDir)
@@ -499,9 +540,43 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         s"bloom=${bloomCols.mkString(",")}\ndata=$data\n" +
         s"bloom_items=$bloomItems\nbloom_fpp=$bloomFpp\n" +
         s"logstore=${store.name}\n" +
+        checks.map { case (n, e) => s"check.$n=$e\n" }.mkString +
         // free-form provenance (e.g. a shallow clone's source ref);
         // loadProps ignores unknown keys, so this is operator-facing
         provenance.map(_ + "\n").getOrElse("")).getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The CHECK constraints every write must satisfy, resolved LIVE from
+    * `_table_props` on each call (one tiny driver-side file read per
+    * commit) so an `ALTER TABLE ... SET TBLPROPERTIES('check.<name>',
+    * <expr>)` applies to already-constructed instances immediately;
+    * falls back to the instance declaration only while the props file
+    * does not exist yet (never on a created table — [[create]]/
+    * [[createEmpty]] write props before their first stats scan). */
+  private def activeChecks: Seq[(String, String)] =
+    GraftTable.loadProps(spark, man).map(_.checks).getOrElse(checks)
+
+  /** Add/replace (`expr = Some`) or drop (`expr = None`) one CHECK
+    * constraint line in `_table_props`, preserving every other line
+    * verbatim (provenance included). Validation — parse, boolean type,
+    * known columns, no violating EXISTING rows — is the caller's job
+    * ([[GraftCatalog.alterTable]] / [[SnapshotSql]]). */
+  private[table] def setCheckProp(name: String, expr: Option[String]): Unit = {
+    val p = new Path(man, GraftTable.PropsFile)
+    require(manFs.exists(p),
+      s"$man carries no _table_props — not a graft table")
+    val in = manFs.open(p)
+    val txt = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+      bos.toString("UTF-8")
+    } finally in.close()
+    val kept = txt.linesIterator
+      .filterNot(_.startsWith(s"check.$name=")).toSeq
+    val out = manFs.create(p, true)
+    try out.write((kept.mkString("\n") + "\n" +
+      expr.map(e => s"check.$name=$e\n").getOrElse("")).getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -539,6 +614,29 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     dataFs.delete(stage, true)
     moved.map(n => s"$data/$n")
   }
+
+  /** Output-file count for a COW rewrite whose inputs total
+    * `impactedBytes` (the manifest's own per-file `bytes` — no file is
+    * ever stat-ed): `max(nParts, ceil(bytes / targetFileBytes))`,
+    * bounded by a sanity cap. The caller's `nParts` stays the FLOOR —
+    * identical behavior at small scale — while a 100 TB envelope
+    * rewrite fans out to ~targetFileBytes files instead of funneling
+    * terabytes through a fixed handful of write tasks (the
+    * one-reducer-per-output-file failure mode). `spark.graft.write
+    * .targetFileBytes` tunes it; <= 0 disables sizing. */
+  private[table] def sizedParts(nParts: Int, impactedBytes: Long): Int = {
+    val target = spark.conf.get("spark.graft.write.targetFileBytes",
+      GraftTable.DefaultTargetFileBytes.toString).toLong
+    if (target <= 0L) nParts
+    else math.max(nParts,
+      math.min((impactedBytes + target - 1) / target, 20000L).toInt)
+  }
+
+  private[table] def entryBytes(rows: Array[Row]): Long =
+    rows.map { r =>
+      val i = r.fieldIndex("bytes")
+      if (r.isNullAt(i)) 0L else r.getLong(i)
+    }.sum
 
   /** Entries minus the named files — spelled as a BROADCAST anti-join
     * rather than `col("file").isin(files: _*)`: a commit impacting tens
@@ -684,7 +782,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
            entryDv(r))).toSeq, versionSchema(prevV))
          .join(batch.select(key).distinct(), Seq(key), "left_anti"))
         .unionByName(batch, allowMissingColumns = true)
-    val added = stagedAppend(replacement, nParts)
+    val added = stagedAppend(replacement,
+      sizedParts(nParts, entryBytes(impactedRows)))
     val stats = if (added.isEmpty) emptyEntries else fileStats(added)
     // rebase bookkeeping tracks (file, deletion-vector) PAIRS, not file
     // names: under MoR a winner can change an impacted file's EFFECTIVE
@@ -1082,7 +1181,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     if (nDel == 0L) return 0L // conservative boxes kept files whose
                               // rows all miss the range: no-op, no
                               // burned version, no rewrite
-    val added = stagedAppend(df.filter(!doomed), nParts)
+    val added = stagedAppend(df.filter(!doomed),
+      sizedParts(nParts, entryBytes(impactedRows)))
     val stats = if (added.isEmpty) emptyEntries else fileStats(added)
     commitManifest(
       unionEntries(excludeFiles(manifest(prevV), impacted), stats),
@@ -1147,7 +1247,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val nDel = df.filter(pred).count()
     if (nDel == 0L) return 0L // conservative planning kept files whose
                               // rows all miss: no-op, no burned version
-    val added = stagedAppend(df.filter(!coalesce(pred, lit(false))), nParts)
+    val added = stagedAppend(df.filter(!coalesce(pred, lit(false))),
+      sizedParts(nParts, entryBytes(impactedRows)))
     val stats = if (added.isEmpty) emptyEntries else fileStats(added)
     val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
     commitManifest(
@@ -1849,12 +1950,17 @@ object GraftTable {
       bloomCols: Seq[String], data: Option[String],
       bloomItems: Long = DefaultBloomItems,
       bloomFpp: Double = DefaultBloomFpp,
-      logStore: Option[String] = None)
+      logStore: Option[String] = None,
+      checks: Seq[(String, String)] = Nil)
 
   /** Default per-file bloom sizing: ~9.6 bits/item at 1% fpp =
     * ~78 KiB/file/column. The knob matters at scale — see docs/TABLE.md
     * ("Bloom sizing") for the per-file-NDV x driver-memory trade. */
   val DefaultBloomItems: Long = 65536L
+
+  /** Target output-file size for envelope-sized COW rewrites
+    * ([[GraftTable.sizedParts]]) — the Delta/Iceberg 128 MiB default. */
+  val DefaultTargetFileBytes: Long = 128L << 20
   val DefaultBloomFpp: Double = 0.01
 
   /** Read a table's declared shape back from its props file; None when
@@ -1883,8 +1989,70 @@ object GraftTable {
         kv.get("data").filter(_.nonEmpty),
         kv.get("bloom_items").map(_.toLong).getOrElse(DefaultBloomItems),
         kv.get("bloom_fpp").map(_.toDouble).getOrElse(DefaultBloomFpp),
-        kv.get("logstore").filter(_.nonEmpty)))
+        kv.get("logstore").filter(_.nonEmpty),
+        kv.toSeq.collect { case (k, v) if k.startsWith("check.") &&
+          v.nonEmpty => k.stripPrefix("check.") -> v }.sortBy(_._1)))
     }
+  }
+
+  /** A CHECK constraint's SQL text as a Column evaluable against a
+    * batch with columns `present`: referenced columns the batch LACKS
+    * substitute as NULL literals — parquet-by-name widening semantics
+    * (a narrow-schema append after `ALTER TABLE ADD COLUMN c` +
+    * `check.c_pos` must behave exactly as if c were read back: NULL,
+    * which satisfies the check). Multi-part names pass through and fail
+    * resolution loudly — graft tables are flat by construction. */
+  private[table] def checkColumn(spark: SparkSession, text: String,
+      present: Set[String]): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val parsed = spark.sessionState.sqlParser.parseExpression(text)
+    org.apache.spark.sql.GraftSqlBridge.column(parsed.transformUp {
+      case ua: UnresolvedAttribute
+          if ua.nameParts.length == 1 && !present.contains(ua.name) =>
+        Literal(null, org.apache.spark.sql.types.NullType)
+    })
+  }
+
+  /** Declaration-time validation of one CHECK constraint: the name is a
+    * plain identifier, the expression parses, carries no subquery (it
+    * must evaluate per-row inside every future write's stats scan),
+    * references only declared table columns, and type-checks to
+    * BOOLEAN against the table schema. Loud on every failure — a
+    * constraint that cannot be enforced must never be recorded. */
+  private[table] def validateCheck(spark: SparkSession, name: String,
+      text: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    require(name.nonEmpty && name.matches("[A-Za-z0-9_]+"),
+      s"CHECK constraint name '$name' must be a plain identifier " +
+        "([A-Za-z0-9_]+)")
+    require(!text.contains("\n") && text.trim.nonEmpty,
+      s"CHECK constraint '$name' must be a non-empty single-line SQL " +
+        "boolean expression")
+    val parsed =
+      try spark.sessionState.sqlParser.parseExpression(text)
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"CHECK constraint '$name' does not parse: '$text' " +
+          s"(${e.getMessage})") }
+    require(!org.apache.spark.sql.catalyst.expressions.SubqueryExpression
+        .hasSubquery(parsed),
+      s"CHECK constraint '$name' must not contain a subquery — it is " +
+        "evaluated per-row inside every write's stats scan")
+    val cols = schema.fieldNames.toSet
+    parsed.foreach {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        require(ua.nameParts.length == 1 && cols.contains(ua.name),
+          s"CHECK constraint '$name' references unknown column " +
+            s"'${ua.name}' — table columns: ${cols.toSeq.sorted.mkString(", ")}")
+      case _ =>
+    }
+    val typed = spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schema)
+      .select(org.apache.spark.sql.GraftSqlBridge.column(parsed).as("c"))
+      .schema.head.dataType
+    require(typed == org.apache.spark.sql.types.BooleanType,
+      s"CHECK constraint '$name' must be BOOLEAN; '$text' is " +
+        s"${typed.simpleString}")
   }
 
   /** A v1 [[org.apache.spark.sql.sources.Filter]] as a Column row

@@ -523,4 +523,67 @@ class GraftCatalogSpec extends TestBase {
         == 10L)
     }
   }
+
+  // Spark's own TimeTravelSpec consumes the versionAsOf/timestampAsOf
+  // reader options during relation resolution and routes them through
+  // the catalog's time-travel loadTable overloads — these cases pin
+  // that the Delta-style DataFrame spelling stays working end-to-end
+  // against graft catalogs (including the loud misuse shapes).
+  test("DataFrame-reader time travel: versionAsOf/timestampAsOf options on named reads") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.gtt", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gtt.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gtt.db")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create((1L to 100L).toDF("id"), 2)
+      s.sql(s"CREATE TABLE gtt.db.t USING graft OPTIONS (man '$root/man')")
+      (101L to 150L).toDF("id").createOrReplaceTempView("tt_src")
+      s.sql("INSERT INTO gtt.db.t SELECT * FROM tt_src")
+
+      // versionAsOf pins; unpinned reads see the latest snapshot
+      assert(s.read.option("versionAsOf", 1).table("gtt.db.t").count()
+        == 100L)
+      assert(s.read.table("gtt.db.t").count() == 150L)
+      // timestampAsOf resolves through the commit-recorded timestamps
+      // exactly like SQL TIMESTAMP AS OF
+      val t1 = new java.sql.Timestamp(tbl.commitTimeOf(1)).toString
+      assert(s.read.option("timestampAsOf", t1).table("gtt.db.t")
+        .count() == 100L)
+
+      // loud: both options at once, an uncommitted version
+      val e1 = intercept[Exception] {
+        s.read.option("versionAsOf", 1).option("timestampAsOf", t1)
+          .table("gtt.db.t").count() }
+      assert(fullMsg(e1).toLowerCase.contains("both"), fullMsg(e1))
+      val e2 = intercept[Exception] {
+        s.read.option("versionAsOf", 99).table("gtt.db.t").count() }
+      assert(fullMsg(e2).contains("no committed snapshot"), fullMsg(e2))
+    }
+  }
+
+  test("reader-option time travel works through the extensions-FREE fallback too") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder().master("local[4]").getOrCreate()
+      val root = freshRoot()
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.gtf", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gtf.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gtf.db")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create((1L to 40L).toDF("id"), 2)
+      s.sql(s"CREATE TABLE gtf.db.t USING graft OPTIONS (man '$root/man')")
+      tbl.commitAppendOcc((41L to 60L).toDF("id"))
+      assert(s.read.option("versionAsOf", 1).table("gtf.db.t").count()
+        == 40L)
+      assert(s.read.table("gtf.db.t").count() == 60L)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
 }

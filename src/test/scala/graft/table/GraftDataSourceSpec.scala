@@ -609,6 +609,150 @@ class GraftDataSourceSpec extends TestBase {
     } finally q3.stop()
   }
 
+  test("maxBytesPerTrigger paces by manifest bytes (soft max: >=1 file per trigger)") {
+    import spark.implicits._
+    val (data, man) = freshDirs("byterate")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ds_byterate_ckpt").toString
+    val t = GraftTable(spark, data, man, "id")
+    t.create((1L to 800L).map(i => (i, i)).toDF("id", "v"), 8)
+
+    // 1-byte budget: every file exceeds it, so the soft max delivers
+    // exactly ONE file per trigger — 8 deterministic 100-row batches
+    val seen = scala.collection.mutable.Set[Long]()
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    def start(extra: Map[String, String]) = {
+      var r = spark.readStream.format("graft")
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(man).writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = b.select("id").collect().map(_.getLong(0))
+          batchSizes.synchronized { batchSizes += ids.length }
+          seen.synchronized { ids.foreach(seen += _) }
+        }.start()
+    }
+    val q = start(Map("maxBytesPerTrigger" -> "1"))
+    try {
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) == (1L to 800L).toSet,
+        s"byte-paced replay delivered ${seen.size} of 800 rows")
+      val sizes = batchSizes.synchronized(batchSizes.filter(_ > 0).toList)
+      assert(sizes == List.fill(8)(100L),
+        s"1-byte budget must deliver exactly one 100-row file per batch: $sizes")
+    } finally q.stop()
+
+    // a generous budget takes the whole tail in one trigger (the
+    // budget only binds when exceeded); maxFilesPerTrigger composes —
+    // the TIGHTER of the two budgets decides
+    t.commitAppendOcc((801L to 1000L).map(i => (i, i)).toDF("id", "v"),
+      nParts = 2)
+    batchSizes.synchronized(batchSizes.clear())
+    val q2 = start(Map("maxBytesPerTrigger" -> (1L << 40).toString))
+    try {
+      q2.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) == (1L to 1000L).toSet)
+      val sizes = batchSizes.synchronized(batchSizes.filter(_ > 0).toList)
+      assert(sizes == List(200L),
+        s"a generous byte budget must take the whole 2-file tail at once: $sizes")
+    } finally q2.stop()
+    t.commitAppendOcc((1001L to 1200L).map(i => (i, i)).toDF("id", "v"),
+      nParts = 2)
+    batchSizes.synchronized(batchSizes.clear())
+    val q3 = start(Map("maxBytesPerTrigger" -> (1L << 40).toString,
+      "maxFilesPerTrigger" -> "1"))
+    try {
+      q3.processAllAvailable()
+      assert(seen.synchronized(seen.toSet) == (1L to 1200L).toSet)
+      val sizes = batchSizes.synchronized(batchSizes.filter(_ > 0).toList)
+      assert(sizes == List(100L, 100L),
+        s"maxFilesPerTrigger=1 must bind under a generous byte budget: $sizes")
+    } finally q3.stop()
+
+    // misuse is loud at source construction
+    val e = intercept[Exception] {
+      spark.readStream.format("graft")
+        .option("maxBytesPerTrigger", "0").load(man)
+        .writeStream.format("noop").start().processAllAvailable()
+    }
+    def msg(x: Throwable): String = Option(x.getMessage).getOrElse("") +
+      Option(x.getCause).map(msg).getOrElse("")
+    assert(msg(e).contains("maxBytesPerTrigger"), msg(e))
+  }
+
+  test("Trigger.AvailableNow drains the whole paced backlog, then terminates; mid-run commits wait") {
+    import spark.implicits._
+    val (data, man) = freshDirs("avnow")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ds_avnow_ckpt").toString
+    val t = GraftTable(spark, data, man, "id")
+    // 8-file snapshot + a 2-file append: a 10-file backlog
+    t.create((1L to 800L).map(i => (i, i)).toDF("id", "v"), 8)
+    t.commitAppendOcc((801L to 1000L).map(i => (i, i)).toDF("id", "v"),
+      nParts = 2)
+
+    val seen = scala.collection.mutable.Set[Long]()
+    val batchSizes = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxFilesPerTrigger", 3).load(man)
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = b.select("id").collect().map(_.getLong(0))
+          batchSizes.synchronized { batchSizes += ids.length }
+          seen.synchronized { ids.foreach(seen += _) }
+        }.start()
+      // AvailableNow must SELF-terminate once the fence is drained —
+      // without SupportsTriggerAvailableNow, Spark's generic wrapper
+      // would have captured ONE budget slice and stopped at 300 rows
+      assert(q.awaitTermination(120000L),
+        "AvailableNow query did not self-terminate")
+    }
+    run()
+    assert(seen.synchronized(seen.toSet) == (1L to 1000L).toSet,
+      s"AvailableNow drained ${seen.size} of the 1000-row backlog")
+    val sizes = batchSizes.synchronized(batchSizes.filter(_ > 0).toList)
+    assert(sizes.size >= 4 && sizes.forall(_ <= 300L),
+      s"expected >=4 paced batches of <=3 files: $sizes")
+
+    // a second run picks up exactly the rows committed since
+    t.commitAppendOcc((1001L to 1100L).map(i => (i, i)).toDF("id", "v"))
+    run()
+    assert(seen.synchronized(seen.toSet) == (1L to 1100L).toSet,
+      "second AvailableNow run lost or re-delivered rows")
+  }
+
+  test("Trigger.AvailableNow on the CDF stream drains bounded commit ranges, then terminates") {
+    import spark.implicits._
+    val (data, man) = freshDirs("avnowcdf")
+    val t = GraftTable(spark, data, man, "id")
+    t.create((1L to 100L).map(i => (i, i)).toDF("id", "v"), 2)
+    (2 to 5).foreach { k =>
+      t.commitAppend((k * 1000L to k * 1000L + 9)
+        .map(i => (i, i)).toDF("id", "v"), t.committedVersions.max, 1)
+    }
+    val perBatch = scala.collection.mutable.ArrayBuffer[Set[Long]]()
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", 2)
+      .option("maxVersionsPerTrigger", 1).load(man)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vsb = b.select("_commit_version").collect()
+          .map(_.getLong(0)).toSet
+        perBatch.synchronized { perBatch += vsb }
+        ()
+      }.start()
+    assert(q.awaitTermination(120000L),
+      "AvailableNow CDF query did not self-terminate")
+    val nonEmpty = perBatch.synchronized(perBatch.filter(_.nonEmpty).toList)
+    assert(nonEmpty.map(_.size).forall(_ == 1),
+      s"a batch spanned multiple commits: $nonEmpty")
+    assert(nonEmpty.flatten.toSet == Set(2L, 3L, 4L, 5L),
+      s"commit coverage wrong: $nonEmpty")
+  }
+
   test("CDF maxVersionsPerTrigger bounds each micro-batch's commit range") {
     import spark.implicits._
     val (data, man) = freshDirs("cdfrate")
