@@ -175,13 +175,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * its v=1 commit; a torn `.tbl` with no man= line also qualifies). */
   private def crashedHalfCreate(ident: Identifier): Boolean = {
     val st = fs.getFileStatus(tblPath(ident))
-    st.getModificationTime <= System.currentTimeMillis() - adoptGraceMs &&
-      scala.util.Try {
-        val staleMan = manifestOf(ident)
-        GraftTable.loadProps(spark, staleMan).isEmpty &&
-          GraftTable(spark, data = "", man = staleMan, key = "")
-            .committedVersions.isEmpty
-      }.getOrElse(true)
+    if (st.getModificationTime > System.currentTimeMillis() - adoptGraceMs)
+      return false
+    val staleMan =
+      try manifestOf(ident)
+      catch {
+        // a registered `.tbl` whose own content records no man= line is
+        // itself proof of a torn create — the read SUCCEEDED and came
+        // back incomplete; a vanished `.tbl` (concurrent DROP between
+        // our exists-check and the read) is affirmative absence
+        case _: IllegalStateException => return true
+        case _: NoSuchTableException => return true
+      }
+    // Adopt only on an AFFIRMATIVE probe: both reads succeeded AND both
+    // came back empty. A transient failure (flaky object-store read)
+    // must propagate — classifying it as "provably crashed" would let
+    // requireAbsentOrAdopt delete a healthy table's registration.
+    GraftTable.loadProps(spark, staleMan).isEmpty &&
+      GraftTable(spark, data = "", man = staleMan, key = "")
+        .committedVersions.isEmpty
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -326,11 +338,31 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     GraftTable.requireAtomicCreate(spark, fs,
       s"catalog '$catalogName' name registration (.tbl exclusive create)")
     val (man, newTable) = planCreate(schema, partitions, properties)
+    // Abort must never destroy bytes this CTAS did not write: snapshot
+    // which physical dirs exist BEFORE createEmpty (only dirs we
+    // created fresh are reclaimable wholesale), and refuse a
+    // pre-existing NON-EMPTY target outright — an aborted CTAS pointed
+    // at one would otherwise delete unrelated files.
+    val freshDirs: Set[String] = newTable.map { t =>
+      Seq(t.man, t.data).filter { d =>
+        val p = new Path(d)
+        val dfs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        if (!dfs.exists(p)) true
+        else {
+          require(GraftTable.listStatusSafe(dfs, p).isEmpty,
+            s"CTAS target dir $d already exists and is not empty — " +
+              "creating a fresh graft table there would put its " +
+              "contents at risk on abort; point man/data at fresh or " +
+              "empty dirs")
+          false
+        }
+      }.toSet
+    }.getOrElse(Set.empty)
     newTable.foreach(_.createEmpty(if (schema.isEmpty) None
       else Some(schema)))
     new StagedGraftTable(this, ident,
       GraftV2Table(s"${name()}.$ident", man, pinned = None),
-      freshPhysical = newTable)
+      freshPhysical = newTable, freshDirs = freshDirs)
   }
 
   private[table] def commitStaged(ident: Identifier, man: String): Unit =
@@ -700,7 +732,8 @@ final case class GraftV2Table(ident: String, man: String,
   * (a registration-CTAS over an existing manifest must never delete
   * the pre-existing table's data). */
 final class StagedGraftTable(catalog: GraftCatalog, ident: Identifier,
-    table: GraftV2Table, freshPhysical: Option[GraftTable])
+    table: GraftV2Table, freshPhysical: Option[GraftTable],
+    freshDirs: Set[String] = Set.empty)
     extends org.apache.spark.sql.connector.catalog.StagedTable
     with SupportsRead with SupportsWrite {
 
@@ -722,7 +755,15 @@ final class StagedGraftTable(catalog: GraftCatalog, ident: Identifier,
       Seq(t.man, t.data).foreach { d =>
         val p = new Path(d)
         val dfs = p.getFileSystem(conf)
-        if (dfs.exists(p)) dfs.delete(p, true)
+        if (dfs.exists(p)) {
+          if (freshDirs(d)) dfs.delete(p, true)
+          else
+            // pre-existing dir (stageCreate proved it EMPTY then, so
+            // everything under it now is this CTAS's): reclaim the
+            // contents, leave the dir itself to its owner
+            GraftTable.listStatusSafe(dfs, p)
+              .foreach(st => dfs.delete(st.getPath, true))
+        }
       }
     }
 }

@@ -724,6 +724,12 @@ final class GraftChangeFeedSource(spark: SparkSession, man: String,
     // first batch — both spell "nothing delivered yet"
     val cur = if (start == null) 0 else start.json.trim.toInt
     if (cur > latest) return start // fenced below the checkpoint
+    // startingVersion ahead of the log: advancing the checkpoint now
+    // would mark the intermediate commits as delivered, and once the
+    // log catches up changesIn(cur, ...) would hand the user versions
+    // BELOW the one they asked to start at. Hold at no-progress until
+    // the log reaches startingVersion
+    if (cur == 0 && startingVersion.exists(_ > latest)) return null
     val target = (cur, maxVersionsPerTrigger) match {
       case (0, Some(n)) if startingVersion.isDefined =>
         // resuming from a watermark: the first batch too is bounded

@@ -350,7 +350,11 @@ final case class GraftMergeCommand(table: GraftV2Table,
     val codec = GraftTable.codecFor(keyDt, t.key, forKey = true)
     val env = srcDf.agg(codec.loAgg("__src_key"), codec.hiAgg("__src_key"),
       count(lit(1))).head
-    if (env.getLong(2) == 0L) return Seq(Row(0L)) // empty source: no-op
+    // An empty source is a no-op ONLY when no BY SOURCE clause exists:
+    // `WHEN NOT MATCHED BY SOURCE` applies to every target row when
+    // the source is empty (Delta semantics), so it must still run.
+    if (env.getLong(2) == 0L && notMatchedBySourceActions.isEmpty)
+      return Seq(Row(0L))
 
     val entries = t.manifest(base).collect()
     val impactedRows =
