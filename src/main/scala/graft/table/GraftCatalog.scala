@@ -349,11 +349,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         val dfs = p.getFileSystem(spark.sessionState.newHadoopConf())
         if (!dfs.exists(p)) true
         else {
-          require(GraftTable.listStatusSafe(dfs, p).isEmpty,
-            s"CTAS target dir $d already exists and is not empty — " +
-              "creating a fresh graft table there would put its " +
+          val contents = GraftTable.listStatusSafe(dfs, p)
+          require(contents.isEmpty,
+            s"CTAS target dir $d already exists and is not empty " +
+              s"(holds ${contents.length} entr${
+                if (contents.length == 1) "y" else "ies"}, e.g. ${
+                contents.take(3).map(_.getPath.getName).mkString(", ")
+              }) — creating a fresh graft table there would put its " +
               "contents at risk on abort; point man/data at fresh or " +
-              "empty dirs")
+              "empty dirs, or — if this is debris from a previously " +
+              s"failed CTAS — delete the dir $d yourself and re-run")
           false
         }
       }.toSet

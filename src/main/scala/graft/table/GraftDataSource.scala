@@ -650,7 +650,8 @@ final class GraftChangeFeedSource(spark: SparkSession, man: String,
     override val schema: StructType,
     startingVersion: Option[Int] = None,
     maxVersionsPerTrigger: Option[Int] = None) extends Source
-    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow
+    with org.apache.spark.internal.Logging {
 
   private val table: GraftTable = {
     val p = GraftTable.loadProps(spark, man)
@@ -694,6 +695,7 @@ final class GraftChangeFeedSource(spark: SparkSession, man: String,
     * the run delivers commits up TO the prepare-time latest in paced
     * batches and terminates; 0 = prepared against an empty table. */
   private var fence: Option[Int] = None
+  @volatile private var holdWarned = false
 
   override def prepareForTriggerAvailableNow(): Unit =
     fence = Some(table.committedVersions.maxOption.getOrElse(0))
@@ -728,8 +730,18 @@ final class GraftChangeFeedSource(spark: SparkSession, man: String,
     // would mark the intermediate commits as delivered, and once the
     // log catches up changesIn(cur, ...) would hand the user versions
     // BELOW the one they asked to start at. Hold at no-progress until
-    // the log reaches startingVersion
-    if (cur == 0 && startingVersion.exists(_ > latest)) return null
+    // the log reaches startingVersion — warned once, so a typo'd huge
+    // startingVersion is a diagnosable stall, not a silent one
+    if (cur == 0 && startingVersion.exists(_ > latest)) {
+      if (!holdWarned) {
+        holdWarned = true
+        logWarning(s"change feed on $man holding at no-progress: " +
+          s"startingVersion=${startingVersion.get} is ahead of the " +
+          s"latest committed version ($latest); nothing will deliver " +
+          "until the table log reaches it")
+      }
+      return null
+    }
     val target = (cur, maxVersionsPerTrigger) match {
       case (0, Some(n)) if startingVersion.isDefined =>
         // resuming from a watermark: the first batch too is bounded

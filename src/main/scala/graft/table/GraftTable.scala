@@ -448,9 +448,14 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       batch: org.apache.spark.sql.types.StructType): Option[String] =
     versionSchema(base) match {
       case Some(prev) =>
-        val have = prev.fieldNames.toSet
+        // field identity per the session resolver: a batch spelling an
+        // existing column in a different case (caseSensitive=false) is
+        // the SAME column — recording it again would poison every
+        // later read with COLUMN_ALREADY_EXISTS
+        val resolver = spark.sessionState.conf.resolver
         Some(org.apache.spark.sql.types.StructType(
-          prev.fields ++ batch.fields.filterNot(f => have(f.name))).toDDL)
+          prev.fields ++ batch.fields.filterNot(f =>
+            prev.fieldNames.exists(resolver(_, f.name)))).toDDL)
       case None =>
         if (files(base).isEmpty) Some(batch.toDDL) else None
     }
@@ -2001,15 +2006,21 @@ object GraftTable {
     * (a narrow-schema append after `ALTER TABLE ADD COLUMN c` +
     * `check.c_pos` must behave exactly as if c were read back: NULL,
     * which satisfies the check). Multi-part names pass through and fail
-    * resolution loudly — graft tables are flat by construction. */
+    * resolution loudly — graft tables are flat by construction.
+    * Presence is decided with the session resolver (case-insensitive
+    * unless spark.sql.caseSensitive) — a batch written as `O_CUSTKEY`
+    * against `check.o_custkey` is the SAME column to Spark's analyzer,
+    * so it must be the same column to the constraint; substituting
+    * NULL there would silently satisfy the check on a violating batch. */
   private[table] def checkColumn(spark: SparkSession, text: String,
       present: Set[String]): Column = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.Literal
+    val resolver = spark.sessionState.conf.resolver
     val parsed = spark.sessionState.sqlParser.parseExpression(text)
     org.apache.spark.sql.GraftSqlBridge.column(parsed.transformUp {
-      case ua: UnresolvedAttribute
-          if ua.nameParts.length == 1 && !present.contains(ua.name) =>
+      case ua: UnresolvedAttribute if ua.nameParts.length == 1 &&
+          !present.exists(resolver(_, ua.name)) =>
         Literal(null, org.apache.spark.sql.types.NullType)
     })
   }
@@ -2039,9 +2050,11 @@ object GraftTable {
       s"CHECK constraint '$name' must not contain a subquery — it is " +
         "evaluated per-row inside every write's stats scan")
     val cols = schema.fieldNames.toSet
+    val resolver = spark.sessionState.conf.resolver
     parsed.foreach {
       case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        require(ua.nameParts.length == 1 && cols.contains(ua.name),
+        require(ua.nameParts.length == 1 &&
+            cols.exists(resolver(_, ua.name)),
           s"CHECK constraint '$name' references unknown column " +
             s"'${ua.name}' — table columns: ${cols.toSeq.sorted.mkString(", ")}")
       case _ =>

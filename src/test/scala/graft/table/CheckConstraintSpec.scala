@@ -191,6 +191,35 @@ class CheckConstraintSpec extends TestBase {
     assert(fullMsg(e5).contains("v_neg"), fullMsg(e5))
   }
 
+  test("casing: a batch spelled in a different case is the SAME column — never NULL-substituted") {
+    val s = spark
+    import s.implicits._
+    val root = freshRoot()
+    val tbl = GraftTable(s, s"$root/data", s"$root/man", "id",
+      checks = Seq("v_pos" -> "v > 0"))
+    tbl.create(Seq((1L, 10L)).toDF("id", "v"), 1)
+    // Spark's analyzer treats V as the same column as v
+    // (spark.sql.caseSensitive=false default) — so the constraint must
+    // too. Pre-fix, `V` was "absent" and substituted as NULL → a
+    // violating batch committed silently.
+    val e = intercept[Exception] {
+      tbl.commitAppendOcc(Seq((2L, -5L)).toDF("id", "V"))
+    }
+    assert(fullMsg(e).contains("v_pos"), fullMsg(e))
+    assert(tbl.committedVersions.max == 1, "violation must not commit")
+    // a SATISFYING upper-cased batch still flows
+    tbl.commitAppendOcc(Seq((3L, 7L)).toDF("id", "V"))
+    assert(tbl.readAsOf(2).count() == 2L)
+    // declaration-time resolution is case-insensitive the same way: a
+    // check spelled `V` against schema column `v` validates + enforces
+    val t2 = GraftTable(s, s"$root/data2", s"$root/man2", "id",
+      checks = Seq("v_pos2" -> "V > 0"))
+    t2.create(Seq((1L, 1L)).toDF("id", "v"), 1)
+    val e2 = intercept[Exception] {
+      t2.commitAppendOcc(Seq((2L, -1L)).toDF("id", "v")) }
+    assert(fullMsg(e2).contains("v_pos2"), fullMsg(e2))
+  }
+
   test("streaming + clone: the sink enforces; a shallow clone inherits constraints") {
     val s = spark
     import s.implicits._

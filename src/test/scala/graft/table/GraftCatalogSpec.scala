@@ -439,6 +439,80 @@ class GraftCatalogSpec extends TestBase {
     }
   }
 
+  test("CTAS never destroys pre-existing bytes: non-empty target refused; abort-over-empty keeps the dir") {
+    withExtSession { s =>
+      val root = freshRoot()
+      s.conf.set("spark.sql.catalog.gcs", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gcs.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gcs.db")
+
+      // a pre-existing NON-EMPTY target dir: refused at stageCreate
+      // (BEFORE any write), its contents untouched, no name registered
+      val pre = new java.io.File(s"$root/predata"); pre.mkdirs()
+      val precious = new java.io.File(pre, "precious.txt")
+      val w = new java.io.FileWriter(precious)
+      try w.write("do not delete") finally w.close()
+      s.sql("SELECT 1L AS k, 'x' AS v").createOrReplaceTempView("ctas17")
+      val e = intercept[Exception] {
+        s.sql(s"""CREATE TABLE gcs.db.t USING graft
+             |OPTIONS (man '$root/man', data '$root/predata', key 'k')
+             |AS SELECT * FROM ctas17""".stripMargin)
+      }
+      assert(fullMsg(e).contains("not empty"), fullMsg(e))
+      assert(precious.exists, "pre-existing contents must survive")
+      intercept[Exception] { s.sql("SELECT * FROM gcs.db.t").collect() }
+
+      // an ABORTED CTAS (NULL key rejected) over a pre-existing EMPTY
+      // dir: only the CTAS's own contents reclaimed, the dir itself —
+      // not this CTAS's to delete — survives; the fresh man dir goes
+      // wholesale
+      val emptyDir = new java.io.File(s"$root/emptydata"); emptyDir.mkdirs()
+      s.sql("SELECT CAST(NULL AS BIGINT) AS k, 'x' AS v")
+        .createOrReplaceTempView("ctas17bad")
+      intercept[Exception] {
+        s.sql(s"""CREATE TABLE gcs.db.bad USING graft
+             |OPTIONS (man '$root/badman', data '$root/emptydata', key 'k')
+             |AS SELECT * FROM ctas17bad""".stripMargin)
+      }
+      assert(emptyDir.exists,
+        "a pre-existing (empty) target dir must survive abort")
+      assert(Option(emptyDir.listFiles).forall(_.isEmpty),
+        "the CTAS's own staged files must be reclaimed")
+      assert(!new java.io.File(s"$root/badman").exists,
+        "a dir the CTAS created fresh is reclaimed wholesale")
+    }
+  }
+
+  test("a transient probe failure during adoption PROPAGATES — never adopts a possibly-healthy table") {
+    withExtSession { s =>
+      val root = freshRoot()
+      s.conf.set("spark.sql.catalog.gtp", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gtp.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gtp.db")
+      // a registered name whose manifest the probe CANNOT read (the
+      // filesystem itself fails to load — a stand-in for any flaky
+      // object-store read): neither provably crashed nor provably
+      // healthy, so adoption must not run
+      val ns = new java.io.File(s"$root/catalog/db"); ns.mkdirs()
+      val tbl = new java.io.File(s"$root/catalog/db/t.tbl")
+      val reg = new java.io.FileWriter(tbl)
+      try reg.write("man=unknownfs17://host/man\n") finally reg.close()
+      assert(tbl.setLastModified(System.currentTimeMillis() - 3600 * 1000L))
+      val before = scala.io.Source.fromFile(tbl).mkString
+      val e = intercept[Exception] {
+        s.sql(s"""CREATE TABLE gtp.db.t (id BIGINT, v BIGINT) USING graft
+             |OPTIONS (man '$root/man', data '$root/data', key 'id')
+             |""".stripMargin)
+      }
+      // the probe error surfaces (pre-fix: getOrElse(true) classified it
+      // as "provably crashed" and DELETED the healthy registration)
+      assert(fullMsg(e).toLowerCase.contains("unknownfs17") ||
+        fullMsg(e).toLowerCase.contains("scheme"), fullMsg(e))
+      assert(tbl.exists && scala.io.Source.fromFile(tbl).mkString == before,
+        "the registration must survive a transient probe failure")
+    }
+  }
+
   test("ALTER TABLE ADD COLUMN widens the recorded schema; old files NULL-backfill") {
     withExtSession { s =>
       val root = freshRoot()

@@ -474,6 +474,48 @@ class GraftDataSourceSpec extends TestBase {
     assert(full(e2).contains("readChangeFeed"), full(e2))
   }
 
+  test("CDF startingVersion AHEAD of the log holds at no-progress, then delivers exactly from it") {
+    val (data, man) = freshDirs("cdf_ahead")
+    val t = GraftTable(spark, data, man, "o_orderkey")
+    val base = orders.filter(col("o_orderkey") <= 500)
+    t.create(base, 2) // latest = 1, start asks for 3
+    val got = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", 3)
+      .load(man)
+      .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = b.select("op", "_commit_version").collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        got.synchronized { rows.foreach(got += _) }
+      }.start()
+    try {
+      // latest(1) < startingVersion(3): the offset must HOLD — advancing
+      // the checkpoint here would mark v2..v3 delivered before they
+      // exist, and the catch-up would hand the consumer versions BELOW
+      // its requested start (the r15 defect)
+      q.processAllAvailable()
+      assert(got.synchronized(got.isEmpty),
+        s"nothing may deliver while latest < startingVersion: $got")
+      // v2 lands — still below the requested start: still nothing
+      t.commitAppend(base.limit(10).select(
+        (col("o_orderkey") + 91000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice")), 1)
+      q.processAllAvailable()
+      assert(got.synchronized(got.isEmpty),
+        s"v2 < startingVersion=3 must not deliver: $got")
+      // v3 lands: delivery begins EXACTLY at startingVersion — v3's
+      // diff only, no v1 snapshot replay, no v2
+      t.commitAppend(base.limit(7).select(
+        (col("o_orderkey") + 92000000L).as("o_orderkey"),
+        col("o_custkey"), col("o_totalprice")), 2)
+      q.processAllAvailable()
+      val byV = got.synchronized(
+        got.groupBy(_._2).view.mapValues(_.size).toMap)
+      assert(byV.keySet == Set(3L), s"must deliver v3 and only v3: $byV")
+      assert(byV(3L) == 7, s"v3 diff wrong: $byV")
+    } finally q.stop()
+  }
+
   test("streaming BY NAME: readStream.table and writeStream.toTable through the catalog") {
     import spark.implicits._
     val root = java.nio.file.Files

@@ -319,4 +319,47 @@ class GraftDmlSpec extends TestBase {
         == 30L, "residual-failed match must leave the target row alone")
     }
   }
+
+  test("MERGE with an EMPTY source: BY SOURCE clauses still apply to every target row") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      val df = (1L to 200L).map(i => (i, i)).toDF("id", "v")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create(df, 2)
+      register(s, "ge", root, s"$root/man")
+      (1L to 5L).map(i => (i, i)).toDF("id", "nv").limit(0)
+        .createOrReplaceTempView("empty_src")
+
+      // no BY SOURCE clause: a true no-op — count 0, no version burned
+      val before = tbl.committedVersions.max
+      assert(s.sql(
+        """MERGE INTO ge.db.t t USING empty_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)
+          |""".stripMargin).head.getLong(0) == 0L)
+      assert(tbl.committedVersions.max == before,
+        "empty-source no-op must not burn a version")
+
+      // WHEN NOT MATCHED BY SOURCE applies to EVERY target row when the
+      // source is empty (Delta semantics) — a conditional UPDATE first
+      val affU = s.sql(
+        """MERGE INTO ge.db.t t USING empty_src s ON t.id = s.id
+          |WHEN NOT MATCHED BY SOURCE AND t.id <= 50 THEN UPDATE SET v = -1
+          |""".stripMargin).head.getLong(0)
+      assert(affU == 50L, s"BY SOURCE UPDATE affected $affU")
+      assert(s.sql("SELECT count(*) AS c FROM ge.db.t WHERE v = -1")
+        .head.getLong(0) == 50L)
+
+      // then the unconditional DELETE: every row goes, exact count
+      val affD = s.sql(
+        """MERGE INTO ge.db.t t USING empty_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE
+          |""".stripMargin).head.getLong(0)
+      assert(affD == 200L, s"BY SOURCE DELETE affected $affD")
+      assert(s.sql("SELECT count(*) AS c FROM ge.db.t").head.getLong(0)
+        == 0L, "empty-source BY SOURCE DELETE must empty the table")
+    }
+  }
 }
