@@ -125,4 +125,33 @@ object TextHash extends Serializable {
     }
     bucket
   }
+
+  // Multi-table SRP (the standard LSH recall lever): L independent
+  // tables of `bits` planes each; a true neighbor is a candidate when
+  // it collides in ANY table, so recall = 1-(1-p^bits)^L instead of a
+  // single table's p^bits. Table t uses planes t*bits+j — table 0 at
+  // bits=LshBits is exactly srpBucket's signature.
+  val SrpTables = 8
+  val SrpTableBits = 4
+
+  /** Per-table SRP bucket ids: tables × bits hyperplanes, same
+    * deterministic ±1 family as [[srpBucket]]. */
+  def srpBuckets(v: Array[Float], tables: Int, bits: Int): Array[Int] = {
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var j = 0
+      while (j < bits) {
+        var s = 0.0f
+        var i = 0
+        while (i < v.length) { s += planeSign(t * bits + j, i) * v(i); i += 1 }
+        if (s > 0) bucket |= (1 << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    out
+  }
 }

@@ -193,6 +193,80 @@ object TextHashExprs {
       copy(child = newChild)
   }
 
+  def srpTablesEvalFloat(v: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val n = v.numElements()
+    var k = 0
+    while (k < n) { if (v.isNullAt(k)) return null; k += 1 }
+    val arr = new Array[Float](n)
+    k = 0
+    while (k < n) { arr(k) = v.getFloat(k); k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(
+      TextHash.srpBuckets(arr, tables, bits))
+  }
+
+  def srpTablesEvalDouble(v: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val n = v.numElements()
+    var k = 0
+    while (k < n) { if (v.isNullAt(k)) return null; k += 1 }
+    // double path accumulates in DOUBLE per table (mirrors srpEvalDouble)
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var j = 0
+      while (j < bits) {
+        var sum = 0.0
+        var i = 0
+        while (i < n) {
+          sum += TextHash.planeSign(t * bits + j, i) * v.getDouble(i); i += 1
+        }
+        if (sum > 0) bucket |= (1 << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** srp_buckets(embedding, tables, bits): per-table
+    * sign-random-projection bucket ids — the multi-table LSH recall
+    * lever (a neighbor is a candidate when it collides in ANY table:
+    * recall 1-(1-p^bits)^tables vs one table's p^bits). */
+  case class SrpBuckets(child: Expression, tables: Int, bits: Int)
+    extends UnaryExpression {
+    require(tables > 0 && bits > 0 && bits <= 30,
+      s"srp_buckets needs tables>0 and 0<bits<=30; got ($tables, $bits)")
+    private def isFloatArr: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(this, child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _ => false
+      }, "array<float> or array<double>")
+    override protected def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      if (isFloatArr) srpTablesEvalFloat(a, tables, bits)
+      else srpTablesEvalDouble(a, tables, bits)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = if (isFloatArr) "srpTablesEvalFloat" else "srpTablesEvalDouble"
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = graft.functions.TextHashExprs.$fn($c, $tables, $bits);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column-API entry points ----
 
   def minhash_signature(text: Column, n: Int): Column =
@@ -203,4 +277,7 @@ object TextHashExprs {
     column(SimHash64(expression(text)))
   def srp_bucket(embedding: Column): Column =
     column(SrpBucket(expression(embedding)))
+  def srp_buckets(embedding: Column, tables: Int = TextHash.SrpTables,
+      bits: Int = TextHash.SrpTableBits): Column =
+    column(SrpBuckets(expression(embedding), tables, bits))
 }

@@ -62,23 +62,34 @@ object SimilarityQueries {
        |SELECT qid, rn, nid, round(sim_raw, 4) + 0 AS sim
        |FROM r WHERE rn <= $K ORDER BY qid, rn""".stripMargin
 
-  // ---- 46. Approximate top-k via sign-random-projection LSH buckets ----
+  // ---- 46. Approximate top-k via multi-table SRP-LSH buckets ----
   // Bench-only (the hyperplane family is not DuckDB-expressible): the
-  // driver records rows>0; SimilaritySpec checks recall vs q45.
+  // driver records rows>0; SimilaritySpec gates recall vs q45.
+  // 8 independent tables of 4 hyperplanes each: a true neighbor is a
+  // candidate when it collides in ANY table (recall 1-(1-p^4)^8 ≈ 0.7+
+  // on this corpus vs ~0.04 for one 6-bit table), while per-query work
+  // stays O(Σ bucket) — the corpus is scanned once, exploded ids join
+  // the broadcast probes on (table, bucket), and the cosine runs only
+  // on candidates. The scores are EXACT; only candidate pruning is
+  // approximate, so max() over duplicate collisions is a no-op dedup.
   val q46_ann_lsh: Q = (s, dir) => {
     val e = t(s, dir, "embeddings")
-      .withColumn("bucket",
-        graft.functions.TextHashExprs.srp_bucket(col("embedding")))
+      .withColumn("bks",
+        graft.functions.TextHashExprs.srp_buckets(col("embedding")))
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        col("bucket"))
+        posexplode(col("bks")).as(Seq("tbl", "bucket")))
     val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-      col("bucket"))
+      posexplode(col("bks")).as(Seq("tbl", "bucket")))
     val w = Window.partitionBy("qid")
       .orderBy(col("sim_raw").desc, col("nid"))
-    corpus.join(broadcast(queries), Seq("bucket"))
+    corpus.join(broadcast(queries), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("sim_raw", cosine_similarity(col("qe"), col("ne")))
+      .withColumn("sim_pair", cosine_similarity(col("qe"), col("ne")))
+      // dedup multi-table collisions of the same (qid, nid) pair — the
+      // cosine is deterministic, so max == the value
+      .groupBy(col("qid"), col("nid"))
+      .agg(max(col("sim_pair")).as("sim_raw"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= K)
       .select(col("qid"), col("rn"), col("nid"),

@@ -654,7 +654,16 @@ final case class GraftV2Table(ident: String, man: String,
     }.reduce(_ && _)
     val pruneFilters = predicates.toIndexedSeq
       .flatMap(GraftSqlBridge.v2PredicateToV1)
-    t.commitDelete(pruneFilters, pred, vs.max, 2, None)
+    // spark.graft.delete.mode=mor masks the matched rows with a
+    // deletion vector (O(matched positions), zero data-file rewrites —
+    // the scattered-predicate shape at 100 TB) instead of the COW
+    // survivor rewrite; like merge.mode it is a performance hint,
+    // never a semantics change
+    val mode = spark.conf.get("spark.graft.delete.mode", "cow")
+    require(mode == "cow" || mode == "mor",
+      s"spark.graft.delete.mode must be cow or mor; got '$mode'")
+    if (mode == "mor") t.commitDeleteMor(pruneFilters, pred, vs.max)
+    else t.commitDelete(pruneFilters, pred, vs.max, 2, None)
     ()
   }
 
@@ -763,14 +772,31 @@ final class StagedGraftTable(catalog: GraftCatalog, ident: Identifier,
         if (dfs.exists(p)) {
           if (freshDirs(d)) dfs.delete(p, true)
           else
-            // pre-existing dir (stageCreate proved it EMPTY then, so
-            // everything under it now is this CTAS's): reclaim the
-            // contents, leave the dir itself to its owner
+            // pre-existing dir (stageCreate proved it EMPTY then):
+            // reclaim only GRAFT-SHAPED entries — the emptiness probe
+            // is TOCTOU vs abort, so a file a concurrent FOREIGN actor
+            // wrote into the dir during the CTAS window survives; the
+            // dir itself stays with its owner
             GraftTable.listStatusSafe(dfs, p)
+              .filter(st =>
+                StagedGraftTable.graftOwned(st.getPath.getName))
               .foreach(st => dfs.delete(st.getPath, true))
         }
       }
     }
+}
+
+object StagedGraftTable {
+  /** Whether a man/data dir entry is one this table format itself
+    * writes — the only names a CTAS abort may reclaim from a dir it
+    * did not create: committed/staged manifests (`v=N`, `_tmp_v*`,
+    * `_ptr_v=*`), props, data/DV parquet (`part-*`, `dv-*`), write
+    * stages (`_stage_*`) and Spark's `_SUCCESS` marker. */
+  private[table] def graftOwned(name: String): Boolean =
+    name.startsWith("v=") || name.startsWith("_tmp_v") ||
+      name.startsWith("_ptr_v=") || name == GraftTable.PropsFile ||
+      name.startsWith("part-") || name.startsWith("dv-") ||
+      name.startsWith("_stage_") || name == "_SUCCESS"
 }
 
 /** Extensions-free fallback scan: correct but unpruned, and the rows

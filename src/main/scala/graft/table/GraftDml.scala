@@ -171,6 +171,19 @@ final case class GraftUpdateCommand(table: GraftV2Table,
     val impactedRows = impactedOf(t, entries, keep)
     val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
     if (impacted.isEmpty) return Seq(Row(0L))
+    // spark.graft.update.mode=mor: mask the matched rows with a
+    // deletion vector and re-append only them — O(matched rows), not
+    // O(envelope); a performance hint, never a semantics change
+    val mode = spark.conf.get("spark.graft.update.mode", "cow")
+    require(mode == "cow" || mode == "mor",
+      s"spark.graft.update.mode must be cow or mor; got '$mode'")
+    if (mode == "mor") {
+      val condM = condition.map(rebind(_)).getOrElse(lit(true))
+      val setsM = assignments.map(a =>
+        assignName(a) -> rebind(a.value)).toMap
+      return Seq(Row(t.commitUpdateMor(condM, setsM, base,
+        impactedOnly = Some(impacted))))
+    }
     val df = t.readAsOf(base, impacted)
     val cond = condition.map(rebind(_)).getOrElse(lit(true))
     val nUpd = df.filter(cond).count()

@@ -947,6 +947,31 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
           col("_metadata.row_index").as("pos"))
         .join(batch.select(key).distinct(), Seq(key), "left_semi")
         .select("file", "pos"))
+    // the batch's new clustered files (stats recorded like any append)
+    val added = stagedAppend(batch, nParts)
+    val stats = if (added.isEmpty) emptyEntries else fileStats(added)
+    commitMorMasked(prevMan, prevEntries, impactedRows, maskedNew, stats,
+      prevV, tag, evolvedSchemaDdl(prevV, batch.schema))
+  }
+
+  /** The MERGE-ON-READ commit tail shared by [[commitMergeMor]],
+    * [[commitUpdateMor]] and [[commitDeleteMor]]: union the commit's
+    * new masked positions with the impacted files' EXISTING deletion
+    * vectors into ONE combined `dv-<uuid>.parquet`, re-point the
+    * impacted entries at it with live `n_rows` maintained (an entry
+    * masked to zero live rows is dropped — its file becomes a
+    * vacuum-reclaimable orphan once prior versions expire), union the
+    * commit's appended entries `stats` (empty for a pure DELETE) and
+    * publish prevV+1. `maskedNew` MAY contain already-masked positions
+    * — the union dedups and the live arithmetic (n_rows − (combined −
+    * old)) stays exact. With no masked positions at all this degrades
+    * to a pure append commit (no dv column introduced). */
+  private def commitMorMasked(prevMan: DataFrame, prevEntries: Array[Row],
+      impactedRows: Array[Row], maskedNew: Option[DataFrame],
+      stats: DataFrame, prevV: Int, tag: Option[String],
+      schemaDdl: Option[String]): Unit = {
+    val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
+    val hasDv = prevMan.columns.contains("dv")
     val oldDvPaths =
       if (!hasDv) Nil
       else impactedRows.flatMap(r => Option(r.getAs[String]("dv")))
@@ -970,15 +995,11 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         .groupBy("file").agg(count(lit(1)).as("n")).collect()
         .map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap
 
-    // the batch's new clustered files (stats recorded like any append)
-    val added = stagedAppend(batch, nParts)
-    val stats = if (added.isEmpty) emptyEntries else fileStats(added)
-
     if (allCnt.isEmpty) {
-      // no key overlap (or no impacted files): a pure append commit —
-      // no DV written, no dv column introduced
+      // no masked positions (or no impacted files): a pure append
+      // commit — no DV written, no dv column introduced
       commitManifest(unionEntries(prevMan, stats), prevV + 1, tag,
-        schemaDdl = evolvedSchemaDdl(prevV, batch.schema))
+        schemaDdl)
       return
     }
 
@@ -1015,7 +1036,135 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val prevUpdated =
       spark.createDataFrame(updated.toList.asJava, outSchema)
     commitManifest(unionEntries(prevUpdated, stats), prevV + 1, tag,
-      schemaDdl = evolvedSchemaDdl(prevV, batch.schema))
+      schemaDdl)
+  }
+
+  /** MERGE-ON-READ DELETE (`spark.graft.delete.mode=mor` — the DV
+    * complement of [[commitDelete]], same pruning, same three-valued
+    * semantics, content-equivalent by construction): the predicate's
+    * matched LIVE rows are masked by a deletion vector instead of
+    * rewriting the envelope's survivors. Write cost is O(matched
+    * positions + one manifest) and ZERO data-file bytes — on a 100 TB
+    * table a scattered-key predicate delete (uniform ids, a PII purge
+    * list) stays feasible where the COW rewrite would be O(envelope) =
+    * O(table). Read price identical to MoR merge: masked files
+    * anti-join their DV until OPTIMIZE folds the vectors back in.
+    * Rows where the predicate is NULL are NOT deleted; already-masked
+    * rows neither inflate the count nor re-mask; a no-match delete
+    * burns no version. Returns rows deleted. */
+  def commitDeleteMor(pruneFilters: Seq[org.apache.spark.sql.sources.Filter],
+      pred: Column, prevV: Int, tag: Option[String] = None): Long = {
+    val prevMan = manifest(prevV)
+    val prevEntries = prevMan.collect()
+    if (prevEntries.isEmpty) return 0L
+    val manCols = prevEntries.head.schema.fieldNames.toSet
+    val prunable =
+      ((if (manCols("lo") && manCols("hi")) Seq(key) else Nil) ++
+        statsCols.filter(c => manCols(s"lo_$c") && manCols(s"hi_$c"))).toSet
+    val bloomable = bloomCols.filter(c => manCols(s"bloom_$c")).toSet
+    val impactedRows = SnapshotPruning
+      .keepTestV1(pruneFilters, Some(key), prunable, bloomable)
+      .map(test => prevEntries.filter(test)).getOrElse(prevEntries)
+    if (impactedRows.isEmpty) return 0L
+    val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
+    val reader = versionSchema(prevV).map(s => spark.read.schema(s))
+      .getOrElse(spark.read.option("mergeSchema", "true"))
+    val hasDv = prevMan.columns.contains("dv")
+    val oldDvPaths =
+      if (!hasDv) Nil
+      else impactedRows.flatMap(r => Option(r.getAs[String]("dv")))
+        .distinct.toSeq
+    // matched LIVE positions: the scan is pruned to the predicate's
+    // columns + parquet metadata (no other value bytes); rows an
+    // existing DV already masks anti-join away so the returned count
+    // is live-exact and the no-op test cannot be fooled
+    val matchedRaw = reader.parquet(impacted: _*)
+      .filter(pred)
+      .select(col("_metadata.file_path").as("file"),
+        col("_metadata.row_index").as("pos"))
+    val maskedNew =
+      (if (oldDvPaths.isEmpty) matchedRaw
+      else matchedRaw.join(
+        restrictToFiles(spark.read.parquet(oldDvPaths: _*), impacted)
+          .select("file", "pos"), Seq("file", "pos"), "left_anti"))
+        .persist()
+    try {
+      val nDel = maskedNew.count()
+      if (nDel == 0L) return 0L // conservative planning kept files
+                                // whose rows all miss: no burned version
+      commitMorMasked(prevMan, prevEntries, impactedRows, Some(maskedNew),
+        emptyEntries, prevV, tag,
+        schemaDdl = versionSchema(prevV).map(_.toDDL))
+      nDel
+    } finally { maskedNew.unpersist(); () }
+  }
+
+  /** MERGE-ON-READ UPDATE (`spark.graft.update.mode=mor` — the DV
+    * complement of the SQL UPDATE's COW envelope rewrite): matched
+    * LIVE rows are masked by a deletion vector and re-appended with
+    * the assignments applied — write cost O(matched rows), not
+    * O(envelope), the feasibility difference for a scattered-key
+    * UPDATE on a 100 TB table. `impactedOnly` is the caller's planned
+    * envelope (None = every file); `sets` are the rebound assignment
+    * Columns by target column name. Three-valued logic holds (a NULL
+    * predicate row is untouched); CHECK constraints enforce on the
+    * re-appended rows exactly as on any append. Returns rows updated;
+    * zero matches burn no version. */
+  def commitUpdateMor(cond: Column, sets: Map[String, Column],
+      prevV: Int, impactedOnly: Option[Seq[String]] = None,
+      tag: Option[String] = None): Long = {
+    val prevMan = manifest(prevV)
+    val prevEntries = prevMan.collect()
+    if (prevEntries.isEmpty) return 0L
+    val impactedRows = impactedOnly match {
+      case Some(files) =>
+        val want = files.toSet
+        prevEntries.filter(r => want(r.getAs[String]("file")))
+      case None => prevEntries
+    }
+    if (impactedRows.isEmpty) return 0L
+    val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
+    val reader = versionSchema(prevV).map(s => spark.read.schema(s))
+      .getOrElse(spark.read.option("mergeSchema", "true"))
+    val hasDv = prevMan.columns.contains("dv")
+    val oldDvPaths =
+      if (!hasDv) Nil
+      else impactedRows.flatMap(r => Option(r.getAs[String]("dv")))
+        .distinct.toSeq
+    val raw = reader.parquet(impacted: _*)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val live =
+      if (oldDvPaths.isEmpty) raw
+      else raw.join(
+        restrictToFiles(spark.read.parquet(oldDvPaths: _*), impacted)
+          .select(col("file").as("__file"), col("pos").as("__pos")),
+        Seq("__file", "__pos"), "left_anti")
+    val matched = live.filter(cond).persist()
+    try {
+      val nUpd = matched.count()
+      if (nUpd == 0L) return 0L
+      val maskedNew = matched.select(col("__file").as("file"),
+        col("__pos").as("pos"))
+      val dataCols = matched.columns
+        .filterNot(c => c == "__file" || c == "__pos").toIndexedSeq
+      val updated = matched.select(dataCols.map { c =>
+        sets.get(c) match {
+          case Some(v) => v.cast(matched.schema(c).dataType).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      // appended bytes ≈ the matched fraction of the envelope's bytes
+      val totalRows = math.max(1L, impactedRows.map(
+        _.getAs[Long]("n_rows")).sum)
+      val estBytes = entryBytes(impactedRows) * nUpd / totalRows
+      val added = stagedAppend(updated, sizedParts(1, estBytes))
+      val stats = if (added.isEmpty) emptyEntries else fileStats(added)
+      commitMorMasked(prevMan, prevEntries, impactedRows, Some(maskedNew),
+        stats, prevV, tag,
+        schemaDdl = versionSchema(prevV).map(_.toDDL))
+      nUpd
+    } finally { matched.unpersist(); () }
   }
 
   /** Write `dv` (file, pos) as ONE parquet file `dv-<uuid>.parquet` in

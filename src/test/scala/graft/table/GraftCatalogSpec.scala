@@ -480,6 +480,18 @@ class GraftCatalogSpec extends TestBase {
         "the CTAS's own staged files must be reclaimed")
       assert(!new java.io.File(s"$root/badman").exists,
         "a dir the CTAS created fresh is reclaimed wholesale")
+
+      // TOCTOU guard: from a dir the CTAS did NOT create, abort may
+      // reclaim only graft-shaped names — a foreign file a concurrent
+      // actor wrote after the emptiness probe must survive
+      assert(StagedGraftTable.graftOwned("v=3"))
+      assert(StagedGraftTable.graftOwned("_tmp_v2_1"))
+      assert(StagedGraftTable.graftOwned("_table_props"))
+      assert(StagedGraftTable.graftOwned("part-00000-abc.snappy.parquet"))
+      assert(StagedGraftTable.graftOwned("dv-1a2b3c4d.parquet"))
+      assert(!StagedGraftTable.graftOwned("precious.txt"))
+      assert(!StagedGraftTable.graftOwned("unrelated.parquet"))
+      assert(!StagedGraftTable.graftOwned("data"))
     }
   }
 

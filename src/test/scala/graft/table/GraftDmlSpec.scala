@@ -320,6 +320,82 @@ class GraftDmlSpec extends TestBase {
     }
   }
 
+  test("delete.mode=mor / update.mode=mor: DV-masked DML, zero data files rewritten, COW parity") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      // twin tables, same content: one runs MoR, the other COW — the
+      // COW results are the parity oracle for every step below
+      val df = (1L to 1000L).map(i =>
+        (i, if (i % 100 == 0) None else Some(i % 13), i * 3))
+        .toDF("id", "grp", "v")
+      val mor = GraftTable(s, s"$root/mdata", s"$root/mman", "id")
+      mor.create(df, 4)
+      val cow = GraftTable(s, s"$root/cdata", s"$root/cman", "id")
+      cow.create(df, 4)
+      register(s, "gmor", root, s"$root/mman")
+      s.sql(s"CREATE TABLE gmor.db.c USING graft OPTIONS (man '$root/cman')")
+      def parity(step: String): Unit = {
+        val a = s.sql("SELECT * FROM gmor.db.t ORDER BY id").collect().toSeq
+        val b = s.sql("SELECT * FROM gmor.db.c ORDER BY id").collect().toSeq
+        assert(a == b, s"$step: MoR/COW content diverged")
+      }
+
+      // scattered-key DELETE (uniform ids — every file's envelope
+      // intersects, the COW worst case): MoR must rewrite ZERO files
+      val v1Files = mor.files(1).toSet
+      s.conf.set("spark.graft.delete.mode", "mor")
+      s.sql("DELETE FROM gmor.db.t WHERE id % 97 = 0 OR grp = 5")
+      s.conf.set("spark.graft.delete.mode", "cow")
+      s.sql("DELETE FROM gmor.db.c WHERE id % 97 = 0 OR grp = 5")
+      parity("scattered DELETE") // includes grp IS NULL rows surviving
+      assert(mor.files(2).toSet == v1Files,
+        "MoR DELETE must not rewrite or add any data file")
+
+      // scattered UPDATE: pre-existing files untouched, only the
+      // matched rows re-append as new files
+      s.conf.set("spark.graft.update.mode", "mor")
+      val nU = s.sql("UPDATE gmor.db.t SET v = v + 7 WHERE id % 89 = 3")
+        .head.getLong(0)
+      s.conf.set("spark.graft.update.mode", "cow")
+      val nUc = s.sql("UPDATE gmor.db.c SET v = v + 7 WHERE id % 89 = 3")
+        .head.getLong(0)
+      assert(nU == nUc && nU > 0L, s"update counts diverged: $nU vs $nUc")
+      parity("scattered UPDATE")
+      val v3Files = mor.files(3).toSet
+      assert(v1Files.subsetOf(v3Files),
+        "MoR UPDATE must carry every pre-existing data file forward")
+      assert((v3Files -- v1Files).nonEmpty,
+        "MoR UPDATE must append the updated rows as new files")
+
+      // DV accumulation: a second MoR delete over already-masked files
+      // merges vectors — masked rows neither resurrect nor re-count
+      s.conf.set("spark.graft.delete.mode", "mor")
+      s.sql("DELETE FROM gmor.db.t WHERE v % 11 = 0")
+      s.conf.set("spark.graft.delete.mode", "cow")
+      s.sql("DELETE FROM gmor.db.c WHERE v % 11 = 0")
+      parity("second MoR DELETE over live DVs")
+
+      // no-match MoR DML burns no version
+      val before = mor.committedVersions.max
+      s.conf.set("spark.graft.delete.mode", "mor")
+      s.sql("DELETE FROM gmor.db.t WHERE id = -1")
+      s.conf.set("spark.graft.update.mode", "mor")
+      assert(s.sql("UPDATE gmor.db.t SET v = 0 WHERE id = -1")
+        .head.getLong(0) == 0L)
+      assert(mor.committedVersions.max == before,
+        "no-match MoR DML must not burn a version")
+
+      // OPTIMIZE folds the vectors back in: content identical, DVs gone
+      mor.commitCompaction(before, 128L * 1024 * 1024)
+      assert(!mor.hasLiveDvs(mor.committedVersions.max),
+        "OPTIMIZE must fold deletion vectors")
+      parity("post-OPTIMIZE")
+      s.conf.unset("spark.graft.delete.mode")
+      s.conf.unset("spark.graft.update.mode")
+    }
+  }
+
   test("MERGE with an EMPTY source: BY SOURCE clauses still apply to every target row") {
     withExtSession { s =>
       val root = freshRoot()
