@@ -95,6 +95,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "computed from manifests alone, no data read"),
       (es: Seq[Expression]) => graft.table.SnapshotSql.historyPlan(es)))
     ext.injectTableFunction((
+      FunctionIdentifier("graft_files"),
+      info("graft_files",
+        "graft_files(manifestDir[, version]) - one row per manifest " +
+          "entry of the snapshot (default latest): file, stats boxes, " +
+          "live n_rows, bytes, dv, masked_rows (deletion-vector debt); " +
+          "reads manifests + DV files only, never a data file"),
+      (es: Seq[Expression]) => graft.table.SnapshotSql.filesPlan(es)))
+    ext.injectTableFunction((
       FunctionIdentifier("graft_optimize"),
       info("graft_optimize",
         "graft_optimize(manifestDir, targetBytes) - bin-pack the latest " +

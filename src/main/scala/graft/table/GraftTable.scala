@@ -1645,6 +1645,36 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       "commit_ts")
   }
 
+  /** One row per manifest entry of snapshot `v` with its
+    * deletion-vector debt — `DESCRIBE DETAIL`-grade observability for
+    * maintenance decisions (which files carry masks worth folding,
+    * which are undersized, what the real live/physical skew is):
+    * every manifest column verbatim (file, boxes, blooms, n_rows =
+    * LIVE rows, bytes, dv) plus `masked_rows` counted from each
+    * entry's own DV parquet. Reads manifests + DV files only (both
+    * O(churn) metadata-class, never a data file); a DV-free snapshot
+    * reads nothing but its manifest. */
+  def filesDetail(v: Int): DataFrame = {
+    val m0 = manifest(v)
+    val m = if (m0.columns.contains("dv")) m0
+      else m0.withColumn("dv",
+        lit(null).cast(org.apache.spark.sql.types.StringType))
+    val dvPaths = m.where(col("dv").isNotNull).select("dv").distinct()
+      .collect().map(_.getString(0)).toSeq // O(#dv files) — planning
+    if (dvPaths.isEmpty) return m.withColumn("masked_rows", lit(0L))
+    // per-(file, dv) counts: an entry's debt lives in ITS OWN combined
+    // vector, so each dv parquet is counted separately and joined back
+    // on the pair — a stale position set for the same data file inside
+    // an OLDER dv file cannot leak in
+    val counts = dvPaths.map(p =>
+      spark.read.parquet(p).groupBy("file")
+        .agg(count(lit(1)).as("masked_rows")).withColumn("dv", lit(p)))
+      .reduce(_.unionByName(_))
+    m.join(counts, Seq("file", "dv"), "left")
+      .na.fill(0L, Seq("masked_rows"))
+      .select(m.columns.map(col).toIndexedSeq :+ col("masked_rows"): _*)
+  }
+
   /** Incremental CDC `vFrom -> vTo`: diff only the CHURNED files — the
     * symmetric difference of the versions' file sets (COW invariant: a
     * changed row lives in a rewritten file, so rows in shared files

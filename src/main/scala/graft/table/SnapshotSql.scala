@@ -247,6 +247,47 @@ object SnapshotSql {
 
   /** `SELECT * FROM graft_history('<man>')` — [[GraftTable.history]]
     * from pure SQL (Delta's DESCRIBE HISTORY). */
+  private[table] val filesUsage: String =
+    "usage: graft_files('<manifestDir-or-catalog.ns.table>'[, version]) " +
+      "— one row per manifest entry of the snapshot (default: latest): " +
+      "every manifest column verbatim (file, key/stats boxes, blooms, " +
+      "n_rows = LIVE rows, bytes, dv) plus masked_rows, the entry's " +
+      "deletion-vector debt. Reads manifests + DV files only, never a " +
+      "data file — DESCRIBE DETAIL-grade maintenance observability"
+
+  /** `SELECT * FROM graft_files('<man>'[, v])` —
+    * [[GraftTable.filesDetail]] from pure SQL: which files carry masks
+    * worth folding, which are undersized, what the live/physical skew
+    * is. */
+  def filesPlan(es: Seq[Expression]): LogicalPlan = {
+    def fail(detail: String): Nothing =
+      throw new IllegalArgumentException(s"$detail\n$filesUsage")
+    if (es.isEmpty || es.length > 2)
+      fail(s"graft_files takes 1 or 2 arguments, got ${es.length}")
+    val man = es.head match {
+      case Literal(s: UTF8String, StringType) =>
+        resolveRef(SparkSession.active, s.toString, fail)
+      case other => fail(s"manifestDir must be a string literal; got '$other'")
+    }
+    val spark = SparkSession.active
+    val table = GraftTable(spark, data = "", man = man, key = "")
+    val vs = table.committedVersions
+    if (vs.isEmpty)
+      fail(s"no committed snapshots under $man — not a GraftTable " +
+        "manifest dir (or the table was never created)")
+    val v = es.drop(1).headOption.map {
+      case Literal(i: Int, IntegerType) => i
+      case Literal(l: Long, LongType) =>
+        if (l < 1 || l > Int.MaxValue) fail(s"version $l out of range")
+        l.toInt
+      case other => fail(s"version must be an integer literal; got '$other'")
+    }.getOrElse(vs.max)
+    if (!table.isCommitted(v))
+      fail(s"no committed snapshot v=$v under $man " +
+        s"(committed: ${vs.mkString(", ")})")
+    org.apache.spark.sql.GraftSqlBridge.analyzed(table.filesDetail(v))
+  }
+
   def historyPlan(es: Seq[Expression]): LogicalPlan = {
     def fail(detail: String): Nothing =
       throw new IllegalArgumentException(s"$detail\n$historyUsage")
@@ -525,6 +566,11 @@ object SnapshotSql {
       new ExpressionInfo(getClass.getName, null, "graft_history",
         historyUsage, ""),
       (es: Seq[Expression]) => historyPlan(es))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_files"),
+      new ExpressionInfo(getClass.getName, null, "graft_files",
+        filesUsage, ""),
+      (es: Seq[Expression]) => filesPlan(es))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_optimize"),
       new ExpressionInfo(getClass.getName, null, "graft_optimize",

@@ -248,6 +248,37 @@ class ExtensionsSpec extends TestBase {
     assert(badMan.getMessage.contains("no committed snapshots"))
   }
 
+  test("graft_files exposes per-file detail + DV debt from SQL (never reads a data file)") {
+    graft.table.SnapshotSql.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlfiles").toString
+    val t = graft.table.GraftTable(spark, s"$root/data", s"$root/man", "id")
+    import spark.implicits._
+    t.create((1L to 100L).map(i => (i, i)).toDF("id", "v"), 2)
+    // v1: no DVs — masked_rows all zero, dv NULL
+    val v1 = spark.sql(s"SELECT * FROM graft_files('${t.man}', 1)")
+      .collect()
+    assert(v1.length == 2)
+    assert(v1.forall(r => r.getAs[Long]("masked_rows") == 0L &&
+      r.isNullAt(r.fieldIndex("dv"))))
+    assert(v1.map(_.getAs[Long]("n_rows")).sum == 100L)
+    // v2: a MoR merge masks 10 rows — the debt shows per file, live
+    // n_rows stays exact, and the default-version call sees the latest
+    t.commitMergeMor((1L to 10L).map(i => (i, -i)).toDF("id", "v"), 1)
+    val v2 = spark.sql(s"SELECT * FROM graft_files('${t.man}')").collect()
+    assert(v2.map(_.getAs[Long]("masked_rows")).sum == 10L, s"${v2.toSeq}")
+    assert(v2.map(_.getAs[Long]("n_rows")).sum == 100L) // 90 live + 10 new
+    assert(v2.exists(r => !r.isNullAt(r.fieldIndex("dv"))))
+    // misuse is loud
+    val badV = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_files('${t.man}', 99)")
+        .queryExecution.analyzed }
+    assert(badV.getMessage.contains("no committed snapshot"))
+    val badArity = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_files('${t.man}', 1, 2)")
+        .queryExecution.analyzed }
+    assert(badArity.getMessage.contains("1 or 2 arguments"))
+  }
+
   test("OPTIMIZE and VACUUM run from pure SQL (parity with the API, misuse loud)") {
     graft.table.SnapshotSql.register(spark)
     val root = java.nio.file.Files.createTempDirectory("graft_sqlmaint").toString

@@ -396,6 +396,125 @@ class GraftDmlSpec extends TestBase {
     }
   }
 
+  test("randomized COW/MoR DML parity: a seeded op sequence converges identically") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      val df = (1L to 2000L).map(i => (i, i % 37, i)).toDF("id", "grp", "v")
+      val mor = GraftTable(s, s"$root/mdata", s"$root/mman", "id")
+      mor.create(df, 4)
+      val cow = GraftTable(s, s"$root/cdata", s"$root/cman", "id")
+      cow.create(df, 4)
+      register(s, "gfz", root, s"$root/mman")
+      s.sql(s"CREATE TABLE gfz.db.c USING graft OPTIONS (man '$root/cman')")
+      def modes(m: String): Unit = {
+        s.conf.set("spark.graft.delete.mode", m)
+        s.conf.set("spark.graft.update.mode", m)
+        s.conf.set("spark.graft.merge.mode", m)
+      }
+      def run(sql: String): Unit = {
+        modes("mor"); s.sql(sql.replace("%T%", "gfz.db.t")).collect()
+        modes("cow"); s.sql(sql.replace("%T%", "gfz.db.c")).collect()
+      }
+      val rnd = new scala.util.Random(42) // seeded: deterministic replay
+      var nextKey = 10000L
+      (1 to 10).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 => // scattered delete
+            val (p, r) = (3 + rnd.nextInt(17), rnd.nextInt(3))
+            run(s"DELETE FROM %T% WHERE id % $p = $r")
+          case 1 => // scattered update (sometimes with a NULL-prone pred)
+            val (p, r, k) = (3 + rnd.nextInt(17), rnd.nextInt(3),
+              1 + rnd.nextInt(100))
+            run(s"UPDATE %T% SET v = v + $k WHERE id % $p = $r")
+          case 2 => // canonical upsert: half hits, half new keys
+            val hits = (1 to 20).map(_ => 1L + rnd.nextInt(2000))
+              .distinct
+            val news = (1 to 10).map(_ => { nextKey += 1; nextKey })
+            (hits ++ news).distinct.map(i => (i, i % 37, -i))
+              .toDF("id", "grp", "v")
+              .createOrReplaceTempView(s"fz_src_$step")
+            run(s"""MERGE INTO %T% t USING fz_src_$step s ON t.id = s.id
+                   |WHEN MATCHED THEN UPDATE SET *
+                   |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+          case 3 => // append through INSERT
+            val news = (1 to 15).map(_ => { nextKey += 1; nextKey })
+            news.map(i => (i, i % 37, i)).toDF("id", "grp", "v")
+              .createOrReplaceTempView(s"fz_ins_$step")
+            run(s"INSERT INTO %T% SELECT * FROM fz_ins_$step")
+        }
+        val a = s.sql("SELECT * FROM gfz.db.t ORDER BY id").collect().toSeq
+        val b = s.sql("SELECT * FROM gfz.db.c ORDER BY id").collect().toSeq
+        assert(a == b, s"step $step: MoR/COW diverged (${a.size}/${b.size})")
+      }
+      // fold every accumulated vector; content must be unchanged
+      mor.commitCompaction(mor.committedVersions.max, 128L * 1024 * 1024)
+      val a = s.sql("SELECT * FROM gfz.db.t ORDER BY id").collect().toSeq
+      val b = s.sql("SELECT * FROM gfz.db.c ORDER BY id").collect().toSeq
+      assert(a == b, "post-OPTIMIZE divergence")
+      Seq("delete", "update", "merge").foreach(k =>
+        s.conf.unset(s"spark.graft.$k.mode"))
+    }
+  }
+
+  test("MoR DML integrates: CDF op classification, time travel, RESTORE, vacuum-safe DVs") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      val df = (1L to 100L).map(i => (i, i)).toDF("id", "v")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create(df, 2)
+      register(s, "gmi", root, s"$root/man")
+      s.conf.set("spark.graft.delete.mode", "mor")
+      s.conf.set("spark.graft.update.mode", "mor")
+      s.sql("DELETE FROM gmi.db.t WHERE id % 10 = 0") // v2: 10 deletes
+      assert(s.sql("UPDATE gmi.db.t SET v = v * 1000 WHERE id % 10 = 1")
+        .head.getLong(0) == 10L) // v3: 10 updates
+      s.conf.unset("spark.graft.delete.mode")
+      s.conf.unset("spark.graft.update.mode")
+
+      // time travel reads THROUGH the accumulated DVs at each version
+      def cnt(v: Int): Long = s.sql(
+        s"SELECT count(*) AS c FROM gmi.db.t VERSION AS OF $v")
+        .head.getLong(0)
+      assert(cnt(1) == 100L && cnt(2) == 90L && cnt(3) == 90L)
+
+      // manifest n_rows stays LIVE-exact through DV-only commits, so
+      // stats-only (metadata-only) aggregation never reads a data byte
+      // and never counts a masked row
+      def manRows(v: Int): Long = tbl.manifest(v)
+        .agg(sum("n_rows")).head.getLong(0)
+      assert(manRows(2) == 90L && manRows(3) == 90L,
+        s"manifest live counts: v2=${manRows(2)} v3=${manRows(3)}")
+
+      // the change feed classifies DV-only commits row-exactly: the
+      // cdc diff is over (file, dv) PAIRS, so a commit that touched
+      // only vectors still yields per-row ops
+      def ops(a: Int, b: Int): Map[String, Long] =
+        tbl.cdc(a, b).groupBy("op").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(ops(1, 2) == Map("delete" -> 10L), s"v1->v2: ${ops(1, 2)}")
+      assert(ops(2, 3) == Map("update" -> 10L), s"v2->v3: ${ops(2, 3)}")
+      assert(ops(1, 3) == Map("delete" -> 10L, "update" -> 10L))
+
+      // RESTORE to v1 resurrects the masked rows (the DV entries are
+      // version-local); the restore itself is a new commit
+      val rv = tbl.commitRestore(1)
+      assert(s.sql("SELECT count(*) AS c FROM gmi.db.t").head.getLong(0)
+        == 100L)
+      assert(s.sql("SELECT sum(v) AS sv FROM gmi.db.t").head.getLong(0)
+        == (1L to 100L).sum)
+
+      // vacuum to the DV-carrying horizon: v3's dv files must survive
+      // (still referenced) and v3 must still read correctly
+      tbl.vacuum(keepFrom = 3, latest = rv)
+      assert(tbl.readAsOf(3).count() == 90L)
+      assert(tbl.readAsOf(3).agg(sum("v")).head.getLong(0) ==
+        (1L to 100L).filter(_ % 10 != 0)
+          .map(i => if (i % 10 == 1) i * 1000 else i).sum)
+    }
+  }
+
   test("MERGE with an EMPTY source: BY SOURCE clauses still apply to every target row") {
     withExtSession { s =>
       val root = freshRoot()
