@@ -267,15 +267,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         else None
       name.filter(_ => v.trim.nonEmpty).map(_ -> v.trim)
     }.sortBy(_._1)
+    // per-table DML write modes: OPTIONS ('mode.delete' 'mor', ...) —
+    // the Delta enableDeletionVectors idea as a declared default every
+    // writer honors (session conf still overrides per statement)
+    val dmlModes = props.flatMap { case (k0, v) =>
+      val k = k0.toLowerCase(java.util.Locale.ROOT)
+      val stmt =
+        if (k.startsWith(TableCatalog.OPTION_PREFIX + "mode."))
+          Some(k.stripPrefix(TableCatalog.OPTION_PREFIX + "mode."))
+        else if (k.startsWith("mode.")) Some(k.stripPrefix("mode."))
+        else None
+      stmt.filter(_ => v.trim.nonEmpty).map(_ -> v.trim)
+    }.toMap
+    GraftTable.validateDmlModes(dmlModes)
     val exists = GraftTable.loadProps(spark, man).isDefined &&
       GraftTable(spark, data = "", man = man, key = "")
         .committedVersions.nonEmpty
     val newTable = if (exists) {
-      require(checks.isEmpty,
+      require(checks.isEmpty && dmlModes.isEmpty,
         s"a graft table already exists at $man — this CREATE only " +
-          "registers the name, so declare constraints on the table " +
-          "itself with ALTER TABLE ... SET TBLPROPERTIES " +
-          "('check.<name>' = '<boolean expr>')")
+          "registers the name, so declare constraints/modes on the " +
+          "table itself with ALTER TABLE ... SET TBLPROPERTIES " +
+          "('check.<name>' = '<boolean expr>' / 'mode.<stmt>' = 'mor')")
       None
     } else {
       val key = opt("key").getOrElse(throw new IllegalArgumentException(
@@ -287,7 +300,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       def list(k: String) = opt(k).toSeq.flatMap(_.split(","))
         .map(_.trim).filter(_.nonEmpty)
       Some(GraftTable(spark, data, man, key, list("stats"), list("bloom"),
-        checks = checks))
+        checks = checks, dmlModes = dmlModes))
     }
     (man, newTable)
   }
@@ -416,6 +429,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val adds = scala.collection.mutable.ArrayBuffer.empty[TableChange.AddColumn]
     val setChecks = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val unsetChecks = scala.collection.mutable.ArrayBuffer.empty[String]
+    val setModes = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val unsetModes = scala.collection.mutable.ArrayBuffer.empty[String]
     changes.foreach {
       case a: TableChange.AddColumn => adds += a
       case sp: TableChange.SetProperty
@@ -424,11 +439,18 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case rp: TableChange.RemoveProperty
           if rp.property.startsWith("check.") =>
         unsetChecks += rp.property.stripPrefix("check.")
+      case sp: TableChange.SetProperty
+          if sp.property.startsWith("mode.") =>
+        setModes += sp.property.stripPrefix("mode.") -> sp.value.trim
+      case rp: TableChange.RemoveProperty
+          if rp.property.startsWith("mode.") =>
+        unsetModes += rp.property.stripPrefix("mode.")
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE on a graft table supports ADD COLUMN(S) and " +
-          "SET/UNSET TBLPROPERTIES ('check.<name>' ...) only — " +
-          s"got ${other.getClass.getSimpleName}; the table's key/stats/" +
-          "bloom bindings and committed boxes are fixed at creation")
+          "SET/UNSET TBLPROPERTIES ('check.<name>' / 'mode.<stmt>' ...) " +
+          s"only — got ${other.getClass.getSimpleName}; the table's " +
+          "key/stats/bloom bindings and committed boxes are fixed at " +
+          "creation")
     }
     val t = GraftTable(spark, data = "", man = man, key = "")
     val vs = t.committedVersions
@@ -475,6 +497,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       setChecks.foreach { case (n, e) => tm.setCheckProp(n, Some(e)) }
     }
     unsetChecks.foreach(n => t.setCheckProp(n, None))
+    setModes.foreach { case (s, m) => t.setModeProp(s, Some(m)) }
+    unsetModes.foreach(s => t.setModeProp(s, None))
     loadTable(ident)
   }
 
@@ -604,7 +628,8 @@ final case class GraftV2Table(ident: String, man: String,
           (if (p.bloomCols.nonEmpty)
             Seq("bloom" -> p.bloomCols.mkString(",")) else Nil) ++
           p.logStore.map("logstore" -> _).toSeq ++
-          p.checks.map { case (n, e) => s"check.$n" -> e }
+          p.checks.map { case (n, e) => s"check.$n" -> e } ++
+          p.dmlModes.toSeq.sorted.map { case (s, m) => s"mode.$s" -> m }
       }
     import scala.jdk.CollectionConverters._
     base.asJava
@@ -654,15 +679,13 @@ final case class GraftV2Table(ident: String, man: String,
     }.reduce(_ && _)
     val pruneFilters = predicates.toIndexedSeq
       .flatMap(GraftSqlBridge.v2PredicateToV1)
-    // spark.graft.delete.mode=mor masks the matched rows with a
-    // deletion vector (O(matched positions), zero data-file rewrites —
-    // the scattered-predicate shape at 100 TB) instead of the COW
-    // survivor rewrite; like merge.mode it is a performance hint,
-    // never a semantics change
-    val mode = spark.conf.get("spark.graft.delete.mode", "cow")
-    require(mode == "cow" || mode == "mor",
-      s"spark.graft.delete.mode must be cow or mor; got '$mode'")
-    if (mode == "mor") t.commitDeleteMor(pruneFilters, pred, vs.max)
+    // delete mode mor (session conf > table prop mode.delete > cow)
+    // masks the matched rows with a deletion vector (O(matched
+    // positions), zero data-file rewrites — the scattered-predicate
+    // shape at 100 TB) instead of the COW survivor rewrite; like
+    // merge.mode it is a performance hint, never a semantics change
+    if (t.dmlMode("delete") == "mor")
+      t.commitDeleteMor(pruneFilters, pred, vs.max)
     else t.commitDelete(pruneFilters, pred, vs.max, 2, None)
     ()
   }

@@ -171,13 +171,11 @@ final case class GraftUpdateCommand(table: GraftV2Table,
     val impactedRows = impactedOf(t, entries, keep)
     val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
     if (impacted.isEmpty) return Seq(Row(0L))
-    // spark.graft.update.mode=mor: mask the matched rows with a
-    // deletion vector and re-append only them — O(matched rows), not
-    // O(envelope); a performance hint, never a semantics change
-    val mode = spark.conf.get("spark.graft.update.mode", "cow")
-    require(mode == "cow" || mode == "mor",
-      s"spark.graft.update.mode must be cow or mor; got '$mode'")
-    if (mode == "mor") {
+    // update mode mor (session conf > table prop mode.update > cow):
+    // mask the matched rows with a deletion vector and re-append only
+    // them — O(matched rows), not O(envelope); a performance hint,
+    // never a semantics change
+    if (t.dmlMode("update") == "mor") {
       val condM = condition.map(rebind(_)).getOrElse(lit(true))
       val setsM = assignments.map(a =>
         assignName(a) -> rebind(a.value)).toMap
@@ -270,10 +268,8 @@ final case class GraftMergeCommand(table: GraftV2Table,
       residual: Seq[Expression], srcSet: AttributeSet)
       : Option[org.apache.spark.sql.DataFrame] = {
     import GraftDml.rebind
-    val mode = spark.conf.get("spark.graft.merge.mode", "cow")
-    require(mode == "cow" || mode == "mor",
-      s"spark.graft.merge.mode must be cow or mor; got '$mode'")
-    if (mode != "mor") return None
+    // session conf > table prop mode.merge > cow (GraftTable.dmlMode)
+    if (t.dmlMode("merge") != "mor") return None
     val canonical = (matchedActions, notMatchedActions,
         notMatchedBySourceActions, residual) match {
       case (Seq(u), Seq(ins), Seq(), Seq())

@@ -57,7 +57,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     bloomItems: Long = GraftTable.DefaultBloomItems,
     bloomFpp: Double = GraftTable.DefaultBloomFpp,
     logStore: String = "",
-    checks: Seq[(String, String)] = Nil) {
+    checks: Seq[(String, String)] = Nil,
+    dmlModes: Map[String, String] = Map.empty) {
 
   import GraftTable.{listStatusSafe, touch}
 
@@ -502,7 +503,9 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     // checks resolve LIVE from the source's props (ALTER-added ones
     // included), so the clone's own props carry the same constraints
     val clone = copy(data = targetData, man = targetMan,
-      checks = activeChecks)
+      checks = activeChecks,
+      dmlModes = GraftTable.loadProps(spark, man)
+        .map(_.dmlModes).getOrElse(dmlModes))
     val cloneManDir = new Path(targetMan)
     if (clone.manFs.exists(cloneManDir)) clone.manFs.delete(cloneManDir, true)
     clone.manFs.mkdirs(cloneManDir)
@@ -538,6 +541,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * function of the table declaration, so concurrent (re)writes are
     * byte-identical; [[vacuum]] never touches it. */
   private def writeProps(provenance: Option[String] = None): Unit = {
+    GraftTable.validateDmlModes(dmlModes)
     manFs.mkdirs(new Path(man))
     val out = manFs.create(new Path(man, GraftTable.PropsFile), true)
     try out.write(
@@ -546,6 +550,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         s"bloom_items=$bloomItems\nbloom_fpp=$bloomFpp\n" +
         s"logstore=${store.name}\n" +
         checks.map { case (n, e) => s"check.$n=$e\n" }.mkString +
+        dmlModes.toSeq.sorted.map { case (s, m) => s"mode.$s=$m\n" }
+          .mkString +
         // free-form provenance (e.g. a shallow clone's source ref);
         // loadProps ignores unknown keys, so this is operator-facing
         provenance.map(_ + "\n").getOrElse("")).getBytes("UTF-8"))
@@ -562,12 +568,47 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   private def activeChecks: Seq[(String, String)] =
     GraftTable.loadProps(spark, man).map(_.checks).getOrElse(checks)
 
+  /** The write mode a DML statement kind should use on THIS table:
+    * an EXPLICITLY SET session conf (`spark.graft.<stmt>.mode`) wins —
+    * the operator's per-session override — else the table's own
+    * declared default (`mode.<stmt>` in `_table_props`, Delta's
+    * enableDeletionVectors idea: a table whose key distribution makes
+    * COW rewrites infeasible declares `mor` ONCE and every writer
+    * honors it), else `cow`. Resolved live, like [[activeChecks]], so
+    * an ALTER applies to running sessions immediately. A mode is a
+    * performance hint, never a semantics change. */
+  def dmlMode(stmt: String): String = {
+    val m = spark.conf.getOption(s"spark.graft.$stmt.mode")
+      .orElse(GraftTable.loadProps(spark, man)
+        .flatMap(_.dmlModes.get(stmt)).orElse(dmlModes.get(stmt)))
+      .getOrElse("cow")
+    require(m == "cow" || m == "mor",
+      s"spark.graft.$stmt.mode / table prop 'mode.$stmt' must be cow " +
+        s"or mor; got '$m'")
+    m
+  }
+
   /** Add/replace (`expr = Some`) or drop (`expr = None`) one CHECK
     * constraint line in `_table_props`, preserving every other line
     * verbatim (provenance included). Validation — parse, boolean type,
     * known columns, no violating EXISTING rows — is the caller's job
     * ([[GraftCatalog.alterTable]] / [[SnapshotSql]]). */
-  private[table] def setCheckProp(name: String, expr: Option[String]): Unit = {
+  private[table] def setCheckProp(name: String, expr: Option[String]): Unit =
+    setPropLine(s"check.$name", expr)
+
+  /** Add/replace (`mode.<stmt> = cow|mor`) or drop one declared DML
+    * write-mode default — the ALTER TABLE face of [[dmlMode]]'s
+    * per-table resolution tier. Values validated here; statements in
+    * flight resolve the new mode on their next call (live props). */
+  private[table] def setModeProp(stmt: String, mode: Option[String]): Unit = {
+    GraftTable.validateDmlModes(Map(stmt -> mode.getOrElse("cow")))
+    setPropLine(s"mode.$stmt", mode)
+  }
+
+  /** Replace (`value = Some`) or drop (`None`) one `<fullKey>=` line in
+    * `_table_props`, preserving every other line verbatim (provenance
+    * included). Semantic validation is the caller's job. */
+  private def setPropLine(fullKey: String, value: Option[String]): Unit = {
     val p = new Path(man, GraftTable.PropsFile)
     require(manFs.exists(p),
       s"$man carries no _table_props — not a graft table")
@@ -578,10 +619,10 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       bos.toString("UTF-8")
     } finally in.close()
     val kept = txt.linesIterator
-      .filterNot(_.startsWith(s"check.$name=")).toSeq
+      .filterNot(_.startsWith(s"$fullKey=")).toSeq
     val out = manFs.create(p, true)
     try out.write((kept.mkString("\n") + "\n" +
-      expr.map(e => s"check.$name=$e\n").getOrElse("")).getBytes("UTF-8"))
+      value.map(v => s"$fullKey=$v\n").getOrElse("")).getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -2135,7 +2176,20 @@ object GraftTable {
       bloomItems: Long = DefaultBloomItems,
       bloomFpp: Double = DefaultBloomFpp,
       logStore: Option[String] = None,
-      checks: Seq[(String, String)] = Nil)
+      checks: Seq[(String, String)] = Nil,
+      dmlModes: Map[String, String] = Map.empty)
+
+  /** Statements with a declarable write mode and the legal modes. */
+  private[table] val DmlStmts = Set("merge", "delete", "update")
+
+  private[table] def validateDmlModes(modes: Map[String, String]): Unit =
+    modes.foreach { case (s, m) =>
+      require(DmlStmts(s),
+        s"unknown DML-mode property 'mode.$s' — declarable statements: " +
+          DmlStmts.toSeq.sorted.mkString(", "))
+      require(m == "cow" || m == "mor",
+        s"table prop 'mode.$s' must be cow or mor; got '$m'")
+    }
 
   /** Default per-file bloom sizing: ~9.6 bits/item at 1% fpp =
     * ~78 KiB/file/column. The knob matters at scale — see docs/TABLE.md
@@ -2175,7 +2229,9 @@ object GraftTable {
         kv.get("bloom_fpp").map(_.toDouble).getOrElse(DefaultBloomFpp),
         kv.get("logstore").filter(_.nonEmpty),
         kv.toSeq.collect { case (k, v) if k.startsWith("check.") &&
-          v.nonEmpty => k.stripPrefix("check.") -> v }.sortBy(_._1)))
+          v.nonEmpty => k.stripPrefix("check.") -> v }.sortBy(_._1),
+        kv.collect { case (k, v) if k.startsWith("mode.") &&
+          v.nonEmpty => k.stripPrefix("mode.") -> v }))
     }
   }
 

@@ -34,6 +34,30 @@ class VectorExprSpec extends TestBase {
     }
   }
 
+  test("srp_buckets (multi-table) is bit-equal to the Scala family; table 0 at 6 bits = srp_bucket") {
+    import graft.functions.{TextHash, TextHashExprs}
+    val emb = Tables.load(spark, sfDir, "embeddings").limit(50)
+    val rows = emb.select(col("embedding"),
+      TextHashExprs.srp_buckets(col("embedding")).as("bks"),
+      TextHashExprs.srp_buckets(col("embedding"), 1, TextHash.LshBits)
+        .as("one"),
+      TextHashExprs.srp_bucket(col("embedding")).as("b")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      assert(r.getSeq[Int](1) == TextHash.srpBuckets(v,
+        TextHash.SrpTables, TextHash.SrpTableBits).toSeq)
+      // plane family is shared: one table of LshBits planes IS srpBucket
+      assert(r.getSeq[Int](2) == Seq(r.getInt(3)),
+        "srp_buckets(1, LshBits) must equal srp_bucket")
+    }
+    // null element -> NULL array (same contract as srp_bucket)
+    import spark.implicits._
+    val nulls = Seq((1, Seq[java.lang.Float](1.0f, null, 3.0f)))
+      .toDF("id", "v")
+      .select(TextHashExprs.srp_buckets(col("v")).as("bks")).collect()
+    assert(nulls.head.isNullAt(0), "null element must yield NULL buckets")
+  }
+
   test("srp_bucket of a vector with a null element is NULL, not a garbage bucket") {
     import graft.functions.TextHashExprs
     import spark.implicits._

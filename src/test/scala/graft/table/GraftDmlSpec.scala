@@ -396,6 +396,72 @@ class GraftDmlSpec extends TestBase {
     }
   }
 
+  test("per-table DML modes: mode.<stmt> props declare the default; session conf overrides; ALTER flips live") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      s.conf.set("spark.sql.catalog.gpm", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gpm.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gpm.db")
+      s.sql(s"""CREATE TABLE gpm.db.t (id BIGINT, v BIGINT) USING graft
+           |OPTIONS (man '$root/man', data '$root/data', key 'id',
+           |  'mode.delete' 'mor', 'mode.update' 'mor')""".stripMargin)
+      (1L to 400L).map(i => (i, i)).toDF("id", "v")
+        .createOrReplaceTempView("pm_src")
+      s.sql("INSERT INTO gpm.db.t SELECT * FROM pm_src")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      val v1Files = tbl.files(tbl.committedVersions.max).toSet
+
+      // props round-trip + SHOW TBLPROPERTIES surface
+      assert(GraftTable.loadProps(s, s"$root/man").get.dmlModes ==
+        Map("delete" -> "mor", "update" -> "mor"))
+      val shown = s.sql("SHOW TBLPROPERTIES gpm.db.t").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shown.get("mode.delete").contains("mor"))
+
+      // NO session conf set: the table's declared default routes MoR
+      s.sql("DELETE FROM gpm.db.t WHERE id % 7 = 0")
+      assert(s.sql("UPDATE gpm.db.t SET v = -v WHERE id % 11 = 1")
+        .head.getLong(0) > 0L)
+      val v3Files = tbl.files(tbl.committedVersions.max).toSet
+      assert(v1Files.subsetOf(v3Files),
+        "table-prop mor modes must not rewrite pre-existing files")
+
+      // an explicitly SET session conf overrides the table default
+      s.conf.set("spark.graft.delete.mode", "cow")
+      s.sql("DELETE FROM gpm.db.t WHERE id % 7 = 1")
+      val v4Files = tbl.files(tbl.committedVersions.max).toSet
+      assert((v1Files -- v4Files).nonEmpty,
+        "session cow override must rewrite the envelope")
+      s.conf.unset("spark.graft.delete.mode")
+
+      // ALTER flips the default live; UNSET restores cow
+      s.sql("ALTER TABLE gpm.db.t UNSET TBLPROPERTIES ('mode.update')")
+      assert(GraftTable.loadProps(s, s"$root/man").get.dmlModes ==
+        Map("delete" -> "mor"))
+      s.sql("ALTER TABLE gpm.db.t SET TBLPROPERTIES ('mode.merge' = 'mor')")
+      assert(GraftTable.loadProps(s, s"$root/man").get.dmlModes ==
+        Map("delete" -> "mor", "merge" -> "mor"))
+
+      // misuse is loud: unknown statement, illegal value
+      val e1 = intercept[Exception] {
+        s.sql("ALTER TABLE gpm.db.t SET TBLPROPERTIES ('mode.insert' = 'mor')") }
+      assert(fullMsg(e1).contains("unknown DML-mode"), fullMsg(e1))
+      val e2 = intercept[Exception] {
+        s.sql("ALTER TABLE gpm.db.t SET TBLPROPERTIES ('mode.delete' = 'fast')") }
+      assert(fullMsg(e2).contains("cow or mor"), fullMsg(e2))
+      val e3 = intercept[Exception] {
+        s.sql(s"""CREATE TABLE gpm.db.bad (id BIGINT) USING graft
+             |OPTIONS (man '$root/man2', data '$root/data2', key 'id',
+             |  'mode.delete' 'zap')""".stripMargin) }
+      assert(fullMsg(e3).contains("cow or mor"), fullMsg(e3))
+      // a clone inherits the declared modes
+      val clone = tbl.shallowClone(1, s"$root/cdata", s"$root/cman")
+      assert(GraftTable.loadProps(s, clone.man).get.dmlModes
+        .get("delete").contains("mor"))
+    }
+  }
+
   test("randomized COW/MoR DML parity: a seeded op sequence converges identically") {
     withExtSession { s =>
       val root = freshRoot()
