@@ -1260,8 +1260,38 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       // no dv)
       def dvOf(r: Row): Option[String] =
         if (hasDv) Option(r.getAs[String]("dv")) else None
+      // spark.graft.optimize.minDvFraction (default 0 = fold ALL
+      // DV-carrying files, the historical contract): at 100 TB,
+      // rewriting a full-size file to reclaim one masked row is the
+      // wrong trade — a positive threshold folds only files whose
+      // masked/(live+masked) debt reaches it (sub-target files still
+      // pack by size and fold whatever they carry). Debt counts read
+      // each entry's own DV parquet — O(churn) metadata, never a data
+      // file. Sub-threshold vectors SURVIVE the commit by design;
+      // graft_files shows the remaining debt.
+      val minFrac = spark.conf
+        .get("spark.graft.optimize.minDvFraction", "0").toDouble
+      require(minFrac >= 0.0 && minFrac <= 1.0,
+        "spark.graft.optimize.minDvFraction must be in [0, 1]; got " +
+          minFrac)
+      val debts: Map[String, Long] =
+        if (minFrac <= 0.0) Map.empty
+        else entries.filter(dvOf(_).isDefined).groupBy(dvOf(_).get)
+          .flatMap { case (dvp, rs) =>
+            val want = rs.map(_.getAs[String]("file")).toSet
+            spark.read.parquet(dvp).groupBy("file").count().collect()
+              .filter(r => want(r.getString(0)))
+              .map(r => r.getString(0) -> r.getLong(1))
+          }
+      def foldWorthy(r: Row): Boolean = dvOf(r).isDefined &&
+        (minFrac <= 0.0 || {
+          val masked = debts.getOrElse(r.getAs[String]("file"), 0L)
+          val live = r.getAs[Long]("n_rows")
+          masked > 0L &&
+            masked.toDouble / (live + masked).toDouble >= minFrac
+        })
       val pack = entries.filter(r =>
-        r.getAs[Long]("bytes") < targetBytes || dvOf(r).isDefined)
+        r.getAs[Long]("bytes") < targetBytes || foldWorthy(r))
       val anyDv = pack.exists(dvOf(_).isDefined)
       if (pack.length <= 1 && !anyDv) return 0
         // already compact and DV-free: no commit, no burned version,

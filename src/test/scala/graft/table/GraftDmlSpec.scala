@@ -396,6 +396,63 @@ class GraftDmlSpec extends TestBase {
     }
   }
 
+  test("OPTIMIZE minDvFraction: only debt-heavy files fold; sub-threshold vectors survive") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      val df = (1L to 1000L).map(i => (i, i)).toDF("id", "v")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create(df, 2)
+      register(s, "gop", root, s"$root/man")
+      s.conf.set("spark.graft.delete.mode", "mor")
+      s.sql("DELETE FROM gop.db.t WHERE id = 17") // tiny debt
+      s.sql("DELETE FROM gop.db.t WHERE id > 500 AND id % 2 = 0") // heavy
+      s.conf.unset("spark.graft.delete.mode")
+      val vBefore = tbl.committedVersions.max
+      val liveCount = s.sql("SELECT count(*) AS c FROM gop.db.t")
+        .head.getLong(0)
+
+      // classify per the SAME debt math the knob uses (graft_files'
+      // masked_rows is the observable face of it)
+      val det = tbl.filesDetail(vBefore).collect()
+      def frac(r: org.apache.spark.sql.Row): Double = {
+        val m = r.getAs[Long]("masked_rows")
+        val l = r.getAs[Long]("n_rows")
+        if (m == 0L) 0.0 else m.toDouble / (l + m).toDouble
+      }
+      val heavy = det.filter(frac(_) >= 0.1)
+        .map(_.getAs[String]("file")).toSet
+      val light = det.filter(r => frac(r) > 0.0 && frac(r) < 0.1)
+        .map(_.getAs[String]("file")).toSet
+      assert(heavy.nonEmpty && light.nonEmpty, "fixture must have both")
+
+      // no file is sub-target (so size packs nothing); threshold 0.1
+      val minBytes = det.map(_.getAs[Long]("bytes")).min
+      s.conf.set("spark.graft.optimize.minDvFraction", "0.1")
+      val packed = tbl.commitCompaction(vBefore, minBytes)
+      assert(packed == heavy.size, s"packed $packed of ${heavy.size}")
+      val vMid = tbl.committedVersions.max
+      val after = tbl.files(vMid).toSet
+      assert(light.subsetOf(after),
+        "sub-threshold files must NOT be rewritten")
+      assert(heavy.intersect(after).isEmpty, "debt-heavy files fold")
+      assert(tbl.hasLiveDvs(vMid), "the light vector survives by design")
+      assert(s.sql("SELECT count(*) AS c FROM gop.db.t").head.getLong(0)
+        == liveCount, "content unchanged")
+
+      // default threshold (0) folds everything — the historical contract
+      s.conf.unset("spark.graft.optimize.minDvFraction")
+      tbl.commitCompaction(vMid, 128L * 1024 * 1024)
+      val vEnd = tbl.committedVersions.max
+      assert(!tbl.hasLiveDvs(vEnd), "default OPTIMIZE folds all DVs")
+      assert(s.sql("SELECT count(*) AS c FROM gop.db.t").head.getLong(0)
+        == liveCount)
+      assert(s.sql("SELECT sum(v) AS sv FROM gop.db.t").head.getLong(0)
+        == (1L to 1000L).filter(i => i != 17 && !(i > 500 && i % 2 == 0))
+          .sum)
+    }
+  }
+
   test("per-table DML modes: mode.<stmt> props declare the default; session conf overrides; ALTER flips live") {
     withExtSession { s =>
       val root = freshRoot()
