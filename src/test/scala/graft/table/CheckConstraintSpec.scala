@@ -220,6 +220,45 @@ class CheckConstraintSpec extends TestBase {
     assert(fullMsg(e2).contains("v_pos2"), fullMsg(e2))
   }
 
+  test("casing under spark.sql.caseSensitive=true: V and v ARE different columns again") {
+    // the fix resolves via SQLConf.resolver, so it must FOLLOW the
+    // session's sensitivity: in a case-sensitive session a batch
+    // column `V` is NOT the checked column `v` — it widens the schema
+    // and the check evaluates v as NULL (satisfies), exactly like any
+    // other absent column
+    val orig = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val s = org.apache.spark.sql.SparkSession.builder()
+        .master("local[4]")
+        .withExtensions(new graft.GraftExtensions)
+        .config("spark.sql.caseSensitive", "true")
+        .getOrCreate()
+      try {
+        import s.implicits._
+        val root = freshRoot()
+        val tbl = GraftTable(s, s"$root/data", s"$root/man", "id",
+          checks = Seq("v_pos" -> "v > 0"))
+        tbl.create(Seq((1L, 10L)).toDF("id", "v"), 1)
+        // a `V = -5` batch: v is ABSENT (case-sensitive), so the check
+        // reads NULL -> satisfies, and V records as a NEW column
+        tbl.commitAppendOcc(Seq((2L, -5L)).toDF("id", "V"))
+        assert(tbl.committedVersions.max == 2)
+        val sch = tbl.versionSchema(2).get.fieldNames.toSeq
+        assert(sch.contains("v") && sch.contains("V"),
+          s"case-sensitive schema must carry both spellings: $sch")
+        // while a violating `v` batch still rejects
+        val e = intercept[Exception] {
+          tbl.commitAppendOcc(Seq((3L, -1L)).toDF("id", "v")) }
+        assert(fullMsg(e).contains("v_pos"), fullMsg(e))
+      } finally ()
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(orig)
+      org.apache.spark.sql.SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("streaming + clone: the sink enforces; a shallow clone inherits constraints") {
     val s = spark
     import s.implicits._
