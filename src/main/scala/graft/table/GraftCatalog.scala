@@ -452,6 +452,11 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           "key/stats/bloom bindings and committed boxes are fixed at " +
           "creation")
     }
+    // validate EVERY mode change up front — a malformed mode.<stmt>
+    // must fail the whole ALTER before any check/mode property (or
+    // schema widening) is persisted, not half-apply the statement
+    GraftTable.validateDmlModes(setModes.toMap)
+    unsetModes.foreach(s0 => GraftTable.validateDmlModes(Map(s0 -> "cow")))
     val t = GraftTable(spark, data = "", man = man, key = "")
     val vs = t.committedVersions
     if (vs.isEmpty) throw new NoSuchTableException(ident)

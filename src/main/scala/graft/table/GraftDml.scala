@@ -114,18 +114,10 @@ private[table] object GraftDml extends PredicateHelper {
     keep.map(test => entries.filter(test)).getOrElse(entries)
 
   /** Manifest-prunable/bloomable column sets for a table at a version's
-    * entry shape (mirrors commitDelete's derivation). */
+    * entry shape — the same derivation commitDelete/commitDeleteMor
+    * plan with ([[GraftTable.pruneSets]]). */
   def pruneCols(t: GraftTable, entries: Array[Row])
-      : (Set[String], Set[String]) = {
-    if (entries.isEmpty) return (Set.empty, Set.empty)
-    val manCols = entries.head.schema.fieldNames.toSet
-    val prunable =
-      ((if (manCols("lo") && manCols("hi")) Seq(t.key) else Nil) ++
-        t.statsCols.filter(c => manCols(s"lo_$c") && manCols(s"hi_$c")))
-        .toSet
-    val bloomable = t.bloomCols.filter(c => manCols(s"bloom_$c")).toSet
-    (prunable, bloomable)
-  }
+      : (Set[String], Set[String]) = t.pruneSets(entries)
 
   def assignName(a: Assignment): String = a.key match {
     case ar: AttributeReference => ar.name

@@ -568,6 +568,23 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   private def activeChecks: Seq[(String, String)] =
     GraftTable.loadProps(spark, man).map(_.checks).getOrElse(checks)
 
+  /** Manifest-prunable box columns and bloom-probeable columns for an
+    * entry shape — the ONE derivation COW delete, MoR delete and the
+    * SQL DML planner share ([[GraftDml.pruneCols]] delegates here), so
+    * a stats/bloom-column change can never desynchronize their
+    * planning. */
+  private[table] def pruneSets(entries: Array[Row])
+      : (Set[String], Set[String]) = {
+    if (entries.isEmpty) return (Set.empty, Set.empty)
+    val manCols = entries.head.schema.fieldNames.toSet
+    val prunable =
+      ((if (manCols("lo") && manCols("hi")) Seq(key) else Nil) ++
+        statsCols.filter(c => manCols(s"lo_$c") && manCols(s"hi_$c")))
+        .toSet
+    val bloomable = bloomCols.filter(c => manCols(s"bloom_$c")).toSet
+    (prunable, bloomable)
+  }
+
   /** The write mode a DML statement kind should use on THIS table:
     * an EXPLICITLY SET session conf (`spark.graft.<stmt>.mode`) wins —
     * the operator's per-session override — else the table's own
@@ -1011,31 +1028,42 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       impactedRows: Array[Row], maskedNew: Option[DataFrame],
       stats: DataFrame, prevV: Int, tag: Option[String],
       schemaDdl: Option[String]): Unit = {
-    val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
     val hasDv = prevMan.columns.contains("dv")
-    val oldDvPaths =
-      if (!hasDv) Nil
-      else impactedRows.flatMap(r => Option(r.getAs[String]("dv")))
-        .distinct.toSeq
-    val dvAll = maskedNew.map { m =>
-      val withOld =
-        if (oldDvPaths.isEmpty) m
-        else m.unionByName(
-          restrictToFiles(spark.read.parquet(oldDvPaths: _*), impacted)
-            .select("file", "pos"))
-      withOld.distinct()
-    }
-    // per-file masked totals: O(#impacted files) driver-side planning
-    val allCnt: Map[String, Long] = dvAll
-      .map(_.groupBy("file").agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap)
-      .getOrElse(Map.empty)
-    val oldCnt: Map[String, Long] =
-      if (oldDvPaths.isEmpty) Map.empty
-      else restrictToFiles(spark.read.parquet(oldDvPaths: _*), impacted)
-        .groupBy("file").agg(count(lit(1)).as("n")).collect()
-        .map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap
+    // an entry's old positions come from ITS OWN dv only ([[ownDvRows]]):
+    // a stale superseded position set for the same data file inside an
+    // OLDER combined dv (file A re-masked into dv2 while file B still
+    // points at dv1 holding A's old rows too) must count neither here
+    // nor in the union — double-counting old positions would inflate
+    // `live` and corrupt every n_rows consumer (stats-only counts,
+    // history, OPTIMIZE debt math)
+    val oldDv: Option[DataFrame] =
+      if (!hasDv) None
+      else GraftTable.ownDvRows(spark, impactedRows).map(_.persist())
+    try {
+      val dvAll = maskedNew.map { m =>
+        oldDv.fold(m)(o => m.unionByName(o.select("file", "pos")))
+          .distinct()
+      }
+      // per-file masked totals: O(#impacted files) driver-side planning
+      val allCnt: Map[String, Long] = dvAll
+        .map(_.groupBy("file").agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap)
+        .getOrElse(Map.empty)
+      val oldCnt: Map[String, Long] = oldDv
+        .map(_.groupBy("file").agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap)
+        .getOrElse(Map.empty)
+      commitMorMaskedTail(prevMan, prevEntries, dvAll,
+        allCnt, oldCnt, stats, prevV, tag, schemaDdl)
+    } finally { oldDv.foreach(_.unpersist()); () }
+  }
 
+  private def commitMorMaskedTail(prevMan: DataFrame,
+      prevEntries: Array[Row],
+      dvAll: Option[DataFrame], allCnt: Map[String, Long],
+      oldCnt: Map[String, Long], stats: DataFrame, prevV: Int,
+      tag: Option[String], schemaDdl: Option[String]): Unit = {
+    val hasDv = prevMan.columns.contains("dv")
     if (allCnt.isEmpty) {
       // no masked positions (or no impacted files): a pure append
       // commit — no DV written, no dv column introduced
@@ -1098,11 +1126,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val prevMan = manifest(prevV)
     val prevEntries = prevMan.collect()
     if (prevEntries.isEmpty) return 0L
-    val manCols = prevEntries.head.schema.fieldNames.toSet
-    val prunable =
-      ((if (manCols("lo") && manCols("hi")) Seq(key) else Nil) ++
-        statsCols.filter(c => manCols(s"lo_$c") && manCols(s"hi_$c"))).toSet
-    val bloomable = bloomCols.filter(c => manCols(s"bloom_$c")).toSet
+    val (prunable, bloomable) = pruneSets(prevEntries)
     val impactedRows = SnapshotPruning
       .keepTestV1(pruneFilters, Some(key), prunable, bloomable)
       .map(test => prevEntries.filter(test)).getOrElse(prevEntries)
@@ -1196,9 +1220,12 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         }
       }: _*)
       // appended bytes ≈ the matched fraction of the envelope's bytes
+      // (double arithmetic: bytes × rows would overflow Long exactly at
+      // the 100 TB envelopes this path exists for)
       val totalRows = math.max(1L, impactedRows.map(
         _.getAs[Long]("n_rows")).sum)
-      val estBytes = entryBytes(impactedRows) * nUpd / totalRows
+      val estBytes =
+        (entryBytes(impactedRows).toDouble * nUpd / totalRows).toLong
       val added = stagedAppend(updated, sizedParts(1, estBytes))
       val stats = if (added.isEmpty) emptyEntries else fileStats(added)
       commitMorMasked(prevMan, prevEntries, impactedRows, Some(maskedNew),
@@ -1276,13 +1303,10 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
           minFrac)
       val debts: Map[String, Long] =
         if (minFrac <= 0.0) Map.empty
-        else entries.filter(dvOf(_).isDefined).groupBy(dvOf(_).get)
-          .flatMap { case (dvp, rs) =>
-            val want = rs.map(_.getAs[String]("file")).toSet
-            spark.read.parquet(dvp).groupBy("file").count().collect()
-              .filter(r => want(r.getString(0)))
-              .map(r => r.getString(0) -> r.getLong(1))
-          }
+        else GraftTable.ownDvRows(spark, entries)
+          .map(_.groupBy("file").agg(count(lit(1)).as("n")).collect()
+            .map(r => r.getString(0) -> r.getAs[Long]("n")).toMap)
+          .getOrElse(Map.empty)
       def foldWorthy(r: Row): Boolean = dvOf(r).isDefined &&
         (minFrac <= 0.0 || {
           val masked = debts.getOrElse(r.getAs[String]("file"), 0L)
@@ -1458,11 +1482,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       pred: Column, prevV: Int, nParts: Int, tag: Option[String]): Long = {
     val prevEntries = manifest(prevV).collect()
     if (prevEntries.isEmpty) return 0L
-    val manCols = prevEntries.head.schema.fieldNames.toSet
-    val prunable =
-      ((if (manCols("lo") && manCols("hi")) Seq(key) else Nil) ++
-        statsCols.filter(c => manCols(s"lo_$c") && manCols(s"hi_$c"))).toSet
-    val bloomable = bloomCols.filter(c => manCols(s"bloom_$c")).toSet
+    val (prunable, bloomable) = pruneSets(prevEntries)
     val impactedRows = SnapshotPruning
       .keepTestV1(pruneFilters, Some(key), prunable, bloomable)
       .map(test => prevEntries.filter(test)).getOrElse(prevEntries)
@@ -1730,20 +1750,19 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val m = if (m0.columns.contains("dv")) m0
       else m0.withColumn("dv",
         lit(null).cast(org.apache.spark.sql.types.StringType))
-    val dvPaths = m.where(col("dv").isNotNull).select("dv").distinct()
-      .collect().map(_.getString(0)).toSeq // O(#dv files) — planning
-    if (dvPaths.isEmpty) return m.withColumn("masked_rows", lit(0L))
-    // per-(file, dv) counts: an entry's debt lives in ITS OWN combined
-    // vector, so each dv parquet is counted separately and joined back
-    // on the pair — a stale position set for the same data file inside
-    // an OLDER dv file cannot leak in
-    val counts = dvPaths.map(p =>
-      spark.read.parquet(p).groupBy("file")
-        .agg(count(lit(1)).as("masked_rows")).withColumn("dv", lit(p)))
-      .reduce(_.unionByName(_))
-    m.join(counts, Seq("file", "dv"), "left")
-      .na.fill(0L, Seq("masked_rows"))
-      .select(m.columns.map(col).toIndexedSeq :+ col("masked_rows"): _*)
+    // per-file counts over each entry's OWN vector ([[GraftTable
+    // .ownDvRows]] — the same debt math the MoR commit tail and
+    // OPTIMIZE's minDvFraction use, so the surfaces cannot disagree)
+    GraftTable.ownDvRows(spark, m0.collect()) match {
+      case None => m.withColumn("masked_rows", lit(0L))
+      case Some(own) =>
+        val counts = own.groupBy("file")
+          .agg(count(lit(1)).as("masked_rows"))
+        m.join(counts, Seq("file"), "left")
+          .na.fill(0L, Seq("masked_rows"))
+          .select(
+            m.columns.map(col).toIndexedSeq :+ col("masked_rows"): _*)
+    }
   }
 
   /** Incremental CDC `vFrom -> vTo`: diff only the CHURNED files — the
@@ -2208,6 +2227,30 @@ object GraftTable {
       logStore: Option[String] = None,
       checks: Seq[(String, String)] = Nil,
       dmlModes: Map[String, String] = Map.empty)
+
+  /** The entries' OWN deletion-vector rows: for each entry carrying a
+    * dv pointer, the (file, pos) rows recorded for THAT file inside
+    * THAT dv parquet — a stale superseded position set for the same
+    * data file inside a DIFFERENT (older) combined vector is excluded,
+    * so counting these can never double-count a file's debt. None when
+    * no entry carries a dv. Each dv parquet is read once (O(churn)
+    * metadata-class scans, never a data file). Shared by the MoR
+    * commit tail, [[GraftTable.filesDetail]] and OPTIMIZE's
+    * minDvFraction debt math so the three can never disagree. */
+  private[table] def ownDvRows(spark: SparkSession,
+      entries: Array[Row]): Option[DataFrame] = {
+    if (entries.isEmpty ||
+        !entries.head.schema.fieldNames.contains("dv")) return None
+    val pairs = entries.flatMap(r =>
+      Option(r.getAs[String]("dv")).map(r.getAs[String]("file") -> _))
+    if (pairs.isEmpty) None
+    else Some(pairs.groupBy(_._2).map { case (dvp, fs) =>
+      import spark.implicits._
+      val own = fs.map(_._1).toSeq.toDF("file")
+      spark.read.parquet(dvp)
+        .join(broadcast(own), Seq("file"), "left_semi")
+    }.reduce(_.unionByName(_)))
+  }
 
   /** Statements with a declarable write mode and the legal modes. */
   private[table] val DmlStmts = Set("merge", "delete", "update")

@@ -396,6 +396,39 @@ class GraftDmlSpec extends TestBase {
     }
   }
 
+  test("overlapping old DVs never double-count: live n_rows stays exact through re-masking") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      val df = (1L to 1000L).map(i => (i, i)).toDF("id", "v")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create(df, 2)
+      register(s, "gdd", root, s"$root/man")
+      s.conf.set("spark.graft.delete.mode", "mor")
+      // dv1 masks one row in EACH file (both envelopes intersect)
+      s.sql("DELETE FROM gdd.db.t WHERE id IN (1, 501)")
+      // dv2 supersedes only the LOW file's set (pruned envelope):
+      // dv2 = dv1.low + {2}; the high file still points at dv1, which
+      // STILL holds the low file's now-stale position too
+      s.sql("DELETE FROM gdd.db.t WHERE id = 2")
+      // the third delete impacts BOTH files: the low file's old debt
+      // must count from ITS OWN dv2 only (2 positions) — counting
+      // dv1's stale copy as well (3) would inflate live upward
+      s.sql("DELETE FROM gdd.db.t WHERE id IN (3, 502)")
+      s.conf.unset("spark.graft.delete.mode")
+      val latest = tbl.committedVersions.max
+      assert(s.sql("SELECT count(*) AS c FROM gdd.db.t").head.getLong(0)
+        == 995L)
+      // the manifest's live counts (what stats-only aggregation,
+      // history() and OPTIMIZE debt math read) must agree with truth
+      assert(tbl.manifest(latest).agg(sum("n_rows")).head.getLong(0)
+        == 995L, "manifest live counts diverged from content")
+      // and graft_files' per-file debt sums to exactly the masked rows
+      assert(tbl.filesDetail(latest).agg(sum("masked_rows"))
+        .head.getLong(0) == 5L)
+    }
+  }
+
   test("OPTIMIZE minDvFraction: only debt-heavy files fold; sub-threshold vectors survive") {
     withExtSession { s =>
       val root = freshRoot()
