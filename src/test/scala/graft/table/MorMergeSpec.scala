@@ -98,6 +98,36 @@ class MorMergeSpec extends TestBase {
       "more DV files than commits")
   }
 
+  test("overlapping old DVs across partially-superseded files: manifest live counts stay exact") {
+    // the merge twin of GraftDmlSpec's re-masking regression: merge 1
+    // masks one key in each of two files (one combined dv); merge 2
+    // re-masks only the LOW file (its dv is superseded while the high
+    // file still points at the old combined vector holding the low
+    // file's stale position); merge 3 hits both files — the low file's
+    // old debt must count from ITS OWN vector only, or live n_rows
+    // inflates and every manifest consumer (stats-only counts,
+    // history, OPTIMIZE debt math) goes wrong
+    val s = spark
+    import s.implicits._
+    val r = root("mor_overlap")
+    val df = (1L to 1000L).map(i => (i, i)).toDF("id", "v")
+    val tbl = GraftTable(s, s"$r/data", s"$r/man", "id")
+    tbl.create(df, 2)
+    def upd(ids: Long*) = ids.map(i => (i, -i)).toDF("id", "v")
+    tbl.commitMergeMor(upd(1L, 501L), 1)
+    tbl.commitMergeMor(upd(2L), 2)
+    tbl.commitMergeMor(upd(3L, 502L), 3)
+    (2 to 4).foreach { v =>
+      val content = tbl.readAsOf(v).count()
+      val manifest = tbl.manifest(v).agg(sum("n_rows")).head.getLong(0)
+      assert(content == 1000L, s"v$v content $content")
+      assert(manifest == 1000L,
+        s"v$v manifest live counts diverged: $manifest vs $content")
+    }
+    // last-writer-wins content
+    assert(tbl.readAsOf(4).filter(col("v") < 0).count() == 5L)
+  }
+
   test("cdc and the streaming change feed see a MoR merge's row-level churn") {
     val r = root("mor_cdc")
     val tbl = GraftTable(spark, s"$r/data", s"$r/man", "o_orderkey")
