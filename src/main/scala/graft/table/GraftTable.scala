@@ -1027,7 +1027,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   private def commitMorMasked(prevMan: DataFrame, prevEntries: Array[Row],
       impactedRows: Array[Row], maskedNew: Option[DataFrame],
       stats: DataFrame, prevV: Int, tag: Option[String],
-      schemaDdl: Option[String]): Unit = {
+      schemaDdl: Option[String],
+      oldDvPre: Option[DataFrame] = None): Unit = {
     val hasDv = prevMan.columns.contains("dv")
     // an entry's old positions come from ITS OWN dv only ([[ownDvRows]]):
     // a stale superseded position set for the same data file inside an
@@ -1035,10 +1036,14 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     // points at dv1 holding A's old rows too) must count neither here
     // nor in the union — double-counting old positions would inflate
     // `live` and corrupt every n_rows consumer (stats-only counts,
-    // history, OPTIMIZE debt math)
-    val oldDv: Option[DataFrame] =
+    // history, OPTIMIZE debt math). A caller that already computed the
+    // set for its live anti-join passes it via `oldDvPre` (and owns
+    // its lifecycle) so each dv parquet is scanned once per commit.
+    val ownedHere = oldDvPre.isEmpty
+    val oldDv: Option[DataFrame] = oldDvPre.orElse {
       if (!hasDv) None
       else GraftTable.ownDvRows(spark, impactedRows).map(_.persist())
+    }
     try {
       val dvAll = maskedNew.map { m =>
         oldDv.fold(m)(o => m.unionByName(o.select("file", "pos")))
@@ -1055,7 +1060,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         .getOrElse(Map.empty)
       commitMorMaskedTail(prevMan, prevEntries, dvAll,
         allCnt, oldCnt, stats, prevV, tag, schemaDdl)
-    } finally { oldDv.foreach(_.unpersist()); () }
+    } finally { if (ownedHere) oldDv.foreach(_.unpersist()); () }
   }
 
   private def commitMorMaskedTail(prevMan: DataFrame,
@@ -1134,11 +1139,11 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
     val reader = versionSchema(prevV).map(s => spark.read.schema(s))
       .getOrElse(spark.read.option("mergeSchema", "true"))
-    val hasDv = prevMan.columns.contains("dv")
-    val oldDvPaths =
-      if (!hasDv) Nil
-      else impactedRows.flatMap(r => Option(r.getAs[String]("dv")))
-        .distinct.toSeq
+    // each impacted entry's OWN vector, computed once: the anti-join
+    // side here (an entry's current dv is a superset of any stale
+    // older copy, so own-only masks exactly the dead rows) AND the
+    // commit tail's old-count source
+    val oldDv = GraftTable.ownDvRows(spark, impactedRows).map(_.persist())
     // matched LIVE positions: the scan is pruned to the predicate's
     // columns + parquet metadata (no other value bytes); rows an
     // existing DV already masks anti-join away so the returned count
@@ -1147,21 +1152,18 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       .filter(pred)
       .select(col("_metadata.file_path").as("file"),
         col("_metadata.row_index").as("pos"))
-    val maskedNew =
-      (if (oldDvPaths.isEmpty) matchedRaw
-      else matchedRaw.join(
-        restrictToFiles(spark.read.parquet(oldDvPaths: _*), impacted)
-          .select("file", "pos"), Seq("file", "pos"), "left_anti"))
-        .persist()
+    val maskedNew = oldDv.fold(matchedRaw)(o =>
+      matchedRaw.join(o.select("file", "pos"),
+        Seq("file", "pos"), "left_anti")).persist()
     try {
       val nDel = maskedNew.count()
       if (nDel == 0L) return 0L // conservative planning kept files
                                 // whose rows all miss: no burned version
       commitMorMasked(prevMan, prevEntries, impactedRows, Some(maskedNew),
         emptyEntries, prevV, tag,
-        schemaDdl = versionSchema(prevV).map(_.toDDL))
+        schemaDdl = versionSchema(prevV).map(_.toDDL), oldDvPre = oldDv)
       nDel
-    } finally { maskedNew.unpersist(); () }
+    } finally { maskedNew.unpersist(); oldDv.foreach(_.unpersist()); () }
   }
 
   /** MERGE-ON-READ UPDATE (`spark.graft.update.mode=mor` — the DV
@@ -1191,20 +1193,15 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
     val reader = versionSchema(prevV).map(s => spark.read.schema(s))
       .getOrElse(spark.read.option("mergeSchema", "true"))
-    val hasDv = prevMan.columns.contains("dv")
-    val oldDvPaths =
-      if (!hasDv) Nil
-      else impactedRows.flatMap(r => Option(r.getAs[String]("dv")))
-        .distinct.toSeq
+    // each impacted entry's OWN vector, computed once — the live
+    // anti-join side here and the commit tail's old-count source
+    val oldDv = GraftTable.ownDvRows(spark, impactedRows).map(_.persist())
     val raw = reader.parquet(impacted: _*)
       .withColumn("__file", col("_metadata.file_path"))
       .withColumn("__pos", col("_metadata.row_index"))
-    val live =
-      if (oldDvPaths.isEmpty) raw
-      else raw.join(
-        restrictToFiles(spark.read.parquet(oldDvPaths: _*), impacted)
-          .select(col("file").as("__file"), col("pos").as("__pos")),
-        Seq("__file", "__pos"), "left_anti")
+    val live = oldDv.fold(raw)(o =>
+      raw.join(o.select(col("file").as("__file"), col("pos").as("__pos")),
+        Seq("__file", "__pos"), "left_anti"))
     val matched = live.filter(cond).persist()
     try {
       val nUpd = matched.count()
@@ -1230,9 +1227,9 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       val stats = if (added.isEmpty) emptyEntries else fileStats(added)
       commitMorMasked(prevMan, prevEntries, impactedRows, Some(maskedNew),
         stats, prevV, tag,
-        schemaDdl = versionSchema(prevV).map(_.toDDL))
+        schemaDdl = versionSchema(prevV).map(_.toDDL), oldDvPre = oldDv)
       nUpd
-    } finally { matched.unpersist(); () }
+    } finally { matched.unpersist(); oldDv.foreach(_.unpersist()); () }
   }
 
   /** Write `dv` (file, pos) as ONE parquet file `dv-<uuid>.parquet` in
