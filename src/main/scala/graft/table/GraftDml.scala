@@ -167,36 +167,14 @@ final case class GraftUpdateCommand(table: GraftV2Table,
     // mask the matched rows with a deletion vector and re-append only
     // them — O(matched rows), not O(envelope); a performance hint,
     // never a semantics change
-    if (t.dmlMode("update") == "mor") {
-      val condM = condition.map(rebind(_)).getOrElse(lit(true))
-      val setsM = assignments.map(a =>
-        assignName(a) -> rebind(a.value)).toMap
-      return Seq(Row(t.commitUpdateMor(condM, setsM, base,
-        impactedOnly = Some(impacted))))
-    }
-    val df = t.readAsOf(base, impacted)
     val cond = condition.map(rebind(_)).getOrElse(lit(true))
-    val nUpd = df.filter(cond).count()
-    if (nUpd == 0L) return Seq(Row(0L)) // conservative planning kept
-                                        // files with no matching rows
     val sets = assignments.map(a => assignName(a) -> rebind(a.value)).toMap
-    val updated = df.select(df.columns.toIndexedSeq.map { c =>
-      sets.get(c) match {
-        case Some(v) =>
-          when(cond, v.cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
-        case None => col(c)
-      }
-    }: _*)
-    // rewrite width sized from the envelope's manifest bytes (floor 2):
-    // a 100 TB keyed UPDATE fans its survivor rewrite out to
-    // ~target-file-size outputs instead of two giant write tasks
-    val added = t.stagedAppend(updated,
-      t.sizedParts(2, t.entryBytes(impactedRows)))
-    val stats = if (added.isEmpty) t.emptyEntries else t.fileStats(added)
-    t.commitManifest(
-      t.unionEntries(t.excludeFiles(t.manifest(base), impacted), stats),
-      base + 1, schemaDdl = t.versionSchema(base).map(_.toDDL))
-    Seq(Row(nUpd))
+    val n =
+      if (t.dmlMode("update") == "mor")
+        t.commitUpdateMor(cond, sets, base, impactedOnly = Some(impacted))
+      else
+        t.commitUpdateCow(cond, sets, base, impactedOnly = Some(impacted))
+    Seq(Row(n))
   }
 }
 

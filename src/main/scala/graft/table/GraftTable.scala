@@ -58,7 +58,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     bloomFpp: Double = GraftTable.DefaultBloomFpp,
     logStore: String = "",
     checks: Seq[(String, String)] = Nil,
-    dmlModes: Map[String, String] = Map.empty) {
+    dmlModes: Map[String, String] = Map.empty)
+    extends org.apache.spark.internal.Logging {
 
   import GraftTable.{listStatusSafe, touch}
 
@@ -595,9 +596,13 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * an ALTER applies to running sessions immediately. A mode is a
     * performance hint, never a semantics change. */
   def dmlMode(stmt: String): String = {
+    // a PRESENT props file is authoritative even when it lacks the key
+    // (mirrors activeChecks): a held instance built with modes must not
+    // resurrect one after ALTER TABLE ... UNSET TBLPROPERTIES removed
+    // it — the in-memory map is only the pre-create fallback
     val m = spark.conf.getOption(s"spark.graft.$stmt.mode")
       .orElse(GraftTable.loadProps(spark, man)
-        .flatMap(_.dmlModes.get(stmt)).orElse(dmlModes.get(stmt)))
+        .map(_.dmlModes).getOrElse(dmlModes).get(stmt))
       .getOrElse("cow")
     require(m == "cow" || m == "mor",
       s"spark.graft.$stmt.mode / table prop 'mode.$stmt' must be cow " +
@@ -1009,27 +1014,58 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val added = stagedAppend(batch, nParts)
     val stats = if (added.isEmpty) emptyEntries else fileStats(added)
     commitMorMasked(prevMan, prevEntries, impactedRows, maskedNew, stats,
-      prevV, tag, evolvedSchemaDdl(prevV, batch.schema))
+      prevV, tag, evolvedSchemaDdl(prevV, batch.schema),
+      envGuard = Some((qlo, qhi)))
   }
 
   /** The MERGE-ON-READ commit tail shared by [[commitMergeMor]],
     * [[commitUpdateMor]] and [[commitDeleteMor]]: union the commit's
-    * new masked positions with the impacted files' EXISTING deletion
-    * vectors into ONE combined `dv-<uuid>.parquet`, re-point the
-    * impacted entries at it with live `n_rows` maintained (an entry
+    * new masked positions with the NEWLY-MASKED files' EXISTING
+    * deletion vectors into ONE combined `dv-<uuid>.parquet`, re-point
+    * those entries at it with live `n_rows` maintained (an entry
     * masked to zero live rows is dropped — its file becomes a
     * vacuum-reclaimable orphan once prior versions expire), union the
     * commit's appended entries `stats` (empty for a pure DELETE) and
-    * publish prevV+1. `maskedNew` MAY contain already-masked positions
-    * — the union dedups and the live arithmetic (n_rows − (combined −
-    * old)) stays exact. With no masked positions at all this degrades
-    * to a pure append commit (no dv column introduced). */
+    * publish prevV+1. An impacted file that gained NO new masked
+    * positions this commit keeps its existing `dv` pointer untouched —
+    * its accumulated debt is NOT re-folded, so a chain of N scattered
+    * MoR deletes over one hot envelope writes O(new churn + re-masked
+    * files' debt) per commit instead of re-copying the envelope's
+    * whole accumulated debt every time (quadratic in N). Vectors
+    * shared across manifest versions stay live: [[vacuum]]
+    * reference-counts DV files by name over every retained version,
+    * and the MoR read tolerates a stale superseded position set for a
+    * re-pointed file inside an older shared vector (the file's own
+    * newer vector is a superset, and anti-joins are idempotent).
+    * `maskedNew` MAY contain already-masked positions — the union
+    * dedups and the live arithmetic (n_rows − (combined − old)) stays
+    * exact. With no masked positions at all this degrades to a pure
+    * append commit (no dv column introduced). */
   private def commitMorMasked(prevMan: DataFrame, prevEntries: Array[Row],
       impactedRows: Array[Row], maskedNew: Option[DataFrame],
       stats: DataFrame, prevV: Int, tag: Option[String],
       schemaDdl: Option[String],
-      oldDvPre: Option[DataFrame] = None): Unit = {
+      oldDvPre: Option[DataFrame] = None,
+      envGuard: Option[(Any, Any)] = None): Unit = {
+    import spark.implicits._
     val hasDv = prevMan.columns.contains("dv")
+    // per-file NEW masked counts FIRST — they decide which entries
+    // re-point at this commit's combined vector; everything else is
+    // carried verbatim. O(#impacted files) driver-side planning.
+    val newCnt: Map[String, Long] = maskedNew
+      .map(_.groupBy("file").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap)
+      .getOrElse(Map.empty)
+    if (newCnt.isEmpty) {
+      // no masked positions (or no impacted files): a pure append
+      // commit — no DV written, no dv column introduced
+      commitMorMaskedTail(prevMan, prevEntries, None, Map.empty,
+        Map.empty, stats, prevV, tag, schemaDdl, envGuard)
+      return
+    }
+    val refold = newCnt.keySet
+    val refoldRows =
+      impactedRows.filter(r => refold(r.getAs[String]("file")))
     // an entry's old positions come from ITS OWN dv only ([[ownDvRows]]):
     // a stale superseded position set for the same data file inside an
     // OLDER combined dv (file A re-masked into dv2 while file B still
@@ -1038,18 +1074,25 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     // `live` and corrupt every n_rows consumer (stats-only counts,
     // history, OPTIMIZE debt math). A caller that already computed the
     // set for its live anti-join passes it via `oldDvPre` (and owns
-    // its lifecycle) so each dv parquet is scanned once per commit.
-    val ownedHere = oldDvPre.isEmpty
-    val oldDv: Option[DataFrame] = oldDvPre.orElse {
-      if (!hasDv) None
-      else GraftTable.ownDvRows(spark, impactedRows).map(_.persist())
+    // its lifecycle) so each dv parquet is scanned once per commit;
+    // that set spans ALL impacted files, so it is narrowed to the
+    // refold files here. When computed locally, ONLY the refold
+    // entries' own DV parquets are read at all.
+    val ownedDv: Option[DataFrame] =
+      if (oldDvPre.isDefined || !hasDv) None
+      else GraftTable.ownDvRows(spark, refoldRows).map(_.persist())
+    val oldDv: Option[DataFrame] = oldDvPre match {
+      case Some(o) =>
+        Some(o.join(broadcast(refold.toSeq.toDF("file")),
+          Seq("file"), "left_semi"))
+      case None => ownedDv
     }
     try {
       val dvAll = maskedNew.map { m =>
         oldDv.fold(m)(o => m.unionByName(o.select("file", "pos")))
           .distinct()
       }
-      // per-file masked totals: O(#impacted files) driver-side planning
+      // per-file masked totals over the refold files only
       val allCnt: Map[String, Long] = dvAll
         .map(_.groupBy("file").agg(count(lit(1)).as("n")).collect()
           .map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap)
@@ -1059,16 +1102,35 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
           .map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap)
         .getOrElse(Map.empty)
       commitMorMaskedTail(prevMan, prevEntries, dvAll,
-        allCnt, oldCnt, stats, prevV, tag, schemaDdl)
-    } finally { if (ownedHere) oldDv.foreach(_.unpersist()); () }
+        allCnt, oldCnt, stats, prevV, tag, schemaDdl, envGuard)
+    } finally { ownedDv.foreach(_.unpersist()); () }
   }
 
+  /** Publish the masked-commit manifest, rebasing MECHANICALLY on a
+    * lost race when the winner provably cannot interact (the Delta
+    * conflict-checker rule specialized to DV commits, the same family
+    * as [[commitMerge]]'s and [[commitAppendOcc]]'s): every file this
+    * commit re-points or drops (the keys of `allCnt`) must survive
+    * into the winner's snapshot with an IDENTICAL (dv, n_rows) pair —
+    * the winner rewrote, re-masked and dropped none of them, so our
+    * masked positions and live arithmetic stay exact against its
+    * entries — and the winner's recorded schema must be unchanged.
+    * When `envGuard` is set (the MoR upsert), the winner's NEW files'
+    * key boxes must additionally miss the batch's key envelope, or a
+    * winner-appended row could carry a key this merge should have
+    * superseded. DELETE/UPDATE pass no guard: a winner's concurrent
+    * append commits rows the predicate never saw — the write-
+    * serializable relaxation Delta documents (the DML serializes
+    * BEFORE the append it raced). Untouched entries are carried from
+    * the WINNER verbatim, so its changes to files outside this
+    * commit's mask set compose. Anything else fails loudly — never a
+    * silent drop. */
   private def commitMorMaskedTail(prevMan: DataFrame,
       prevEntries: Array[Row],
       dvAll: Option[DataFrame], allCnt: Map[String, Long],
       oldCnt: Map[String, Long], stats: DataFrame, prevV: Int,
-      tag: Option[String], schemaDdl: Option[String]): Unit = {
-    val hasDv = prevMan.columns.contains("dv")
+      tag: Option[String], schemaDdl: Option[String],
+      envGuard: Option[(Any, Any)] = None, maxRebases: Int = 5): Unit = {
     if (allCnt.isEmpty) {
       // no masked positions (or no impacted files): a pure append
       // commit — no DV written, no dv column introduced
@@ -1077,40 +1139,79 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       return
     }
 
-    // one combined DV file per commit, placed as a single parquet FILE
-    // (not a dir) so vacuum's name-based reference counting covers it
-    val dvPath = writeDvFile(dvAll.get)
+    // one combined DV placement per commit, one NAME either way, so
+    // vacuum's reference counting covers it (fanned out past the
+    // row cutoff — see writeDvFile)
+    val dvPath = writeDvFile(dvAll.get, allCnt.values.sum)
 
-    import org.apache.spark.sql.types.StringType
-    val baseSchema = prevMan.schema
-    val outSchema =
-      if (hasDv) baseSchema
-      else org.apache.spark.sql.types.StructType(
-        baseSchema.fields :+
-          org.apache.spark.sql.types.StructField("dv", StringType))
-    val idxN = outSchema.fieldIndex("n_rows")
-    val idxDv = outSchema.fieldIndex("dv")
-    val updated = prevEntries.flatMap { r =>
-      val f = r.getAs[String]("file")
-      val vals = (if (hasDv) r.toSeq else r.toSeq :+ null).toArray
-      allCnt.get(f) match {
-        case Some(maskedTotal) =>
-          val live = r.getAs[Long]("n_rows") -
-            (maskedTotal - oldCnt.getOrElse(f, 0L))
-          if (live <= 0L) None // fully masked: drop the entry entirely
-          else {
-            vals(idxN) = live
-            vals(idxDv) = dvPath
-            Some(Row.fromSeq(vals.toIndexedSeq))
-          }
-        case None => Some(Row.fromSeq(vals.toIndexedSeq))
-      }
-    }
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
     import scala.jdk.CollectionConverters._
-    val prevUpdated =
+    def rebuilt(manDf: DataFrame, entries: Array[Row]): DataFrame = {
+      val hasDv = manDf.columns.contains("dv")
+      val outSchema =
+        if (hasDv) manDf.schema
+        else StructType(manDf.schema.fields :+ StructField("dv", StringType))
+      val idxN = outSchema.fieldIndex("n_rows")
+      val idxDv = outSchema.fieldIndex("dv")
+      val updated = entries.flatMap { r =>
+        val f = r.getAs[String]("file")
+        val vals = (if (hasDv) r.toSeq else r.toSeq :+ null).toArray
+        allCnt.get(f) match {
+          case Some(maskedTotal) =>
+            val live = r.getAs[Long]("n_rows") -
+              (maskedTotal - oldCnt.getOrElse(f, 0L))
+            if (live <= 0L) None // fully masked: drop the entry entirely
+            else {
+              vals(idxN) = live
+              vals(idxDv) = dvPath
+              Some(Row.fromSeq(vals.toIndexedSeq))
+            }
+          case None => Some(Row.fromSeq(vals.toIndexedSeq))
+        }
+      }
       spark.createDataFrame(updated.toList.asJava, outSchema)
-    commitManifest(unionEntries(prevUpdated, stats), prevV + 1, tag,
-      schemaDdl)
+    }
+
+    def conflict(v: Int): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"MoR DML commit lost the race for v=$v to a commit that may " +
+          "interact with it (it rewrote, re-masked or dropped a file " +
+          "this commit masks, changed the recorded schema, or added " +
+          "rows inside this merge's key envelope); re-run against the " +
+          "latest snapshot")
+    def pairOf(r: Row): (Option[String], Long) =
+      (entryDv(r), r.getAs[Long]("n_rows"))
+
+    var base = prevV
+    var manDf = prevMan
+    var baseEntries = prevEntries
+    var rebases = 0
+    while (true) {
+      if (tryCommitManifest(unionEntries(rebuilt(manDf, baseEntries),
+          stats), base + 1, tag, schemaDdl = schemaDdl))
+        return
+      // lost the race — O(#files) driver-side disjointness check
+      rebases += 1
+      val winner = manifest(base + 1).collect()
+      val baseByFile = baseEntries
+        .map(r => r.getAs[String]("file") -> pairOf(r)).toMap
+      val winByFile = winner
+        .map(r => r.getAs[String]("file") -> pairOf(r)).toMap
+      val touchedIntact = allCnt.keySet.forall(f =>
+        winByFile.contains(f) && winByFile.get(f) == baseByFile.get(f))
+      val schemaIntact = versionSchema(base + 1).map(_.toDDL) ==
+        versionSchema(base).map(_.toDDL)
+      val envClear = envGuard.forall { case (qlo, qhi) =>
+        !winner.exists(r => !baseByFile.contains(r.getAs[String]("file")) &&
+          GraftTable.boxIntersects(r, "lo", "hi", qlo, qhi))
+      }
+      if (rebases > maxRebases || !touchedIntact || !schemaIntact ||
+          !envClear)
+        conflict(base + 1)
+      base += 1
+      manDf = manifest(base)
+      baseEntries = winner
+    }
   }
 
   /** MERGE-ON-READ DELETE (`spark.graft.delete.mode=mor` — the DV
@@ -1159,6 +1260,22 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       val nDel = maskedNew.count()
       if (nDel == 0L) return 0L // conservative planning kept files
                                 // whose rows all miss: no burned version
+      // guardrail (spark.graft.mor.maxMaskFraction): a predicate that
+      // dooms MOST of its envelope's live rows is the regime masking is
+      // WRONG for — the DV write approaches O(envelope rows) anyway and
+      // every read until OPTIMIZE pays the anti-join for nothing, so the
+      // statement falls back to the COW survivor rewrite. A performance
+      // hint, never a semantics change (same contract as the
+      // non-canonical-MERGE fallback).
+      val liveRows = math.max(1L,
+        impactedRows.map(_.getAs[Long]("n_rows")).sum)
+      val maxFrac = morMaxMaskFraction()
+      if (nDel.toDouble / liveRows > maxFrac) {
+        logWarning(s"MoR DELETE on $man matches $nDel of $liveRows live " +
+          s"envelope rows (> maxMaskFraction=$maxFrac); falling back to " +
+          "the COW rewrite")
+        return commitDelete(pruneFilters, pred, prevV, 2, tag)
+      }
       commitMorMasked(prevMan, prevEntries, impactedRows, Some(maskedNew),
         emptyEntries, prevV, tag,
         schemaDdl = versionSchema(prevV).map(_.toDDL), oldDvPre = oldDv)
@@ -1206,6 +1323,19 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     try {
       val nUpd = matched.count()
       if (nUpd == 0L) return 0L
+      // guardrail (spark.graft.mor.maxMaskFraction): an UPDATE matching
+      // most of its envelope re-appends nearly the envelope anyway, so
+      // the DV mask only adds read debt — fall back to the COW rewrite.
+      // A performance hint, never a semantics change.
+      val liveRows = math.max(1L,
+        impactedRows.map(_.getAs[Long]("n_rows")).sum)
+      val maxFrac = morMaxMaskFraction()
+      if (nUpd.toDouble / liveRows > maxFrac) {
+        logWarning(s"MoR UPDATE on $man matches $nUpd of $liveRows live " +
+          s"envelope rows (> maxMaskFraction=$maxFrac); falling back to " +
+          "the COW rewrite")
+        return commitUpdateCow(cond, sets, prevV, impactedOnly, tag)
+      }
       val maskedNew = matched.select(col("__file").as("file"),
         col("__pos").as("pos"))
       val dataCols = matched.columns
@@ -1232,19 +1362,96 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     } finally { matched.unpersist(); oldDv.foreach(_.unpersist()); () }
   }
 
-  /** Write `dv` (file, pos) as ONE parquet file `dv-<uuid>.parquet` in
-    * the data dir, via a staging dir so the placement is atomic-ish and
-    * a crash leaves only an underscore-hidden stage for vacuum. */
-  private def writeDvFile(dv: DataFrame): String = {
+  /** COW UPDATE — the envelope rewrite [[commitUpdateMor]]'s guardrail
+    * falls back to and the SQL UPDATE's default mode: the impacted
+    * files (caller-planned envelope; None = every file) are read
+    * MoR-aware, each assignment applied under the predicate (rows
+    * where the predicate is NULL keep their values — SQL three-valued
+    * logic), survivors re-clustered into envelope-sized outputs, and
+    * the whole envelope replaced snapshot-isolated. Returns rows
+    * updated; zero matches burn no version. */
+  def commitUpdateCow(cond: Column, sets: Map[String, Column],
+      prevV: Int, impactedOnly: Option[Seq[String]] = None,
+      tag: Option[String] = None): Long = {
+    val prevEntries = manifest(prevV).collect()
+    if (prevEntries.isEmpty) return 0L
+    val impactedRows = impactedOnly match {
+      case Some(files) =>
+        val want = files.toSet
+        prevEntries.filter(r => want(r.getAs[String]("file")))
+      case None => prevEntries
+    }
+    if (impactedRows.isEmpty) return 0L
+    val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
+    val df = readAsOf(prevV, impacted)
+    val nUpd = df.filter(cond).count()
+    if (nUpd == 0L) return 0L // conservative planning kept files with
+                              // no matching rows: no burned version
+    val updated = df.select(df.columns.toIndexedSeq.map { c =>
+      sets.get(c) match {
+        case Some(v) =>
+          when(cond, v.cast(df.schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }: _*)
+    // rewrite width sized from the envelope's manifest bytes (floor 2):
+    // a 100 TB keyed UPDATE fans its survivor rewrite out to
+    // ~target-file-size outputs instead of two giant write tasks
+    val added = stagedAppend(updated, sizedParts(2, entryBytes(impactedRows)))
+    val stats = if (added.isEmpty) emptyEntries else fileStats(added)
+    commitManifest(
+      unionEntries(excludeFiles(manifest(prevV), impacted), stats),
+      prevV + 1, tag, schemaDdl = versionSchema(prevV).map(_.toDDL))
+    nUpd
+  }
+
+  /** `spark.graft.mor.maxMaskFraction` (default 0.8): the matched-live
+    * fraction of the impacted envelope ABOVE which a MoR DELETE/UPDATE
+    * falls back to the COW rewrite — Delta's deletion-vector cutoff
+    * idea. Values > 1 disable the fallback entirely. */
+  private def morMaxMaskFraction(): Double = {
+    val f = spark.conf.get("spark.graft.mor.maxMaskFraction", "0.8").toDouble
+    require(f >= 0.0,
+      s"spark.graft.mor.maxMaskFraction must be >= 0; got $f")
+    f
+  }
+
+  /** Write `dv` (file, pos) as ONE parquet placement `dv-<uuid>
+    * .parquet` in the data dir, via a staging dir so the placement is
+    * atomic-ish and a crash leaves only an underscore-hidden stage for
+    * vacuum. Under `spark.graft.dv.maxRowsPerFile` rows (default 32M ≈
+    * low-hundreds of MB of positions, the scattered-churn common case)
+    * the vector lands as a single parquet FILE written by one task;
+    * above it the write fans out to ceil(rows/max) tasks and the whole
+    * output DIRECTORY is placed under the same one name — readers
+    * (`spark.read.parquet`) and [[GraftTable.ownDvRows]] accept both
+    * shapes, and the one-NAME-per-commit invariant that vacuum's
+    * reference counting and the manifest's single `dv` pointer rely on
+    * holds either way, while a giant mask no longer funnels through a
+    * single write task. */
+  private def writeDvFile(dv: DataFrame, totalRows: Long): String = {
     val id = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(data, s"_stage_dv_$id")
-    dv.coalesce(1).write.mode("overwrite").parquet(stage.toString)
-    val part = dataFs.listStatus(stage)
-      .filter(_.getPath.getName.startsWith("part-")).head.getPath
-    val dst = new Path(data, s"dv-$id.parquet")
-    require(dataFs.rename(part, dst), s"could not place DV file $dst")
-    dataFs.delete(stage, true)
-    dst.toString
+    val maxRows = spark.conf
+      .get("spark.graft.dv.maxRowsPerFile", (32L << 20).toString).toLong
+    require(maxRows > 0,
+      s"spark.graft.dv.maxRowsPerFile must be positive; got $maxRows")
+    val nParts = math.min(10000L,
+      math.max(1L, (totalRows + maxRows - 1) / maxRows)).toInt
+    if (nParts <= 1) {
+      dv.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = dataFs.listStatus(stage)
+        .filter(_.getPath.getName.startsWith("part-")).head.getPath
+      val dst = new Path(data, s"dv-$id.parquet")
+      require(dataFs.rename(part, dst), s"could not place DV file $dst")
+      dataFs.delete(stage, true)
+      dst.toString
+    } else {
+      dv.repartition(nParts).write.mode("overwrite").parquet(stage.toString)
+      val dst = new Path(data, s"dv-$id.parquet")
+      require(dataFs.rename(stage, dst), s"could not place DV dir $dst")
+      dst.toString
+    }
   }
 
   /** Whether snapshot v carries any live deletion vector. */
@@ -1667,7 +1874,9 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       }
       .map(_.getPath.getName).toSeq.sorted
     orphans.foreach { n =>
-      require(dataFs.delete(new Path(data, n), false), s"could not vacuum $n")
+      // recursive: a fanned-out DV placement is a directory under one
+      // dv-<id>.parquet name (writeDvFile); data files stay plain files
+      require(dataFs.delete(new Path(data, n), true), s"could not vacuum $n")
     }
     (1 until keepFrom).foreach { v =>
       val d = new Path(manifestPath(v))

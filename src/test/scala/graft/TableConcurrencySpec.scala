@@ -155,4 +155,48 @@ class TableConcurrencySpec extends TestBase {
     // and the failed attempt left only vacuumable orphans, no commit
     assert(table.committedVersions == Seq(1, 2, 3))
   }
+
+  test("concurrent MoR deletes: disjoint mask sets both commit, a re-masked file conflicts") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.sources.{EqualTo => V1Eq}
+    val out = java.nio.file.Files.createTempDirectory("graft_dvc_data").toString
+    val man = java.nio.file.Files.createTempDirectory("graft_dvc_man").toString
+    val spark0 = spark
+    import spark0.implicits._
+    // two files: low keys 1-500, high keys 501-1000
+    val df = (1L to 1000L).map(i => (i, i)).toDF("id", "v")
+    val table = GraftTable(spark, s"$out/d", s"$man/m", "id").create(df, 2)
+
+    // both deletes planned against v=1 (the deterministic race): A masks
+    // a LOW-file row and commits v=2; B masks a HIGH-file row, loses
+    // v=2, sees its whole mask set intact in the winner, REBASES
+    // mechanically and commits v=3 — both effects present, versions
+    // contiguous, exact combined content
+    assert(table.commitDeleteMor(Seq(V1Eq("id", 5L)),
+      col("id") === 5L, 1) == 1L)
+    assert(table.commitDeleteMor(Seq(V1Eq("id", 505L)),
+      col("id") === 505L, 1) == 1L)
+    assert(table.committedVersions == Seq(1, 2, 3))
+    val got = table.readAsOf(3)
+    assert(got.count() == 998L, "rebased MoR delete lost rows")
+    assert(got.filter(col("id").isin(5L, 505L)).count() == 0L,
+      "both concurrent deletes' masks must be present")
+    // live accounting stayed exact through the rebase
+    assert(table.manifest(3).agg(
+      org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0)
+      == 998L)
+
+    // a delete still planned against v=1 masking a file the WINNER
+    // re-pointed (the low file changed dv between v=1 and v=3): its
+    // positions may be stale relative to the winner's masks — conflict,
+    // loudly, never a silent wrong answer
+    intercept[java.util.ConcurrentModificationException] {
+      table.commitDeleteMor(Seq(V1Eq("id", 6L)), col("id") === 6L, 1)
+    }
+    assert(table.committedVersions == Seq(1, 2, 3))
+    // planned against the LATEST snapshot the same delete commits fine
+    assert(table.commitDeleteMor(Seq(V1Eq("id", 6L)),
+      col("id") === 6L, 3) == 1L)
+    assert(table.readAsOf(4).count() == 997L)
+  }
 }

@@ -713,4 +713,149 @@ class GraftDmlSpec extends TestBase {
         == 0L, "empty-source BY SOURCE DELETE must empty the table")
     }
   }
+
+  test("MoR commits fold only newly-masked files: unchanged debt keeps its dv pointer") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      // two files: low keys 1-500, high keys 501-1000
+      val df = (1L to 1000L).map(i => (i, i)).toDF("id", "v")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create(df, 2)
+      register(s, "gkp", root, s"$root/man")
+      def dvOf(v: Int): Map[String, String] = tbl.manifest(v).collect()
+        .flatMap(r => Option(r.getAs[String]("dv"))
+          .map(r.getAs[String]("file") -> _)).toMap
+      def fileOfKey(v: Int, k: Long): String = tbl.manifest(v).collect()
+        .find(r => r.getAs[Long]("lo") <= k && k <= r.getAs[Long]("hi"))
+        .get.getAs[String]("file")
+      s.conf.set("spark.graft.delete.mode", "mor")
+
+      // v2: mask one row of the HIGH file only
+      s.sql("DELETE FROM gkp.db.t WHERE id = 501")
+      val high = fileOfKey(2, 700L)
+      val dvHigh = dvOf(2)(high)
+
+      // v3: the predicate's modulo arm defeats pruning, so the IMPACTED
+      // set is every file — but only the LOW file gains a new mask. The
+      // high file's entry must keep its v2 dv pointer verbatim (its
+      // debt is NOT re-copied), and the commit's new vector must hold
+      // ONLY the low file's new churn.
+      s.sql("DELETE FROM gkp.db.t WHERE id = 2 OR id % 100000 = 99999")
+      val low = fileOfKey(3, 100L)
+      assert(dvOf(3)(high) == dvHigh,
+        "an impacted file with zero new masks must keep its old dv pointer")
+      val dvLow3 = dvOf(3)(low)
+      assert(dvLow3 != dvHigh, "the low file points at the commit's vector")
+      assert(s.read.parquet(dvLow3).count() == 1L,
+        "per-commit DV bytes must be bounded by new churn, not envelope debt")
+
+      // v4: re-mask the low file — its own old debt folds (2 positions),
+      // the high file's still does not
+      s.sql("DELETE FROM gkp.db.t WHERE id = 3 OR id % 100000 = 99999")
+      assert(dvOf(4)(high) == dvHigh,
+        "unchanged debt must survive a second commit untouched")
+      val dvLow4 = dvOf(4)(low)
+      assert(s.read.parquet(dvLow4).count() == 2L,
+        "a re-masked file folds exactly its own debt + new churn")
+      s.conf.unset("spark.graft.delete.mode")
+
+      // content, live counts and debt accounting all stay exact
+      assert(s.sql("SELECT count(*) AS c FROM gkp.db.t").head.getLong(0)
+        == 997L)
+      assert(tbl.manifest(4).agg(sum("n_rows")).head.getLong(0) == 997L)
+      assert(tbl.filesDetail(4).agg(sum("masked_rows")).head.getLong(0)
+        == 3L)
+      // the shared old vector stays vacuum-live while any retained
+      // version references it by name
+      tbl.vacuum(4, 4)
+      assert(s.sql("SELECT count(*) AS c FROM gkp.db.t").head.getLong(0)
+        == 997L, "vacuum must keep dv files referenced by the latest version")
+    }
+  }
+
+  test("mor.maxMaskFraction guardrail: a large-mask DML falls back to the COW rewrite") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      val df = (1L to 1000L).map(i => (i, i)).toDF("id", "v")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create(df, 2)
+      register(s, "ggr", root, s"$root/man")
+      s.conf.set("spark.graft.delete.mode", "mor")
+      s.conf.set("spark.graft.update.mode", "mor")
+      s.conf.set("spark.graft.mor.maxMaskFraction", "0.3")
+
+      // 600/1000 live rows matched > 0.3: the statement must rewrite
+      // COW — no deletion vector anywhere, content exact
+      val v1Files = tbl.files(1).toSet
+      s.sql("DELETE FROM ggr.db.t WHERE id <= 600")
+      assert(!tbl.hasLiveDvs(2),
+        "above the mask-fraction cutoff the DELETE must rewrite, not mask")
+      assert(tbl.files(2).toSet != v1Files, "COW fallback rewrites files")
+      assert(s.sql("SELECT count(*) AS c FROM ggr.db.t").head.getLong(0)
+        == 400L)
+
+      // same cutoff for UPDATE: 360/400 matched > 0.3 — COW, no DV,
+      // values exact
+      s.sql("UPDATE ggr.db.t SET v = v + 1000 WHERE id > 640")
+      assert(!tbl.hasLiveDvs(3),
+        "above the cutoff the UPDATE must rewrite, not mask")
+      assert(s.sql(
+        "SELECT count(*) AS c FROM ggr.db.t WHERE v = id + 1000 AND id > 640")
+        .head.getLong(0) == 360L)
+
+      // under the cutoff the same statements mask as declared
+      s.sql("DELETE FROM ggr.db.t WHERE id % 101 = 0")
+      assert(tbl.hasLiveDvs(4), "a small-mask DELETE stays MoR")
+
+      // > 1 disables the fallback: even a full-envelope delete masks
+      s.conf.set("spark.graft.mor.maxMaskFraction", "2.0")
+      val before = tbl.files(tbl.committedVersions.max).toSet
+      s.sql("DELETE FROM ggr.db.t WHERE id > 900")
+      val latest = tbl.committedVersions.max
+      assert(tbl.files(latest).toSet == before,
+        "a disabled guardrail must never rewrite")
+      s.conf.unset("spark.graft.mor.maxMaskFraction")
+      s.conf.unset("spark.graft.delete.mode")
+      s.conf.unset("spark.graft.update.mode")
+    }
+  }
+
+  test("writeDvFile fans out past dv.maxRowsPerFile: one name, many tasks, same reads") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      val df = (1L to 1000L).map(i => (i, i)).toDF("id", "v")
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create(df, 2)
+      register(s, "gfan", root, s"$root/man")
+      s.conf.set("spark.graft.delete.mode", "mor")
+      s.conf.set("spark.graft.dv.maxRowsPerFile", "10")
+      s.sql("DELETE FROM gfan.db.t WHERE id % 20 = 0") // 50 masked rows
+      s.conf.unset("spark.graft.dv.maxRowsPerFile")
+      s.conf.unset("spark.graft.delete.mode")
+      val dvPaths = tbl.manifest(2).collect()
+        .flatMap(r => Option(r.getAs[String]("dv"))).distinct.toSeq
+      assert(dvPaths.size == 1, "one DV placement per commit")
+      val p = new org.apache.hadoop.fs.Path(dvPaths.head)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      assert(fs.getFileStatus(p).isDirectory,
+        "past the row cutoff the DV placement is a fanned-out directory")
+      assert(fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
+        > 1, "the fanned-out vector must be written by multiple tasks")
+      // reads, debt math and live counts see the same vector
+      assert(s.sql("SELECT count(*) AS c FROM gfan.db.t").head.getLong(0)
+        == 950L)
+      assert(tbl.filesDetail(2).agg(sum("masked_rows")).head.getLong(0)
+        == 50L)
+      assert(tbl.manifest(2).agg(sum("n_rows")).head.getLong(0) == 950L)
+      // OPTIMIZE folds it; vacuum then reclaims the whole directory
+      tbl.commitCompaction(2, 128L * 1024 * 1024)
+      tbl.vacuum(3, 3)
+      assert(!fs.exists(p), "vacuum must reclaim the fanned-out DV dir")
+      assert(s.sql("SELECT count(*) AS c FROM gfan.db.t").head.getLong(0)
+        == 950L)
+    }
+  }
 }
