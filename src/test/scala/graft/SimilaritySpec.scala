@@ -22,9 +22,23 @@ class SimilaritySpec extends TestBase {
     val recall = exact.intersect(ann).size.toDouble / exact.size
     info(s"SRP-LSH recall vs exact top-k: $recall " +
       s"(${exact.intersect(ann).size}/${exact.size})")
-    // measured 0.64 on the fixture (deterministic hash family + data);
-    // pinned with headroom only for K-tie ordering, not for chance
-    assert(recall >= 0.50, s"recall $recall")
+    // measured 0.88 on the fixture (4 tables × 4 bits, 3 multiprobes —
+    // deterministic hash family + data); pinned with headroom only for
+    // K-tie ordering, not for chance. NOTE the fixture is the LSH
+    // worst case: near-random vectors (within-label cosine ~0.02), so
+    // recall/candidate-fraction lift is bounded ~1.5× — clustered
+    // real-world embeddings fare far better at the same settings.
+    assert(recall >= 0.80, s"recall $recall")
+    // the COST side of the trade must be pinned too, or recall could be
+    // bought by de-facto brute force: candidates examined per query
+    // must stay a bounded fraction of the corpus (measured 0.57)
+    val nQueries = 10L
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val cands = SimilarityQueries.annCandidates(spark, sfDir).count()
+    val frac = cands.toDouble / (nQueries * (corpus - 1))
+    info(s"candidates/query: ${cands / nQueries} of ${corpus - 1} " +
+      s"(fraction $frac)")
+    assert(frac <= 0.62, s"candidate fraction $frac — de-facto brute force")
     // every reported similarity is the TRUE cosine for that pair: the
     // approximation is in candidate pruning only, never in the score
     val exactSims = exactDf.collect()

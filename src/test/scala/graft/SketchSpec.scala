@@ -70,12 +70,20 @@ class SketchSpec extends TestBase {
     val exact = pairs(SimilarityQueries.q45_knn_brute(spark, sfDir))
     val ivf = pairs(SketchQueries.q46b_ann_ivf(spark, sfDir))
     assert(ivf.nonEmpty)
-    // every IVF hit must be a real neighbor of its query (sanity), and
-    // recall must beat random chance by a wide margin: with 16 cells and
-    // 2 probes, ~1/8 of the corpus is scanned; random top-5 overlap
-    // would be ~12%, a working IVF on random vectors lands far higher
+    // measured 0.86 at nprobe=3 (deterministic k-means seeds + data);
+    // the data-DEPENDENT cells hold recall on the near-random fixture
+    // where the data-oblivious SRP family cannot
     val recall = exact.intersect(ivf).size.toDouble / exact.size
-    assert(recall > 0.25, s"recall $recall")
+    info(s"IVF recall vs exact top-k: $recall")
+    assert(recall >= 0.70, s"recall $recall")
+    // and the cost side pinned (measured 0.18): recall must not be
+    // bought by probing de-facto every cell
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val cands = SketchQueries.ivfCandidates(spark, sfDir,
+      spark.conf.get("spark.graft.ann.ivf.probes", "3").toInt).count()
+    val frac = cands.toDouble / (10.0 * (corpus - 1))
+    info(s"IVF candidates/query fraction: $frac")
+    assert(frac <= 0.25, s"candidate fraction $frac")
   }
 
   test("freq-items sketch honors Misra-Gries bounds in the eviction regime") {

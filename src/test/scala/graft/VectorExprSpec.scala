@@ -58,6 +58,43 @@ class VectorExprSpec extends TestBase {
     assert(nulls.head.isNullAt(0), "null element must yield NULL buckets")
   }
 
+  test("srp_probe_buckets: probe 0 = srp_buckets per table, flips distinct, Scala-family parity") {
+    import graft.functions.{TextHash, TextHashExprs}
+    val emb = Tables.load(spark, sfDir, "embeddings").limit(50)
+    val (tables, bits, probes) =
+      (TextHash.SrpTables, TextHash.SrpTableBits, TextHash.SrpProbes)
+    val rows = emb.select(col("embedding"),
+      TextHashExprs.srp_probe_buckets(col("embedding")).as("pbs"),
+      TextHashExprs.srp_buckets(col("embedding")).as("bks")).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      val pbs = r.getSeq[Int](1)
+      val bks = r.getSeq[Int](2)
+      // bit-equal to the Scala family (codegen/interp parity rides the
+      // same path as the other TextHash expressions)
+      assert(pbs == TextHash.srpProbeBuckets(v, tables, bits, probes).toSeq)
+      (0 until tables).foreach { t =>
+        // probe 0 of table t IS table t's exact bucket
+        assert(pbs(t * probes) == bks(t),
+          s"table $t: probe 0 must equal the exact bucket")
+        // all probes of a table are distinct single-bit flips in range
+        val ps = (0 until probes).map(p => pbs(t * probes + p))
+        assert(ps.distinct.size == probes, s"table $t: duplicate probes")
+        ps.tail.foreach { alt =>
+          val diff = alt ^ ps.head
+          assert(Integer.bitCount(diff) == 1 && diff < (1 << bits),
+            s"table $t: probe $alt is not a single-plane flip of ${ps.head}")
+        }
+      }
+    }
+    // null element -> NULL array (same contract as srp_buckets)
+    import spark.implicits._
+    val nulls = Seq((1, Seq[java.lang.Float](1.0f, null, 3.0f)))
+      .toDF("id", "v")
+      .select(TextHashExprs.srp_probe_buckets(col("v")).as("pbs")).collect()
+    assert(nulls.head.isNullAt(0), "null element must yield NULL probes")
+  }
+
   test("srp_bucket of a vector with a null element is NULL, not a garbage bucket") {
     import graft.functions.TextHashExprs
     import spark.implicits._
