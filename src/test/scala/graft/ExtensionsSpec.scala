@@ -279,6 +279,57 @@ class ExtensionsSpec extends TestBase {
     assert(badArity.getMessage.contains("1 or 2 arguments"))
   }
 
+  test("graft_files debt fraction agrees with OPTIMIZE's minDvFraction fold/survive decision") {
+    graft.table.SnapshotSql.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_debt").toString
+    val t = graft.table.GraftTable(spark, s"$root/data", s"$root/man", "id")
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // two 500-row files; file A accrues 40% debt, file B 1%
+    t.create((1L to 1000L).map(i => (i, i)).toDF("id", "v"), 2)
+    import org.apache.spark.sql.sources.{GreaterThan, LessThanOrEqual}
+    assert(t.commitDeleteMor(Seq(LessThanOrEqual("id", 200L)),
+      col("id") <= 200L, 1) == 200L)
+    assert(t.commitDeleteMor(
+      Seq(GreaterThan("id", 500L), LessThanOrEqual("id", 505L)),
+      col("id") > 500L && col("id") <= 505L, 2) == 5L)
+    // the operator reads the debt the same way OPTIMIZE decides it:
+    // masked_rows/(n_rows+masked_rows) per file vs minDvFraction
+    val before = spark.sql(s"SELECT * FROM graft_files('${t.man}', 3)")
+      .collect()
+      .map(r => r.getAs[String]("file") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("masked_rows"))).toMap
+    val minFrac = 0.1
+    def debtFrac(p: (Long, Long)): Double =
+      if (p._2 == 0L) 0.0 else p._2.toDouble / (p._1 + p._2)
+    val shouldFold = before.filter(p => debtFrac(p._2) >= minFrac).keySet
+    val shouldKeep = before.keySet -- shouldFold
+    assert(shouldFold.size == 1 && shouldKeep.size == 1,
+      s"fixture must split the decision: $before")
+    spark.conf.set("spark.graft.optimize.minDvFraction", minFrac.toString)
+    try {
+      // targetBytes under every file's size disables size-packing —
+      // ONLY the debt rule picks the fold set
+      val minBytes = t.manifest(3).collect()
+        .map(_.getAs[Long]("bytes")).min
+      assert(t.commitCompaction(3, math.max(1L, minBytes / 2)) == 1)
+    } finally spark.conf.unset("spark.graft.optimize.minDvFraction")
+    val after = spark.sql(s"SELECT * FROM graft_files('${t.man}', 4)")
+      .collect()
+    // the debt-heavy file folded (gone, rewritten clean); the
+    // sub-threshold file kept its vector AND its exact debt
+    assert(!after.exists(r => shouldFold(r.getAs[String]("file"))),
+      "the over-threshold file must fold")
+    shouldKeep.foreach { f =>
+      val r = after.find(_.getAs[String]("file") == f).get
+      assert(!r.isNullAt(r.fieldIndex("dv")) &&
+        r.getAs[Long]("masked_rows") == before(f)._2,
+        "the sub-threshold vector must survive unchanged")
+    }
+    // content is untouched either way
+    assert(t.readAsOf(4).count() == 795L)
+  }
+
   test("OPTIMIZE and VACUUM run from pure SQL (parity with the API, misuse loud)") {
     graft.table.SnapshotSql.register(spark)
     val root = java.nio.file.Files.createTempDirectory("graft_sqlmaint").toString
