@@ -86,6 +86,53 @@ class SketchSpec extends TestBase {
     assert(frac <= 0.25, s"candidate fraction $frac")
   }
 
+  test("IVF-PQ ANN: exact reported scores, usable recall, corpus carries codes not vectors") {
+    import graft.operators.{SimilarityQueries, SketchQueries}
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(SimilarityQueries.q45_knn_brute(spark, sfDir))
+    val pqDf = SketchQueries.q46c_ann_ivfpq(spark, sfDir)
+    val pqRows = pqDf.collect()
+    assert(pqRows.nonEmpty)
+    val pq = pqRows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(pq).size.toDouble / exact.size
+    info(s"IVF-PQ recall vs exact top-k: $recall")
+    assert(recall >= 0.60, s"recall $recall")
+    // every REPORTED similarity is the true cosine of its pair (the
+    // rerank step scores the shortlist exactly; PQ approximates
+    // shortlist ORDER only) — verified against a driver-computed
+    // ground truth over the fixture corpus
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    pqRows.foreach { r =>
+      val want = BigDecimal(cos(vecs(r.getLong(0)), vecs(r.getLong(2))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - want) <= 1e-9,
+        s"pair (${r.getLong(0)},${r.getLong(2)}): reported " +
+          s"${r.getDouble(3)} vs exact $want")
+    }
+    // the memory claim IS the operator: the distributed corpus side
+    // carries M small codes and a cell id, never the raw vector
+    val coded = SketchQueries.pqCodedCorpus(spark, sfDir)
+    assert(coded.columns.toSet == Set("nid", "cell", "code"),
+      s"coded corpus must not carry embeddings: ${coded.columns.toSeq}")
+    val sizes = coded.select(org.apache.spark.sql.functions
+      .size(col("code")).as("m")).distinct().collect().map(_.getInt(0)).toSeq
+    assert(sizes == Seq(SketchQueries.PqM),
+      s"every vector stores exactly ${SketchQueries.PqM} codes: $sizes")
+    // deterministic end to end (k-means seeds, codebook training,
+    // tie-broken windows)
+    assert(pairs(SketchQueries.q46c_ann_ivfpq(spark, sfDir)) == pq)
+  }
+
   test("freq-items sketch honors Misra-Gries bounds in the eviction regime") {
     // q83 runs the sketch in its exact regime (fixture vocabulary <<
     // map capacity) and is oracle-checked; this drives the OTHER regime —
