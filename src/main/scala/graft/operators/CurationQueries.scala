@@ -1876,6 +1876,47 @@ object CurationQueries {
       .withColumn("files_reclaimed", lit(reclaimed))
   }
 
+  // ---- 138. OPTIMIZE ZORDER BY as table maintenance: re-cluster a
+  // key-clustered table along the Morton interleave of (key, declared
+  // stats column) via the graft_zorder TVF, then answer a TWO-dimension
+  // box predicate through the pruned snapshot SQL path — the layout
+  // commit is dataChange=false and content-identical (the oracle is the
+  // plain relational answer), while the SAME manifest now skips files
+  // on EITHER dimension (ZOrderSpec proves the strict pruning
+  // improvement; this query proves end-to-end SQL reachability and
+  // content identity). ----
+  val q138_zorder_optimize: Q = (s, dir) => {
+    graft.table.SnapshotSql.register(s)
+    val out = RelationalQueries.scratch("q138_layout", dir)
+    val man = RelationalQueries.scratch("q138_manifest", dir)
+    val li = t(s, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val tbl = GraftTable(s, out, man, "l_orderkey",
+      statsCols = Seq("l_partkey"))
+    tbl.create(li, 8)
+    val bytes = tbl.manifest(1).collect().map(_.getAs[Long]("bytes")).sum
+    val r = s.sql(
+      s"""SELECT files_written, latest_version
+         |FROM graft_zorder('$man', ${math.max(1L, bytes / 16)},
+         |  'l_orderkey', 'l_partkey')""".stripMargin).head
+    s.sql(
+      s"""SELECT l_orderkey, l_partkey, l_quantity
+         |FROM graft_snapshot('$man', ${r.getLong(1)})
+         |WHERE l_orderkey BETWEEN 100 AND 2000
+         |  AND l_partkey BETWEEN 50 AND 1500""".stripMargin)
+      .groupBy("l_orderkey", "l_partkey")
+      .agg(dround(sum("l_quantity"), 2).as("qty"))
+      .orderBy("l_orderkey", "l_partkey")
+  }
+
+  val q138_zorder_optimize_sql: String =
+    """SELECT l_orderkey, l_partkey, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 100 AND 2000
+      |  AND l_partkey BETWEEN 50 AND 1500
+      |GROUP BY l_orderkey, l_partkey
+      |ORDER BY l_orderkey, l_partkey""".stripMargin
+
   val q123_sql_maintenance_sql: String =
     """SELECT CAST(3 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_files,
       |  (SELECT count(*) FROM orders WHERE o_orderkey % 4 IN (0, 1))
@@ -2508,6 +2549,7 @@ object CurationQueries {
     "q130_named_maintenance" -> q130_named_maintenance,
     "q122_string_key_table" -> q122_string_key_table,
     "q123_sql_maintenance" -> q123_sql_maintenance,
+    "q138_zorder_optimize" -> q138_zorder_optimize,
     "q124_timestamp_key_table" -> q124_timestamp_key_table,
     "q97_chunk_overlap" -> q97_chunk_overlap,
     "q94_source_mix" -> q94_source_mix,
@@ -2561,6 +2603,7 @@ object CurationQueries {
     "q130_named_maintenance" -> q130_named_maintenance_sql,
     "q122_string_key_table" -> q122_string_key_table_sql,
     "q123_sql_maintenance" -> q123_sql_maintenance_sql,
+    "q138_zorder_optimize" -> q138_zorder_optimize_sql,
     "q124_timestamp_key_table" -> q124_timestamp_key_table_sql,
     "q97_chunk_overlap" -> q97_chunk_overlap_sql,
     "q94_source_mix" -> q94_source_mix_sql,

@@ -667,10 +667,18 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * are hidden from Spark/Hadoop scans, so a transient stage is
     * invisible to readers; part-file names carry job UUIDs, so moves
     * cannot collide. */
-  private[table] def stagedAppend(batch: DataFrame, nParts: Int): Seq[String] = {
+  private[table] def stagedAppend(batch: DataFrame, nParts: Int): Seq[String] =
+    stagedMove(stage =>
+      GraftTable.clusteredWrite(batch, key, nParts, "overwrite", stage))
+
+  /** The stage-write-move tail shared by [[stagedAppend]] and the
+    * z-order rewrite: `write` lands parquet in a fresh underscore-hidden
+    * staging dir, whose part files move into the data dir one rename
+    * each. Returns the moved files' full paths. */
+  private def stagedMove(write: String => Unit): Seq[String] = {
     val stage = new Path(data,
       s"_stage_${java.util.UUID.randomUUID().toString.take(8)}")
-    GraftTable.clusteredWrite(batch, key, nParts, "overwrite", stage.toString)
+    write(stage.toString)
     val moved = dataFs.listStatus(stage)
       .filter(_.getPath.getName.startsWith("part-"))
       .map { st =>
@@ -1704,6 +1712,69 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       unionEntries(excludeFiles(manifest(prevV), impacted), stats),
       prevV + 1, tag, schemaDdl = versionSchema(prevV).map(_.toDDL))
     nDel
+  }
+
+  /** OPTIMIZE ZORDER BY (Delta's layout-maintenance verb): re-cluster
+    * snapshot `prevV` along the 64-bit Morton interleave of two
+    * integral dimensions into ~targetBytes files as a NEW
+    * content-identical `dataChange=false` snapshot. Unlike plain
+    * [[commitCompaction]] — which packs only the undersized/DV tail —
+    * a z-order rewrite is whole-snapshot by definition (interleaved
+    * locality is a global property), the same contract as Delta's
+    * OPTIMIZE ZORDER BY; run it when the query mix shifts to a
+    * dimension the ingest clustering does not localize. Both dims
+    * normalize to the u32 grid from ONE broadcast bounds row (the q81
+    * write shape). The rewrite reads MoR (deletion vectors fold in,
+    * like OPTIMIZE), and because [[fileStats]] records per-file boxes
+    * for the key and every declared stats column, the re-clustered
+    * files' boxes tighten in BOTH dims — the SAME manifest then skips
+    * more files for either dimension's predicates ([[pruneMulti]]),
+    * which is the operator's entire point. Old versions keep
+    * time-traveling to the old layout until [[vacuum]]. Single-writer
+    * like other maintenance commits: a lost race fails loudly. Returns
+    * the new version. */
+  def commitZorder(prevV: Int, targetBytes: Long, dimA: String,
+      dimB: String): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive; got $targetBytes")
+    val entries = manifest(prevV).collect()
+    require(entries.nonEmpty, s"snapshot v=$prevV of $man has no files")
+    val df = morRead(entries.map(r =>
+      (r.getAs[String]("file"), entryDv(r))).toSeq, versionSchema(prevV))
+    Seq(dimA, dimB).foreach { c =>
+      require(df.columns.contains(c),
+        s"z-order dimension '$c' is not a column of $man " +
+          s"(${df.columns.mkString(", ")})")
+      GraftTable.requireIntegral(df, c)
+    }
+    val nOut = math.max(1L, math.min(20000L,
+      (entryBytes(entries) + targetBytes - 1) / targetBytes)).toInt
+    import graft.functions.ZOrder.z_value
+    val mm = df.agg(
+      min(dimA).as("a_min"), max(dimA).as("a_max"),
+      min(dimB).as("b_min"), max(dimB).as("b_max"))
+    def norm(c: Column, lo: Column, hi: Column): Column =
+      (((c - lo).cast("double") /
+        greatest((hi - lo).cast("double"), lit(1.0))) *
+        lit(4294967295.0)).cast("long")
+    val cols = df.columns.toIndexedSeq
+    val added = stagedMove { stage =>
+      df.crossJoin(broadcast(mm))
+        .withColumn("__z",
+          z_value(norm(col(dimA), col("a_min"), col("a_max")),
+            norm(col(dimB), col("b_min"), col("b_max"))))
+        .repartitionByRange(nOut, col("__z"))
+        .sortWithinPartitions("__z")
+        .select(cols.map(col): _*)
+        .write.mode("overwrite").parquet(stage)
+    }
+    require(added.nonEmpty, "z-order rewrite produced no files")
+    if (!tryCommitManifest(fileStats(added), prevV + 1,
+        noData = true, // content-identical: layout-only commit
+        schemaDdl = versionSchema(prevV).map(_.toDDL)))
+      throw new java.util.ConcurrentModificationException(
+        s"z-order rewrite lost the commit race for v=${prevV + 1}; " +
+          "re-run against the latest snapshot")
+    prevV + 1
   }
 
   /** ALTER TABLE ADD COLUMN's commit: a layout-identical new version

@@ -344,6 +344,49 @@ object SnapshotSql {
         .toDF("compacted_files", "latest_version"))
   }
 
+  private[table] val zorderUsage: String =
+    "usage: graft_zorder('<manifestDir-or-catalog.ns.table>', targetBytes, " +
+      "'dimA', 'dimB') — re-cluster the latest snapshot along the " +
+      "Morton interleave of two integral columns into ~targetBytes " +
+      "files as a new layout-only (dataChange=false) snapshot commit " +
+      "(Delta's OPTIMIZE ZORDER BY); deletion vectors fold in; returns " +
+      "one row (files_written, latest_version). A maintenance " +
+      "PROCEDURE surfaced as a TVF: the rewrite runs when the " +
+      "statement is planned, once per spark.sql() call"
+
+  /** `SELECT * FROM graft_zorder('<man>', 128*1024*1024, 'a', 'b')` —
+    * [[GraftTable.commitZorder]] from pure SQL. */
+  def zorderPlan(es: Seq[Expression]): LogicalPlan = {
+    def fail(detail: String): Nothing =
+      throw new IllegalArgumentException(s"$detail\n$zorderUsage")
+    if (es.length != 4)
+      fail(s"graft_zorder takes 4 arguments, got ${es.length}")
+    val man = es.head match {
+      case Literal(s: UTF8String, StringType) =>
+        resolveRef(SparkSession.active, s.toString, fail)
+      case other => fail(s"manifestDir must be a string literal; got '$other'")
+    }
+    val targetBytes = es(1) match {
+      case Literal(i: Int, IntegerType) if i > 0 => i.toLong
+      case Literal(l: Long, LongType) if l > 0 => l
+      case other => fail(s"targetBytes must be a positive integral literal; got '$other'")
+    }
+    def strArg(e: Expression, name: String): String = e match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => fail(s"$name must be a string literal; got '$other'")
+    }
+    val (dimA, dimB) = (strArg(es(2), "dimA"), strArg(es(3), "dimB"))
+    val spark = SparkSession.active
+    val table = maintenanceTable(spark, man, fail)
+    val vs = table.committedVersions
+    if (vs.isEmpty) fail(s"no committed snapshots under $man")
+    val v = table.commitZorder(vs.max, targetBytes, dimA, dimB)
+    val n = table.files(v).size.toLong
+    import spark.implicits._
+    org.apache.spark.sql.GraftSqlBridge.analyzed(
+      Seq((n, v.toLong)).toDF("files_written", "latest_version"))
+  }
+
   private[table] val vacuumUsage: String =
     "usage: graft_vacuum('<manifestDir-or-catalog.ns.table>', keepFrom[, graceMs]) or " +
       "graft_vacuum('<manifestDir>', 'retain N hours'[, graceMs]) — " +
@@ -576,6 +619,11 @@ object SnapshotSql {
       new ExpressionInfo(getClass.getName, null, "graft_optimize",
         optimizeUsage, ""),
       (es: Seq[Expression]) => optimizePlan(es))
+    spark.sessionState.tableFunctionRegistry.registerFunction(
+      FunctionIdentifier("graft_zorder"),
+      new ExpressionInfo(getClass.getName, null, "graft_zorder",
+        zorderUsage, ""),
+      (es: Seq[Expression]) => zorderPlan(es))
     spark.sessionState.tableFunctionRegistry.registerFunction(
       FunctionIdentifier("graft_vacuum"),
       new ExpressionInfo(getClass.getName, null, "graft_vacuum",

@@ -76,4 +76,76 @@ class ZOrderSpec extends TestBase {
     assert(okMed <= 0.6, s"orderkey boxes not bounded: median frac $okMed")
     assert(pkMed <= 0.6, s"partkey boxes not bounded: median frac $pkMed")
   }
+
+  test("OPTIMIZE ZORDER BY: content-identical layout commit, non-key pruning strictly improves") {
+    import graft.table.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_zo").toString
+    import spark.implicits._
+    val n = 4096L
+    // b is a pseudo-random permutation of the key domain: key-clustered
+    // files each span ~the FULL b range, so a b predicate prunes nothing
+    val df = (1L to n).map(i => (i, (i * 7919L) % n, i * 3L))
+      .toDF("a", "b", "v")
+    val t = GraftTable(spark, s"$root/data", s"$root/man", "a",
+      statsCols = Seq("b"))
+    t.create(df, 8)
+    val bPred = Seq(("b", 0L.asInstanceOf[Any], (n / 16).asInstanceOf[Any]))
+    val (keptBefore, totalBefore) = t.pruneMulti(1, bPred)
+    assert(keptBefore.size == totalBefore,
+      "fixture must start unprunable on b (every file spans the domain)")
+
+    // a MoR delete first: the z-order rewrite must fold the vector in
+    assert(t.commitDeleteMor(
+      Seq(org.apache.spark.sql.sources.EqualTo("a", 7L)),
+      col("a") === 7L, 1) == 1L)
+
+    val bytes = t.manifest(2).collect().map(_.getAs[Long]("bytes")).sum
+    val v3 = t.commitZorder(2, math.max(1L, bytes / 16), "a", "b")
+    assert(v3 == 3)
+    // layout-only: content identical to v2 (the delete applied), the
+    // change feed skips it, the DV folded
+    assert(!t.dataChange(3), "z-order must commit dataChange=false")
+    assert(!t.hasLiveDvs(3), "z-order must fold deletion vectors")
+    assert(t.readAsOf(3).count() == n - 1)
+    assert(t.readAsOf(3).exceptAll(t.readAsOf(2)).isEmpty &&
+      t.readAsOf(2).exceptAll(t.readAsOf(3)).isEmpty,
+      "z-order changed row content")
+
+    // the point of the operator: the SAME manifest now skips most
+    // files for a b-range predicate, and still skips on the key
+    val (keptAfter, totalAfter) = t.pruneMulti(3, bPred)
+    assert(totalAfter >= 4, s"expected a multi-file layout, got $totalAfter")
+    assert(keptAfter.size.toDouble / totalAfter <
+      keptBefore.size.toDouble / totalBefore,
+      s"b pruning must improve: $keptAfter of $totalAfter")
+    assert(keptAfter.size <= totalAfter / 2,
+      s"a 1/16-domain b predicate should skip most z-ordered files " +
+        s"(kept ${keptAfter.size}/$totalAfter)")
+    val (keptKey, _) = t.pruneMulti(3,
+      Seq(("a", 0L.asInstanceOf[Any], (n / 16).asInstanceOf[Any])))
+    assert(keptKey.size <= totalAfter / 2,
+      s"key pruning must survive the re-cluster (kept ${keptKey.size})")
+
+    // old versions still time-travel to the old layout
+    assert(t.readAsOf(1).count() == n)
+
+    // SQL face: graft_zorder TVF (misuse loud)
+    graft.table.SnapshotSql.register(spark)
+    val r = spark.sql(
+      s"SELECT * FROM graft_zorder('${t.man}', ${math.max(1L, bytes / 8)}, 'a', 'b')")
+      .head
+    assert(r.getAs[Long]("latest_version") == 4L &&
+      r.getAs[Long]("files_written") > 0L)
+    val bad = intercept[Exception] {
+      spark.sql(s"SELECT * FROM graft_zorder('${t.man}', 1024)")
+        .queryExecution.analyzed
+    }
+    assert(bad.getMessage.contains("4 arguments"))
+    val badCol = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft_zorder('${t.man}', 1024, 'a', 'nope')")
+        .queryExecution.analyzed
+    }
+    assert(badCol.getMessage.contains("nope"))
+  }
 }
