@@ -259,12 +259,12 @@ object SketchQueries {
       .filter(col("arn") <= PqRerank)
       .select("qid", "qe", "nid")
 
-    // refine: fetch ONLY the shortlist's raw vectors, exact cosine
+    // refine: fetch ONLY the shortlist's raw vectors, exact cosine —
+    // the shortlist is R×queries rows, always the broadcast side
     val rankW = Window.partitionBy("qid")
       .orderBy(col("sim_raw").desc, col("nid"))
-    shortlist
-      .join(e.select(col("vec_id").as("nid"), col("embedding").as("ne")),
-        Seq("nid"))
+    e.select(col("vec_id").as("nid"), col("embedding").as("ne"))
+      .join(broadcast(shortlist), Seq("nid"))
       .withColumn("sim_raw", cosine_similarity(col("qe"), col("ne")))
       .withColumn("rn", row_number().over(rankW).cast("long"))
       .filter(col("rn") <= 5)

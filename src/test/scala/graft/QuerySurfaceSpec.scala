@@ -15,8 +15,8 @@ class QuerySurfaceSpec extends TestBase {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     // sketch/hash-family operators DuckDB cannot replicate:
     assert(noOracle == Set("q13_approx_distinct", "q41_minhash_lsh",
-      "q42_simhash", "q46_ann_lsh", "q46b_ann_ivf", "q54_source_sketch",
-      "q93_kll_quantiles"))
+      "q42_simhash", "q46_ann_lsh", "q46b_ann_ivf", "q46c_ann_ivfpq",
+      "q54_source_sketch", "q93_kll_quantiles"))
   }
 
   test("oracle keys are a subset of query keys") {

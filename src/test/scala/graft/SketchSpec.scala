@@ -131,6 +131,15 @@ class SketchSpec extends TestBase {
     // deterministic end to end (k-means seeds, codebook training,
     // tie-broken windows)
     assert(pairs(SketchQueries.q46c_ann_ivfpq(spark, sfDir)) == pq)
+    // the encode expression must COMPILE under codegen, not silently
+    // fall back to interpreted (fallback=false turns a janino error
+    // into a test failure instead of a swallowed warning)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val n = coded.filter(org.apache.spark.sql.functions
+        .size(col("code")) === SketchQueries.PqM).count()
+      assert(n > 0L)
+    } finally spark.conf.unset("spark.sql.codegen.fallback")
   }
 
   test("freq-items sketch honors Misra-Gries bounds in the eviction regime") {
