@@ -526,9 +526,18 @@ class GraftDmlSpec extends TestBase {
       s.conf.unset("spark.graft.delete.mode")
 
       // ALTER flips the default live; UNSET restores cow
+      // a HELD instance that was constructed WITH the mode must not
+      // resurrect it after UNSET: a present props file is authoritative
+      // even for keys it lacks (the r17 ADVICE case)
+      val held = GraftTable(s, s"$root/data", s"$root/man", "id",
+        dmlModes = Map("update" -> "mor"))
+      assert(held.dmlMode("update") == "mor")
       s.sql("ALTER TABLE gpm.db.t UNSET TBLPROPERTIES ('mode.update')")
       assert(GraftTable.loadProps(s, s"$root/man").get.dmlModes ==
         Map("delete" -> "mor"))
+      assert(held.dmlMode("update") == "cow",
+        "an UNSET mode must not be resurrected by a held instance's " +
+          "constructor-captured map")
       s.sql("ALTER TABLE gpm.db.t SET TBLPROPERTIES ('mode.merge' = 'mor')")
       assert(GraftTable.loadProps(s, s"$root/man").get.dmlModes ==
         Map("delete" -> "mor", "merge" -> "mor"))
