@@ -91,8 +91,10 @@ object Bench {
     // only queries big enough to matter (med >= 0.3 s).
     var samples: Map[String, Seq[Double]] =
       named.map { case (n, _) => n -> sweeps.map(_(n)) }.toMap
+    // true middle for odd counts; UPPER middle for even (a dropped
+    // failed extra can leave 4) — never biased toward looking faster
     def medOf(ss: Seq[Double]): Double =
-      if (ss.exists(_ < 0)) -1.0 else ss.sorted.apply((ss.size - 1) / 2)
+      if (ss.exists(_ < 0)) -1.0 else ss.sorted.apply(ss.size / 2)
     def noisy(): Seq[String] = named.map(_._1).filter { n =>
       val ss = samples(n)
       val med = medOf(ss)
@@ -105,12 +107,18 @@ object Bench {
       (1 to 2).foreach { _ =>
         System.gc()
         redo.foreach { n =>
-          samples = samples.updated(n, samples(n) :+ once(fnOf(n)))
+          // a crashed EXTRA sample is dropped, not recorded: the query
+          // already has 3 valid sweeps — one transient failure during
+          // re-sampling must not flip a measured query to n_failed
+          val extra = once(fnOf(n))
+          if (extra >= 0)
+            samples = samples.updated(n, samples(n) :+ extra)
         }
       }
       extraRounds += 1
     }
-    val iters = samples.values.map(_.size).max
+    val iters = sweeps.size // the base sweep count every query ran;
+                            // per-query re-sample counts ride fullLine
     val results = named.map { case (name, _) => name -> medOf(samples(name)) }
     // min alongside median (bench_out only): min is the noise-floor
     // estimate on a shared host — a large median-vs-min divergence IS
@@ -333,8 +341,13 @@ object Bench {
     val totalMin = mins.map(_._2).filter(_ >= 0).sum
     val shortLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_min":${fmt(totalMin)},"iters":$iters,"n_queries":${results.size},"n_failed":$failed,"queries":$slowestPairs,"queries_full":"bench_out.json","sf":"$sfDir"}"""
+    // per-query sample counts where re-sampling kicked in (everything
+    // else ran exactly `iters` sweeps)
+    val resampled = samples.collect {
+      case (k, ss) if ss.size > sweeps.size => "\"" + k + "\":" + ss.size
+    }.mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"queries":${jsonMap(results)},"queries_min":${jsonMap(mins)}$fsSection$approxSection$rangeSection,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","iters":$iters,"resampled":$resampled,"queries":${jsonMap(results)},"queries_min":${jsonMap(mins)}$fsSection$approxSection$rangeSection,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), fullLine + "\n")
     catch { case _: Throwable => }
     // stop Spark BEFORE printing so no stray executor/log line lands after

@@ -1281,9 +1281,11 @@ object CurationQueries {
     val mm = df.agg(
       min(dimA).as("a_min"), max(dimA).as("a_max"),
       min(dimB).as("b_min"), max(dimB).as("b_max"))
+    // subtract in DOUBLE: an integral domain spanning more than
+    // Long.MaxValue would wrap `c - lo` (or throw under ANSI)
     def norm(c: Column, lo: Column, hi: Column): Column =
-      (((c - lo).cast("double") /
-        greatest((hi - lo).cast("double"), lit(1.0))) *
+      (((c.cast("double") - lo.cast("double")) /
+        greatest(hi.cast("double") - lo.cast("double"), lit(1.0))) *
         lit(4294967295.0)).cast("long")
     val cols = df.columns.toSeq
     df.crossJoin(broadcast(mm))

@@ -120,17 +120,28 @@ object SketchQueries {
     * family pays ~3× the candidates for less. */
   private[operators] val DefaultIvfProbes = 3
 
+  /** The nprobe knob, validated loudly: 0/negative would silently
+    * return empty top-k, a typo would throw a bare NumberFormatException
+    * with no mention of the key. */
+  private[graft] def ivfProbes(s: SparkSession): Int = {
+    val raw = s.conf
+      .get("spark.graft.ann.ivf.probes", DefaultIvfProbes.toString)
+    val n = try raw.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"spark.graft.ann.ivf.probes must be a positive integer; got '$raw'")
+    }
+    require(n >= 1,
+      s"spark.graft.ann.ivf.probes must be >= 1; got $n")
+    n
+  }
+
   val q46b_ann_ivf: Q = (s, dir) => {
     import s.implicits._
     val e = t(s, dir, "embeddings")
     val cents = kmeansCentroids(s, e, k = 16, iters = 3)
     if (cents.isEmpty)
       Seq.empty[(Long, Long, Long, Double)].toDF("qid", "rn", "nid", "sim")
-    else {
-      val nprobe = s.conf
-        .get("spark.graft.ann.ivf.probes", DefaultIvfProbes.toString).toInt
-      q46bWithCentroids(e, cents, nprobe)
-    }
+    else q46bWithCentroids(e, cents, ivfProbes(s))
   }
 
   /** The deduped IVF candidate set — shared by q46b and SketchSpec's
@@ -197,38 +208,59 @@ object SketchQueries {
   // (15 -> 0.58, 30 -> 0.76 measured; gate >= 0.60 in SketchSpec)
   private[graft] val PqRerank = 30
 
-  val q46c_ann_ivfpq: Q = (s, dir) => {
-    import s.implicits._
+  /** The ONE PQ model pipeline — coarse cells + codebooks + the coded
+    * corpus — shared by q46c and SketchSpec's codes-only gate, so the
+    * spec can never pin a corpus the query no longer builds. None when
+    * the fixture is degenerate (no vectors). */
+  private[graft] def pqModel(s: SparkSession, e: DataFrame)
+      : Option[(Seq[(Int, Seq[Double])], Array[Array[Array[Float]]],
+          DataFrame)] = {
     import graft.functions.{Pq, PqExprs}
-    val e = t(s, dir, "embeddings")
     val cents = kmeansCentroids(s, e, k = 16, iters = 3)
     val sample = e.filter(col("vec_id") < 256).orderBy("vec_id")
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
-    if (cents.isEmpty || sample.isEmpty)
-      Seq.empty[(Long, Long, Long, Double)].toDF("qid", "rn", "nid", "sim")
-    else q46cBody(s, e, cents, sample)
+    if (cents.isEmpty || sample.isEmpty) None
+    else {
+      val cb = Pq.train(sample, PqM, PqK, iters = 3)
+      def dv(c: Column): Column = transform(c, x => x.cast("double"))
+      // corpus stored form: (nid, cell, code) — no raw vector carried
+      val coded = e.select(col("vec_id").as("nid"),
+        nearestCell(cents, dv(col("embedding"))).as("cell"),
+        PqExprs.pq_encode(col("embedding"), cb).as("code"))
+      Some((cents, cb, coded))
+    }
+  }
+
+  /** The PQ-coded corpus shape — SketchSpec pins the memory claim (no
+    * embedding column on the corpus side, M codes per vector) against
+    * the SAME pipeline q46c runs. */
+  private[graft] def pqCodedCorpus(s: SparkSession, dir: String): DataFrame =
+    pqModel(s, t(s, dir, "embeddings")).map(_._3).getOrElse(
+      throw new IllegalStateException("empty embeddings fixture"))
+
+  val q46c_ann_ivfpq: Q = (s, dir) => {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+    pqModel(s, e) match {
+      case None =>
+        Seq.empty[(Long, Long, Long, Double)].toDF("qid", "rn", "nid", "sim")
+      case Some((cents, cb, coded)) => q46cBody(s, e, cents, cb, coded)
+    }
   }
 
   private def q46cBody(s: SparkSession, e: DataFrame,
-      cents: Seq[(Int, Seq[Double])],
-      sample: Array[Array[Float]]): DataFrame = {
+      cents: Seq[(Int, Seq[Double])], cb: Array[Array[Array[Float]]],
+      coded: DataFrame): DataFrame = {
     import s.implicits._
-    import graft.functions.{Pq, PqExprs}
-    val cb = Pq.train(sample, PqM, PqK, iters = 3)
+    import graft.functions.Pq
     val normTab = Pq.normTable(cb).map(_.toSeq).toSeq
     def dv(c: Column): Column = transform(c, x => x.cast("double"))
-
-    // corpus stored form: (nid, cell, code) — no raw vector carried
-    val coded = e.select(col("vec_id").as("nid"),
-      nearestCell(cents, dv(col("embedding"))).as("cell"),
-      PqExprs.pq_encode(col("embedding"), cb).as("code"))
 
     // queries: ADC dot tables are per-query model state (M×K doubles),
     // computed with the driver-resident codebook on the tiny broadcast
     // side — the query vector itself stays exact
-    val nprobe = s.conf
-      .get("spark.graft.ann.ivf.probes", DefaultIvfProbes.toString).toInt
+    val nprobe = ivfProbes(s)
     val qrows = e.filter(col("vec_id") < 10)
       .select("vec_id", "embedding").collect().map { r =>
         val q = r.getSeq[Float](1).toArray
@@ -271,21 +303,6 @@ object SketchQueries {
       .select(col("qid"), col("rn"), col("nid"),
         dround(col("sim_raw"), 4).as("sim"))
       .orderBy("qid", "rn")
-  }
-
-  /** The PQ-coded corpus shape — SketchSpec pins the memory claim (no
-    * embedding column on the corpus side, M codes per vector). */
-  private[graft] def pqCodedCorpus(s: SparkSession, dir: String): DataFrame = {
-    import graft.functions.{Pq, PqExprs}
-    val e = t(s, dir, "embeddings")
-    val cents = kmeansCentroids(s, e, k = 16, iters = 3)
-    val sample = e.filter(col("vec_id") < 256).orderBy("vec_id")
-      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
-    val cb = Pq.train(sample, PqM, PqK, iters = 3)
-    def dv(c: Column): Column = transform(c, x => x.cast("double"))
-    e.select(col("vec_id").as("nid"),
-      nearestCell(cents, dv(col("embedding"))).as("cell"),
-      PqExprs.pq_encode(col("embedding"), cb).as("code"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -978,10 +978,14 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     *
     * Content equivalence with the COW path is exact: live(v+1) =
     * (old − batch.keys) ∪ batch, proven hash-equal in MorMergeSpec.
-    * Like all maintenance-class commits this is single-writer: a lost
-    * publish race fails loudly rather than guessing at rebase safety
-    * (the winner may have rewritten a file whose positions this DV
-    * masks — positions are only stable while the file is). */
+    * Concurrency: a lost publish race rebases MECHANICALLY when the
+    * winner provably cannot interact — every file this commit masks
+    * kept an identical (dv, n_rows) pair, the recorded schema is
+    * unchanged, and none of the winner's NEW files' key boxes
+    * intersect this batch's envelope (see [[commitMorMaskedTail]]);
+    * anything else — in particular a winner that rewrote or re-masked
+    * a file whose positions this DV masks (positions are only stable
+    * while the file is) — still fails loudly. */
   def commitMergeMor(batch: DataFrame, prevV: Int, nParts: Int = 2,
       tag: Option[String] = None): Unit = {
     val codec = GraftTable.codecFor(batch.schema(key).dataType, key,
@@ -1009,7 +1013,11 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       .getOrElse(spark.read.option("mergeSchema", "true"))
 
     // masked positions: key column + parquet metadata only — the scan
-    // is column-pruned, so even a wide table pays key-bytes, not rows
+    // is column-pruned, so even a wide table pays key-bytes, not rows.
+    // PERSISTED: the commit tail evaluates it up to three times (the
+    // per-file new-mask counts, the combined-vector counts, and the DV
+    // write) — without the cache each evaluation is a whole-envelope
+    // key scan
     val maskedNew =
       if (impacted.isEmpty) None
       else Some(reader.parquet(impacted: _*)
@@ -1017,13 +1025,15 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
           col("_metadata.file_path").as("file"),
           col("_metadata.row_index").as("pos"))
         .join(batch.select(key).distinct(), Seq(key), "left_semi")
-        .select("file", "pos"))
-    // the batch's new clustered files (stats recorded like any append)
-    val added = stagedAppend(batch, nParts)
-    val stats = if (added.isEmpty) emptyEntries else fileStats(added)
-    commitMorMasked(prevMan, prevEntries, impactedRows, maskedNew, stats,
-      prevV, tag, evolvedSchemaDdl(prevV, batch.schema),
-      envGuard = Some((qlo, qhi)))
+        .select("file", "pos").persist())
+    try {
+      // the batch's new clustered files (stats recorded like any append)
+      val added = stagedAppend(batch, nParts)
+      val stats = if (added.isEmpty) emptyEntries else fileStats(added)
+      commitMorMasked(prevMan, prevEntries, impactedRows, maskedNew, stats,
+        prevV, tag, evolvedSchemaDdl(prevV, batch.schema),
+        envGuard = Some((qlo, qhi)))
+    } finally { maskedNew.foreach(_.unpersist()); () }
   }
 
   /** The MERGE-ON-READ commit tail shared by [[commitMergeMor]],
@@ -1752,9 +1762,12 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val mm = df.agg(
       min(dimA).as("a_min"), max(dimA).as("a_max"),
       min(dimB).as("b_min"), max(dimB).as("b_max"))
+    // subtract in DOUBLE: a long domain spanning more than
+    // Long.MaxValue (lo near MinValue, hi positive) would wrap an
+    // integral `c - lo` (or throw under ANSI) and scramble the codes
     def norm(c: Column, lo: Column, hi: Column): Column =
-      (((c - lo).cast("double") /
-        greatest((hi - lo).cast("double"), lit(1.0))) *
+      (((c.cast("double") - lo.cast("double")) /
+        greatest(hi.cast("double") - lo.cast("double"), lit(1.0))) *
         lit(4294967295.0)).cast("long")
     val cols = df.columns.toIndexedSeq
     val added = stagedMove { stage =>

@@ -87,6 +87,29 @@ class VectorExprSpec extends TestBase {
         }
       }
     }
+    // the DOUBLE path (separate accumulate loop) must satisfy the same
+    // structural contract: probe 0 = that type's exact bucket, flips
+    // distinct single-plane in range
+    val drows = emb.select(
+      TextHashExprs.srp_probe_buckets(
+        transform(col("embedding"), x => x.cast("double"))).as("pbs"),
+      TextHashExprs.srp_buckets(
+        transform(col("embedding"), x => x.cast("double"))).as("bks"))
+      .collect()
+    drows.foreach { r =>
+      val pbs = r.getSeq[Int](0)
+      val bks = r.getSeq[Int](1)
+      (0 until tables).foreach { t =>
+        assert(pbs(t * probes) == bks(t),
+          s"double path, table $t: probe 0 must equal the exact bucket")
+        val ps = (0 until probes).map(p => pbs(t * probes + p))
+        assert(ps.distinct.size == probes)
+        ps.tail.foreach { alt =>
+          val diff = alt ^ ps.head
+          assert(Integer.bitCount(diff) == 1 && diff < (1 << bits))
+        }
+      }
+    }
     // null element -> NULL array (same contract as srp_buckets)
     import spark.implicits._
     val nulls = Seq((1, Seq[java.lang.Float](1.0f, null, 3.0f)))
