@@ -1919,6 +1919,41 @@ object CurationQueries {
       |GROUP BY l_orderkey, l_partkey
       |ORDER BY l_orderkey, l_partkey""".stripMargin
 
+  // ---- 139. NULL-census file skipping (Iceberg's nullCount stat):
+  // every commit path records per-file write-time null counts for the
+  // declared stats columns, so `c IS NULL` reads only files whose
+  // census says nulls exist and the IsNotNull conjunct Catalyst pushes
+  // alongside every comparison skips ALL-null files — exactly the
+  // files whose NULL min/max box could never rule anything out. The
+  // fixture concentrates nulls by key (low-key files all-null `cust`)
+  // so both polarities actually skip; SnapshotPruneSpec proves the
+  // file counts, this query proves end-to-end SQL content. ----
+  val q139_null_census: Q = (s, dir) => {
+    graft.table.SnapshotSql.register(s)
+    val out = RelationalQueries.scratch("q139_layout", dir)
+    val man = RelationalQueries.scratch("q139_manifest", dir)
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      when(col("o_orderkey") >= 1000L, col("o_custkey")).as("cust"),
+      col("o_totalprice"))
+    val tbl = GraftTable(s, out, man, "o_orderkey",
+      statsCols = Seq("cust"))
+    tbl.create(o, 8)
+    s.sql(
+      s"""SELECT cust IS NULL AS cust_missing, o_totalprice
+         |FROM graft_snapshot('$man', 1)""".stripMargin)
+      .groupBy("cust_missing")
+      .agg(count(lit(1)).as("c"),
+        dround(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("cust_missing")
+  }
+
+  val q139_null_census_sql: String =
+    """SELECT (CASE WHEN o_orderkey >= 1000 THEN o_custkey END) IS NULL
+      |    AS cust_missing,
+      |  count(*) AS c, round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val q123_sql_maintenance_sql: String =
     """SELECT CAST(3 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_files,
       |  (SELECT count(*) FROM orders WHERE o_orderkey % 4 IN (0, 1))
@@ -2552,6 +2587,7 @@ object CurationQueries {
     "q122_string_key_table" -> q122_string_key_table,
     "q123_sql_maintenance" -> q123_sql_maintenance,
     "q138_zorder_optimize" -> q138_zorder_optimize,
+    "q139_null_census" -> q139_null_census,
     "q124_timestamp_key_table" -> q124_timestamp_key_table,
     "q97_chunk_overlap" -> q97_chunk_overlap,
     "q94_source_mix" -> q94_source_mix,
@@ -2606,6 +2642,7 @@ object CurationQueries {
     "q122_string_key_table" -> q122_string_key_table_sql,
     "q123_sql_maintenance" -> q123_sql_maintenance_sql,
     "q138_zorder_optimize" -> q138_zorder_optimize_sql,
+    "q139_null_census" -> q139_null_census_sql,
     "q124_timestamp_key_table" -> q124_timestamp_key_table_sql,
     "q97_chunk_overlap" -> q97_chunk_overlap_sql,
     "q94_source_mix" -> q94_source_mix_sql,

@@ -121,7 +121,16 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       // at the 65536-item default; see docs/TABLE.md for the
       // driver-memory x per-file-NDV sizing math
       bloomCols.map(c => graft.functions.BloomAgg
-        .bloom_agg(col(c), bloomItems, bloomFpp).as(s"bloom_$c"))
+        .bloom_agg(col(c), bloomItems, bloomFpp).as(s"bloom_$c")) ++
+      // per-file NULL census per stats column (the Iceberg nullCount
+      // stat): `c IS NULL` skips files whose census is 0, and the
+      // IsNotNull conjunct Catalyst pushes alongside every comparison
+      // skips ALL-null files — exactly the files whose NULL min/max
+      // box can rule nothing out. Write-time counts (a deletion vector
+      // does not update them — the IS NOT NULL skip therefore applies
+      // only to DV-free entries; see SnapshotPruning)
+      statsCols.map(c =>
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
     // CHECK constraints piggyback on this scan — the ONE distributed
     // pass every commit path already runs over its newly-written files
     // (append, OCC, COW/MoR merge, UPDATE/MERGE rewrites, streaming
@@ -190,7 +199,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         StructField("n_rows", LongType), StructField("bytes", LongType)) ++
       statsCols.flatMap(c => Seq(StructField(s"lo_$c", codecs(c).boxType),
         StructField(s"hi_$c", codecs(c).boxType))) ++
-      bloomCols.map(c => StructField(s"bloom_$c", BinaryType)))
+      bloomCols.map(c => StructField(s"bloom_$c", BinaryType)) ++
+      statsCols.map(c => StructField(s"nulls_$c", LongType)))
   }
 
   /** prev-manifest ∪ new-stats with box-type reconciliation: an EMPTY
@@ -200,17 +210,27 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * key type changed mid-table — fail loudly (a silent unionByName
     * would coerce long boxes to strings and corrupt skipping forever). */
   private[table] def unionEntries(prev0: DataFrame, stats0: DataFrame): DataFrame = {
-    // `dv` (the MoR deletion-vector pointer) is the one OPTIONAL
-    // manifest column: fresh stats never carry it and pre-MoR
-    // manifests don't either, so a side missing it aligns with a NULL
-    // column rather than tripping the shape check
-    def withDv(df: DataFrame): DataFrame =
-      if (df.columns.contains("dv")) df
-      else df.withColumn("dv", lit(null).cast("string"))
-    val (prev, stats) =
-      if (prev0.columns.contains("dv") != stats0.columns.contains("dv"))
-        (withDv(prev0), withDv(stats0))
-      else (prev0, stats0)
+    // OPTIONAL manifest columns — `dv` (the MoR deletion-vector
+    // pointer: fresh stats never carry it, pre-MoR manifests don't
+    // either) and the `nulls_<c>` census columns (absent from
+    // manifests written before the stat existed): a side missing one
+    // aligns with a NULL column rather than tripping the shape check.
+    // A NULL census is conservatively unprunable, so old entries keep
+    // reading exactly as before.
+    val optional: Seq[(String, String)] =
+      Seq("dv" -> "string") ++
+        (prev0.columns ++ stats0.columns).distinct
+          .filter(_.startsWith("nulls_")).map(_ -> "long")
+    var prev = prev0
+    var stats = stats0
+    optional.foreach { case (c, t) =>
+      if (prev.columns.contains(c) != stats.columns.contains(c)) {
+        def fill(df: DataFrame): DataFrame =
+          if (df.columns.contains(c)) df
+          else df.withColumn(c, lit(null).cast(t))
+        prev = fill(prev); stats = fill(stats)
+      }
+    }
     def shape(df: DataFrame) =
       df.schema.fields.map(f => f.name -> f.dataType).toMap
     if (shape(prev) == shape(stats)) prev.unionByName(stats)

@@ -238,6 +238,34 @@ object SnapshotPruning extends PredicateHelper {
     }
   }
 
+  /** NULL-census tests (the Iceberg nullCount idea): `nulls_<c>` holds
+    * a file's WRITE-TIME null count for a declared stats column.
+    * `c IS NULL` keeps a file iff its census says nulls exist (an
+    * absent or NULL census keeps — old manifests stay readable,
+    * conservatively). `c IS NOT NULL` skips only an ALL-null file —
+    * the file whose NULL min/max box could never rule anything out —
+    * and only when the entry carries no deletion vector: `n_rows`
+    * mutates to the LIVE count under MoR masking while the census
+    * stays write-time, so the all-null equality is only sound on an
+    * unmasked entry. Catalyst pushes IsNotNull alongside every
+    * comparison, so this closes exactly the all-null-file gap box
+    * pruning has. */
+  private def nullsOf(row: Row, c: String): Option[Long] = {
+    val i = row.schema.fieldNames.indexOf(s"nulls_$c")
+    if (i < 0 || row.isNullAt(i)) None else Some(row.getLong(i))
+  }
+  private def entryHasDv(row: Row): Boolean = {
+    val i = row.schema.fieldNames.indexOf("dv")
+    i >= 0 && !row.isNullAt(i)
+  }
+  private def isNullKeep(c: String): EntryTest =
+    row => nullsOf(row, c).forall(_ > 0L)
+  private def isNotNullKeep(c: String): EntryTest =
+    row => nullsOf(row, c) match {
+      case Some(n) if !entryHasDv(row) => n < row.getAs[Long]("n_rows")
+      case _ => true
+    }
+
   /** Point test for an equality/IN value: box intersection AND (when
     * the column carries a per-file sketch) the bloom probe — a missing
     * or NULL sketch keeps the file (never skip on absent evidence). */
@@ -296,6 +324,10 @@ object SnapshotPruning extends PredicateHelper {
           boxTest(key, c, Some(prefix),
             Option(GraftTable.incrementCodePoints(prefix)))
         }
+      case org.apache.spark.sql.catalyst.expressions.IsNull(a) =>
+        colOf(a, prunable).map { case (c, _) => isNullKeep(c) }
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a) =>
+        colOf(a, prunable).map { case (c, _) => isNotNullKeep(c) }
       case _ => None
     }
     def eq(colSide: Expression, litSide: Expression): Option[EntryTest] =
@@ -392,7 +424,9 @@ object SnapshotPruning extends PredicateHelper {
       case s.StringStartsWith(c, p) if prunable(c) =>
         Some(boxTest(key, c, Some(p),
           Option(GraftTable.incrementCodePoints(p))))
-      case _ => None // IsNull/Not/unknowns: keep, never guess
+      case s.IsNull(c) if prunable(c) => Some(isNullKeep(c))
+      case s.IsNotNull(c) if prunable(c) => Some(isNotNullKeep(c))
+      case _ => None // Not/unknowns: keep, never guess
     }
     val ts = filters.flatMap(rec)
     if (ts.isEmpty) None else Some(row => ts.forall(_(row)))

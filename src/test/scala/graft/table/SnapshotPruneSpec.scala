@@ -120,21 +120,32 @@ class SnapshotPruneSpec extends TestBase {
     assert(and.count() == 100)
   }
 
-  test("a NULL stats box keeps its file under any stats-column bound") {
+  test("a NULL stats box cannot prune by range — the null CENSUS closes that gap") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_nullbox").toString
     val t = GraftTable(spark, s"$root/data", s"$root/man", "id",
       statsCols = Seq("v2"))
     // file 1: ids 0..9 with v2 present; file 2 (appended): ids 100..109,
-    // v2 entirely NULL -> NULL (lo_v2, hi_v2) box
+    // v2 entirely NULL -> NULL (lo_v2, hi_v2) box. The box test alone
+    // must keep the NULL-box file (it can rule nothing out) — but the
+    // write-time null census records it as ALL-null, and the IsNotNull
+    // conjunct Catalyst infers from `v2 <= 4` skips it: rows are
+    // identical, one file fewer scanned.
     t.create((0L until 10L).map(i => (i, Some(i * 2L))).toDF("id", "v2"), 1)
     t.commitAppend(
       (100L until 110L).map(i => (i, None: Option[Long])).toDF("id", "v2"), 1, 1)
     val q = spark.sql(
       s"SELECT * FROM graft_snapshot('${t.man}', 2) WHERE v2 <= 4")
-    assert(scannedFiles(q).size == 2,
-      "the NULL-box file can rule nothing out and must be scanned")
+    assert(scannedFiles(q).size == 1,
+      "the all-null file is skipped by the census, not by the box")
     assert(q.count() == 3) // v2 in {0, 2, 4}; NULLs fail the predicate
+    // box conservatism still holds where the census is silent: a file
+    // with SOME nulls (census 0 < n < n_rows) is kept by both tests
+    t.commitAppend((200L until 210L).map(i =>
+      (i, if (i == 205L) None else Some(i))).toDF("id", "v2"), 2, 1)
+    val q2 = spark.sql(
+      s"SELECT * FROM graft_snapshot('${t.man}', 3) WHERE v2 >= 200")
+    assert(scannedFiles(q2).size == 1 && q2.count() == 9)
   }
 
   test("pruned manifest stats let a narrow snapshot slice broadcast unhinted") {
@@ -419,5 +430,58 @@ class SnapshotPruneSpec extends TestBase {
       org.apache.spark.sql.SparkSession.setDefaultSession(orig)
       org.apache.spark.sql.SparkSession.setActiveSession(orig)
     }
+  }
+
+  test("NULL-census pruning: IS NULL skips null-free files, IS NOT NULL skips all-null files") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_nullcensus").toString
+    val t = GraftTable(spark, s"$root/data", s"$root/man", "id",
+      statsCols = Seq("v2"))
+    // three files: ids 0..9 null-FREE v2; 100..109 SOME nulls;
+    // 200..209 ALL-null v2
+    t.create((0L until 10L).map(i => (i, Some(i * 2L))).toDF("id", "v2"), 1)
+    t.commitAppend((100L until 110L).map(i =>
+      (i, if (i % 2 == 0) None else Some(i))).toDF("id", "v2"), 1, 1)
+    t.commitAppend((200L until 210L).map(i =>
+      (i, None: Option[Long])).toDF("id", "v2"), 2, 1)
+    def snap(where: String): DataFrame = spark.sql(
+      s"SELECT * FROM graft_snapshot('${t.man}', 3) $where")
+
+    // IS NULL reads only files whose census says nulls exist
+    val isNull = snap("WHERE v2 IS NULL")
+    assert(scannedFiles(isNull).size == 2,
+      s"IS NULL must skip the null-free file: ${scannedFiles(isNull).size}")
+    assert(isNull.count() == 15) // 5 even ids + 10 all-null rows
+
+    // IS NOT NULL skips the all-null file — the file whose NULL box
+    // could never rule anything out
+    val notNull = snap("WHERE v2 IS NOT NULL")
+    assert(scannedFiles(notNull).size == 2,
+      s"IS NOT NULL must skip the all-null file: ${scannedFiles(notNull).size}")
+    assert(notNull.count() == 15)
+
+    // ...and the IsNotNull Catalyst infers alongside a comparison now
+    // closes the NULL-box gap: a range predicate skips the all-null
+    // file instead of scanning it
+    val range = snap("WHERE v2 <= 4")
+    assert(!scannedFiles(range).exists(f =>
+      scannedFiles(snap("WHERE id >= 200")).contains(f)),
+      "a comparison must not scan the all-null file")
+    assert(range.count() == 3)
+
+    // conservatism under MoR: once the all-null file carries a
+    // deletion vector, the write-time census no longer matches live
+    // n_rows — IS NOT NULL keeps it (never a wrong skip)
+    assert(t.commitDeleteMor(
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 205L)),
+      col("id") === 205L, 3) == 1L)
+    val afterDv = spark.sql(
+      s"SELECT * FROM graft_snapshot('${t.man}', 4) WHERE v2 IS NOT NULL")
+    // count DATA files only — the MoR scan's inputs include the dv
+    // parquet itself
+    val dataScanned = scannedFiles(afterDv)
+      .filter(f => new org.apache.hadoop.fs.Path(f).getName.startsWith("part-"))
+    assert(dataScanned.size == 3, "a DV-carrying entry must not null-skip")
+    assert(afterDv.count() == 15)
   }
 }
