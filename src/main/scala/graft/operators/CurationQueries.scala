@@ -1925,9 +1925,12 @@ object CurationQueries {
   // census says nulls exist and the IsNotNull conjunct Catalyst pushes
   // alongside every comparison skips ALL-null files — exactly the
   // files whose NULL min/max box could never rule anything out. The
-  // fixture concentrates nulls by key (low-key files all-null `cust`)
-  // so both polarities actually skip; SnapshotPruneSpec proves the
-  // file counts, this query proves end-to-end SQL content. ----
+  // fixture nulls `cust` below a key threshold inside the first of 8
+  // key-clustered files, so the pushed `cust IS NULL` predicate prunes
+  // the null-free tail (the mixed head file is conservatively kept);
+  // SnapshotPruneSpec proves the exact file counts for both
+  // polarities and the all-null case, this query proves end-to-end
+  // SQL content THROUGH the pushed predicates. ----
   val q139_null_census: Q = (s, dir) => {
     graft.table.SnapshotSql.register(s)
     val out = RelationalQueries.scratch("q139_layout", dir)
@@ -1938,21 +1941,31 @@ object CurationQueries {
     val tbl = GraftTable(s, out, man, "o_orderkey",
       statsCols = Seq("cust"))
     tbl.create(o, 8)
-    s.sql(
-      s"""SELECT cust IS NULL AS cust_missing, o_totalprice
-         |FROM graft_snapshot('$man', 1)""".stripMargin)
-      .groupBy("cust_missing")
-      .agg(count(lit(1)).as("c"),
+    // one aggregate per polarity, each under ITS OWN pushed predicate —
+    // the IS NULL side plans against the census-pruned file list
+    def side(pred: String, label: String) = s.sql(
+      s"""SELECT o_totalprice FROM graft_snapshot('$man', 1)
+         |WHERE cust $pred""".stripMargin)
+      .agg(count(lit(1)).cast("long").as("c"),
         dround(sum("o_totalprice"), 2).as("sum_price"))
-      .orderBy("cust_missing")
+      .withColumn("side", lit(label))
+      .select("side", "c", "sum_price")
+    side("IS NULL", "null").unionByName(side("IS NOT NULL", "notnull"))
+      .orderBy("side")
   }
 
   val q139_null_census_sql: String =
-    """SELECT (CASE WHEN o_orderkey >= 1000 THEN o_custkey END) IS NULL
-      |    AS cust_missing,
-      |  count(*) AS c, round(sum(o_totalprice), 2) AS sum_price
-      |FROM orders
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+    """WITH o AS (SELECT o_totalprice,
+      |    CASE WHEN o_orderkey >= 1000 THEN o_custkey END AS cust
+      |  FROM orders)
+      |SELECT 'notnull' AS side, count(*) AS c,
+      |  round(sum(o_totalprice), 2) AS sum_price
+      |FROM o WHERE cust IS NOT NULL
+      |UNION ALL
+      |SELECT 'null' AS side, count(*) AS c,
+      |  round(sum(o_totalprice), 2) AS sum_price
+      |FROM o WHERE cust IS NULL
+      |ORDER BY side""".stripMargin
 
   val q123_sql_maintenance_sql: String =
     """SELECT CAST(3 AS BIGINT) AS version, CAST(1 AS BIGINT) AS n_files,

@@ -915,10 +915,11 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   // ---- merge-on-read (deletion-vector) merge ------------------------
 
   /** A manifest entry's deletion-vector path — None for pre-MoR
-    * manifests (no `dv` column) and DV-free entries alike. */
-  private def entryDv(r: Row): Option[String] =
-    if (r.schema.fieldNames.contains("dv")) Option(r.getAs[String]("dv"))
-    else None
+    * manifests (no `dv` column) and DV-free entries alike. Delegates
+    * to the shared encoding probe so the commit side and the pruning
+    * side ([[SnapshotPruning]]) can never disagree on what "carries a
+    * DV" means. */
+  private def entryDv(r: Row): Option[String] = GraftTable.entryDvOf(r)
 
   /** Snapshot v's entries as (file, deletion-vector path) pairs — the
     * EFFECTIVE content identity of an entry. Pre-MoR manifests have no
@@ -2561,6 +2562,14 @@ object GraftTable {
         .join(broadcast(own), Seq("file"), "left_semi")
     }.reduce(_.unionByName(_)))
   }
+
+  /** A manifest entry's deletion-vector path — the ONE dv-encoding
+    * probe, shared by the commit paths (instance `entryDv`) and the
+    * NULL-census pruning guard. None for pre-MoR manifests (no `dv`
+    * column) and DV-free entries alike. */
+  private[table] def entryDvOf(r: Row): Option[String] =
+    if (r.schema.fieldNames.contains("dv")) Option(r.getAs[String]("dv"))
+    else None
 
   /** Statements with a declarable write mode and the legal modes. */
   private[table] val DmlStmts = Set("merge", "delete", "update")

@@ -254,10 +254,8 @@ object SnapshotPruning extends PredicateHelper {
     val i = row.schema.fieldNames.indexOf(s"nulls_$c")
     if (i < 0 || row.isNullAt(i)) None else Some(row.getLong(i))
   }
-  private def entryHasDv(row: Row): Boolean = {
-    val i = row.schema.fieldNames.indexOf("dv")
-    i >= 0 && !row.isNullAt(i)
-  }
+  private def entryHasDv(row: Row): Boolean =
+    GraftTable.entryDvOf(row).isDefined
   private def isNullKeep(c: String): EntryTest =
     row => nullsOf(row, c).forall(_ > 0L)
   private def isNotNullKeep(c: String): EntryTest =

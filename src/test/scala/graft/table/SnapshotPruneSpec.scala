@@ -463,9 +463,9 @@ class SnapshotPruneSpec extends TestBase {
     // ...and the IsNotNull Catalyst infers alongside a comparison now
     // closes the NULL-box gap: a range predicate skips the all-null
     // file instead of scanning it
+    val allNullFiles = scannedFiles(snap("WHERE id >= 200")).toSet
     val range = snap("WHERE v2 <= 4")
-    assert(!scannedFiles(range).exists(f =>
-      scannedFiles(snap("WHERE id >= 200")).contains(f)),
+    assert(scannedFiles(range).toSet.intersect(allNullFiles).isEmpty,
       "a comparison must not scan the all-null file")
     assert(range.count() == 3)
 
