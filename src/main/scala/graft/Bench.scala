@@ -88,7 +88,9 @@ object Bench {
     // samples (keeping the sample count odd so the median stays a real
     // sample) and re-take the median, so round-over-round comparisons
     // stop chasing host noise. Bounded: <= 4 extra samples per query,
-    // only queries big enough to matter (med >= 0.3 s).
+    // only queries big enough to matter (med >= 0.1 s — the 0.3 s floor
+    // left a sub-0.35 s tail at med/min up to 2.5x, polluting
+    // round-over-round diffs for queries that cost nothing).
     var samples: Map[String, Seq[Double]] =
       named.map { case (n, _) => n -> sweeps.map(_(n)) }.toMap
     // true middle for odd counts; UPPER middle for even (a dropped
@@ -98,7 +100,7 @@ object Bench {
     def noisy(): Seq[String] = named.map(_._1).filter { n =>
       val ss = samples(n)
       val med = medOf(ss)
-      med >= 0.3 && ss.min > 0 && med / ss.min > 1.5
+      med >= 0.1 && ss.min > 0 && med / ss.min > 1.5
     }
     val fnOf = picked
     var extraRounds = 0
