@@ -1919,6 +1919,50 @@ object CurationQueries {
       |GROUP BY l_orderkey, l_partkey
       |ORDER BY l_orderkey, l_partkey""".stripMargin
 
+  // ---- 138b. N-dim any-type OPTIMIZE ZORDER BY: re-cluster an
+  // event-id-clustered table along the Morton interleave of a TIMESTAMP
+  // and a STRING dimension (each mapped to the grid through the same
+  // type families the manifest's box codecs order — micros, first-6-
+  // byte UTF-8 prefix), then answer a two-dimension time+category
+  // predicate through the pruned snapshot SQL path. Content identity is
+  // the oracle (the layout commit is dataChange=false); ZOrderSpec pins
+  // the pruning improvement on both non-integral dims. ----
+  val q138b_zorder_multitype: Q = (s, dir) => {
+    graft.table.SnapshotSql.register(s)
+    val out = RelationalQueries.scratch("q138b_layout", dir)
+    val man = RelationalQueries.scratch("q138b_manifest", dir)
+    val ev = t(s, dir, "events")
+      .select("event_id", "ts", "event_type", "value")
+    val tbl = GraftTable(s, out, man, "event_id",
+      statsCols = Seq("ts", "event_type"))
+    tbl.create(ev, 8)
+    val bytes = tbl.manifest(1).collect().map(_.getAs[Long]("bytes")).sum
+    val r = s.sql(
+      s"""SELECT files_written, latest_version
+         |FROM graft_zorder('$man', ${math.max(1L, bytes / 16)},
+         |  'ts', 'event_type')""".stripMargin).head
+    s.sql(
+      s"""SELECT event_type, ts, value
+         |FROM graft_snapshot('$man', ${r.getLong(1)})
+         |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+         |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+         |  AND event_type IN ('click', 'error')""".stripMargin)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        dround(sum("value"), 2).as("sv"))
+      .orderBy("event_type", "day")
+  }
+
+  val q138b_zorder_multitype_sql: String =
+    """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+      |  round(sum(value), 2) + 0 AS sv
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      |  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+      |  AND event_type IN ('click', 'error')
+      |GROUP BY event_type, CAST(ts AS DATE)
+      |ORDER BY event_type, day""".stripMargin
+
   // ---- 139. NULL-census file skipping (Iceberg's nullCount stat):
   // every commit path records per-file write-time null counts for the
   // declared stats columns, so `c IS NULL` reads only files whose
@@ -2600,6 +2644,7 @@ object CurationQueries {
     "q122_string_key_table" -> q122_string_key_table,
     "q123_sql_maintenance" -> q123_sql_maintenance,
     "q138_zorder_optimize" -> q138_zorder_optimize,
+    "q138b_zorder_multitype" -> q138b_zorder_multitype,
     "q139_null_census" -> q139_null_census,
     "q124_timestamp_key_table" -> q124_timestamp_key_table,
     "q97_chunk_overlap" -> q97_chunk_overlap,
@@ -2655,6 +2700,7 @@ object CurationQueries {
     "q122_string_key_table" -> q122_string_key_table_sql,
     "q123_sql_maintenance" -> q123_sql_maintenance_sql,
     "q138_zorder_optimize" -> q138_zorder_optimize_sql,
+    "q138b_zorder_multitype" -> q138b_zorder_multitype_sql,
     "q139_null_census" -> q139_null_census_sql,
     "q124_timestamp_key_table" -> q124_timestamp_key_table_sql,
     "q97_chunk_overlap" -> q97_chunk_overlap_sql,

@@ -1408,12 +1408,23 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * where the predicate is NULL keep their values — SQL three-valued
     * logic), survivors re-clustered into envelope-sized outputs, and
     * the whole envelope replaced snapshot-isolated. Returns rows
-    * updated; zero matches burn no version. */
+    * updated; zero matches burn no version. A lost commit race rebases
+    * mechanically when the winner left every impacted file untouched
+    * ([[commitCowRewrite]]); anything else fails loudly. */
   def commitUpdateCow(cond: Column, sets: Map[String, Column],
       prevV: Int, impactedOnly: Option[Seq[String]] = None,
       tag: Option[String] = None): Long = {
     val prevEntries = manifest(prevV).collect()
     if (prevEntries.isEmpty) return 0L
+    // loud validation (public API): a misspelled assignment key must
+    // fail, not silently no-op — same contract as the other commit paths
+    versionSchema(prevV).foreach { sch =>
+      val unknown = sets.keySet -- sch.fieldNames.toSet
+      require(unknown.isEmpty,
+        s"UPDATE assigns to column(s) not in the table schema: " +
+          s"${unknown.toSeq.sorted.mkString(", ")} (schema: " +
+          s"${sch.fieldNames.mkString(", ")})")
+    }
     val impactedRows = impactedOnly match {
       case Some(files) =>
         val want = files.toSet
@@ -1438,10 +1449,60 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     // ~target-file-size outputs instead of two giant write tasks
     val added = stagedAppend(updated, sizedParts(2, entryBytes(impactedRows)))
     val stats = if (added.isEmpty) emptyEntries else fileStats(added)
-    commitManifest(
-      unionEntries(excludeFiles(manifest(prevV), impacted), stats),
-      prevV + 1, tag, schemaDdl = versionSchema(prevV).map(_.toDDL))
+    commitCowRewrite(prevV, impactedRows, stats, tag,
+      schemaDdl = versionSchema(prevV).map(_.toDDL))
     nUpd
+  }
+
+  /** Publish a COW envelope rewrite — `impactedRows`' files dropped,
+    * `stats`' fresh survivor files added — rebasing MECHANICALLY on a
+    * lost race when the winner provably cannot interact: the
+    * [[commitMerge]]/[[commitMorMaskedTail]] Delta-conflict-checker
+    * rule applied to predicate DML. Every impacted file must survive
+    * into the winner with an IDENTICAL (dv, n_rows) pair — the winner
+    * neither rewrote, re-masked nor dropped any file whose rows this
+    * rewrite read, so the staged survivors are still exact against its
+    * snapshot — and the winner's recorded schema must be unchanged. No
+    * envelope guard: a winner's concurrent append commits rows the
+    * predicate never saw — the write-serializable relaxation Delta
+    * documents (the DML serializes BEFORE the append it raced; same
+    * contract as the MoR DELETE/UPDATE). Untouched entries are carried
+    * from the WINNER verbatim, so its changes outside this envelope
+    * compose. Anything else fails loudly — never a silent drop. */
+  private def commitCowRewrite(prevV: Int, impactedRows: Array[Row],
+      stats: DataFrame, tag: Option[String], schemaDdl: Option[String],
+      maxRebases: Int = 5): Unit = {
+    val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
+    def pairOf(r: Row): (Option[String], Long) =
+      (entryDv(r), r.getAs[Long]("n_rows"))
+    val impactedPairs = impactedRows
+      .map(r => r.getAs[String]("file") -> pairOf(r)).toMap
+    def conflict(v: Int): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"COW DML commit lost the race for v=$v to a commit that may " +
+          "interact with it (it rewrote, re-masked or dropped a file " +
+          "this rewrite read, or changed the recorded schema); re-run " +
+          "against the latest snapshot")
+    var base = prevV
+    var rebases = 0
+    while (true) {
+      if (tryCommitManifest(
+          unionEntries(excludeFiles(manifest(base), impacted), stats),
+          base + 1, tag, schemaDdl = schemaDdl))
+        return
+      // lost the race — O(#files) driver-side disjointness check
+      rebases += 1
+      val winner = manifest(base + 1).collect()
+      val winByFile = winner
+        .map(r => r.getAs[String]("file") -> pairOf(r)).toMap
+      val touchedIntact =
+        impacted.forall(f => winByFile.get(f).contains(impactedPairs(f)))
+      val schemaIntact = versionSchema(base + 1).map(_.toDDL) ==
+        versionSchema(base).map(_.toDDL)
+      if (rebases > maxRebases || !touchedIntact || !schemaIntact)
+        conflict(base + 1)
+      base += 1
+    }
   }
 
   /** `spark.graft.mor.maxMaskFraction` (default 0.8): the matched-live
@@ -1449,7 +1510,11 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * falls back to the COW rewrite — Delta's deletion-vector cutoff
     * idea. Values > 1 disable the fallback entirely. */
   private def morMaxMaskFraction(): Double = {
-    val f = spark.conf.get("spark.graft.mor.maxMaskFraction", "0.8").toDouble
+    val raw = spark.conf.get("spark.graft.mor.maxMaskFraction", "0.8")
+    val f = try raw.toDouble catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"spark.graft.mor.maxMaskFraction must be a number; got '$raw'")
+    }
     require(f >= 0.0,
       s"spark.graft.mor.maxMaskFraction must be >= 0; got $f")
     f
@@ -1471,8 +1536,12 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   private def writeDvFile(dv: DataFrame, totalRows: Long): String = {
     val id = java.util.UUID.randomUUID().toString.take(8)
     val stage = new Path(data, s"_stage_dv_$id")
-    val maxRows = spark.conf
-      .get("spark.graft.dv.maxRowsPerFile", (32L << 20).toString).toLong
+    val rawMax = spark.conf
+      .get("spark.graft.dv.maxRowsPerFile", (32L << 20).toString)
+    val maxRows = try rawMax.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"spark.graft.dv.maxRowsPerFile must be an integer; got '$rawMax'")
+    }
     require(maxRows > 0,
       s"spark.graft.dv.maxRowsPerFile must be positive; got $maxRows")
     val nParts = math.min(10000L,
@@ -1676,9 +1745,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val added = stagedAppend(df.filter(!doomed),
       sizedParts(nParts, entryBytes(impactedRows)))
     val stats = if (added.isEmpty) emptyEntries else fileStats(added)
-    commitManifest(
-      unionEntries(excludeFiles(manifest(prevV), impacted), stats),
-      prevV + 1, tag, schemaDdl = versionSchema(prevV).map(_.toDDL))
+    commitCowRewrite(prevV, impactedRows, stats, tag,
+      schemaDdl = versionSchema(prevV).map(_.toDDL))
     nDel
   }
 
@@ -1701,8 +1769,10 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * neither resurrect nor inflate the count). SQL three-valued logic
     * is honored: rows where the predicate is NULL are NOT deleted
     * (survivors keep `pred IS NOT TRUE`). A predicate matching no rows
-    * burns no version. Returns the number of rows deleted;
-    * single-writer like all maintenance commits. */
+    * burns no version. Returns the number of rows deleted. A lost
+    * commit race rebases mechanically when the winner left every
+    * impacted file untouched ([[commitCowRewrite]]); anything else
+    * fails loudly. */
   def commitDelete(filters: Seq[org.apache.spark.sql.sources.Filter],
       prevV: Int, nParts: Int = 2, tag: Option[String] = None): Long = {
     require(filters.nonEmpty,
@@ -1738,64 +1808,78 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val added = stagedAppend(df.filter(!coalesce(pred, lit(false))),
       sizedParts(nParts, entryBytes(impactedRows)))
     val stats = if (added.isEmpty) emptyEntries else fileStats(added)
-    val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
-    commitManifest(
-      unionEntries(excludeFiles(manifest(prevV), impacted), stats),
-      prevV + 1, tag, schemaDdl = versionSchema(prevV).map(_.toDDL))
+    commitCowRewrite(prevV, impactedRows, stats, tag,
+      schemaDdl = versionSchema(prevV).map(_.toDDL))
     nDel
   }
 
+  /** Two-dimension convenience overload (the original API shape). */
+  def commitZorder(prevV: Int, targetBytes: Long, dimA: String,
+      dimB: String): Int =
+    commitZorder(prevV, targetBytes, Seq(dimA, dimB))
+
   /** OPTIMIZE ZORDER BY (Delta's layout-maintenance verb): re-cluster
-    * snapshot `prevV` along the 64-bit Morton interleave of two
-    * integral dimensions into ~targetBytes files as a NEW
+    * snapshot `prevV` along the 64-bit Morton interleave of 1..8
+    * dimensions of ANY orderable type into ~targetBytes files as a NEW
     * content-identical `dataChange=false` snapshot. Unlike plain
     * [[commitCompaction]] — which packs only the undersized/DV tail —
     * a z-order rewrite is whole-snapshot by definition (interleaved
     * locality is a global property), the same contract as Delta's
     * OPTIMIZE ZORDER BY; run it when the query mix shifts to a
-    * dimension the ingest clustering does not localize. Both dims
-    * normalize to the u32 grid from ONE broadcast bounds row (the q81
-    * write shape). The rewrite reads MoR (deletion vectors fold in,
-    * like OPTIMIZE), and because [[fileStats]] records per-file boxes
-    * for the key and every declared stats column, the re-clustered
-    * files' boxes tighten in BOTH dims — the SAME manifest then skips
-    * more files for either dimension's predicates ([[pruneMulti]]),
-    * which is the operator's entire point. Old versions keep
-    * time-traveling to the old layout until [[vacuum]]. Single-writer
-    * like other maintenance commits: a lost race fails loudly. Returns
-    * the new version. */
-  def commitZorder(prevV: Int, targetBytes: Long, dimA: String,
-      dimB: String): Int = {
+    * dimension the ingest clustering does not localize. Each dim maps
+    * to an ordered numeric space the way the manifest's own box codecs
+    * do (integral/float/decimal as double, timestamp as micros, date as
+    * days, string by its first-6-UTF-8-bytes prefix — monotone in
+    * code-point order, the same invariant the string boxes rely on;
+    * NULLs cluster at the grid origin), then normalizes to the
+    * floor(64/n)-bit grid from ONE broadcast bounds row (the q81 write
+    * shape). Clustering-only approximations (double rounding, string
+    * prefix) can never hurt correctness: per-file boxes are re-recorded
+    * from the TRUE values by the ordinary [[fileStats]] pass. The
+    * rewrite reads MoR (deletion vectors fold in, like OPTIMIZE), and
+    * because [[fileStats]] records per-file boxes for the key and every
+    * declared stats column, the re-clustered files' boxes tighten in
+    * ALL dims — the SAME manifest then skips more files for any
+    * dimension's predicates ([[pruneMulti]]), which is the operator's
+    * entire point. Old versions keep time-traveling to the old layout
+    * until [[vacuum]]. Single-writer like other maintenance commits: a
+    * lost race fails loudly. Returns the new version. */
+  def commitZorder(prevV: Int, targetBytes: Long, dims: Seq[String]): Int = {
     require(targetBytes > 0, s"targetBytes must be positive; got $targetBytes")
+    require(dims.nonEmpty && dims.size <= 8,
+      s"z-order takes 1..8 dimensions; got ${dims.size}")
+    require(dims.distinct.size == dims.size,
+      s"duplicate z-order dimensions: ${dims.mkString(", ")}")
     val entries = manifest(prevV).collect()
     require(entries.nonEmpty, s"snapshot v=$prevV of $man has no files")
     val df = morRead(entries.map(r =>
       (r.getAs[String]("file"), entryDv(r))).toSeq, versionSchema(prevV))
-    Seq(dimA, dimB).foreach { c =>
+    dims.foreach { c =>
       require(df.columns.contains(c),
         s"z-order dimension '$c' is not a column of $man " +
           s"(${df.columns.mkString(", ")})")
-      GraftTable.requireIntegral(df, c)
     }
+    // per-dim ordered-numeric embedding (loud on unsupported types)
+    val numeric = dims.map(c =>
+      GraftTable.zGridNumeric(df.schema(c).dataType, c, man))
     val nOut = math.max(1L, math.min(20000L,
       (entryBytes(entries) + targetBytes - 1) / targetBytes)).toInt
-    import graft.functions.ZOrder.z_value
-    val mm = df.agg(
-      min(dimA).as("a_min"), max(dimA).as("a_max"),
-      min(dimB).as("b_min"), max(dimB).as("b_max"))
+    import graft.functions.ZOrder.z_value_n
+    val bounds = dims.indices.flatMap(i => Seq(
+      min(numeric(i)).as(s"__lo_$i"), max(numeric(i)).as(s"__hi_$i")))
+    val mm = df.agg(bounds.head, bounds.tail: _*)
     // subtract in DOUBLE: a long domain spanning more than
     // Long.MaxValue (lo near MinValue, hi positive) would wrap an
     // integral `c - lo` (or throw under ANSI) and scramble the codes
+    val gridMax = math.pow(2.0, 64 / dims.size) - 1.0
     def norm(c: Column, lo: Column, hi: Column): Column =
-      (((c.cast("double") - lo.cast("double")) /
-        greatest(hi.cast("double") - lo.cast("double"), lit(1.0))) *
-        lit(4294967295.0)).cast("long")
+      coalesce((((c - lo) / greatest(hi - lo, lit(1.0))) *
+        lit(gridMax)).cast("long"), lit(0L))
     val cols = df.columns.toIndexedSeq
     val added = stagedMove { stage =>
       df.crossJoin(broadcast(mm))
-        .withColumn("__z",
-          z_value(norm(col(dimA), col("a_min"), col("a_max")),
-            norm(col(dimB), col("b_min"), col("b_max"))))
+        .withColumn("__z", z_value_n(dims.indices.map(i =>
+          norm(numeric(i), col(s"__lo_$i"), col(s"__hi_$i")))))
         .repartitionByRange(nOut, col("__z"))
         .sortWithinPartitions("__z")
         .select(cols.map(col): _*)
@@ -2926,6 +3010,35 @@ object GraftTable {
       s"manifest stats require an integral column (lo/hi are stored " +
         s"as long; a lossy cast would make skipping non-conservative); " +
         s"got $dt for '$c'")
+  }
+
+  /** A z-order dimension's ordered-numeric embedding (double space) —
+    * the same type families the box codecs order, so anything the
+    * manifest can prune on can be clustered on: integral/float/decimal
+    * cast to double, timestamp as micros, date as days, boolean as
+    * 0/1, string by [[graft.functions.ZOrder.strPrefixLong]] (first 6
+    * UTF-8 bytes big-endian — monotone in code-point order, exactly
+    * double-representable). Clustering-quality only: per-file boxes are
+    * re-recorded from the true values after the rewrite, so a lossy
+    * embedding can never mis-prune. Loud on unsupported types. */
+  private[table] def zGridNumeric(dt: org.apache.spark.sql.types.DataType,
+      c: String, man: String): Column = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType => col(c).cast("double")
+      case _: DecimalType => col(c).cast("double")
+      case TimestampType | TimestampNTZType =>
+        unix_micros(col(c).cast("timestamp")).cast("double")
+      case DateType => unix_date(col(c)).cast("double")
+      case BooleanType => col(c).cast("long").cast("double")
+      case StringType =>
+        graft.functions.ZOrder.str_prefix_long(col(c)).cast("double")
+      case other => throw new IllegalArgumentException(
+        s"z-order dimension '$c' of $man has type $other — supported: " +
+          "integral, float/double, decimal, date, timestamp, string, " +
+          "boolean")
+    }
   }
 
   /** Bloom columns accept what [[graft.functions.BloomFilterBuildAgg]]

@@ -346,21 +346,23 @@ object SnapshotSql {
 
   private[table] val zorderUsage: String =
     "usage: graft_zorder('<manifestDir-or-catalog.ns.table>', targetBytes, " +
-      "'dimA', 'dimB') — re-cluster the latest snapshot along the " +
-      "Morton interleave of two integral columns into ~targetBytes " +
-      "files as a new layout-only (dataChange=false) snapshot commit " +
-      "(Delta's OPTIMIZE ZORDER BY); deletion vectors fold in; returns " +
-      "one row (files_written, latest_version). A maintenance " +
-      "PROCEDURE surfaced as a TVF: the rewrite runs when the " +
-      "statement is planned, once per spark.sql() call"
+      "'dim1'[, 'dim2', ... up to 8]) — re-cluster the latest snapshot " +
+      "along the Morton interleave of 1..8 columns of any orderable " +
+      "type (integral, float/double, decimal, date, timestamp, string, " +
+      "boolean) into ~targetBytes files as a new layout-only " +
+      "(dataChange=false) snapshot commit (Delta's OPTIMIZE ZORDER BY); " +
+      "deletion vectors fold in; returns one row (files_written, " +
+      "latest_version). A maintenance PROCEDURE surfaced as a TVF: the " +
+      "rewrite runs when the statement is planned, once per " +
+      "spark.sql() call"
 
-  /** `SELECT * FROM graft_zorder('<man>', 128*1024*1024, 'a', 'b')` —
-    * [[GraftTable.commitZorder]] from pure SQL. */
+  /** `SELECT * FROM graft_zorder('<man>', 128*1024*1024, 'a', 'b'[, …])`
+    * — [[GraftTable.commitZorder]] from pure SQL. */
   def zorderPlan(es: Seq[Expression]): LogicalPlan = {
     def fail(detail: String): Nothing =
       throw new IllegalArgumentException(s"$detail\n$zorderUsage")
-    if (es.length != 4)
-      fail(s"graft_zorder takes 4 arguments, got ${es.length}")
+    if (es.length < 3 || es.length > 10)
+      fail(s"graft_zorder takes 3 to 10 arguments, got ${es.length}")
     val man = es.head match {
       case Literal(s: UTF8String, StringType) =>
         resolveRef(SparkSession.active, s.toString, fail)
@@ -375,12 +377,14 @@ object SnapshotSql {
       case Literal(s: UTF8String, StringType) => s.toString
       case other => fail(s"$name must be a string literal; got '$other'")
     }
-    val (dimA, dimB) = (strArg(es(2), "dimA"), strArg(es(3), "dimB"))
+    val dims = es.drop(2).zipWithIndex.map { case (e, i) =>
+      strArg(e, s"dim${i + 1}")
+    }
     val spark = SparkSession.active
     val table = maintenanceTable(spark, man, fail)
     val vs = table.committedVersions
     if (vs.isEmpty) fail(s"no committed snapshots under $man")
-    val v = table.commitZorder(vs.max, targetBytes, dimA, dimB)
+    val v = table.commitZorder(vs.max, targetBytes, dims)
     val n = table.files(v).size.toLong
     import spark.implicits._
     org.apache.spark.sql.GraftSqlBridge.analyzed(

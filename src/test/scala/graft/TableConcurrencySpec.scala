@@ -199,4 +199,46 @@ class TableConcurrencySpec extends TestBase {
       col("id") === 6L, 3) == 1L)
     assert(table.readAsOf(4).count() == 997L)
   }
+
+  test("concurrent COW DML: disjoint-envelope UPDATE/DELETE both commit, overlap conflicts") {
+    import org.apache.spark.sql.functions.{col, lit, sum}
+    import org.apache.spark.sql.sources.{GreaterThan, LessThanOrEqual}
+    val out = java.nio.file.Files.createTempDirectory("graft_cowc_data").toString
+    val man = java.nio.file.Files.createTempDirectory("graft_cowc_man").toString
+    val spark0 = spark
+    import spark0.implicits._
+    // two key-clustered files: low ids 1-500, high ids 501-1000
+    val df = (1L to 1000L).map(i => (i, i)).toDF("id", "v")
+    val table = GraftTable(spark, s"$out/d", s"$man/m", "id").create(df, 2)
+
+    // both planned against v=1 (the deterministic race): A rewrites the
+    // LOW file and commits v=2; B rewrites only the HIGH file, loses
+    // v=2, sees its whole impacted set intact in the winner, REBASES
+    // mechanically and commits v=3 — exact combined content
+    assert(table.commitUpdateCow(col("id") <= 10L,
+      Map("v" -> (col("v") + 10000L)), 1,
+      impactedOnly = Some(table.prune(1, 1L, 10L)._1)) == 10L)
+    assert(table.commitDelete(Seq(GreaterThan("id", 990L)),
+      col("id") > 990L, 1, 2, None) == 10L)
+    assert(table.committedVersions == Seq(1, 2, 3))
+    val got = table.readAsOf(3)
+    assert(got.count() == 990L, "rebased COW delete lost rows")
+    assert(got.filter(col("id") <= 10L && col("v") === col("id") + 10000L)
+      .count() == 10L, "the racing UPDATE's effect must survive")
+    assert(got.filter(col("id") > 990L).count() == 0L,
+      "the rebased DELETE's effect must be present")
+    assert(got.agg(sum("v")).head.getLong(0) ==
+      (1L to 990L).sum + 10L * 10000L, "combined content must be exact")
+
+    // an OVERLAPPING COW update still planned against v=1 rewrote the
+    // low file the v=2 winner replaced — its survivors are stale; must
+    // fail loudly, never silently resurrect pre-update rows
+    intercept[java.util.ConcurrentModificationException] {
+      table.commitUpdateCow(col("id") <= 10L,
+        Map("v" -> lit(-1L)), 1,
+        impactedOnly = Some(table.prune(1, 1L, 10L)._1))
+    }
+    assert(table.committedVersions == Seq(1, 2, 3),
+      "a conflicted COW DML must not commit")
+  }
 }

@@ -140,12 +140,109 @@ class ZOrderSpec extends TestBase {
       spark.sql(s"SELECT * FROM graft_zorder('${t.man}', 1024)")
         .queryExecution.analyzed
     }
-    assert(bad.getMessage.contains("4 arguments"))
+    assert(bad.getMessage.contains("3 to 10 arguments"))
     val badCol = intercept[Exception] {
       spark.sql(
         s"SELECT * FROM graft_zorder('${t.man}', 1024, 'a', 'nope')")
         .queryExecution.analyzed
     }
     assert(badCol.getMessage.contains("nope"))
+  }
+
+  test("interleaveN matches a bit-by-bit reference; n=2 equals the magic-number path") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    def ref(vals: Array[Long]): Long = {
+      val n = vals.length
+      val bits = 64 / n
+      var z = 0L
+      vals.indices.foreach { i =>
+        (0 until bits).foreach { j =>
+          z |= ((vals(i) >> j) & 1L) << (j * n + i)
+        }
+      }
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    Seq(2, 3, 4, 5, 8).foreach { n =>
+      val bits = 64 / n
+      val mask = (1L << bits) - 1
+      (1 to 500).foreach { _ =>
+        val vals = Array.fill(n)(rnd.nextLong() & mask)
+        val got = ZOrder.interleaveN(
+          UnsafeArrayData.fromPrimitiveArray(vals))
+        assert(got == ref(vals), s"n=$n vals=${vals.toSeq}")
+        if (n == 2) assert(got == ZOrder.interleave(vals(0), vals(1)))
+      }
+    }
+    // str_prefix_long: monotone in code-point order, 48-bit range
+    import org.apache.spark.unsafe.types.UTF8String
+    def spl(s: String): Long = ZOrder.strPrefixLong(UTF8String.fromString(s))
+    val ss = Seq("", "a", "aa", "ab", "abcdefgh", "abcdefzz", "b",
+      "zzz", "éclair", "日本語")
+    val sorted = ss.sorted // Java string order = code-point order here
+    sorted.sliding(2).foreach { case Seq(x, y) =>
+      assert(spl(x) <= spl(y), s"prefix order violated: '$x' vs '$y'")
+    }
+    assert(ss.forall(s => spl(s) >= 0L && spl(s) < (1L << 48)))
+    // differs-past-6-bytes collapses (documented prefix semantics)
+    assert(spl("abcdefgh") == spl("abcdefzz"))
+  }
+
+  test("N-dim z-order over (timestamp, string): non-integral pruning strictly improves") {
+    import graft.table.GraftTable
+    val root = java.nio.file.Files.createTempDirectory("graft_zon").toString
+    import spark.implicits._
+    val n = 4096L
+    // key-clustered files each span the full ts range AND the full
+    // label alphabet, so neither dimension prunes before the re-cluster
+    val labels = Array("apple", "berry", "cherry", "date", "elder",
+      "fig", "grape", "honey")
+    val df = (1L to n).map { i =>
+      val scrambled = (i * 7919L) % n
+      (i, new java.sql.Timestamp(1700000000000L + scrambled * 60000L),
+        labels(((i * 2654435761L) % labels.length).toInt.abs), i * 2L)
+    }.toDF("id", "ts", "label", "v")
+    val t = GraftTable(spark, s"$root/data", s"$root/man", "id",
+      statsCols = Seq("ts", "label"))
+    t.create(df, 8)
+    val tsPred = Seq(("ts",
+      (1700000000000000L).asInstanceOf[Any],
+      (1700000000000000L + (n / 16) * 60000000L).asInstanceOf[Any]))
+    val labelPred = Seq(("label",
+      "apple".asInstanceOf[Any], "apple".asInstanceOf[Any]))
+    val (tsBefore, total1) = t.pruneMulti(1, tsPred)
+    val (lblBefore, _) = t.pruneMulti(1, labelPred)
+    assert(tsBefore.size == total1 && lblBefore.size == total1,
+      "fixture must start unprunable on both non-key dims")
+
+    val bytes = t.manifest(1).collect().map(_.getAs[Long]("bytes")).sum
+    val v2 = t.commitZorder(1, math.max(1L, bytes / 16),
+      Seq("ts", "label"))
+    assert(v2 == 2)
+    // content identity through the type-mapped grid
+    assert(!t.dataChange(2))
+    assert(t.readAsOf(2).exceptAll(t.readAsOf(1)).isEmpty &&
+      t.readAsOf(1).exceptAll(t.readAsOf(2)).isEmpty,
+      "N-dim z-order changed row content")
+    // both non-integral dimensions now prune
+    val (tsAfter, total2) = t.pruneMulti(2, tsPred)
+    assert(total2 >= 4, s"expected a multi-file layout, got $total2")
+    assert(tsAfter.size <= total2 / 2,
+      s"a 1/16 ts predicate should skip most files (kept ${tsAfter.size}/$total2)")
+    val (lblAfter, _) = t.pruneMulti(2, labelPred)
+    assert(lblAfter.size < total2,
+      s"an equality label predicate must skip files (kept ${lblAfter.size}/$total2)")
+
+    // >2 dims through the SQL face; unsupported type is loud
+    graft.table.SnapshotSql.register(spark)
+    val r = spark.sql(
+      s"SELECT * FROM graft_zorder('${t.man}', ${math.max(1L, bytes / 8)}, " +
+        "'ts', 'label', 'v')").head
+    assert(r.getAs[Long]("latest_version") == 3L)
+    assert(t.readAsOf(3).count() == n)
+    val dup = intercept[Exception] {
+      t.commitZorder(3, 1024, Seq("ts", "ts"))
+    }
+    assert(dup.getMessage.contains("duplicate"))
   }
 }

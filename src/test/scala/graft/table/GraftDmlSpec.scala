@@ -867,4 +867,44 @@ class GraftDmlSpec extends TestBase {
         == 950L)
     }
   }
+
+  test("DML conf typos fail loudly naming the key; UPDATE rejects unknown columns") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create((1L to 100L).map(i => (i, i)).toDF("id", "v"), 2)
+      register(s, "gconf", root, s"$root/man")
+
+      // a typo'd guardrail conf must name its key, not throw a bare
+      // NumberFormatException (consistent with ivfProbes' validation)
+      s.conf.set("spark.graft.mor.maxMaskFraction", "0.8x")
+      s.conf.set("spark.graft.delete.mode", "mor")
+      val e1 = intercept[IllegalArgumentException] {
+        s.sql("DELETE FROM gconf.db.t WHERE id = 1")
+      }
+      assert(e1.getMessage.contains("spark.graft.mor.maxMaskFraction"))
+      s.conf.unset("spark.graft.mor.maxMaskFraction")
+
+      s.conf.set("spark.graft.dv.maxRowsPerFile", "lots")
+      val e2 = intercept[IllegalArgumentException] {
+        s.sql("DELETE FROM gconf.db.t WHERE id = 1")
+      }
+      assert(e2.getMessage.contains("spark.graft.dv.maxRowsPerFile"))
+      s.conf.unset("spark.graft.dv.maxRowsPerFile")
+      s.conf.unset("spark.graft.delete.mode")
+
+      // commitUpdateCow is a public API: a misspelled assignment key
+      // must fail loudly, never silently no-op
+      import org.apache.spark.sql.functions._
+      val e3 = intercept[IllegalArgumentException] {
+        tbl.commitUpdateCow(col("id") > 0, Map("vv" -> lit(7L)),
+          tbl.committedVersions.max)
+      }
+      assert(e3.getMessage.contains("vv"))
+      // and the table is untouched (no burned version, values exact)
+      assert(s.sql("SELECT count(*) AS c FROM gconf.db.t WHERE v = id")
+        .head.getLong(0) == 100L)
+    }
+  }
 }
