@@ -79,18 +79,29 @@ object SimilarityQueries {
   /** The deduped (qid, nid, qe, ne) candidate pairs — shared by q46 and
     * its spec's candidate-budget gate, so the cost side of the
     * recall/cost trade is pinned against the same plan. */
-  private[graft] def annCandidates(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def annCandidates(s: SparkSession, dir: String): DataFrame =
+    annCandidatesOf(t(s, dir, "embeddings"))
+
+  /** [[annCandidates]] over an explicit (vec_id, embedding) corpus —
+    * the spec's clustered-fixture gates drive the SAME plan the query
+    * runs, just over a different distribution. The (tables, bits,
+    * probes) knobs default to the production constants; a CLUSTERED
+    * corpus wants narrower buckets and less probing than the
+    * near-random worst case (the spec pins both operating points). */
+  private[graft] def annCandidatesOf(e: DataFrame,
+      tables: Int = graft.functions.TextHash.SrpTables,
+      bits: Int = graft.functions.TextHash.SrpTableBits,
+      probes: Int = graft.functions.TextHash.SrpProbes): DataFrame = {
     import graft.functions.TextHashExprs.{srp_buckets, srp_probe_buckets}
-    val e = t(s, dir, "embeddings")
-    val probes = graft.functions.TextHash.SrpProbes
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        posexplode(srp_probe_buckets(col("embedding")))
+        posexplode(srp_probe_buckets(col("embedding"), tables, bits, probes))
           .as(Seq("pidx", "bucket")))
       .withColumn("tbl", (col("pidx") / lit(probes)).cast("int"))
       .drop("pidx")
     val corpus = e.select(col("vec_id").as("nid"), col("embedding").as("ne"),
-      posexplode(srp_buckets(col("embedding"))).as(Seq("tbl", "bucket")))
+      posexplode(srp_buckets(col("embedding"), tables, bits))
+        .as(Seq("tbl", "bucket")))
     corpus.join(broadcast(queries), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col("nid"))
       // dedup BEFORE scoring: a pair colliding in several tables/probes

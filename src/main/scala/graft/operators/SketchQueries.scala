@@ -58,12 +58,14 @@ object SketchQueries {
     * k rows per vector through a per-vector window sort). Ties break to
     * the lowest cid (ncid is the negated id, sorted descending),
     * matching the old (sim desc, cid) window order exactly. */
-  private def cellScores(cents: Seq[(Int, Seq[Double])], v: Column): Column =
+  private[operators] def cellScores(cents: Seq[(Int, Seq[Double])],
+      v: Column): Column =
     sort_array(transform(typedlit(cents), c =>
       struct(cosine_similarity(v, c.getField("_2")).as("sim"),
         (c.getField("_1") * -1).as("ncid"))), asc = false)
 
-  private def nearestCell(cents: Seq[(Int, Seq[Double])], v: Column): Column =
+  private[operators] def nearestCell(cents: Seq[(Int, Seq[Double])],
+      v: Column): Column =
     cellScores(cents, v).getItem(0).getField("ncid") * -1
 
   /** Spherical k-means (Lloyd) for the IVF coarse quantizer: assign each
@@ -154,6 +156,13 @@ object SketchQueries {
     val cents = kmeansCentroids(s, e, k = 16, iters = 3)
     ivfCandidatesWith(e, cents, nprobe)
   }
+
+  /** [[ivfCandidates]] over an explicit (vec_id, embedding) corpus —
+    * the spec's clustered-fixture gates drive the SAME train+probe
+    * pipeline the query runs, just over a different distribution. */
+  private[graft] def ivfCandidatesOf(s: SparkSession, e: DataFrame,
+      nprobe: Int): DataFrame =
+    ivfCandidatesWith(e, kmeansCentroids(s, e, k = 16, iters = 3), nprobe)
 
   private def ivfCandidatesWith(e: DataFrame,
       cents: Seq[(Int, Seq[Double])], nprobe: Int): DataFrame = {
@@ -284,9 +293,14 @@ object SketchQueries {
       .orderBy(col("adc").desc, col("nid"))
     val shortlist = coded.join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
+      // denominator guarded: a degenerate codebook (all-zero codewords
+      // from constant sample vectors) would yield 0 -> NaN, and Spark
+      // sorts NaN ABOVE all doubles descending — garbage candidates
+      // would silently crowd the rerank shortlist
       .withColumn("adc",
         lookupSum(col("qtab")) /
-          (col("qnorm") * sqrt(lookupSum(typedlit(normTab)))))
+          greatest(col("qnorm") * sqrt(lookupSum(typedlit(normTab))),
+            lit(1e-12)))
       .withColumn("arn", row_number().over(adcW))
       .filter(col("arn") <= PqRerank)
       .select("qid", "qe", "nid")

@@ -279,6 +279,46 @@ class ExtensionsSpec extends TestBase {
     assert(badArity.getMessage.contains("1 or 2 arguments"))
   }
 
+  test("graft_files surfaces the per-file NULL census (write-time, DV-invariant)") {
+    graft.table.SnapshotSql.register(spark)
+    val root = java.nio.file.Files.createTempDirectory("graft_census").toString
+    val t = graft.table.GraftTable(spark, s"$root/data", s"$root/man", "id",
+      statsCols = Seq("c"))
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // key-clustered halves: ids 1-50 carry NULL c, 51-100 are null-free
+    t.create((1L to 100L).map(i =>
+      (i, if (i <= 50) None else Some(i), i)).toDF("id", "c", "v"), 2)
+    // a user tuning IS NULL-heavy curation filters sees which files the
+    // census will skip — the same dry-run contract graft_files gives
+    // OPTIMIZE for DV debt
+    val rows = spark.sql(
+      s"SELECT file, nulls_c, n_rows FROM graft_files('${t.man}', 1)")
+      .collect()
+    assert(rows.length == 2)
+    val censusByFile = rows.map(r =>
+      r.getAs[String]("file") -> r.getAs[Long]("nulls_c")).toMap
+    assert(censusByFile.values.toSeq.sorted == Seq(0L, 50L),
+      s"one all-null-c file and one null-free file: $censusByFile")
+    // the TVF's census IS fileStats' census (shared manifest columns —
+    // the surfaces cannot disagree)
+    val manCensus = t.manifest(1).select("file", "nulls_c").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(censusByFile == manCensus)
+    // write-time counts: a MoR DELETE masking null rows changes n_rows
+    // (live) but NOT the census — exactly why DV entries never null-skip
+    import org.apache.spark.sql.sources.LessThanOrEqual
+    assert(t.commitDeleteMor(Seq(LessThanOrEqual("id", 10L)),
+      col("id") <= 10L, 1) == 10L)
+    val v2 = spark.sql(
+      s"SELECT file, nulls_c, n_rows, masked_rows FROM graft_files('${t.man}', 2)")
+      .collect()
+    val masked = v2.find(_.getAs[Long]("masked_rows") == 10L).get
+    assert(masked.getAs[Long]("nulls_c") == 50L,
+      "the census is write-time: a deletion vector must not update it")
+    assert(masked.getAs[Long]("n_rows") == 40L)
+  }
+
   test("graft_files debt fraction agrees with OPTIMIZE's minDvFraction fold/survive decision") {
     graft.table.SnapshotSql.register(spark)
     val root = java.nio.file.Files.createTempDirectory("graft_debt").toString

@@ -52,4 +52,48 @@ class SimilaritySpec extends TestBase {
     assert(pairs(SimilarityQueries.q46_ann_lsh(spark, sfDir)) == ann,
       "SRP bucketing must be deterministic")
   }
+
+  test("clustered embeddings (the real regime): SRP-LSH recall/cost lift is real") {
+    // The parquet fixture is the LSH worst case (near-random vectors,
+    // lift bounded ~1.5x — gated above). This drives the SAME plan over
+    // a deterministic mixture-of-Gaussians corpus (within-cluster
+    // cosine ~0.9 — the regime real embedding models produce) and pins
+    // BOTH operating points:
+    val e = TestBase.clusteredEmbeddings(spark).cache()
+    try {
+      val exact = TestBase.exactTopK(e, 10, 5)
+      assert(exact.size == 50)
+      // the fixture really is clustered: true top-5 neighbors are
+      // same-cluster (cluster = vec_id % 10)
+      val sameCluster = exact.count { case (q, n) => q % 10 == n % 10 }
+      assert(sameCluster >= 48, s"fixture not clustered: $sameCluster/50")
+      def measure(t: Int, b: Int, p: Int): (Double, Double) = {
+        val cands = SimilarityQueries.annCandidatesOf(e, t, b, p)
+          .select("qid", "nid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        (exact.intersect(cands).size.toDouble / exact.size,
+          cands.size.toDouble / (10.0 * 499))
+      }
+      // 1) the PRODUCTION worst-case settings (4 tables x 4 bits x 3
+      // probes): recall jumps 0.88 -> 1.0 on clustered data (the wide
+      // buckets stay costly — that knob exists for the worst case)
+      val (prodRecall, prodFrac) = measure(4, 4, 3)
+      info(s"clustered SRP prod(4,4,3): recall=$prodRecall frac=$prodFrac")
+      assert(prodRecall >= 0.95,
+        s"production settings must saturate recall on clustered data: $prodRecall")
+      // 2) the clustered-regime settings (8 tables x 12 bits x 3
+      // probes — narrower buckets, same query-side multiprobe):
+      // measured recall 0.88 at candidate fraction 0.083, a ~10x
+      // recall/cost lift where the near-random fixture caps at ~1.5x.
+      // Both sides gated, same contract as the worst-case gates above.
+      val (cluRecall, cluFrac) = measure(8, 12, 3)
+      info(s"clustered SRP tuned(8,12,3): recall=$cluRecall frac=$cluFrac " +
+        s"lift=${cluRecall / cluFrac}")
+      assert(cluRecall >= 0.80, s"clustered recall $cluRecall")
+      assert(cluFrac <= 0.12, s"clustered candidate fraction $cluFrac")
+      assert(cluRecall / cluFrac >= 5.0,
+        s"clustered lift ${cluRecall / cluFrac} — the data-dependent " +
+          "regime must beat the worst case's ~1.5x decisively")
+    } finally { e.unpersist(); () }
+  }
 }
