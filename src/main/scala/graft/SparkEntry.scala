@@ -23,7 +23,8 @@ object SparkEntry {
       SimilarityQueries.queries ++ TextQueries.queries ++
       MultimodalQueries.queries ++ EventQueries.queries ++
       SketchQueries.queries ++ QuantizeQueries.queries ++
-      CurationQueries.queries ++ SqlQueries.queries ++ StatQueries.queries
+      CurationQueries.queries ++ SqlQueries.queries ++
+      StatQueries.queries ++ AnnIndexQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       SimilarityQueries.oracles ++ TextQueries.oracles ++
       MultimodalQueries.oracles ++ EventQueries.oracles ++
       SketchQueries.oracles ++ QuantizeQueries.oracles ++
-      CurationQueries.oracles ++ SqlQueries.oracles ++ StatQueries.oracles
+      CurationQueries.oracles ++ SqlQueries.oracles ++
+      StatQueries.oracles ++ AnnIndexQueries.oracles
 }

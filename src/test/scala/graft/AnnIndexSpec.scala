@@ -1,0 +1,156 @@
+package graft
+
+import graft.operators.AnnIndex
+import graft.table.GraftTable
+import org.apache.spark.sql.functions._
+
+/** The persisted-ANN-index contract (SURVEY §2B row 107): the index is
+  * a graft TABLE built once per corpus, probes are FILE-pruned through
+  * its manifest, and corpus changes fold in incrementally — churn-only
+  * encode, frozen quantizer, no base re-encode. q46d is declared
+  * bench-only (k-means family), so THIS spec is its correctness gate.
+  */
+class AnnIndexSpec extends TestBase {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("persisted IVF index: build once, probe file-pruned, append folds in without retrain") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annix").toString
+    val e = TestBase.clusteredEmbeddings(spark).cache()
+    try {
+      val corpus = GraftTable(spark, s"$root/corpus_data",
+        s"$root/corpus_man", "vec_id")
+      // base corpus: clusters stay covered (holdout = every 10th block's
+      // tail), queries are vec_id < 10
+      corpus.create(e.filter(col("vec_id") < 450), 4)
+      val idx = AnnIndex.build(spark, corpus, 1, root)
+      assert(AnnIndex.indexedCorpusVersion(idx) == 1)
+
+      // ---- recall gate on the base corpus (same operating point as
+      // the clustered IVF gates: nprobe=2 saturates recall there)
+      val exactBase = TestBase.exactTopK(e.filter(col("vec_id") < 450), 10, 5)
+      val gotBase = pairs(AnnIndex.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5, nprobe = 2))
+      val recallBase = exactBase.intersect(gotBase).size.toDouble /
+        exactBase.size
+      info(s"persisted-index recall (base corpus, nprobe=2): $recallBase")
+      assert(recallBase >= 0.9, s"recall $recallBase")
+
+      // ---- the probe is FILE-pruned: reading every probed cell costs
+      // fewer files than the index holds, and exactly the per-cell
+      // pruned union (the manifest boxes ARE the probe plan)
+      val v = idx.committedVersions.max
+      val total = idx.files(v).size
+      assert(total >= 4, s"index must be a multi-file layout, got $total")
+      val cents = AnnIndex.loadModel(spark, root)
+      assert(cents.size == AnnIndex.K)
+      val someCells = Seq(cents.head._1.toLong, cents.last._1.toLong)
+      someCells.foreach { c =>
+        val (kept, tot) = idx.prune(v, c, c)
+        assert(kept.size < tot,
+          s"a single-cell probe must skip index files (kept ${kept.size}/$tot)")
+      }
+
+      // ---- corpus grows; refresh encodes ONLY the churn with the
+      // FROZEN model
+      val modelBytesBefore = spark.read.parquet(s"$root/model")
+        .collect().map(_.toString).sorted.toSeq
+      val filesBefore = idx.files(idx.committedVersions.max).toSet
+      corpus.commitAppend(e.filter(col("vec_id") >= 450), 1, 2)
+      // BEFORE any refresh the appended rows are already searchable —
+      // the un-indexed change feed is search's fresh segment
+      val exactFull = TestBase.exactTopK(e, 10, 5)
+      val holdoutHits = exactFull.filter(_._2 >= 450L)
+      assert(holdoutHits.nonEmpty, "fixture must make holdout rows neighbors")
+      val gotLagged = pairs(AnnIndex.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5, nprobe = 2))
+      assert(holdoutHits.exists(gotLagged.contains),
+        "un-indexed appends must be searchable through the fresh segment")
+      val n = AnnIndex.refresh(spark, corpus, 2, root)
+      assert(n == 50L, s"refresh must encode exactly the churn, got $n")
+      assert(AnnIndex.indexedCorpusVersion(idx) == 2)
+      // quantizer frozen: model content byte-identical
+      val modelBytesAfter = spark.read.parquet(s"$root/model")
+        .collect().map(_.toString).sorted.toSeq
+      assert(modelBytesAfter == modelBytesBefore,
+        "refresh must never retrain the quantizer")
+      // base corpus never re-encoded: every pre-refresh index file is
+      // carried VERBATIM into the new version; only churn files are new
+      val vNew = idx.committedVersions.max
+      val filesAfter = idx.files(vNew).toSet
+      assert(filesBefore.subsetOf(filesAfter),
+        "refresh must carry the base index files untouched")
+      val newFiles = (filesAfter -- filesBefore).toSeq
+      assert(newFiles.nonEmpty)
+      val newNids = idx.readAsOf(vNew, newFiles)
+        .select("nid").collect().map(_.getLong(0)).toSet
+      assert(newNids == (450L until 500L).toSet,
+        s"the new index files must hold exactly the churn: $newNids")
+
+      // ---- post-append vectors are searchable, recall gate unchanged
+      val gotFull = pairs(AnnIndex.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5, nprobe = 2))
+      val recallFull = exactFull.intersect(gotFull).size.toDouble /
+        exactFull.size
+      info(s"persisted-index recall (after incremental refresh): $recallFull")
+      assert(recallFull >= 0.9, s"post-refresh recall $recallFull")
+      assert(holdoutHits.exists(gotFull.contains),
+        "appended vectors must be searchable after the incremental commit")
+
+      // ---- a delete needs NO index write: before any refresh the
+      // fresh segment's anti-join drops it; the index is untouched
+      val victim = gotFull.head._2
+      assert(corpus.commitDelete(
+        Seq(org.apache.spark.sql.sources.EqualTo("vec_id", victim)),
+        corpus.committedVersions.max, 2) == 1L)
+      val idxVersions = idx.committedVersions
+      def searchNow() = pairs(AnnIndex.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5, nprobe = 2))
+      val gotAfterDelete = searchNow()
+      assert(!gotAfterDelete.exists(_._2 == victim),
+        "a deleted corpus row must drop out of search results")
+      assert(idx.committedVersions == idxVersions,
+        "the delete must not have written to the index")
+
+      // ---- the delete FOLDED by a refresh becomes a tombstone row in
+      // the old vector's cell: with the change feed fully consumed
+      // (latest == indexed, no fresh segment) the victim must STILL be
+      // excluded — by the index itself
+      AnnIndex.refresh(spark, corpus, corpus.committedVersions.max, root)
+      assert(AnnIndex.indexedCorpusVersion(idx) ==
+        corpus.committedVersions.max)
+      assert(!searchNow().exists(_._2 == victim),
+        "a refresh-folded delete must tombstone its index entry")
+
+      // ---- an UPDATE rescores with its CURRENT vector, both through
+      // the fresh segment (pre-refresh) and through the index
+      // (post-refresh, generation dedup): point an existing nid's
+      // embedding at query 0's vector -> exact cosine 1.0 at rank 1
+      val q0 = e.filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0)
+      val target = gotFull.find(p => p._1 == 0L && p._2 != victim).get._2
+      assert(corpus.commitUpdateCow(col("vec_id") === target,
+        Map("embedding" -> typedlit(q0)),
+        corpus.committedVersions.max) == 1L)
+      def topOfQ0(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+        val r = df.filter(col("qid") === 0L && col("rn") === 1L).head
+        (r.getLong(2), r.getDouble(3))
+      }
+      val preRefresh = topOfQ0(AnnIndex.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5, nprobe = 2))
+      assert(preRefresh == (target, 1.0),
+        s"un-indexed update must rescore through the fresh segment: $preRefresh")
+      AnnIndex.refresh(spark, corpus, corpus.committedVersions.max, root)
+      val postRefresh = topOfQ0(AnnIndex.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5, nprobe = 2))
+      assert(postRefresh == (target, 1.0),
+        s"folded update must win generation dedup with its new vector: $postRefresh")
+
+      // refresh covering an already-covered version is a no-op
+      assert(AnnIndex.refresh(spark, corpus,
+        corpus.committedVersions.max, root) == 0L)
+    } finally { e.unpersist(); () }
+  }
+}
