@@ -1339,6 +1339,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val prevMan = manifest(prevV)
     val prevEntries = prevMan.collect()
     if (prevEntries.isEmpty) return 0L
+    requireKnownSetColumns(sets, prevV)
     val impactedRows = impactedOnly match {
       case Some(files) =>
         val want = files.toSet
@@ -1416,15 +1417,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       tag: Option[String] = None): Long = {
     val prevEntries = manifest(prevV).collect()
     if (prevEntries.isEmpty) return 0L
-    // loud validation (public API): a misspelled assignment key must
-    // fail, not silently no-op — same contract as the other commit paths
-    versionSchema(prevV).foreach { sch =>
-      val unknown = sets.keySet -- sch.fieldNames.toSet
-      require(unknown.isEmpty,
-        s"UPDATE assigns to column(s) not in the table schema: " +
-          s"${unknown.toSeq.sorted.mkString(", ")} (schema: " +
-          s"${sch.fieldNames.mkString(", ")})")
-    }
+    requireKnownSetColumns(sets, prevV)
     val impactedRows = impactedOnly match {
       case Some(files) =>
         val want = files.toSet
@@ -1453,6 +1446,20 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       schemaDdl = versionSchema(prevV).map(_.toDDL))
     nUpd
   }
+
+  /** Loud validation shared by BOTH public UPDATE entry points (COW and
+    * MoR): a misspelled assignment key must fail, never silently no-op
+    * (the MoR path would even report the matched rows as updated while
+    * re-appending them byte-identical). */
+  private def requireKnownSetColumns(sets: Map[String, Column],
+      prevV: Int): Unit =
+    versionSchema(prevV).foreach { sch =>
+      val unknown = sets.keySet -- sch.fieldNames.toSet
+      require(unknown.isEmpty,
+        s"UPDATE assigns to column(s) not in the table schema: " +
+          s"${unknown.toSeq.sorted.mkString(", ")} (schema: " +
+          s"${sch.fieldNames.mkString(", ")})")
+    }
 
   /** Publish a COW envelope rewrite — `impactedRows`' files dropped,
     * `stats`' fresh survivor files added — rebasing MECHANICALLY on a
@@ -1721,8 +1728,10 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * (box intersection is conservative) NO version is burned — the
     * count scan is the only cost. For scattered non-range deletes use
     * the MoR deletion vectors ([[GraftTable.dvDelete]]) instead.
-    * Snapshot-isolated and single-writer: a lost publish race fails
-    * loudly ([[commitManifest]]'s contract), never drops the delete. */
+    * Snapshot-isolated; a lost commit race rebases mechanically when
+    * the winner left every impacted file untouched
+    * ([[commitCowRewrite]]), anything else fails loudly — never a
+    * dropped delete. */
   def commitDeleteRange(qlo: Any, qhi: Any, prevV: Int, nParts: Int = 2,
       tag: Option[String] = None): Long = {
     val prevEntries = manifest(prevV).collect()
@@ -1870,10 +1879,18 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val mm = df.agg(bounds.head, bounds.tail: _*)
     // subtract in DOUBLE: a long domain spanning more than
     // Long.MaxValue (lo near MinValue, hi positive) would wrap an
-    // integral `c - lo` (or throw under ANSI) and scramble the codes
-    val gridMax = math.pow(2.0, 64 / dims.size) - 1.0
+    // integral `c - lo` (or throw under ANSI) and scramble the codes.
+    // Grid bits capped at 52 (the double mantissa): 64 bits at n=1
+    // would overflow the double->long cast and collapse the upper half
+    // of the domain onto one code (saturating cast), and bits past the
+    // mantissa are noise anyway. The span guard is CONDITIONAL — a 1.0
+    // floor was harmless on integral domains but would shrink a
+    // continuous domain narrower than 1.0 (a [0, 0.02] ratio column) to
+    // a handful of grid cells.
+    val gridMax = math.pow(2.0, math.min(52, 64 / dims.size)) - 1.0
     def norm(c: Column, lo: Column, hi: Column): Column =
-      coalesce((((c - lo) / greatest(hi - lo, lit(1.0))) *
+      coalesce((((c - lo) /
+        when(hi > lo, hi - lo).otherwise(lit(1.0))) *
         lit(gridMax)).cast("long"), lit(0L))
     val cols = df.columns.toIndexedSeq
     val added = stagedMove { stage =>
@@ -3025,8 +3042,13 @@ object GraftTable {
       c: String, man: String): Column = {
     import org.apache.spark.sql.types._
     dt match {
-      case ByteType | ShortType | IntegerType | LongType |
-           FloatType | DoubleType => col(c).cast("double")
+      case ByteType | ShortType | IntegerType | LongType =>
+        col(c).cast("double")
+      // NaN -> NULL (clusters at the grid origin like NULL): Spark's
+      // max() ranks NaN above every double, so ONE NaN row would make
+      // hi = NaN and poison the whole dimension's normalization
+      case FloatType | DoubleType =>
+        nanvl(col(c).cast("double"), lit(null).cast("double"))
       case _: DecimalType => col(c).cast("double")
       case TimestampType | TimestampNTZType =>
         unix_micros(col(c).cast("timestamp")).cast("double")
