@@ -66,7 +66,7 @@ object AnnIndex {
   val K = 16
   val Iters = 3
 
-  private def modelPath(root: String): String = s"$root/model"
+  private[operators] def modelPath(root: String): String = s"$root/model"
 
   /** The index graft table handle. `nid` is a declared stats column:
     * maintenance predicates on vector id (audits, targeted rebuilds)
@@ -75,7 +75,7 @@ object AnnIndex {
     GraftTable(spark, s"$root/idx_data", s"$root/idx_man", "cell",
       statsCols = Seq("nid"))
 
-  private def dv(c: Column): Column = transform(c, x => x.cast("double"))
+  private[operators] def dv(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** The frozen coarse quantizer, loaded from the model parquet —
     * k x dim doubles of driver-side model state (the same legitimacy as
@@ -135,7 +135,7 @@ object AnnIndex {
 
   /** The corpus change feed `from -> to` shaped for index maintenance:
     * (op, nid, old/new embedding). */
-  private def churn(corpus: GraftTable, from: Int, to: Int): DataFrame =
+  private[operators] def churn(corpus: GraftTable, from: Int, to: Int): DataFrame =
     corpus.cdc(from, to).select(col("op"),
       col(corpus.key).as("nid"),
       col("old_embedding"), col("new_embedding"))
@@ -149,27 +149,41 @@ object AnnIndex {
     * live vectors encoded (tombstones ride the same commit). */
   def refresh(spark: SparkSession, corpus: GraftTable, toV: Int,
       root: String, nParts: Int = 2): Long = {
-    val idx = table(spark, root)
+    lazy val cents = loadModel(spark, root)
+    refreshWith(spark, corpus, toV, table(spark, root), nParts,
+      (e, iv, dead) => encode(cents, e, iv, dead))
+  }
+
+  /** The maintenance skeleton [[refresh]] and [[AnnIndexPq.refresh]]
+    * share — only the per-row encoding differs between the raw-vector
+    * and PQ-coded index shapes; the LSM mechanics (cdc churn, live
+    * rows, old-cell tombstones, one tagged append, no-op on covered
+    * versions) must stay identical or the two indexes would drift. */
+  private[operators] def refreshWith(spark: SparkSession,
+      corpus: GraftTable, toV: Int, idx: GraftTable, nParts: Int,
+      encodeFn: (DataFrame, Int, Boolean) => DataFrame): Long = {
     val from = indexedCorpusVersion(idx)
     if (from >= toV) return 0L
-    val cents = loadModel(spark, root)
     val delta = churn(corpus, from, toV)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val live = encode(cents, delta
+      val live = encodeFn(delta
         .filter(col("op").isin("insert", "update"))
         .select(col("nid").as("vec_id"),
-          col("new_embedding").as("embedding")), toV, dead = false)
-      val tombs = encode(cents, delta
+          col("new_embedding").as("embedding")), toV, false)
+      val tombs = encodeFn(delta
         .filter(col("op").isin("delete", "update"))
         .select(col("nid").as("vec_id"),
-          col("old_embedding").as("embedding")), toV, dead = true)
+          col("old_embedding").as("embedding")), toV, true)
       // one pipeline, persisted so the count and the staged write don't
       // re-run the cdc join + encode twice
       val coded = live.unionByName(tombs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        val nLive = coded.filter(!col("dead")).count()
+        // distinct VECTORS, not rows — the SRP shape writes one row per
+        // hash table per vector and must still report churn vectors
+        val nLive = coded.filter(!col("dead"))
+          .select("nid").distinct().count()
         idx.commitAppend(coded, idx.committedVersions.max, nParts,
           tag = Some(s"corpus_v=$toV"))
         nLive
@@ -260,6 +274,399 @@ object AnnIndex {
   }
 }
 
+/** PQ-CODED persisted ANN index — [[AnnIndex]]'s billions-of-vectors
+  * sibling (SURVEY §2B row 108): the index table stores (cell, nid,
+  * code, iv, dead) with M=8 int codes per vector and NO raw embedding
+  * column, so the persisted index is a small fraction of the corpus's
+  * vector bytes and every probe moves codes, not floats — at 100 TB
+  * the difference between an index whose hot cells live in executor
+  * memory and one that cannot. Search is the FAISS IVFADC shape, made
+  * incremental:
+  *
+  *  - probe cells come from the FROZEN coarse quantizer and file-prune
+  *    through the index manifest's key boxes (identical to
+  *    [[AnnIndex.search]]);
+  *  - candidates score by ASYMMETRIC distance: each query's M x K
+  *    subspace dot table is driver-computed model state broadcast with
+  *    the probe row; a candidate's approximate cosine is M codegen'd
+  *    HOF lookups over its stored codes (denominator guarded — a
+  *    degenerate all-zero codebook must not NaN-poison the ranking);
+  *  - generation dedup and tombstone drop happen BEFORE the ADC
+  *    ranking, so superseded rows can never crowd the shortlist;
+  *  - the ADC top-R shortlist reranks with the EXACT cosine of the
+  *    CURRENT corpus vectors. The R x Q shortlisted ids are driver
+  *    planning state (bounded, like the probed cells), and the fetch
+  *    is planned by [[GraftTable.pruneIn]] — the rerank reads ONLY the
+  *    corpus files those ids can live in (key boxes + blooms), never
+  *    the corpus;
+  *  - corpus changes newer than the indexed version ride the fresh
+  *    segment exactly as in [[AnnIndex.search]]: un-indexed
+  *    inserts/updates join in with their exact vectors (they skip ADC
+  *    — their scores are exact already), un-indexed deletes/updates
+  *    anti-join stale candidates away.
+  *
+  * Maintenance is [[AnnIndex]]'s LSM model verbatim (shared
+  * [[AnnIndex.refreshWith]] skeleton): the coarse cells AND the
+  * codebooks are frozen at build; refresh encodes only the churn;
+  * [[build]] doubles as rebuild/compaction. Reported scores are exact
+  * cosines of current vectors; PQ approximates shortlist ordering
+  * only. Use a root distinct from any [[AnnIndex]] root — the two
+  * layouts share dir names. */
+object AnnIndexPq {
+
+  /** Same PQ geometry as q46c so the operating points transfer. */
+  val M = 8
+  val Kw = 16
+  val TrainIters = 3
+  /** ADC orders coarsely (8-code sketches); the exact-rerank shortlist
+    * is 6x the final k — q46c's measured operating point. */
+  val Rerank = 30
+
+  private def cbPath(root: String): String = s"$root/codebook"
+
+  /** The PQ index table handle — the [[AnnIndex]] layout with codes in
+    * place of vectors. */
+  def table(spark: SparkSession, root: String): GraftTable =
+    AnnIndex.table(spark, root)
+
+  /** The frozen codebooks, loaded from the codebook parquet — M x K x
+    * (dim/M) floats of driver-side model state. */
+  def loadCodebook(spark: SparkSession, root: String)
+      : Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(cbPath(root)).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
+      .toMap
+    val m = rows.keys.map(_._1).max + 1
+    val k = rows.keys.map(_._2).max + 1
+    Array.tabulate(m, k)((mi, c) => rows((mi, c)))
+  }
+
+  private def encode(cents: Seq[(Int, Seq[Double])],
+      cb: Array[Array[Array[Float]]], e: DataFrame, iv: Int,
+      dead: Boolean): DataFrame =
+    e.select(
+      SketchQueries.nearestCell(cents, AnnIndex.dv(col("embedding")))
+        .cast("long").as("cell"),
+      col("vec_id").as("nid"),
+      graft.functions.PqExprs.pq_encode(col("embedding"), cb).as("code"),
+      lit(iv.toLong).as("iv"), lit(dead).as("dead"))
+
+  /** Build (or REBUILD) the PQ index over corpus snapshot `corpusV`:
+    * coarse cells train exactly as [[AnnIndex.build]]; codebooks train
+    * on a bounded deterministic sample (first 256 ids — FAISS
+    * practice: train on a subset, the corpus-wide pass is encode);
+    * both persist and FREEZE. One map-only encode scan codes the
+    * corpus. Destructive by contract, like [[GraftTable.create]]. */
+  def build(spark: SparkSession, corpus: GraftTable, corpusV: Int,
+      root: String, nParts: Int = 4): GraftTable = {
+    import spark.implicits._
+    val e = corpus.readAsOf(corpusV).select("vec_id", "embedding")
+    val cents = SketchQueries.kmeansCentroids(spark, e,
+      AnnIndex.K, AnnIndex.Iters)
+    require(cents.nonEmpty,
+      s"cannot build a PQ ANN index over an empty corpus (v=$corpusV)")
+    val sample = e.orderBy("vec_id").limit(256)
+      .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+    val cb = graft.functions.Pq.train(sample, M, Kw, TrainIters)
+    cents.toDF("cid", "centroid").coalesce(1)
+      .write.mode("overwrite").parquet(AnnIndex.modelPath(root))
+    cb.zipWithIndex.flatMap { case (cws, mi) =>
+      cws.zipWithIndex.map { case (cw, c) => (mi, c, cw.toSeq) }
+    }.toSeq.toDF("m", "c", "w").coalesce(1)
+      .write.mode("overwrite").parquet(cbPath(root))
+    val hconf = spark.sessionState.newHadoopConf()
+    Seq(s"$root/idx_data", s"$root/idx_man").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val idx = table(spark, root)
+    val coded = encode(cents, cb, e, corpusV, dead = false)
+    idx.createEmpty(Some(coded.schema))
+    idx.commitAppend(coded, 1, nParts, tag = Some(s"corpus_v=$corpusV"))
+    idx
+  }
+
+  /** Fold corpus changes into the PQ index — [[AnnIndex.refreshWith]]
+    * with the code encoding; O(churn), frozen models, tombstones into
+    * the old vector's cell. */
+  def refresh(spark: SparkSession, corpus: GraftTable, toV: Int,
+      root: String, nParts: Int = 2): Long = {
+    lazy val cents = AnnIndex.loadModel(spark, root)
+    lazy val cb = loadCodebook(spark, root)
+    AnnIndex.refreshWith(spark, corpus, toV, table(spark, root), nParts,
+      (e, iv, dead) => encode(cents, cb, e, iv, dead))
+  }
+
+  /** Probe the PQ index: exact top-`k` cosine neighbors of each probe
+    * row — ADC shortlist from codes, exact rerank of the CURRENT
+    * vectors fetched through a [[GraftTable.pruneIn]]-planned read.
+    * See the object doc for the full cost contract. */
+  def search(spark: SparkSession, corpus: GraftTable, root: String,
+      probes: DataFrame, k: Int = 5,
+      nprobe: Int = SketchQueries.DefaultIvfProbes,
+      rerank: Int = Rerank): DataFrame = {
+    import spark.implicits._
+    val idx = table(spark, root)
+    val v = idx.committedVersions.max
+    val indexed = AnnIndex.indexedCorpusVersion(idx)
+    val latestV = corpus.committedVersions.max
+    val cents = AnnIndex.loadModel(spark, root)
+    val cb = loadCodebook(spark, root)
+    val normTab = graft.functions.Pq.normTable(cb).map(_.toSeq).toSeq
+    // per-query ADC dot tables: M x K doubles of driver-computed model
+    // state riding the broadcast probe rows (q46c's shape); the query
+    // vector itself stays exact
+    val qrows = probes.select("vec_id", "embedding").collect().map { r =>
+      val q = r.getSeq[Float](1).toArray
+      (r.getLong(0), q.toSeq,
+        graft.functions.Pq.dotTable(q, cb).map(_.toSeq).toSeq,
+        math.sqrt(q.map(x => x.toDouble * x).sum))
+    }.toSeq
+    val qdf = qrows.toDF("qid", "qe", "qtab", "qnorm")
+    val probed = qdf.select(col("qid"), col("qtab"), col("qnorm"),
+        posexplode(slice(SketchQueries.cellScores(cents,
+          AnnIndex.dv(col("qe"))), 1, nprobe)))
+      .select(col("qid"), col("qtab"), col("qnorm"),
+        (col("col.ncid") * -1).cast("long").as("cell"))
+    val cells = probed.select("cell").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val files = cells.flatMap(c => idx.prune(v, c, c)._1).distinct
+    def lookupSum(tab: Column): Column =
+      aggregate(zip_with(col("code"), tab,
+        (c, row) => element_at(row, c + 1)), lit(0.0), (acc, x) => acc + x)
+    val genW = Window.partitionBy("qid", "nid")
+      .orderBy(col("iv").desc, col("dead").asc)
+    val adcW = Window.partitionBy("qid")
+      .orderBy(col("adc").desc, col("nid"))
+    val short0 =
+      if (files.isEmpty) spark.emptyDataFrame
+        .withColumn("qid", lit(0L)).withColumn("nid", lit(0L)).limit(0)
+      else idx.readAsOf(v, files)
+        .join(broadcast(probed), Seq("cell"))
+        .filter(col("qid") =!= col("nid"))
+        // generation dedup BEFORE the ranking: a superseded row or
+        // tombstone must never crowd the shortlist
+        .withColumn("__g", row_number().over(genW))
+        .filter(col("__g") === 1 && !col("dead"))
+        .withColumn("adc", lookupSum(col("qtab")) /
+          greatest(col("qnorm") * sqrt(lookupSum(typedlit(normTab))),
+            lit(1e-12)))
+        .withColumn("arn", row_number().over(adcW))
+        .filter(col("arn") <= rerank)
+        .select(col("qid"), col("nid"))
+    // fresh segment: changes newer than the indexed version
+    val (shortDistributed, fresh) =
+      if (latestV <= indexed) (short0, None)
+      else {
+        val delta = AnnIndex.churn(corpus, indexed, latestV)
+        val deadN = delta.filter(col("op").isin("delete", "update"))
+          .select("nid")
+        val f = delta.filter(col("op").isin("insert", "update"))
+          .select(col("nid"), col("new_embedding").as("ne"))
+          .join(broadcast(qdf.select("qid", "qe")),
+            col("qid") =!= col("nid"))
+          .select("qid", "qe", "nid", "ne")
+        (short0.join(deadN, Seq("nid"), "left_anti"), Some(f))
+      }
+    // the shortlist IS driver planning state (<= rerank x Q ids): land
+    // it once, plan the exact-rerank fetch with pruneIn, and the final
+    // plan never re-runs the ADC pipeline
+    val slRows = shortDistributed.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val nids = slRows.map(_._2).distinct
+    val exactBase =
+      if (nids.isEmpty)
+        qdf.select(col("qid"), col("qe"), col("qid").as("nid"),
+          col("qe").as("ne")).limit(0)
+      else {
+        val (kept, _) = corpus.pruneIn(latestV, corpus.key, nids)
+        // every shortlisted id can have left the corpus (deleted at
+        // latest) — an empty pruned set is a legal empty fetch, not a
+        // zero-entry read error
+        if (kept.isEmpty)
+          qdf.select(col("qid"), col("qe"), col("qid").as("nid"),
+            col("qe").as("ne")).limit(0)
+        else {
+          val sl = slRows.toDF("qid", "nid")
+            .join(broadcast(qdf.select("qid", "qe")), Seq("qid"))
+          corpus.readAsOf(latestV, kept)
+            .filter(col(corpus.key).isin(nids: _*))
+            .select(col(corpus.key).as("nid"), col("embedding").as("ne"))
+            .join(broadcast(sl), Seq("nid"))
+            .select("qid", "qe", "nid", "ne")
+        }
+      }
+    val cands = fresh.map(exactBase.unionByName(_)).getOrElse(exactBase)
+    val rankW = Window.partitionBy("qid")
+      .orderBy(col("sim_raw").desc, col("nid"))
+    cands
+      .withColumn("sim_raw", cosine_similarity(col("qe"), col("ne")))
+      .withColumn("rn", row_number().over(rankW).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("nid"),
+        dround(col("sim_raw"), 4).as("sim"))
+      .orderBy("qid", "rn")
+  }
+}
+
+/** PERSISTED multi-table multiprobe SRP-LSH index — the third member
+  * of the persisted-ANN family (SURVEY §2B row 111), completing the
+  * q46 story the way rows 107/108 completed q46b/q46c: the corpus-side
+  * `srp_buckets` computation happens ONCE at build instead of on every
+  * query call. The index is a graft table keyed by `bkey = table *
+  * 2^bits + bucket` (one combined long so the manifest key boxes
+  * file-prune any probed bucket), rows (bkey, nid, embedding, iv,
+  * dead) — each vector writes one row per hash table (T× rows, the
+  * standard LSH storage trade; the data-oblivious family needs no
+  * training at all, so build is ONE map-only scan). The (tables, bits,
+  * probes) geometry freezes at build in `root/srp_params` — mixing
+  * geometries would make old rows unreachable.
+  *
+  * Search probes each query's `srp_probe_buckets` (query-side
+  * multiprobe — corpus index stays one bucket per table, zero index
+  * growth), file-prunes the probed bkeys through ONE
+  * [[GraftTable.pruneIn]] pass, resolves per-(query, nid) multiplicity
+  * by generation exactly as [[AnnIndex.search]] — and the tombstone
+  * placement makes that resolution airtight: an update's tombstones
+  * land in the OLD vector's buckets, the very bkeys through which a
+  * probe could still reach the stale live row, so any probe that sees
+  * stale data sees its higher-generation tombstone too. The fresh
+  * segment serves changes newer than the indexed version. Maintenance
+  * shares [[AnnIndex.refreshWith]]; refresh reports churn VECTORS
+  * (rows / T). Scores are exact cosines of current vectors. */
+object AnnIndexSrp {
+
+  private def paramsPath(root: String): String = s"$root/srp_params"
+
+  /** The SRP index table handle — keyed by the combined bucket key (the
+    * probe dimension), with `nid` a declared stats column like the
+    * sibling indexes. */
+  def table(spark: SparkSession, root: String): GraftTable =
+    GraftTable(spark, s"$root/idx_data", s"$root/idx_man", "bkey",
+      statsCols = Seq("nid"))
+
+  /** The frozen (tables, bits, probes) geometry. */
+  def loadParams(spark: SparkSession, root: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(paramsPath(root)).head
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  private def encode(tables: Int, bits: Int, e: DataFrame, iv: Int,
+      dead: Boolean): DataFrame = {
+    import graft.functions.TextHashExprs.srp_buckets
+    e.select(col("vec_id").as("nid"), col("embedding"),
+        posexplode(srp_buckets(col("embedding"), tables, bits))
+          .as(Seq("tbl", "bucket")))
+      .select(
+        (col("tbl").cast("long") * (1L << bits) + col("bucket"))
+          .as("bkey"),
+        col("nid"), col("embedding"),
+        lit(iv.toLong).as("iv"), lit(dead).as("dead"))
+  }
+
+  /** Build (or REBUILD/compact) the SRP index over corpus snapshot
+    * `corpusV`: NO training — one map-only bucket scan (T rows per
+    * vector), bkey-clustered so every probed bucket file-prunes.
+    * Destructive by contract, like [[GraftTable.create]]. */
+  def build(spark: SparkSession, corpus: GraftTable, corpusV: Int,
+      root: String, nParts: Int = 4,
+      tables: Int = graft.functions.TextHash.SrpTables,
+      bits: Int = graft.functions.TextHash.SrpTableBits,
+      probes: Int = graft.functions.TextHash.SrpProbes): GraftTable = {
+    import spark.implicits._
+    val e = corpus.readAsOf(corpusV).select("vec_id", "embedding")
+    Seq((tables, bits, probes)).toDF("tables", "bits", "probes")
+      .coalesce(1).write.mode("overwrite").parquet(paramsPath(root))
+    val hconf = spark.sessionState.newHadoopConf()
+    Seq(s"$root/idx_data", s"$root/idx_man").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val idx = table(spark, root)
+    val coded = encode(tables, bits, e, corpusV, dead = false)
+    idx.createEmpty(Some(coded.schema))
+    idx.commitAppend(coded, 1, nParts, tag = Some(s"corpus_v=$corpusV"))
+    idx
+  }
+
+  /** Fold corpus changes into the SRP index — [[AnnIndex.refreshWith]]
+    * with the bucket encoding (T rows per churn vector; tombstones
+    * into the OLD vector's buckets). Returns churn VECTORS. */
+  def refresh(spark: SparkSession, corpus: GraftTable, toV: Int,
+      root: String, nParts: Int = 2): Long = {
+    lazy val p = loadParams(spark, root)
+    AnnIndex.refreshWith(spark, corpus, toV, table(spark, root), nParts,
+      (e, iv, dead) => encode(p._1, p._2, e, iv, dead))
+  }
+
+  /** Probe the persisted SRP index: top-`k` exact-cosine neighbors of
+    * each probe row through query-side multiprobe buckets, reading
+    * ONLY the probed bkeys' files + the O(churn) un-indexed change
+    * feed. See the object doc for the tombstone-placement argument. */
+  def search(spark: SparkSession, corpus: GraftTable, root: String,
+      probes: DataFrame, k: Int = 5): DataFrame = {
+    import graft.functions.TextHashExprs.srp_probe_buckets
+    val idx = table(spark, root)
+    val v = idx.committedVersions.max
+    val indexed = AnnIndex.indexedCorpusVersion(idx)
+    val latest = corpus.committedVersions.max
+    val (tables, bits, nprobe) = loadParams(spark, root)
+    val qonly = probes
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val probed = probes
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        posexplode(srp_probe_buckets(col("embedding"), tables, bits,
+          nprobe)).as(Seq("pidx", "bucket")))
+      .select(col("qid"), col("qe"),
+        ((col("pidx") / lit(nprobe)).cast("long") * (1L << bits) +
+          col("bucket")).as("bkey"))
+    // probed bkeys are nQueries x tables x probes longs — driver
+    // planning state; ONE manifest pass prunes them all
+    val bkeys = probed.select("bkey").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    val (files, _) = idx.pruneIn(v, idx.key, bkeys)
+    val emptyCands = qonly.select(col("qid"), col("qe"),
+      col("qid").as("nid"), col("qe").as("ne")).limit(0)
+    val genW = Window.partitionBy("qid", "nid")
+      .orderBy(col("iv").desc, col("dead").asc)
+    val base =
+      if (files.isEmpty) emptyCands
+      else idx.readAsOf(v, files)
+        .join(broadcast(probed), Seq("bkey"))
+        .filter(col("qid") =!= col("nid"))
+        // one row per (query, candidate): multi-table collisions pay
+        // the cosine once, and the highest-generation row decides
+        // liveness (tombstones ride the old buckets — see object doc)
+        .withColumn("__g", row_number().over(genW))
+        .filter(col("__g") === 1 && !col("dead"))
+        .select(col("qid"), col("qe"), col("nid"),
+          col("embedding").as("ne"))
+    val cands =
+      if (latest <= indexed) base
+      else {
+        val delta = AnnIndex.churn(corpus, indexed, latest)
+        val dead = delta.filter(col("op").isin("delete", "update"))
+          .select("nid")
+        val fresh = delta.filter(col("op").isin("insert", "update"))
+          .select(col("nid"), col("new_embedding").as("ne"))
+          .join(broadcast(qonly), col("qid") =!= col("nid"))
+          .select("qid", "qe", "nid", "ne")
+        base.join(dead, Seq("nid"), "left_anti").unionByName(fresh)
+      }
+    val rankW = Window.partitionBy("qid")
+      .orderBy(col("sim_raw").desc, col("nid"))
+    cands
+      .withColumn("sim_raw", cosine_similarity(col("qe"), col("ne")))
+      .withColumn("rn", row_number().over(rankW).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("rn"), col("nid"),
+        dround(col("sim_raw"), 4).as("sim"))
+      .orderBy("qid", "rn")
+  }
+}
+
 /** q46d: the persisted-index lifecycle end to end on the embeddings
   * fixture — create a corpus graft table, build the index, append new
   * vectors, fold them in incrementally (no retrain, no base re-encode),
@@ -289,10 +696,49 @@ object AnnIndexQueries {
       e.filter(col("vec_id") < 10), k = 5)
   }
 
-  val queries: Map[String, Q] = Map(
-    "q46d_ann_indexed" -> q46d_ann_indexed)
+  /** q46e: the PQ-coded persisted-index lifecycle — same corpus
+    * choreography as q46d, with the index storing 8 int codes per
+    * vector instead of the vector, ADC shortlisting, and the exact
+    * rerank fetching only the shortlist's corpus files via pruneIn.
+    * Declared bench-only; AnnIndexPqSpec gates recall, codes-only
+    * storage, frozen codebooks, churn-only refresh, pruned rerank and
+    * the delete/update read paths. */
+  val q46e_ann_pq_indexed: Q = (s, dir) => {
+    val root = RelationalQueries.scratch("q46e_ann", dir)
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val corpus = GraftTable(s, s"$root/corpus_data", s"$root/corpus_man",
+      "vec_id")
+    corpus.create(e.filter(col("vec_id") < 450), 4)
+    AnnIndexPq.build(s, corpus, 1, root)
+    corpus.commitAppend(e.filter(col("vec_id") >= 450), 1, 2)
+    AnnIndexPq.refresh(s, corpus, 2, root)
+    AnnIndexPq.search(s, corpus, root,
+      e.filter(col("vec_id") < 10), k = 5)
+  }
 
-  // k-means/hash ANN family — not DuckDB-expressible; AnnIndexSpec is
-  // the value-level gate (driver records rows>0)
+  /** q46f: the persisted SRP-LSH index lifecycle — the q46 family's
+    * corpus-side bucket scan moved to build time; same corpus
+    * choreography as q46d/q46e. Declared bench-only; AnnIndexSrpSpec
+    * is the correctness gate. */
+  val q46f_ann_srp_indexed: Q = (s, dir) => {
+    val root = RelationalQueries.scratch("q46f_ann", dir)
+    val e = t(s, dir, "embeddings").select("vec_id", "embedding")
+    val corpus = GraftTable(s, s"$root/corpus_data", s"$root/corpus_man",
+      "vec_id")
+    corpus.create(e.filter(col("vec_id") < 450), 4)
+    AnnIndexSrp.build(s, corpus, 1, root)
+    corpus.commitAppend(e.filter(col("vec_id") >= 450), 1, 2)
+    AnnIndexSrp.refresh(s, corpus, 2, root)
+    AnnIndexSrp.search(s, corpus, root,
+      e.filter(col("vec_id") < 10), k = 5)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q46d_ann_indexed" -> q46d_ann_indexed,
+    "q46e_ann_pq_indexed" -> q46e_ann_pq_indexed,
+    "q46f_ann_srp_indexed" -> q46f_ann_srp_indexed)
+
+  // k-means/hash ANN family — not DuckDB-expressible; AnnIndexSpec /
+  // AnnIndexPqSpec are the value-level gates (driver records rows>0)
   val oracles: Map[String, String] = Map.empty
 }

@@ -2627,7 +2627,128 @@ object CurationQueries {
       |FROM orders
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---- 140. OVERWRITE BY FILTER (Delta's replaceWhere, the
+  // recompute-one-region-of-a-100TB-table verb): ONE atomic commit
+  // drops the predicate's rows and lands the replacement — first on a
+  // non-key stats predicate, then on a key range (the envelope-pruned
+  // path). A replacement batch that violates its own predicate is
+  // rejected WHOLE (the Delta constraint), pinned by the oracle's
+  // rejected column; final content hash-matches the relational
+  // delete+insert the oracle computes. ----
+  val q140_replace_where: Q = (s, dir) => {
+    val out = RelationalQueries.scratch("q140_layout", dir)
+    val man = RelationalQueries.scratch("q140_manifest", dir)
+    val cat = RelationalQueries.scratch("q140_catalog", dir)
+    s.conf.set("spark.sql.catalog.gq140",
+      classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gq140.dir", cat)
+    val o = t(s, dir, "orders")
+      .select("o_orderkey", "o_orderpriority", "o_custkey")
+    GraftTable(s, out, man, "o_orderkey", statsCols = Seq("o_orderpriority"))
+      .create(o, 8)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gq140.db")
+    s.sql("DROP TABLE IF EXISTS gq140.db.orders")
+    s.sql(s"CREATE TABLE gq140.db.orders USING graft OPTIONS (man '$man')")
+    // 1. replace the URGENT region with a recomputed subset (the odd
+    //    half vanishes — REPLACE deletes, it does not merge)
+    o.filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderkey") % 2 === 0)
+      .withColumn("o_custkey", col("o_custkey") + 5000000L)
+      .writeTo("gq140.db.orders")
+      .overwrite(col("o_orderpriority") === "1-URGENT")
+    // 2. replace a key range: the predicate prunes the rewrite to the
+    //    range's files through the manifest key boxes
+    o.filter(col("o_orderkey").between(1000, 1999))
+      .withColumn("o_orderpriority", lit("9-REPACKED"))
+      .writeTo("gq140.db.orders")
+      .overwrite(col("o_orderkey").between(1000, 1999))
+    // 3. a replacement that smuggles rows OUTSIDE its predicate is
+    //    rejected whole — nothing commits
+    val rejected =
+      try {
+        o.limit(50).withColumn("o_orderkey", col("o_orderkey") + 77000000L)
+          .writeTo("gq140.db.orders")
+          .overwrite(col("o_orderkey") === -1)
+        0L
+      } catch { case _: Exception => 1L }
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum
+        |FROM gq140.db.orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+      .withColumn("rejected_batches", lit(rejected))
+  }
+
+  val q140_replace_where_sql: String =
+    """WITH r1 AS (
+      |  SELECT o_orderkey, o_orderpriority, o_custkey FROM orders
+      |  WHERE o_orderpriority <> '1-URGENT'
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderpriority, o_custkey + 5000000 FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 2 = 0
+      |), r2 AS (
+      |  SELECT * FROM r1 WHERE o_orderkey NOT BETWEEN 1000 AND 1999
+      |  UNION ALL
+      |  SELECT o_orderkey, '9-REPACKED' AS o_orderpriority, o_custkey
+      |  FROM orders WHERE o_orderkey BETWEEN 1000 AND 1999
+      |)
+      |SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+      |  1 AS rejected_batches
+      |FROM r2
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- 141. ALTER TABLE DROP COLUMN — metadata-only narrowing (no
+  // data byte moves; reads plan with the commit-recorded schema, so
+  // parquet clipping projects the physical column away), with appends
+  // AFTER the drop validating against the narrowed schema. Final
+  // content hash-matches the oracle computing the same projection +
+  // union. ----
+  val q141_drop_column: Q = (s, dir) => {
+    val out = RelationalQueries.scratch("q141_layout", dir)
+    val man = RelationalQueries.scratch("q141_manifest", dir)
+    val cat = RelationalQueries.scratch("q141_catalog", dir)
+    s.conf.set("spark.sql.catalog.gq141",
+      classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gq141.dir", cat)
+    val p = t(s, dir, "part")
+      .select("p_partkey", "p_name", "p_retailprice", "p_brand")
+    GraftTable(s, out, man, "p_partkey").create(p, 8)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gq141.db")
+    s.sql("DROP TABLE IF EXISTS gq141.db.part")
+    s.sql(s"CREATE TABLE gq141.db.part USING graft OPTIONS (man '$man')")
+    s.sql("ALTER TABLE gq141.db.part DROP COLUMN p_name")
+    // post-drop append in the NARROWED shape — old files clip, new
+    // files never carry the column
+    p.filter(col("p_partkey") % 7 === 0)
+      .select((col("p_partkey") + 10000000L).as("p_partkey"),
+        col("p_retailprice"), col("p_brand"))
+      .createOrReplaceTempView("q141_more")
+    s.sql("INSERT INTO gq141.db.part SELECT * FROM q141_more")
+    s.sql(
+      """SELECT p_brand, count(*) AS n_parts,
+        |  CAST(round(sum(p_retailprice * 100)) AS BIGINT) AS price_cents,
+        |  count(DISTINCT p_partkey) AS n_keys
+        |FROM gq141.db.part
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
+  val q141_drop_column_sql: String =
+    """WITH allp AS (
+      |  SELECT p_partkey, p_retailprice, p_brand FROM part
+      |  UNION ALL
+      |  SELECT p_partkey + 10000000, p_retailprice, p_brand FROM part
+      |  WHERE p_partkey % 7 = 0
+      |)
+      |SELECT p_brand, count(*) AS n_parts,
+      |  CAST(round(sum(p_retailprice * 100)) AS BIGINT) AS price_cents,
+      |  count(DISTINCT p_partkey) AS n_keys
+      |FROM allp
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q140_replace_where" -> q140_replace_where,
+    "q141_drop_column" -> q141_drop_column,
     "q137_check_constraint" -> q137_check_constraint,
     "q135_sql_update" -> q135_sql_update,
     "q136_merge_into" -> q136_merge_into,
@@ -2684,6 +2805,8 @@ object CurationQueries {
     "q68_stratified_sample" -> q68_stratified_sample)
 
   val oracles: Map[String, String] = Map(
+    "q140_replace_where" -> q140_replace_where_sql,
+    "q141_drop_column" -> q141_drop_column_sql,
     "q137_check_constraint" -> q137_check_constraint_sql,
     "q135_sql_update" -> q135_sql_update_sql,
     "q136_merge_into" -> q136_merge_into_sql,

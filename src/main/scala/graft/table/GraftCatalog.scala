@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder,
   SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
-  SupportsTruncate, V1Write, WriteBuilder}
+  SupportsOverwriteV2, V1Write, WriteBuilder}
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation,
   TableScan}
 import org.apache.spark.sql.types.StructType
@@ -427,12 +427,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     import org.apache.spark.sql.connector.catalog.TableChange
     val man = manOf(ident)
     val adds = scala.collection.mutable.ArrayBuffer.empty[TableChange.AddColumn]
+    val drops = scala.collection.mutable.ArrayBuffer.empty[TableChange.DeleteColumn]
     val setChecks = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val unsetChecks = scala.collection.mutable.ArrayBuffer.empty[String]
     val setModes = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val unsetModes = scala.collection.mutable.ArrayBuffer.empty[String]
     changes.foreach {
       case a: TableChange.AddColumn => adds += a
+      case d: TableChange.DeleteColumn => drops += d
       case sp: TableChange.SetProperty
           if sp.property.startsWith("check.") =>
         setChecks += sp.property.stripPrefix("check.") -> sp.value.trim
@@ -446,9 +448,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           if rp.property.startsWith("mode.") =>
         unsetModes += rp.property.stripPrefix("mode.")
       case other => throw new UnsupportedOperationException(
-        s"ALTER TABLE on a graft table supports ADD COLUMN(S) and " +
-          "SET/UNSET TBLPROPERTIES ('check.<name>' / 'mode.<stmt>' ...) " +
-          s"only — got ${other.getClass.getSimpleName}; the table's " +
+        s"ALTER TABLE on a graft table supports ADD COLUMN(S), " +
+          "DROP COLUMN(S) and SET/UNSET TBLPROPERTIES ('check.<name>' " +
+          s"/ 'mode.<stmt>' ...) only — got " +
+          s"${other.getClass.getSimpleName}; the table's " +
           "key/stats/bloom bindings and committed boxes are fixed at " +
           "creation")
     }
@@ -476,10 +479,31 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       StructType(sch.fields :+ org.apache.spark.sql.types.StructField(
         n, a.dataType(), nullable = true))
     }
-    if (adds.nonEmpty) t.commitWidenSchema(widened, vs.max)
+    var cur = vs.max
+    if (adds.nonEmpty) cur = t.commitWidenSchema(widened, cur)
+    if (drops.nonEmpty) {
+      val names = drops.map { d =>
+        require(d.fieldNames().length == 1,
+          s"nested DROP COLUMN is not supported — graft tables are " +
+            s"flat (got ${d.fieldNames().mkString(".")})")
+        (d.fieldNames().head, d.ifExists())
+      }
+      val resolver = spark.sessionState.conf.resolver
+      val present = widened.fieldNames
+      // IF EXISTS drops of absent columns skip silently; plain drops of
+      // absent columns fail loudly inside commitNarrowSchema
+      val wanted = names.collect {
+        case (n, ifExists) if !ifExists ||
+          present.exists(resolver(_, n)) => n
+      }
+      if (wanted.nonEmpty) cur = t.commitNarrowSchema(wanted.toSeq, cur)
+    }
+    // checks validate against the schema as THIS statement left it
+    // (post-widen, post-narrow), not the pre-ALTER one
+    val effective = t.versionSchema(cur).getOrElse(widened)
     if (setChecks.nonEmpty) {
       setChecks.foreach { case (n, e) =>
-        GraftTable.validateCheck(spark, n, e, widened) }
+        GraftTable.validateCheck(spark, n, e, effective) }
       val tm = SnapshotSql.tableForMaintenance(spark, man,
         detail => throw new IllegalStateException(detail))
       val latest = tm.committedVersions.max
@@ -617,7 +641,8 @@ final case class GraftV2Table(ident: String, man: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   /** Table shape for `DESCRIBE TABLE EXTENDED` / `SHOW TBLPROPERTIES`:
     * the manifest path plus everything `_table_props` records — an
@@ -736,12 +761,39 @@ final case class GraftV2Table(ident: String, man: String,
 
   // ---- write path ---------------------------------------------------
 
+  /** Batch writes, all three V2 verbs on the V1 write face: plain
+    * INSERT appends (OCC — concurrent appenders rebase), truncate /
+    * whole-table INSERT OVERWRITE recreates, and OVERWRITE BY FILTER
+    * (`df.writeTo(name).overwrite(cond)` — Delta's `replaceWhere`)
+    * routes to [[GraftTable.commitReplaceWhere]]: ONE atomic commit
+    * that drops the predicate's rows and lands the new ones, with the
+    * SAME filters pruning the rewrite to the matched envelope's files.
+    * Every pushed predicate must translate to a v1 filter — a
+    * partially-translated conjunction would silently replace a BROADER
+    * region than the user asked for, so untranslatable conditions fail
+    * loudly instead. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new WriteBuilder with SupportsTruncate {
+    new WriteBuilder with SupportsOverwriteV2 {
       require(pinned.isEmpty,
         s"cannot write to the time-travel pinned snapshot ${name()}")
-      private var overwrite = false
-      override def truncate(): WriteBuilder = { overwrite = true; this }
+      private var overwriteAll = false
+      private var replaceFilters: Option[Seq[Filter]] = None
+      override def truncate(): WriteBuilder = { overwriteAll = true; this }
+      override def overwrite(
+          preds: Array[org.apache.spark.sql.connector.expressions
+            .filter.Predicate]): WriteBuilder = {
+        val v1 = preds.toSeq.map { p =>
+          org.apache.spark.sql.GraftSqlBridge.v2PredicateToV1(p)
+            .getOrElse(throw new UnsupportedOperationException(
+              s"OVERWRITE BY FILTER on ${name()}: predicate $p does not " +
+                "translate to a source filter — a partial translation " +
+                "would replace more than the condition selects"))
+        }
+        if (v1.forall(_.isInstanceOf[org.apache.spark.sql.sources.AlwaysTrue]))
+          overwriteAll = true
+        else replaceFilters = Some(v1)
+        this
+      }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
@@ -757,8 +809,16 @@ final case class GraftV2Table(ident: String, man: String,
                   s"$man's _table_props records no data dir"))
               val t = GraftTable(s, dataDir, man, key, p.statsCols,
                 p.bloomCols, p.bloomItems, p.bloomFpp)
-              if (overwrite || ov) t.create(data, 8)
-              else { t.commitAppendOcc(data, 8); () }
+              replaceFilters match {
+                case Some(fs) =>
+                  t.commitReplaceWhere(fs,
+                    fs.map(GraftTable.v1FilterColumn).reduce(_ && _),
+                    data, t.committedVersions.max, 8)
+                  ()
+                case None =>
+                  if (overwriteAll || ov) t.create(data, 8)
+                  else { t.commitAppendOcc(data, 8); () }
+              }
             }
           }
       }

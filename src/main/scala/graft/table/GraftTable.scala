@@ -1822,6 +1822,68 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     nDel
   }
 
+  /** REPLACE WHERE (Delta's `replaceWhere`, Hive's static-predicate
+    * INSERT OVERWRITE generalized): atomically delete every row
+    * matching `pred` and insert `data`, as ONE commit — readers see
+    * either the old region or the new rows, never a half-swapped
+    * state, which is what makes "recompute one partition of a 100 TB
+    * table" safe to run while queries read it. The SAME v1 filters
+    * drive manifest pruning (box/bloom composition via
+    * [[SnapshotPruning.keepTestV1]]) and the doom predicate, so on a
+    * key- or stats-column predicate the rewrite cost is the matched
+    * ENVELOPE's files + the new rows — never a table scan. Survivor
+    * rows keep `pred IS NOT TRUE` (SQL three-valued logic, the
+    * [[commitDelete]] rule). When the predicate matches no existing
+    * row the operation degrades to a validated append (no file is
+    * rewritten). `spark.graft.replaceWhere.check` (default true, the
+    * Delta constraint): every REPLACEMENT row must itself satisfy
+    * `pred` — validated against the already-staged files (one cheap
+    * local scan, the input plan is never recomputed), so a writer
+    * cannot silently smuggle rows into a region the predicate did not
+    * clear out. A lost commit race rebases mechanically iff the winner
+    * left every impacted file untouched ([[commitCowRewrite]]). Returns
+    * the number of rows deleted. */
+  def commitReplaceWhere(pruneFilters: Seq[org.apache.spark.sql.sources.Filter],
+      pred: Column, data: DataFrame, prevV: Int, nParts: Int = 2,
+      tag: Option[String] = None): Long = {
+    val addedNew = stagedAppend(data, nParts)
+    if (spark.conf.get("spark.graft.replaceWhere.check", "true").toBoolean
+        && addedNew.nonEmpty) {
+      val bad = spark.read.parquet(addedNew: _*)
+        .filter(!coalesce(pred, lit(false))).count()
+      require(bad == 0L,
+        s"REPLACE WHERE: $bad replacement row(s) do not satisfy the " +
+          "predicate — the write would land rows outside the replaced " +
+          "region; fix the data or disable " +
+          "spark.graft.replaceWhere.check")
+    }
+    val prevEntries = manifest(prevV).collect()
+    val (prunable, bloomable) = pruneSets(prevEntries)
+    val candidates = SnapshotPruning
+      .keepTestV1(pruneFilters, Some(key), prunable, bloomable)
+      .map(test => prevEntries.filter(test)).getOrElse(prevEntries)
+    val doomed =
+      if (candidates.isEmpty) 0L
+      else morRead(candidates.map(r =>
+        (r.getAs[String]("file"), entryDv(r))).toSeq, versionSchema(prevV))
+        .filter(pred).count()
+    // conservative planning kept files whose rows all miss: degrade to
+    // a pure append — no file rewritten, no survivors re-staged
+    val impactedRows = if (doomed == 0L) Array.empty[Row] else candidates
+    val survivors =
+      if (impactedRows.isEmpty) Seq.empty[String]
+      else stagedAppend(
+        morRead(impactedRows.map(r =>
+          (r.getAs[String]("file"), entryDv(r))).toSeq, versionSchema(prevV))
+          .filter(!coalesce(pred, lit(false))),
+        sizedParts(nParts, entryBytes(impactedRows)))
+    val all = survivors ++ addedNew
+    val stats = if (all.isEmpty) emptyEntries else fileStats(all)
+    commitCowRewrite(prevV, impactedRows, stats, tag,
+      schemaDdl = evolvedSchemaDdl(prevV, data.schema))
+    doomed
+  }
+
   /** Two-dimension convenience overload (the original API shape). */
   def commitZorder(prevV: Int, targetBytes: Long, dimA: String,
       dimB: String): Int =
@@ -1944,6 +2006,71 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     prevV + 1
   }
 
+  /** ALTER TABLE DROP COLUMN as a METADATA-ONLY commit (Delta's
+    * column-mapping drop, without needing a mapping: graft reads plan
+    * with the COMMIT-RECORDED schema — [[readAsOf]]/[[morRead]] pass it
+    * explicitly — so parquet's schema clipping projects a physically
+    * present column away for free). No data byte moves: the narrowing
+    * is one layout-identical `dataChange=false` commit recording the
+    * narrowed DDL; old snapshots keep time-traveling to the full
+    * schema, and the bytes are physically purged when any rewrite next
+    * touches a file (OPTIMIZE / z-order / COW DML re-stage through the
+    * recorded schema — Delta's REORG PURGE for the impatient).
+    * Refuses to drop the table key, a declared stats/bloom column (the
+    * manifest's committed boxes would lie), a CHECK-referenced column
+    * (every future write's stats scan would fail), or the last column.
+    * Appends after the drop validate against the narrowed schema like
+    * any other ([[evolvedSchemaDdl]]). Returns the new version. */
+  def commitNarrowSchema(dropCols: Seq[String], prevV: Int): Int = {
+    require(dropCols.nonEmpty, "DROP COLUMN needs at least one column")
+    val base = versionSchema(prevV).getOrElse(
+      throw new UnsupportedOperationException(
+        s"snapshot v=$prevV of $man records no schema (pre-r11 table) — " +
+          "DROP COLUMN needs the commit-recorded schema to narrow"))
+    val resolver = spark.sessionState.conf.resolver
+    val resolved = dropCols.map { c =>
+      base.fieldNames.find(resolver(_, c)).getOrElse(
+        throw new IllegalArgumentException(
+          s"DROP COLUMN '$c': no such column — table columns: " +
+            base.fieldNames.mkString(", ")))
+    }
+    require(resolved.distinct.size == resolved.size,
+      s"duplicate DROP COLUMN targets: ${dropCols.mkString(", ")}")
+    // declarations resolve from _table_props, NOT the instance fields:
+    // a maintenance handle (ALTER TABLE's catalog path) is constructed
+    // with empty key/stats declarations, and the guards must still hold
+    val props = GraftTable.loadProps(spark, man)
+    val keyCol = props.flatMap(_.key).getOrElse(key)
+    val statsC = props.map(_.statsCols).getOrElse(statsCols)
+    val bloomC = props.map(_.bloomCols).getOrElse(bloomCols)
+    resolved.foreach { c =>
+      require(c != keyCol, s"cannot drop '$c' — it is the table key " +
+        "(clustering, merge matching and box pruning bind to it)")
+      require(!statsC.contains(c) && !bloomC.contains(c),
+        s"cannot drop '$c' — it is a declared stats/bloom column; the " +
+          "committed manifests record boxes/blooms for it")
+      activeChecks.foreach { case (n, text) =>
+        val refs = spark.sessionState.sqlParser.parseExpression(text)
+          .collect { case ua: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute => ua.name }
+        require(!refs.exists(resolver(_, c)),
+          s"cannot drop '$c' — CHECK constraint '$n' ($text) references " +
+            s"it; UNSET TBLPROPERTIES ('check.$n') first")
+      }
+    }
+    val gone = resolved.toSet
+    val narrowed = org.apache.spark.sql.types.StructType(
+      base.fields.filterNot(f => gone(f.name)))
+    require(narrowed.nonEmpty,
+      s"cannot drop every column of $man — drop the table instead")
+    if (!tryCommitManifest(manifest(prevV), prevV + 1, noData = true,
+        schemaDdl = Some(narrowed.toDDL)))
+      throw new java.util.ConcurrentModificationException(
+        s"schema narrowing lost the commit race for v=${prevV + 1}; " +
+          "re-run against the latest snapshot")
+    prevV + 1
+  }
+
   /** Version v's commit time: the `_ts_<epochMs>` marker the commit
     * itself carried (written in staging, published by the same atomic
     * rename — so it survives file-system surgery like a copy/restore
@@ -2032,6 +2159,30 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       val bytes = r.getAs[Array[Byte]](s"bloom_$c")
       probes.exists(GraftTable.bloomMightContain(bytes, _))
     }.map(_.getAs[String]("file")).toSeq
+    (kept, rows.length)
+  }
+
+  /** IN-list point-probe skipping against version v's manifest: keep
+    * the files that might hold ANY of `probes` for column `c`,
+    * composing EVERY recorded pruning structure — key/stats (lo, hi)
+    * boxes and, when declared, the per-file bloom — through the same
+    * [[SnapshotPruning.keepTestV1]] the SQL pushdown path uses (one
+    * `In` filter), so the two planners can never disagree. ONE
+    * O(#files) manifest pass regardless of probe count — the
+    * bounded-shortlist fetch plan (the persisted ANN index's exact
+    * rerank reads only the files its candidate ids can live in; a
+    * point-lookup service would plan the same way). Probes are the
+    * column's external values (Long/String/Timestamp/... as a
+    * DataFrame would produce them). */
+  def pruneIn(v: Int, c: String, probes: Seq[Any]): (Seq[String], Int) = {
+    require(probes.nonEmpty, "pruneIn needs at least one probe value")
+    val rows = manifest(v).collect()
+    val (prunable, bloomable) = pruneSets(rows)
+    val kept = SnapshotPruning.keepTestV1(
+        Seq(org.apache.spark.sql.sources.In(c, probes.toArray)),
+        Some(key), prunable, bloomable)
+      .map(test => rows.filter(test)).getOrElse(rows)
+      .map(_.getAs[String]("file")).toSeq
     (kept, rows.length)
   }
 

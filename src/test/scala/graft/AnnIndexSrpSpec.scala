@@ -1,0 +1,139 @@
+package graft
+
+import graft.operators.{AnnIndex, AnnIndexSrp}
+import graft.table.GraftTable
+import org.apache.spark.sql.functions._
+
+/** The persisted SRP-LSH index contract (SURVEY §2B row 111): the
+  * corpus bucket scan happens once at build, probed buckets file-prune
+  * through ONE pruneIn pass over the bkey-clustered manifest, the
+  * geometry freezes, refresh folds churn only (T rows per vector,
+  * reported as vectors), and the old-bucket tombstone placement makes
+  * generation resolution correct for every reachable stale row. q46f
+  * is declared bench-only, so THIS spec is its correctness gate. */
+class AnnIndexSrpSpec extends TestBase {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("qid", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("SRP index: build once, pruned probes, frozen geometry, churn-only refresh") {
+    val root = java.nio.file.Files.createTempDirectory("graft_srpix").toString
+    val e = TestBase.clusteredEmbeddings(spark).cache()
+    try {
+      val corpus = GraftTable(spark, s"$root/corpus_data",
+        s"$root/corpus_man", "vec_id")
+      corpus.create(e.filter(col("vec_id") < 450), 4)
+      val idx = AnnIndexSrp.build(spark, corpus, 1, root)
+      assert(AnnIndex.indexedCorpusVersion(idx) == 1)
+      assert(AnnIndexSrp.loadParams(spark, root) ==
+        (graft.functions.TextHash.SrpTables,
+          graft.functions.TextHash.SrpTableBits,
+          graft.functions.TextHash.SrpProbes))
+
+      // one row per (vector, table)
+      val v0 = idx.committedVersions.max
+      assert(idx.readAsOf(v0).count() ==
+        450L * graft.functions.TextHash.SrpTables)
+
+      // ---- recall on the clustered fixture at the production
+      // geometry (SimilaritySpec measures 1.0 for the same settings on
+      // the per-query pipeline; the persisted index must match)
+      val exactBase = TestBase.exactTopK(e.filter(col("vec_id") < 450), 10, 5)
+      val gotBase = pairs(AnnIndexSrp.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5))
+      val recallBase = exactBase.intersect(gotBase).size.toDouble /
+        exactBase.size
+      info(s"SRP persisted-index recall (base corpus): $recallBase")
+      assert(recallBase >= 0.95, s"recall $recallBase")
+
+      // ---- probed buckets file-prune through ONE pruneIn pass
+      val total = idx.files(v0).size
+      assert(total >= 4, s"index must be a multi-file layout, got $total")
+      val (keptOne, totOne) = idx.pruneIn(v0, idx.key, Seq(0L))
+      assert(keptOne.size < totOne,
+        s"a single-bucket probe must skip index files (kept ${keptOne.size}/$totOne)")
+
+      // ---- corpus grows; refresh folds ONLY the churn, geometry frozen
+      val paramsBefore = spark.read.parquet(s"$root/srp_params")
+        .collect().map(_.toString).sorted.toSeq
+      val filesBefore = idx.files(v0).toSet
+      corpus.commitAppend(e.filter(col("vec_id") >= 450), 1, 2)
+      val exactFull = TestBase.exactTopK(e, 10, 5)
+      val holdoutHits = exactFull.filter(_._2 >= 450L)
+      assert(holdoutHits.nonEmpty, "fixture must make holdout rows neighbors")
+      // pre-refresh: fresh segment serves the appends
+      val gotLagged = pairs(AnnIndexSrp.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5))
+      assert(holdoutHits.exists(gotLagged.contains),
+        "un-indexed appends must be searchable through the fresh segment")
+      val n = AnnIndexSrp.refresh(spark, corpus, 2, root)
+      assert(n == 50L,
+        s"refresh must report churn VECTORS (not T x rows), got $n")
+      assert(spark.read.parquet(s"$root/srp_params")
+        .collect().map(_.toString).sorted.toSeq == paramsBefore,
+        "refresh must never change the hash geometry")
+      val vNew = idx.committedVersions.max
+      val filesAfter = idx.files(vNew).toSet
+      assert(filesBefore.subsetOf(filesAfter),
+        "refresh must carry the base index files untouched")
+      val newRows = idx.readAsOf(vNew, (filesAfter -- filesBefore).toSeq)
+      assert(newRows.select("nid").distinct().collect()
+        .map(_.getLong(0)).toSet == (450L until 500L).toSet,
+        "the new index files must hold exactly the churn vectors")
+      assert(newRows.count() == 50L * graft.functions.TextHash.SrpTables)
+
+      // ---- post-refresh recall
+      val gotFull = pairs(AnnIndexSrp.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5))
+      val recallFull = exactFull.intersect(gotFull).size.toDouble /
+        exactFull.size
+      info(s"SRP persisted-index recall (after incremental refresh): $recallFull")
+      assert(recallFull >= 0.95, s"post-refresh recall $recallFull")
+
+      // ---- delete: pre-refresh via the fresh segment (zero index
+      // writes), post-fold via old-bucket tombstones
+      val victim = gotFull.head._2
+      assert(corpus.commitDelete(
+        Seq(org.apache.spark.sql.sources.EqualTo("vec_id", victim)),
+        corpus.committedVersions.max, 2) == 1L)
+      val idxVersions = idx.committedVersions
+      def searchNow() = pairs(AnnIndexSrp.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5))
+      assert(!searchNow().exists(_._2 == victim),
+        "a deleted corpus row must drop out of search results")
+      assert(idx.committedVersions == idxVersions,
+        "the delete must not have written to the index")
+      AnnIndexSrp.refresh(spark, corpus, corpus.committedVersions.max, root)
+      assert(!searchNow().exists(_._2 == victim),
+        "a refresh-folded delete must tombstone its index entries")
+
+      // ---- update rescores with the CURRENT vector through both
+      // paths; the folded case exercises the old-bucket tombstone +
+      // new-bucket live-row pair
+      val q0 = e.filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0)
+      val target = gotFull.find(p => p._1 == 0L && p._2 != victim).get._2
+      assert(corpus.commitUpdateCow(col("vec_id") === target,
+        Map("embedding" -> typedlit(q0)),
+        corpus.committedVersions.max) == 1L)
+      def topOfQ0(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+        val r = df.filter(col("qid") === 0L && col("rn") === 1L).head
+        (r.getLong(2), r.getDouble(3))
+      }
+      val preRefresh = topOfQ0(AnnIndexSrp.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5))
+      assert(preRefresh == (target, 1.0),
+        s"un-indexed update must rescore through the fresh segment: $preRefresh")
+      AnnIndexSrp.refresh(spark, corpus, corpus.committedVersions.max, root)
+      val postRefresh = topOfQ0(AnnIndexSrp.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5))
+      assert(postRefresh == (target, 1.0),
+        s"folded update must win generation dedup with its new vector: $postRefresh")
+
+      // refresh covering an already-covered version is a no-op
+      assert(AnnIndexSrp.refresh(spark, corpus,
+        corpus.committedVersions.max, root) == 0L)
+    } finally { e.unpersist(); () }
+  }
+}

@@ -16,7 +16,8 @@ class QuerySurfaceSpec extends TestBase {
     // sketch/hash-family operators DuckDB cannot replicate:
     assert(noOracle == Set("q13_approx_distinct", "q41_minhash_lsh",
       "q42_simhash", "q46_ann_lsh", "q46b_ann_ivf", "q46c_ann_ivfpq",
-      "q46d_ann_indexed", "q54_source_sketch", "q93_kll_quantiles"))
+      "q46d_ann_indexed", "q46e_ann_pq_indexed", "q46f_ann_srp_indexed",
+      "q54_source_sketch", "q93_kll_quantiles"))
   }
 
   test("oracle keys are a subset of query keys") {

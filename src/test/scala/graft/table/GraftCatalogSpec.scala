@@ -561,6 +561,108 @@ class GraftCatalogSpec extends TestBase {
     }
   }
 
+  test("ALTER TABLE DROP COLUMN narrows metadata-only; reads clip; guards hold") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id",
+        statsCols = Seq("grp"))
+      tbl.create((1L to 100L).map(i => (i, i % 5, s"x$i", i * 2))
+        .toDF("id", "grp", "junk", "v"), 2)
+      s.conf.set("spark.sql.catalog.gd", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gd.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gd.db")
+      s.sql(s"CREATE TABLE gd.db.t USING graft OPTIONS (man '$root/man')")
+      s.sql("ALTER TABLE gd.db.t DROP COLUMN junk")
+      // metadata-only: dataChange=false, layout-identical — no byte moved
+      assert(tbl.committedVersions == Seq(1, 2) && !tbl.dataChange(2))
+      assert(tbl.files(2) == tbl.files(1))
+      // reads clip the physical column away
+      assert(!s.table("gd.db.t").columns.contains("junk"))
+      assert(s.sql("SELECT CAST(sum(v) AS BIGINT) AS c FROM gd.db.t")
+        .head.getLong(0) == (1L to 100L).map(_ * 2).sum)
+      // time travel still reads the pre-drop shape
+      assert(tbl.readAsOf(1).columns.contains("junk"))
+      // post-drop appends land in the NARROWED shape
+      Seq((101L, 1L, 202L)).toDF("id", "grp", "v")
+        .createOrReplaceTempView("drop_more")
+      s.sql("INSERT INTO gd.db.t SELECT * FROM drop_more")
+      assert(s.sql("SELECT count(*) AS c FROM gd.db.t").head.getLong(0)
+        == 101L)
+      // a REWRITE physically purges the column (REORG PURGE for free):
+      // compaction re-stages through the recorded schema
+      // guards: the key, a declared stats column, an unknown column and
+      // a CHECK-referenced column all refuse loudly; IF EXISTS of an
+      // absent column is silent
+      val eKey = intercept[Exception] {
+        s.sql("ALTER TABLE gd.db.t DROP COLUMN id") }
+      assert(fullMsg(eKey).contains("table key"), fullMsg(eKey))
+      val eStats = intercept[Exception] {
+        s.sql("ALTER TABLE gd.db.t DROP COLUMN grp") }
+      assert(fullMsg(eStats).contains("stats/bloom"), fullMsg(eStats))
+      val eMiss = intercept[Exception] {
+        s.sql("ALTER TABLE gd.db.t DROP COLUMN nope") }
+      // Spark's analyzer resolves DROP COLUMN targets itself
+      assert(fullMsg(eMiss).contains("UNRESOLVED_COLUMN") ||
+        fullMsg(eMiss).contains("no such column"), fullMsg(eMiss))
+      val before = tbl.committedVersions
+      s.sql("ALTER TABLE gd.db.t DROP COLUMN IF EXISTS nope")
+      assert(tbl.committedVersions == before,
+        "IF EXISTS of an absent column must be a silent no-op")
+      s.sql("ALTER TABLE gd.db.t SET TBLPROPERTIES ('check.vpos' = 'v >= 0')")
+      val eChk = intercept[Exception] {
+        s.sql("ALTER TABLE gd.db.t DROP COLUMN v") }
+      assert(fullMsg(eChk).contains("CHECK constraint"), fullMsg(eChk))
+      s.sql("ALTER TABLE gd.db.t UNSET TBLPROPERTIES ('check.vpos')")
+      s.sql("ALTER TABLE gd.db.t DROP COLUMN v")
+      assert(s.table("gd.db.t").columns.toSeq == Seq("id", "grp"))
+    }
+  }
+
+  test("OVERWRITE BY FILTER (replaceWhere): one atomic pruned commit; violations rejected whole") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create((1L to 1000L).map(i => (i, i)).toDF("id", "v"), 8)
+      s.conf.set("spark.sql.catalog.gw", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gw.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gw.db")
+      s.sql(s"CREATE TABLE gw.db.t USING graft OPTIONS (man '$root/man')")
+      // replace the [1,100] key region with a recomputed subset (the
+      // odd half vanishes — REPLACE deletes, it does not merge)
+      (1L to 100L).filter(_ % 2 == 0).map(i => (i, i * 100))
+        .toDF("id", "v").writeTo("gw.db.t")
+        .overwrite(col("id").between(1L, 100L))
+      // ONE commit, atomic: v2 is the whole swap
+      assert(tbl.committedVersions == Seq(1, 2))
+      assert(s.sql("SELECT count(*) AS c FROM gw.db.t").head.getLong(0)
+        == 950L)
+      assert(s.sql(
+        "SELECT CAST(sum(v) AS BIGINT) AS c FROM gw.db.t WHERE id <= 100")
+        .head.getLong(0) == (1L to 100L).filter(_ % 2 == 0).map(_ * 100).sum)
+      assert(s.sql(
+        "SELECT CAST(sum(v) AS BIGINT) AS c FROM gw.db.t WHERE id > 100")
+        .head.getLong(0) == (101L to 1000L).sum)
+      // the rewrite was PRUNED to the predicate's envelope: files
+      // outside [1,100] carried verbatim into v2
+      val carried = tbl.files(2).toSet.intersect(tbl.files(1).toSet)
+      assert(carried.nonEmpty,
+        "REPLACE WHERE must carry non-matching files verbatim")
+      // snapshot isolation: v1 still reads the old content
+      assert(tbl.readAsOf(1).count() == 1000L)
+      // a replacement batch violating its own predicate is rejected
+      // WHOLE — no version burned
+      val eBad = intercept[Exception] {
+        Seq((5000L, 1L)).toDF("id", "v").writeTo("gw.db.t")
+          .overwrite(col("id") === -1L)
+      }
+      assert(fullMsg(eBad).contains("do not satisfy"), fullMsg(eBad))
+      assert(tbl.committedVersions == Seq(1, 2),
+        "a rejected REPLACE WHERE must not commit")
+    }
+  }
+
   test("a crashed half-create (registered name, no props, no versions) is adopted") {
     withExtSession { s =>
       val root = freshRoot()
