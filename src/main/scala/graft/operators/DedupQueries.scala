@@ -405,16 +405,73 @@ object DedupQueries {
       |SELECT ia, ib, round(sim, 4) AS sim FROM s
       |WHERE sim > 0.4 ORDER BY ia, ib""".stripMargin
 
+  // ---- 142. Semantic dedup — the SemDeDup-shaped DECISION on top of
+  // q44's detection: a vector is DOMINATED when any lower-id vector
+  // sits within cosine >= tau of it; dominated rows drop, every other
+  // row is its group's greedy representative (lowest id wins — the
+  // deterministic tie-break that makes the kept set well-defined
+  // without computing connected components). The pair plan is q44's
+  // block-partitioned join (each id joins only its triangular block
+  // pairs — never an all-pairs broadcast), so the same plan that
+  // detects near-dups at 100 TB also decides them; at that scale you
+  // would scope the pair join by a persisted-index cell (row 107) to
+  // cut the candidate quadratic — the decision rule is unchanged.
+  // Output: per-label survivor census (count + id-sum), hash-matched
+  // against DuckDB computing the same relational algebra. ----
+  val q142_semantic_dedup: Q = (s, dir) => {
+    val B = 8
+    val e = t(s, dir, "embeddings")
+      .withColumn("g", pmod(hash(col("vec_id")), lit(B)))
+    val aSide = e
+      .withColumn("pj", explode(sequence(col("g"), lit(B - 1))))
+      .select(col("g").as("pi"), col("pj"),
+        col("vec_id").as("aid"), col("embedding").as("ea"))
+    val bSide = e
+      .withColumn("pi", explode(sequence(lit(0), col("g"))))
+      .select(col("pi"), col("g").as("pj"),
+        col("vec_id").as("bid"), col("embedding").as("eb"))
+    val dominated = aSide.join(bSide, Seq("pi", "pj"))
+      .filter(col("pi") < col("pj") || col("aid") < col("bid"))
+      .filter(cosine_similarity(col("ea"), col("eb")) > 0.4)
+      // the HIGHER id of every close pair is dominated
+      .select(greatest(col("aid"), col("bid")).as("vec_id"))
+      .distinct()
+    t(s, dir, "embeddings")
+      .join(dominated, Seq("vec_id"), "left_anti")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum("vec_id").cast("long").as("kept_id_sum"))
+      .orderBy("label")
+  }
+
+  val q142_semantic_dedup_sql: String =
+    """WITH s AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |), dom AS (
+      |  SELECT DISTINCT ib AS vec_id FROM s WHERE sim > 0.4
+      |)
+      |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_kept,
+      |  CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
+      |FROM embeddings
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+      |GROUP BY label ORDER BY label""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q40_dedup_exact" -> q40_dedup_exact,
     "q41_minhash_lsh" -> q41_minhash_lsh,
     "q42_simhash" -> q42_simhash,
     "q43b_lsh_verified" -> q43b_lsh_verified,
     "q104_jaccard_join" -> q104_jaccard_join,
-    "q44_embed_neardup" -> q44_embed_neardup)
+    "q44_embed_neardup" -> q44_embed_neardup,
+    "q142_semantic_dedup" -> q142_semantic_dedup)
 
   val oracles: Map[String, String] = Map(
     "q40_dedup_exact" -> q40_dedup_exact_sql,
+    "q142_semantic_dedup" -> q142_semantic_dedup_sql,
     // q41/q42: minhash + simhash families not expressible in DuckDB —
     // rows-only check; cross-validated against q43 in DedupSpec.
     // q43's exact all-pairs form is spec-only ground truth; its oracle
