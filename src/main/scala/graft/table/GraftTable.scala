@@ -2357,14 +2357,18 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val (fromS, toS) = (from.toSet, to.toSet)
     val churnedOld = from.filterNot(toS)
     val churnedNew = to.filterNot(fromS)
-    // the two snapshots may straddle a widening append, so the diff's
-    // schema must be the UNION of every churned footer (mergeSchema) —
-    // a sampled-file inference could silently drop the widened column
-    // from the feed — and BOTH sides must then be read with that one
-    // unified schema: the old side's own files may predate the widened
-    // column entirely (it reads as NULL, parquet-by-name semantics)
-    val unified = spark.read.option("mergeSchema", "true")
-      .parquet((from ++ to).map(_._1).distinct: _*).schema
+    // the feed speaks the DESTINATION snapshot's recorded schema (the
+    // Delta CDF rule: change rows arrive in the latest shape) — that
+    // covers both straddles: across a widening append the old side's
+    // files predate the new column and read NULL (parquet-by-name),
+    // and across a DROP COLUMN the old side's extra physical column is
+    // clipped instead of leaking a column the table no longer has.
+    // Only a pre-schema-recording table falls back to the footer UNION
+    // of every churned file (mergeSchema — a sampled-file inference
+    // could silently drop a widened column from the feed).
+    val unified = versionSchema(vTo).getOrElse(
+      spark.read.option("mergeSchema", "true")
+        .parquet((from ++ to).map(_._1).distinct: _*).schema)
     def readSide(pairs: Seq[(String, Option[String])]): DataFrame =
       if (pairs.isEmpty) // typed empty relation, same shape as the layout
         spark.createDataFrame(

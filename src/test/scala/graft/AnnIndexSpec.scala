@@ -151,6 +151,20 @@ class AnnIndexSpec extends TestBase {
       // refresh covering an already-covered version is a no-op
       assert(AnnIndex.refresh(spark, corpus,
         corpus.committedVersions.max, root) == 0L)
+
+      // ---- the index is an ordinary graft table: OPTIMIZE
+      // (commitCompaction) repacks its refresh-segment tail without
+      // changing a single search result, and the corpus_v provenance
+      // survives the layout-only commit (tags ride versions, not files)
+      val beforeOpt = pairs(AnnIndex.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5, nprobe = 2))
+      val coveredBefore = AnnIndex.indexedCorpusVersion(idx)
+      idx.commitCompaction(idx.committedVersions.max, 64L << 20)
+      assert(AnnIndex.indexedCorpusVersion(idx) == coveredBefore,
+        "OPTIMIZE must not disturb the corpus_v provenance")
+      assert(pairs(AnnIndex.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5, nprobe = 2)) == beforeOpt,
+        "OPTIMIZE must not change search results")
     } finally { e.unpersist(); () }
   }
 }

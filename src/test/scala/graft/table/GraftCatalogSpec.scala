@@ -616,6 +616,15 @@ class GraftCatalogSpec extends TestBase {
       s.sql("ALTER TABLE gd.db.t UNSET TBLPROPERTIES ('check.vpos')")
       s.sql("ALTER TABLE gd.db.t DROP COLUMN v")
       assert(s.table("gd.db.t").columns.toSeq == Seq("id", "grp"))
+      // CDC straddling the drops speaks the DESTINATION schema (the
+      // Delta CDF rule): the dropped columns must not leak into the
+      // feed, and the post-drop append classifies as an insert
+      val feed = tbl.cdc(1, tbl.committedVersions.max)
+      assert(!feed.columns.exists(c =>
+        c.endsWith("_junk") || c.endsWith("_v")),
+        s"dropped columns leaked into the change feed: ${feed.columns.toSeq}")
+      assert(feed.filter(col("op") === "insert")
+        .select("id").collect().map(_.getLong(0)).toSet == Set(101L))
     }
   }
 
@@ -660,6 +669,17 @@ class GraftCatalogSpec extends TestBase {
       assert(fullMsg(eBad).contains("do not satisfy"), fullMsg(eBad))
       assert(tbl.committedVersions == Seq(1, 2),
         "a rejected REPLACE WHERE must not commit")
+      // CHECK constraints hold on the replacement rows too: the stats
+      // scan validates staged files on every commit path, this one
+      // included
+      s.sql("ALTER TABLE gw.db.t SET TBLPROPERTIES ('check.vpos' = 'v >= 0')")
+      val eChk = intercept[Exception] {
+        Seq((7L, -7L)).toDF("id", "v").writeTo("gw.db.t")
+          .overwrite(col("id") === 7L)
+      }
+      assert(fullMsg(eChk).contains("CHECK constraint"), fullMsg(eChk))
+      assert(tbl.committedVersions == Seq(1, 2),
+        "a CHECK-violating REPLACE WHERE must not commit")
     }
   }
 
