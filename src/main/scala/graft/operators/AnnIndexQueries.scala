@@ -406,24 +406,13 @@ object AnnIndexPq {
       probes: DataFrame, k: Int = 5,
       nprobe: Int = SketchQueries.DefaultIvfProbes,
       rerank: Int = Rerank): DataFrame = {
-    import spark.implicits._
     val idx = table(spark, root)
     val v = idx.committedVersions.max
     val indexed = AnnIndex.indexedCorpusVersion(idx)
     val latestV = corpus.committedVersions.max
     val cents = AnnIndex.loadModel(spark, root)
     val cb = loadCodebook(spark, root)
-    val normTab = graft.functions.Pq.normTable(cb).map(_.toSeq).toSeq
-    // per-query ADC dot tables: M x K doubles of driver-computed model
-    // state riding the broadcast probe rows (q46c's shape); the query
-    // vector itself stays exact
-    val qrows = probes.select("vec_id", "embedding").collect().map { r =>
-      val q = r.getSeq[Float](1).toArray
-      (r.getLong(0), q.toSeq,
-        graft.functions.Pq.dotTable(q, cb).map(_.toSeq).toSeq,
-        math.sqrt(q.map(x => x.toDouble * x).sum))
-    }.toSeq
-    val qdf = qrows.toDF("qid", "qe", "qtab", "qnorm")
+    val qdf = adcQueryRows(spark, probes, cb)
     val probed = qdf.select(col("qid"), col("qtab"), col("qnorm"),
         posexplode(slice(SketchQueries.cellScores(cents,
           AnnIndex.dv(col("qe"))), 1, nprobe)))
@@ -432,6 +421,42 @@ object AnnIndexPq {
     val cells = probed.select("cell").distinct().collect()
       .map(_.getLong(0)).sorted.toSeq
     val files = cells.flatMap(c => idx.prune(v, c, c)._1).distinct
+    val joined =
+      if (files.isEmpty) None
+      else Some(idx.readAsOf(v, files).join(broadcast(probed), Seq("cell")))
+    searchCodedTail(spark, corpus, qdf, joined, cb, indexed, latestV,
+      k, rerank)
+  }
+
+  /** Per-query ADC state: (qid, qe, qtab, qnorm) — the M x K dot
+    * tables are driver-computed model state riding the broadcast probe
+    * rows (q46c's shape); the query vector itself stays exact. Shared
+    * by [[search]] and [[AnnIndexSrp]]'s codes-only storage. */
+  private[operators] def adcQueryRows(spark: SparkSession,
+      probes: DataFrame, cb: Array[Array[Array[Float]]]): DataFrame = {
+    import spark.implicits._
+    probes.select("vec_id", "embedding").collect().map { r =>
+      val q = r.getSeq[Float](1).toArray
+      (r.getLong(0), q.toSeq,
+        graft.functions.Pq.dotTable(q, cb).map(_.toSeq).toSeq,
+        math.sqrt(q.map(x => x.toDouble * x).sum))
+    }.toSeq.toDF("qid", "qe", "qtab", "qnorm")
+  }
+
+  /** The ADC-shortlist + fresh-segment + exact-rerank tail every
+    * codes-only index shares ([[search]]'s IVF cells and
+    * [[AnnIndexSrp]]'s LSH buckets differ only in probe geometry):
+    * `joined` is the probed index rows joined with their query's ADC
+    * state — columns (qid, qtab, qnorm, nid, code, iv, dead) — or None
+    * when zero files were probed. Generation dedup runs BEFORE the ADC
+    * ranking; the top-`rerank` shortlist is driver planning state
+    * whose exact-cosine fetch is [[GraftTable.pruneIn]]-planned. */
+  private[operators] def searchCodedTail(spark: SparkSession,
+      corpus: GraftTable, qdf: DataFrame, joined: Option[DataFrame],
+      cb: Array[Array[Array[Float]]], indexed: Int, latestV: Int,
+      k: Int, rerank: Int): DataFrame = {
+    import spark.implicits._
+    val normTab = graft.functions.Pq.normTable(cb).map(_.toSeq).toSeq
     def lookupSum(tab: Column): Column =
       aggregate(zip_with(col("code"), tab,
         (c, row) => element_at(row, c + 1)), lit(0.0), (acc, x) => acc + x)
@@ -439,11 +464,10 @@ object AnnIndexPq {
       .orderBy(col("iv").desc, col("dead").asc)
     val adcW = Window.partitionBy("qid")
       .orderBy(col("adc").desc, col("nid"))
-    val short0 =
-      if (files.isEmpty) spark.emptyDataFrame
+    val short0 = joined match {
+      case None => spark.emptyDataFrame
         .withColumn("qid", lit(0L)).withColumn("nid", lit(0L)).limit(0)
-      else idx.readAsOf(v, files)
-        .join(broadcast(probed), Seq("cell"))
+      case Some(j) => j
         .filter(col("qid") =!= col("nid"))
         // generation dedup BEFORE the ranking: a superseded row or
         // tombstone must never crowd the shortlist
@@ -455,6 +479,7 @@ object AnnIndexPq {
         .withColumn("arn", row_number().over(adcW))
         .filter(col("arn") <= rerank)
         .select(col("qid"), col("nid"))
+    }
     // fresh segment: changes newer than the indexed version
     val (shortDistributed, fresh) =
       if (latestV <= indexed) (short0, None)
@@ -519,7 +544,11 @@ object AnnIndexPq {
   * file-prune any probed bucket), rows (bkey, nid, embedding, iv,
   * dead) — each vector writes one row per hash table (T× rows, the
   * standard LSH storage trade; the data-oblivious family needs no
-  * training at all, so build is ONE map-only scan). The (tables, bits,
+  * training at all, so build is ONE map-only scan). `build(storage =
+  * "pq")` (SURVEY row 113) swaps the vector payload for M int codes
+  * and routes search through the shared [[AnnIndexPq.searchCodedTail]]
+  * — cancelling the T× multiplier in bytes at row-108's memory
+  * shape. The (tables, bits,
   * probes) geometry freezes at build in `root/srp_params` — mixing
   * geometries would make old rows unreachable.
   *
@@ -538,6 +567,7 @@ object AnnIndexPq {
 object AnnIndexSrp {
 
   private def paramsPath(root: String): String = s"$root/srp_params"
+  private def cbPath(root: String): String = s"$root/codebook"
 
   /** The SRP index table handle — keyed by the combined bucket key (the
     * probe dimension), with `nid` a declared stats column like the
@@ -546,38 +576,73 @@ object AnnIndexSrp {
     GraftTable(spark, s"$root/idx_data", s"$root/idx_man", "bkey",
       statsCols = Seq("nid"))
 
-  /** The frozen (tables, bits, probes) geometry. */
-  def loadParams(spark: SparkSession, root: String): (Int, Int, Int) = {
+  /** The frozen (tables, bits, probes, storage) geometry. */
+  def loadParams(spark: SparkSession, root: String)
+      : (Int, Int, Int, String) = {
     val r = spark.read.parquet(paramsPath(root)).head
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3))
   }
 
-  private def encode(tables: Int, bits: Int, e: DataFrame, iv: Int,
-      dead: Boolean): DataFrame = {
+  private def bucketed(tables: Int, bits: Int, e: DataFrame): DataFrame = {
     import graft.functions.TextHashExprs.srp_buckets
     e.select(col("vec_id").as("nid"), col("embedding"),
         posexplode(srp_buckets(col("embedding"), tables, bits))
           .as(Seq("tbl", "bucket")))
-      .select(
-        (col("tbl").cast("long") * (1L << bits) + col("bucket"))
-          .as("bkey"),
-        col("nid"), col("embedding"),
-        lit(iv.toLong).as("iv"), lit(dead).as("dead"))
+      .withColumn("bkey",
+        col("tbl").cast("long") * (1L << bits) + col("bucket"))
+  }
+
+  /** Row encoding per storage mode: `vector` rows carry the embedding
+    * (exact scores straight from the index); `pq` rows carry M int
+    * codes (the row-108 memory shape — here it also cancels LSH's
+    * T-rows-per-vector storage multiplier). */
+  private def encode(tables: Int, bits: Int, storage: String,
+      cb: => Array[Array[Array[Float]]], e: DataFrame, iv: Int,
+      dead: Boolean): DataFrame = {
+    val b = bucketed(tables, bits, e)
+    val payload =
+      if (storage == "pq")
+        graft.functions.PqExprs.pq_encode(col("embedding"), cb).as("code")
+      else col("embedding")
+    b.select(col("bkey"), col("nid"), payload,
+      lit(iv.toLong).as("iv"), lit(dead).as("dead"))
   }
 
   /** Build (or REBUILD/compact) the SRP index over corpus snapshot
-    * `corpusV`: NO training — one map-only bucket scan (T rows per
-    * vector), bkey-clustered so every probed bucket file-prunes.
+    * `corpusV`: one map-only bucket scan (T rows per vector),
+    * bkey-clustered so every probed bucket file-prunes. `storage =
+    * "vector"` (default) needs NO training; `storage = "pq"` trains
+    * codebooks on a bounded deterministic sample (frozen thereafter)
+    * and stores M int codes per row instead of the vector — rows
+    * 108+111 composed: LSH probe geometry over codes-only storage,
+    * with the exact rerank fetching current vectors through pruneIn.
     * Destructive by contract, like [[GraftTable.create]]. */
   def build(spark: SparkSession, corpus: GraftTable, corpusV: Int,
       root: String, nParts: Int = 4,
       tables: Int = graft.functions.TextHash.SrpTables,
       bits: Int = graft.functions.TextHash.SrpTableBits,
-      probes: Int = graft.functions.TextHash.SrpProbes): GraftTable = {
+      probes: Int = graft.functions.TextHash.SrpProbes,
+      storage: String = "vector"): GraftTable = {
     import spark.implicits._
+    require(storage == "vector" || storage == "pq",
+      s"storage must be vector or pq; got '$storage'")
     val e = corpus.readAsOf(corpusV).select("vec_id", "embedding")
-    Seq((tables, bits, probes)).toDF("tables", "bits", "probes")
+    Seq((tables, bits, probes, storage))
+      .toDF("tables", "bits", "probes", "storage")
       .coalesce(1).write.mode("overwrite").parquet(paramsPath(root))
+    lazy val cb: Array[Array[Array[Float]]] =
+      if (storage != "pq") null
+      else {
+        val sample = e.orderBy("vec_id").limit(256)
+          .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+        val trained = graft.functions.Pq.train(sample,
+          AnnIndexPq.M, AnnIndexPq.Kw, AnnIndexPq.TrainIters)
+        trained.zipWithIndex.flatMap { case (cws, mi) =>
+          cws.zipWithIndex.map { case (cw, c) => (mi, c, cw.toSeq) }
+        }.toSeq.toDF("m", "c", "w").coalesce(1)
+          .write.mode("overwrite").parquet(cbPath(root))
+        trained
+      }
     val hconf = spark.sessionState.newHadoopConf()
     Seq(s"$root/idx_data", s"$root/idx_man").foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)
@@ -585,7 +650,8 @@ object AnnIndexSrp {
       if (fs.exists(p)) fs.delete(p, true)
     }
     val idx = table(spark, root)
-    val coded = encode(tables, bits, e, corpusV, dead = false)
+    val coded = encode(tables, bits, storage, cb, e, corpusV,
+      dead = false)
     idx.createEmpty(Some(coded.schema))
     idx.commitAppend(coded, 1, nParts, tag = Some(s"corpus_v=$corpusV"))
     idx
@@ -593,12 +659,15 @@ object AnnIndexSrp {
 
   /** Fold corpus changes into the SRP index — [[AnnIndex.refreshWith]]
     * with the bucket encoding (T rows per churn vector; tombstones
-    * into the OLD vector's buckets). Returns churn VECTORS. */
+    * into the OLD vector's buckets), codes or vectors per the frozen
+    * storage mode. Returns churn VECTORS. */
   def refresh(spark: SparkSession, corpus: GraftTable, toV: Int,
       root: String, nParts: Int = 2): Long = {
     lazy val p = loadParams(spark, root)
+    lazy val cb =
+      if (p._4 == "pq") AnnIndexPq.loadCodebook(spark, root) else null
     AnnIndex.refreshWith(spark, corpus, toV, table(spark, root), nParts,
-      (e, iv, dead) => encode(p._1, p._2, e, iv, dead))
+      (e, iv, dead) => encode(p._1, p._2, p._4, cb, e, iv, dead))
   }
 
   /** Probe the persisted SRP index: top-`k` exact-cosine neighbors of
@@ -606,13 +675,36 @@ object AnnIndexSrp {
     * ONLY the probed bkeys' files + the O(churn) un-indexed change
     * feed. See the object doc for the tombstone-placement argument. */
   def search(spark: SparkSession, corpus: GraftTable, root: String,
-      probes: DataFrame, k: Int = 5): DataFrame = {
+      probes: DataFrame, k: Int = 5,
+      rerank: Int = AnnIndexPq.Rerank): DataFrame = {
     import graft.functions.TextHashExprs.srp_probe_buckets
     val idx = table(spark, root)
     val v = idx.committedVersions.max
     val indexed = AnnIndex.indexedCorpusVersion(idx)
     val latest = corpus.committedVersions.max
-    val (tables, bits, nprobe) = loadParams(spark, root)
+    val (tables, bits, nprobe, storage) = loadParams(spark, root)
+    if (storage == "pq") {
+      // codes-only rows: LSH probe geometry, then the shared
+      // ADC-shortlist + pruneIn exact-rerank tail (rows 108+111)
+      val cb = AnnIndexPq.loadCodebook(spark, root)
+      val qdf = AnnIndexPq.adcQueryRows(spark, probes, cb)
+      val probed = qdf.select(col("qid"), col("qtab"), col("qnorm"),
+          posexplode(srp_probe_buckets(
+            transform(col("qe"), x => x.cast("float")), tables, bits,
+            nprobe)).as(Seq("pidx", "bucket")))
+        .select(col("qid"), col("qtab"), col("qnorm"),
+          ((col("pidx") / lit(nprobe)).cast("long") * (1L << bits) +
+            col("bucket")).as("bkey"))
+      val bkeys = probed.select("bkey").distinct().collect()
+        .map(_.getLong(0)).sorted.toSeq
+      val (files, _) = idx.pruneIn(v, idx.key, bkeys)
+      val joined =
+        if (files.isEmpty) None
+        else Some(idx.readAsOf(v, files)
+          .join(broadcast(probed), Seq("bkey")))
+      return AnnIndexPq.searchCodedTail(spark, corpus, qdf, joined, cb,
+        indexed, latest, k, rerank)
+    }
     val qonly = probes
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val probed = probes

@@ -165,6 +165,23 @@ class AnnIndexSpec extends TestBase {
       assert(pairs(AnnIndex.search(spark, corpus, root,
         e.filter(col("vec_id") < 10), k = 5, nprobe = 2)) == beforeOpt,
         "OPTIMIZE must not change search results")
+
+      // ---- VACUUM to the latest index version: the corpus_v tags of
+      // the EXPIRED versions survive through the tag ledger, so the
+      // covered-version bookkeeping (and thus refresh idempotence and
+      // the fresh-segment boundary) is vacuum-proof
+      val latest = idx.committedVersions.max
+      idx.vacuum(latest, latest)
+      assert(idx.committedVersions == Seq(latest),
+        "vacuum must expire the old index versions")
+      assert(AnnIndex.indexedCorpusVersion(idx) == coveredBefore,
+        "corpus_v provenance must survive vacuum via the tag ledger")
+      assert(pairs(AnnIndex.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5, nprobe = 2)) == beforeOpt,
+        "search must be unchanged after index vacuum")
+      assert(AnnIndex.refresh(spark, corpus,
+        corpus.committedVersions.max, root) == 0L,
+        "refresh must stay a no-op after vacuum (covered version known)")
     } finally { e.unpersist(); () }
   }
 }

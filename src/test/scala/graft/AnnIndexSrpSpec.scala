@@ -27,9 +27,9 @@ class AnnIndexSrpSpec extends TestBase {
       val idx = AnnIndexSrp.build(spark, corpus, 1, root)
       assert(AnnIndex.indexedCorpusVersion(idx) == 1)
       assert(AnnIndexSrp.loadParams(spark, root) ==
-        (graft.functions.TextHash.SrpTables,
+        ((graft.functions.TextHash.SrpTables,
           graft.functions.TextHash.SrpTableBits,
-          graft.functions.TextHash.SrpProbes))
+          graft.functions.TextHash.SrpProbes, "vector")))
 
       // one row per (vector, table)
       val v0 = idx.committedVersions.max
@@ -134,6 +134,65 @@ class AnnIndexSrpSpec extends TestBase {
       // refresh covering an already-covered version is a no-op
       assert(AnnIndexSrp.refresh(spark, corpus,
         corpus.committedVersions.max, root) == 0L)
+    } finally { e.unpersist(); () }
+  }
+
+  test("SRP index with PQ storage: codes-only rows, shared ADC+rerank tail, live maintenance") {
+    val root = java.nio.file.Files.createTempDirectory("graft_srppq").toString
+    val e = TestBase.clusteredEmbeddings(spark).cache()
+    try {
+      val corpus = GraftTable(spark, s"$root/corpus_data",
+        s"$root/corpus_man", "vec_id")
+      corpus.create(e.filter(col("vec_id") < 450), 4)
+      val idx = AnnIndexSrp.build(spark, corpus, 1, root, storage = "pq")
+      assert(AnnIndexSrp.loadParams(spark, root)._4 == "pq")
+
+      // codes-only: no float-array column anywhere; M int codes per row,
+      // one row per (vector, table) — rows 108+111 composed, which also
+      // cancels LSH's T-rows-per-vector storage multiplier in bytes
+      val v0 = idx.committedVersions.max
+      val idxDf = idx.readAsOf(v0)
+      assert(!idxDf.schema.exists(f => f.dataType.isInstanceOf[
+        org.apache.spark.sql.types.ArrayType] &&
+        f.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+          .elementType == org.apache.spark.sql.types.FloatType),
+        s"PQ-stored SRP index must carry no vectors: ${idxDf.schema.simpleString}")
+      assert(idxDf.select(size(col("code"))).distinct().collect()
+        .map(_.getInt(0)).toSet == Set(graft.operators.AnnIndexPq.M))
+      assert(idxDf.count() ==
+        450L * graft.functions.TextHash.SrpTables)
+
+      // recall through the shared ADC + pruneIn-rerank tail
+      val exactBase = TestBase.exactTopK(e.filter(col("vec_id") < 450), 10, 5)
+      def got() = AnnIndexSrp.search(spark, corpus, root,
+          e.filter(col("vec_id") < 10), k = 5, rerank = 60)
+        .select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = exactBase.intersect(got()).size.toDouble / exactBase.size
+      info(s"SRP+PQ persisted-index recall (base corpus): $recall")
+      assert(recall >= 0.9, s"recall $recall")
+
+      // maintenance through the shared skeleton: append + refresh with
+      // frozen codebooks, then a delete drops out post-fold
+      val cbBefore = spark.read.parquet(s"$root/codebook")
+        .collect().map(_.toString).sorted.toSeq
+      corpus.commitAppend(e.filter(col("vec_id") >= 450), 1, 2)
+      assert(AnnIndexSrp.refresh(spark, corpus, 2, root) == 50L)
+      assert(spark.read.parquet(s"$root/codebook")
+        .collect().map(_.toString).sorted.toSeq == cbBefore,
+        "refresh must never retrain the codebooks")
+      val exactFull = TestBase.exactTopK(e, 10, 5)
+      val recallFull = exactFull.intersect(got()).size.toDouble /
+        exactFull.size
+      info(s"SRP+PQ persisted-index recall (post-refresh): $recallFull")
+      assert(recallFull >= 0.9, s"post-refresh recall $recallFull")
+      val victim = got().head._2
+      assert(corpus.commitDelete(
+        Seq(org.apache.spark.sql.sources.EqualTo("vec_id", victim)),
+        corpus.committedVersions.max, 2) == 1L)
+      AnnIndexSrp.refresh(spark, corpus, corpus.committedVersions.max, root)
+      assert(!got().exists(_._2 == victim),
+        "a folded delete must tombstone its index entries")
     } finally { e.unpersist(); () }
   }
 }
