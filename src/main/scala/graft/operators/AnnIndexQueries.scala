@@ -319,8 +319,14 @@ object AnnIndexPq {
   val Kw = 16
   val TrainIters = 3
   /** ADC orders coarsely (8-code sketches); the exact-rerank shortlist
-    * is 6x the final k — q46c's measured operating point. */
-  val Rerank = 30
+    * width is the recall knob. The PERSISTED index defaults to 12x the
+    * final k — the operating point AnnIndexPqSpec validates (recall
+    * 1.0 on the clustered fixture; 30 measured 0.88/0.78) and exactly
+    * what the spec gates, so default == gated. The rerank fetch is
+    * pruneIn-planned either way, so the extra 30 ids per query cost
+    * O(ids), not a scan. (q46c's per-query pipeline keeps its own
+    * R=30 — SketchQueries.PqRerank — with its own gate.) */
+  val Rerank = 60
 
   private def cbPath(root: String): String = s"$root/codebook"
 

@@ -683,6 +683,38 @@ class GraftCatalogSpec extends TestBase {
     }
   }
 
+  test("REPLACE WHERE over deletion-vector files never resurrects masked rows") {
+    withExtSession { s =>
+      val root = freshRoot()
+      import s.implicits._
+      val tbl = GraftTable(s, s"$root/data", s"$root/man", "id")
+      tbl.create((1L to 1000L).map(i => (i, i)).toDF("id", "v"), 8)
+      // MoR-mask one row OUTSIDE the replace predicate but (by the 8-way
+      // range clustering) inside an IMPACTED file: the survivor rewrite
+      // reads MoR, so the masked row must not come back to life
+      assert(tbl.commitDeleteMor(
+        Seq(org.apache.spark.sql.sources.EqualTo("id", 220L)),
+        col("id") === 220L, 1) == 1L)
+      s.conf.set("spark.sql.catalog.gm", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gm.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gm.db")
+      s.sql(s"CREATE TABLE gm.db.t USING graft OPTIONS (man '$root/man')")
+      (101L to 200L).filter(_ % 2 == 0).map(i => (i, i * 1000))
+        .toDF("id", "v").writeTo("gm.db.t")
+        .overwrite(col("id").between(101L, 200L))
+      assert(s.sql("SELECT count(*) AS c FROM gm.db.t WHERE id = 220")
+        .head.getLong(0) == 0L,
+        "a DV-masked row in an impacted file must not resurrect")
+      // 1000 - 1 (masked 220) - 100 (replaced range) + 50 (replacement)
+      assert(s.sql("SELECT count(*) AS c FROM gm.db.t").head.getLong(0)
+        == 949L)
+      assert(s.sql(
+        "SELECT CAST(sum(v) AS BIGINT) AS c FROM gm.db.t " +
+          "WHERE id BETWEEN 101 AND 200").head.getLong(0)
+        == (101L to 200L).filter(_ % 2 == 0).map(_ * 1000).sum)
+    }
+  }
+
   test("a crashed half-create (registered name, no props, no versions) is adopted") {
     withExtSession { s =>
       val root = freshRoot()
