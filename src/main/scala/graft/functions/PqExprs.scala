@@ -98,6 +98,24 @@ object Pq {
       }
     }
   }
+
+  /** The ONE ADC cosine expression — Σ_m qtab[m][code[m]] over the
+    * guarded norm — shared by the per-query PQ pipeline (q46c) and the
+    * persisted codes-only indexes, so a fix to the formula (or the
+    * NaN guard: a degenerate all-zero codebook would yield 0 → NaN,
+    * and Spark sorts NaN ABOVE all doubles descending, crowding any
+    * shortlist with garbage) can never apply to one and not the
+    * other. All codegen'd HOFs, no UDF. `normTab` is
+    * [[normTable]]'s rows as Seq (a `typedlit` literal). */
+  def adcCosine(code: Column, qtab: Column, qnorm: Column,
+      normTab: Seq[Seq[Double]]): Column = {
+    import org.apache.spark.sql.functions._
+    def lookupSum(tab: Column): Column =
+      aggregate(zip_with(code, tab,
+        (c, row) => element_at(row, c + 1)), lit(0.0), (acc, x) => acc + x)
+    lookupSum(qtab) /
+      greatest(qnorm * sqrt(lookupSum(typedlit(normTab))), lit(1e-12))
+  }
 }
 
 object PqExprs {

@@ -232,7 +232,11 @@ object AnnIndex {
     // planning state, exactly like the manifest rows it prunes against
     val cells = probed.select("cell").distinct().collect()
       .map(_.getLong(0)).sorted.toSeq
-    val files = cells.flatMap(c => idx.prune(v, c, c)._1).distinct
+    // ONE manifest pass plans every probed cell (boxes AND blooms —
+    // the shared pruneIn planner); zero probes is a legal empty search
+    val files =
+      if (cells.isEmpty) Seq.empty[String]
+      else idx.pruneIn(v, idx.key, cells)._1
     val emptyCands = qonly.select(col("qid"), col("qe"),
       col("qid").as("nid"), col("qe").as("ne")).limit(0)
     // per-(query, nid) generation resolution: highest iv wins; at equal
@@ -426,7 +430,11 @@ object AnnIndexPq {
         (col("col.ncid") * -1).cast("long").as("cell"))
     val cells = probed.select("cell").distinct().collect()
       .map(_.getLong(0)).sorted.toSeq
-    val files = cells.flatMap(c => idx.prune(v, c, c)._1).distinct
+    // ONE manifest pass plans every probed cell (boxes AND blooms —
+    // the shared pruneIn planner); zero probes is a legal empty search
+    val files =
+      if (cells.isEmpty) Seq.empty[String]
+      else idx.pruneIn(v, idx.key, cells)._1
     val joined =
       if (files.isEmpty) None
       else Some(idx.readAsOf(v, files).join(broadcast(probed), Seq("cell")))
@@ -463,9 +471,6 @@ object AnnIndexPq {
       k: Int, rerank: Int): DataFrame = {
     import spark.implicits._
     val normTab = graft.functions.Pq.normTable(cb).map(_.toSeq).toSeq
-    def lookupSum(tab: Column): Column =
-      aggregate(zip_with(col("code"), tab,
-        (c, row) => element_at(row, c + 1)), lit(0.0), (acc, x) => acc + x)
     val genW = Window.partitionBy("qid", "nid")
       .orderBy(col("iv").desc, col("dead").asc)
     val adcW = Window.partitionBy("qid")
@@ -479,9 +484,8 @@ object AnnIndexPq {
         // tombstone must never crowd the shortlist
         .withColumn("__g", row_number().over(genW))
         .filter(col("__g") === 1 && !col("dead"))
-        .withColumn("adc", lookupSum(col("qtab")) /
-          greatest(col("qnorm") * sqrt(lookupSum(typedlit(normTab))),
-            lit(1e-12)))
+        .withColumn("adc", graft.functions.Pq.adcCosine(col("code"),
+          col("qtab"), col("qnorm"), normTab))
         .withColumn("arn", row_number().over(adcW))
         .filter(col("arn") <= rerank)
         .select(col("qid"), col("nid"))
@@ -703,7 +707,9 @@ object AnnIndexSrp {
             col("bucket")).as("bkey"))
       val bkeys = probed.select("bkey").distinct().collect()
         .map(_.getLong(0)).sorted.toSeq
-      val (files, _) = idx.pruneIn(v, idx.key, bkeys)
+      val files =
+        if (bkeys.isEmpty) Seq.empty[String]
+        else idx.pruneIn(v, idx.key, bkeys)._1
       val joined =
         if (files.isEmpty) None
         else Some(idx.readAsOf(v, files)
@@ -724,7 +730,11 @@ object AnnIndexSrp {
     // planning state; ONE manifest pass prunes them all
     val bkeys = probed.select("bkey").distinct().collect()
       .map(_.getLong(0)).sorted.toSeq
-    val (files, _) = idx.pruneIn(v, idx.key, bkeys)
+    // zero probe rows -> zero buckets is a legal empty search, not a
+    // pruneIn misuse
+    val files =
+      if (bkeys.isEmpty) Seq.empty[String]
+      else idx.pruneIn(v, idx.key, bkeys)._1
     val emptyCands = qonly.select(col("qid"), col("qe"),
       col("qid").as("nid"), col("qe").as("ne")).limit(0)
     val genW = Window.partitionBy("qid", "nid")

@@ -261,46 +261,32 @@ object SketchQueries {
   private def q46cBody(s: SparkSession, e: DataFrame,
       cents: Seq[(Int, Seq[Double])], cb: Array[Array[Array[Float]]],
       coded: DataFrame): DataFrame = {
-    import s.implicits._
     import graft.functions.Pq
     val normTab = Pq.normTable(cb).map(_.toSeq).toSeq
     def dv(c: Column): Column = transform(c, x => x.cast("double"))
 
     // queries: ADC dot tables are per-query model state (M×K doubles),
     // computed with the driver-resident codebook on the tiny broadcast
-    // side — the query vector itself stays exact
+    // side — the query vector itself stays exact (the ONE shared
+    // query-row prep, AnnIndexPq.adcQueryRows)
     val nprobe = ivfProbes(s)
-    val qrows = e.filter(col("vec_id") < 10)
-      .select("vec_id", "embedding").collect().map { r =>
-        val q = r.getSeq[Float](1).toArray
-        (r.getLong(0), q.toSeq,
-          Pq.dotTable(q, cb).map(_.toSeq).toSeq,
-          math.sqrt(q.map(x => x.toDouble * x).sum))
-      }.toSeq
-    val probes = qrows.toDF("qid", "qe", "qtab", "qnorm")
+    val probes = AnnIndexPq
+      .adcQueryRows(s, e.filter(col("vec_id") < 10), cb)
       .select(col("qid"), col("qe"), col("qtab"), col("qnorm"),
         posexplode(slice(cellScores(cents, dv(col("qe"))), 1, nprobe)))
       .select(col("qid"), col("qe"), col("qtab"), col("qnorm"),
         (col("col.ncid") * -1).as("cell"))
 
-    // ADC cosine: dot(q, reconstruction) = Σ_m qtab[m][code[m]];
+    // ADC cosine: the ONE shared guarded expression (Pq.adcCosine) —
+    // dot(q, reconstruction) = Σ_m qtab[m][code[m]];
     // ‖reconstruction‖² = Σ_m normTab[m][code[m]] (exact — subspace
     // concatenation is orthogonal); all codegen'd HOFs, no UDF
-    def lookupSum(tab: Column): Column =
-      aggregate(zip_with(col("code"), tab,
-        (c, row) => element_at(row, c + 1)), lit(0.0), (acc, v) => acc + v)
     val adcW = Window.partitionBy("qid")
       .orderBy(col("adc").desc, col("nid"))
     val shortlist = coded.join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
-      // denominator guarded: a degenerate codebook (all-zero codewords
-      // from constant sample vectors) would yield 0 -> NaN, and Spark
-      // sorts NaN ABOVE all doubles descending — garbage candidates
-      // would silently crowd the rerank shortlist
-      .withColumn("adc",
-        lookupSum(col("qtab")) /
-          greatest(col("qnorm") * sqrt(lookupSum(typedlit(normTab))),
-            lit(1e-12)))
+      .withColumn("adc", Pq.adcCosine(col("code"), col("qtab"),
+        col("qnorm"), normTab))
       .withColumn("arn", row_number().over(adcW))
       .filter(col("arn") <= PqRerank)
       .select("qid", "qe", "nid")

@@ -1998,6 +1998,29 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         s"${base.simpleString}, proposed ${widened.simpleString}")
     require(widened.fields.drop(base.length).forall(_.nullable),
       "added columns must be nullable — existing files backfill NULL")
+    // the NULL-backfill contract must hold PHYSICALLY, not just in
+    // metadata: after a metadata-only DROP COLUMN the bytes are still
+    // in the old files, and because parquet matches columns by NAME a
+    // re-add of the same name would silently RESURRECT the dropped
+    // data (or crash every scan on a type change) instead of reading
+    // NULL — the failure column mapping exists to prevent in Delta.
+    // One footer-union pass over the live files (ALTER-time only)
+    // catches it exactly; once rewrites + vacuum have purged the old
+    // files the same name becomes legal again automatically.
+    val live = files(prevV)
+    if (live.nonEmpty) {
+      val physical = spark.read.option("mergeSchema", "true")
+        .parquet(live: _*).schema.fieldNames
+      val resolver = spark.sessionState.conf.resolver
+      widened.fields.drop(base.length).foreach { f =>
+        require(!physical.exists(resolver(_, f.name)),
+          s"cannot add column '${f.name}': a previously dropped column " +
+            "of that name is still physically present in this table's " +
+            "files and would resurrect its old values instead of " +
+            "reading NULL — rewrite the files first (OPTIMIZE ZORDER " +
+            "or a COW rewrite, then VACUUM) or pick a different name")
+      }
+    }
     if (!tryCommitManifest(manifest(prevV), prevV + 1, noData = true,
         schemaDdl = Some(widened.toDDL)))
       throw new java.util.ConcurrentModificationException(

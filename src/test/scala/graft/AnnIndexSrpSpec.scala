@@ -134,6 +134,11 @@ class AnnIndexSrpSpec extends TestBase {
       // refresh covering an already-covered version is a no-op
       assert(AnnIndexSrp.refresh(spark, corpus,
         corpus.committedVersions.max, root) == 0L)
+
+      // an EMPTY probe set is a legal empty search, not a crash —
+      // parity with the sibling indexes
+      assert(AnnIndexSrp.search(spark, corpus, root,
+        e.filter(col("vec_id") < 0)).count() == 0L)
     } finally { e.unpersist(); () }
   }
 

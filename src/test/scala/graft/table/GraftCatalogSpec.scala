@@ -616,6 +616,15 @@ class GraftCatalogSpec extends TestBase {
       s.sql("ALTER TABLE gd.db.t UNSET TBLPROPERTIES ('check.vpos')")
       s.sql("ALTER TABLE gd.db.t DROP COLUMN v")
       assert(s.table("gd.db.t").columns.toSeq == Seq("id", "grp"))
+      // re-ADDing a dropped name while its bytes are still physically
+      // present would RESURRECT the old values (parquet matches by
+      // name) — refused loudly until a rewrite purges the files; a
+      // genuinely new name still adds fine
+      val eRes = intercept[Exception] {
+        s.sql("ALTER TABLE gd.db.t ADD COLUMN junk STRING") }
+      assert(fullMsg(eRes).contains("resurrect"), fullMsg(eRes))
+      s.sql("ALTER TABLE gd.db.t ADD COLUMN fresh STRING")
+      assert(s.table("gd.db.t").columns.toSeq == Seq("id", "grp", "fresh"))
       // CDC straddling the drops speaks the DESTINATION schema (the
       // Delta CDF rule): the dropped columns must not leak into the
       // feed, and the post-drop append classifies as an insert
