@@ -241,4 +241,48 @@ class TableConcurrencySpec extends TestBase {
     assert(table.committedVersions == Seq(1, 2, 3),
       "a conflicted COW DML must not commit")
   }
+
+  test("concurrent REPLACE WHERE: disjoint regions both commit through the rebase") {
+    import org.apache.spark.sql.functions.{col, sum}
+    import org.apache.spark.sql.sources.{And, GreaterThanOrEqual,
+      LessThanOrEqual}
+    val out = java.nio.file.Files.createTempDirectory("graft_rwc_data").toString
+    val man = java.nio.file.Files.createTempDirectory("graft_rwc_man").toString
+    val spark0 = spark
+    import spark0.implicits._
+    val df = (1L to 1000L).map(i => (i, i)).toDF("id", "v")
+    val table = GraftTable(spark, s"$out/d", s"$man/m", "id").create(df, 4)
+    def range(lo: Long, hi: Long) =
+      Seq(And(GreaterThanOrEqual("id", lo), LessThanOrEqual("id", hi)))
+    // both planned against v=1: A swaps the LOW region and wins v=2; B
+    // swaps the HIGH region, loses the race, sees every file it
+    // impacted intact in the winner, rebases and commits v=3 — one
+    // atomic swap each, exact combined content
+    assert(table.commitReplaceWhere(range(1L, 100L),
+      col("id").between(1L, 100L),
+      (1L to 100L).filter(_ % 2 == 0).map(i => (i, i * 100)).toDF("id", "v"),
+      1) == 100L)
+    assert(table.commitReplaceWhere(range(901L, 1000L),
+      col("id").between(901L, 1000L),
+      (901L to 1000L).filter(_ % 2 == 1).map(i => (i, -i)).toDF("id", "v"),
+      1) == 100L)
+    assert(table.committedVersions == Seq(1, 2, 3))
+    val got = table.readAsOf(3)
+    assert(got.count() == 900L, "both swaps must land exactly")
+    assert(got.filter(col("id") <= 100L).agg(sum("v")).head.getLong(0) ==
+      (1L to 100L).filter(_ % 2 == 0).map(_ * 100).sum)
+    assert(got.filter(col("id") >= 901L).agg(sum("v")).head.getLong(0) ==
+      (901L to 1000L).filter(_ % 2 == 1).map(-_).sum)
+    assert(got.filter(col("id") > 100L && col("id") < 901L)
+      .agg(sum("v")).head.getLong(0) == (101L to 900L).sum,
+      "the untouched middle must carry verbatim")
+    // an OVERLAPPING replace still planned against v=1 is stale — loud,
+    // no version burned
+    intercept[java.util.ConcurrentModificationException] {
+      table.commitReplaceWhere(range(50L, 60L),
+        col("id").between(50L, 60L),
+        Seq((55L, 0L)).toDF("id", "v"), 1)
+    }
+    assert(table.committedVersions == Seq(1, 2, 3))
+  }
 }

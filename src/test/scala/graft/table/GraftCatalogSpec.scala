@@ -616,15 +616,6 @@ class GraftCatalogSpec extends TestBase {
       s.sql("ALTER TABLE gd.db.t UNSET TBLPROPERTIES ('check.vpos')")
       s.sql("ALTER TABLE gd.db.t DROP COLUMN v")
       assert(s.table("gd.db.t").columns.toSeq == Seq("id", "grp"))
-      // re-ADDing a dropped name while its bytes are still physically
-      // present would RESURRECT the old values (parquet matches by
-      // name) — refused loudly until a rewrite purges the files; a
-      // genuinely new name still adds fine
-      val eRes = intercept[Exception] {
-        s.sql("ALTER TABLE gd.db.t ADD COLUMN junk STRING") }
-      assert(fullMsg(eRes).contains("resurrect"), fullMsg(eRes))
-      s.sql("ALTER TABLE gd.db.t ADD COLUMN fresh STRING")
-      assert(s.table("gd.db.t").columns.toSeq == Seq("id", "grp", "fresh"))
       // CDC straddling the drops speaks the DESTINATION schema (the
       // Delta CDF rule): the dropped columns must not leak into the
       // feed, and the post-drop append classifies as an insert
@@ -634,6 +625,27 @@ class GraftCatalogSpec extends TestBase {
         s"dropped columns leaked into the change feed: ${feed.columns.toSeq}")
       assert(feed.filter(col("op") === "insert")
         .select("id").collect().map(_.getLong(0)).toSet == Set(101L))
+      // re-ADDing a dropped name while its bytes are still physically
+      // present would RESURRECT the old values (parquet matches by
+      // name) — refused loudly until a rewrite purges the files; a
+      // genuinely new name still adds fine
+      val eRes = intercept[Exception] {
+        s.sql("ALTER TABLE gd.db.t ADD COLUMN junk STRING") }
+      assert(fullMsg(eRes).contains("resurrect"), fullMsg(eRes))
+      s.sql("ALTER TABLE gd.db.t ADD COLUMN fresh STRING")
+      assert(s.table("gd.db.t").columns.toSeq == Seq("id", "grp", "fresh"))
+      // a REWRITE physically purges the dropped bytes (REORG PURGE for
+      // free: OPTIMIZE re-stages through the recorded schema) — and
+      // with the bytes gone, the once-blocked name becomes legal again
+      tbl.commitCompaction(tbl.committedVersions.max, 64L << 20)
+      val phys = s.read.option("mergeSchema", "true")
+        .parquet(tbl.files(tbl.committedVersions.max): _*)
+        .schema.fieldNames.toSet
+      assert(!phys.contains("junk") && !phys.contains("v"),
+        s"rewrite must purge dropped columns physically: $phys")
+      s.sql("ALTER TABLE gd.db.t ADD COLUMN junk STRING")
+      assert(s.table("gd.db.t").columns.toSeq ==
+        Seq("id", "grp", "fresh", "junk"))
     }
   }
 
