@@ -690,16 +690,29 @@ class GraftCatalogSpec extends TestBase {
       assert(fullMsg(eBad).contains("do not satisfy"), fullMsg(eBad))
       assert(tbl.committedVersions == Seq(1, 2),
         "a rejected REPLACE WHERE must not commit")
+      // a predicate matching NOTHING degrades to a validated append:
+      // every existing file carries verbatim, no survivor re-staging
+      val preFiles = tbl.files(tbl.committedVersions.max).toSet
+      Seq((5001L, 5001L)).toDF("id", "v").writeTo("gw.db.t")
+        .overwrite(col("id") === 5001L)
+      val postFiles = tbl.files(tbl.committedVersions.max).toSet
+      assert(preFiles.subsetOf(postFiles) &&
+        (postFiles -- preFiles).nonEmpty,
+        "a no-match REPLACE WHERE must append without rewriting")
+      assert(s.sql("SELECT count(*) AS c FROM gw.db.t").head.getLong(0)
+        == 951L)
+      s.sql("DELETE FROM gw.db.t WHERE id = 5001")
       // CHECK constraints hold on the replacement rows too: the stats
       // scan validates staged files on every commit path, this one
       // included
       s.sql("ALTER TABLE gw.db.t SET TBLPROPERTIES ('check.vpos' = 'v >= 0')")
+      val vsBefore = tbl.committedVersions
       val eChk = intercept[Exception] {
         Seq((7L, -7L)).toDF("id", "v").writeTo("gw.db.t")
           .overwrite(col("id") === 7L)
       }
       assert(fullMsg(eChk).contains("CHECK constraint"), fullMsg(eChk))
-      assert(tbl.committedVersions == Seq(1, 2),
+      assert(tbl.committedVersions == vsBefore,
         "a CHECK-violating REPLACE WHERE must not commit")
     }
   }
