@@ -4,7 +4,7 @@ import graft.Tables
 import graft.functions.Det.dround
 import graft.functions.TextHash
 import graft.functions.VectorExprs.cosine_similarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for the training-data pipeline (SURVEY.md §2B
@@ -413,9 +413,10 @@ object DedupQueries {
   // without computing connected components). The pair plan is q44's
   // block-partitioned join (each id joins only its triangular block
   // pairs — never an all-pairs broadcast), so the same plan that
-  // detects near-dups at 100 TB also decides them; at that scale you
-  // would scope the pair join by a persisted-index cell (row 107) to
-  // cut the candidate quadratic — the decision rule is unchanged.
+  // detects near-dups also decides them; this exact form is the ORACLE
+  // ANCHOR — the 100 TB path is q142b below, which scopes the pair join
+  // by IVF cell (row 107's frozen model) with the decision rule
+  // unchanged and gates against this query's exact semantics.
   // Output: per-label survivor census (count + id-sum), hash-matched
   // against DuckDB computing the same relational algebra. ----
   val q142_semantic_dedup: Q = (s, dir) => {
@@ -444,6 +445,104 @@ object DedupQueries {
       .orderBy("label")
   }
 
+  // ---- 142b. CELL-SCOPED semantic dedup — row 112's 100 TB path.
+  // q142's decision rule over a candidate set generated from IVF cells
+  // (the row-107 frozen coarse quantizer) instead of the triangular
+  // all-pairs join: every vector is assigned to its `nprobe` nearest
+  // cells (the SemDeDup shape — dedup WITHIN a k-means cluster; the
+  // multi-assignment covers cell-boundary pairs the single-cell form
+  // would split), and pairs form only WITHIN a shared cell, so the
+  // candidate count is sum_c n_c² — the quadratic is cut by the cluster
+  // count K, the knob SemDeDup scales with the corpus (K grows with N,
+  // cell occupancy stays bounded, candidates stay ~N·occupancy). The
+  // decision rule is IDENTICAL to q142: the higher id of every tau-close
+  // pair is dominated; survivors are the greedy lowest-id
+  // representatives. Exactness contract: false positives are impossible
+  // (cosines are exact — a candidate pair only dominates if it truly
+  // clears tau); recall is exact whenever every tau-close pair shares a
+  // probed cell — guaranteed for duplicate/near-identical vectors
+  // (identical inputs get identical cell assignments under ANY frozen
+  // model) and empirically exact on clustered embeddings (DedupSpec
+  // gates it against the all-pairs ground truth on both fixtures,
+  // plus candidate-count ≪ N²/2). ----
+  private[graft] def semanticCellPairs(cents: Seq[(Int, Seq[Double])],
+      corpus: DataFrame, nprobe: Int): DataFrame = {
+    def dv(c: Column): Column = transform(c, x => x.cast("double"))
+    val assigned = corpus.select(col("vec_id"), col("embedding"),
+        explode(slice(
+          SketchQueries.cellScores(cents, dv(col("embedding"))),
+          1, nprobe)).as("cs"))
+      .select(col("vec_id"), col("embedding"),
+        (col("cs").getField("ncid") * -1).as("cell"))
+    assigned
+      .select(col("cell"), col("vec_id").as("aid"), col("embedding").as("ea"))
+      .join(assigned.select(col("cell"), col("vec_id").as("bid"),
+        col("embedding").as("eb")), Seq("cell"))
+      .filter(col("aid") < col("bid"))
+  }
+
+  /** The dominated-id set of the cell-scoped plan: higher id of every
+    * tau-close candidate pair. Pairs sharing several probe cells score
+    * the cosine once per shared cell (bounded by nprobe²) — cheaper
+    * than a wide pre-distinct shuffle of (pair, embeddings). */
+  private[graft] def semanticDedupDominated(cents: Seq[(Int, Seq[Double])],
+      corpus: DataFrame, tau: Double, nprobe: Int = 2): DataFrame =
+    semanticCellPairs(cents, corpus, nprobe)
+      .filter(cosine_similarity(col("ea"), col("eb")) >= tau)
+      .select(col("bid").as("vec_id"))
+      .distinct()
+
+  /** q142b corpus: the embeddings fixture plus PLANTED duplicates
+    * (copies of vec_id < 50 at id+1,000,000) — the fixture itself has
+    * no pairs above the SemDeDup operating threshold (measured max
+    * cosine 0.60), so the planted copies make the dominated set
+    * non-trivial while keeping the oracle exact: a copy's only tau-close
+    * partner is its identical original (copy-to-other cosine equals the
+    * original's ≤ 0.60). Shared by the query and its DuckDB oracle. */
+  private[graft] def q142bCorpus(s: SparkSession, dir: String): DataFrame = {
+    val e0 = t(s, dir, "embeddings").select("vec_id", "embedding", "label")
+    e0.unionByName(e0.filter(col("vec_id") < 50)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding"), col("label")))
+  }
+
+  val q142b_semantic_dedup_cells: Q = (s, dir) => {
+    val corpus = q142bCorpus(s, dir)
+    // the row-107 coarse geometry (K=16 x 3 Lloyd, deterministic seeds);
+    // in production the model loads frozen from a persisted AnnIndex
+    // root (AnnIndex.loadModel) — DedupSpec pins that composition
+    val cents = SketchQueries.kmeansCentroids(s,
+      corpus.select("vec_id", "embedding"), k = 16, iters = 3)
+    val dominated = semanticDedupDominated(cents, corpus, tau = 0.85)
+    corpus
+      .join(dominated, Seq("vec_id"), "left_anti")
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_kept"),
+        sum("vec_id").cast("long").as("kept_id_sum"))
+      .orderBy("label")
+  }
+
+  val q142b_semantic_dedup_cells_sql: String =
+    """WITH corpus AS (
+      |  SELECT vec_id, embedding, label FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000, embedding, label FROM embeddings
+      |  WHERE vec_id < 50
+      |), s AS (
+      |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+      |    list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) /
+      |    (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) *
+      |     sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))) AS sim
+      |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+      |), dom AS (
+      |  SELECT DISTINCT ib AS vec_id FROM s WHERE sim >= 0.85
+      |)
+      |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_kept,
+      |  CAST(sum(vec_id) AS BIGINT) AS kept_id_sum
+      |FROM corpus
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dom)
+      |GROUP BY label ORDER BY label""".stripMargin
+
   val q142_semantic_dedup_sql: String =
     """WITH s AS (
       |  SELECT a.vec_id AS ia, b.vec_id AS ib,
@@ -467,11 +566,13 @@ object DedupQueries {
     "q43b_lsh_verified" -> q43b_lsh_verified,
     "q104_jaccard_join" -> q104_jaccard_join,
     "q44_embed_neardup" -> q44_embed_neardup,
-    "q142_semantic_dedup" -> q142_semantic_dedup)
+    "q142_semantic_dedup" -> q142_semantic_dedup,
+    "q142b_semantic_dedup_cells" -> q142b_semantic_dedup_cells)
 
   val oracles: Map[String, String] = Map(
     "q40_dedup_exact" -> q40_dedup_exact_sql,
     "q142_semantic_dedup" -> q142_semantic_dedup_sql,
+    "q142b_semantic_dedup_cells" -> q142b_semantic_dedup_cells_sql,
     // q41/q42: minhash + simhash families not expressible in DuckDB —
     // rows-only check; cross-validated against q43 in DedupSpec.
     // q43's exact all-pairs form is spec-only ground truth; its oracle

@@ -76,7 +76,7 @@ object SketchQueries {
     * map-only assignment projection + one k-row shuffle of partial sums
     * (map-side combine leaves at most k rows per task).
     */
-  private[operators] def kmeansCentroids(s: SparkSession, e: DataFrame,
+  private[graft] def kmeansCentroids(s: SparkSession, e: DataFrame,
       k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     import s.implicits._
     // scanned once per Lloyd round + once for seeds: cache the cast
