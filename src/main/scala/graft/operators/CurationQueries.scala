@@ -2746,9 +2746,69 @@ object CurationQueries {
       |FROM allp
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  // ---- 143. ALTER TABLE RENAME COLUMN — metadata-only rename through
+  // a logical->physical column mapping (row 114, Delta's column-mapping
+  // name mode): the data files keep the column's FROZEN physical name
+  // (zero byte movement — the same dataChange=false economics as DROP
+  // COLUMN), reads alias physical->logical, a post-rename append
+  // arrives in the NEW name yet lands under the physical one (the
+  // layout never goes heterogeneous), and an UPDATE through the new
+  // name rewrites the old bytes. Oracle: DuckDB computes the identical
+  // lifecycle relationally (a rename is a projection alias). ----
+  val q143_rename_column: Q = (s, dir) => {
+    val out = RelationalQueries.scratch("q143_layout", dir)
+    val man = RelationalQueries.scratch("q143_manifest", dir)
+    val cat = RelationalQueries.scratch("q143_catalog", dir)
+    s.conf.set("spark.sql.catalog.gq143",
+      classOf[graft.table.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.gq143.dir", cat)
+    val p = t(s, dir, "part")
+      .select("p_partkey", "p_retailprice", "p_brand")
+    GraftTable(s, out, man, "p_partkey").create(p, 8)
+    s.sql("CREATE NAMESPACE IF NOT EXISTS gq143.db")
+    s.sql("DROP TABLE IF EXISTS gq143.db.part")
+    s.sql(s"CREATE TABLE gq143.db.part USING graft OPTIONS (man '$man')")
+    s.sql("ALTER TABLE gq143.db.part RENAME COLUMN p_retailprice " +
+      "TO unit_price")
+    // post-rename append in the NEW logical shape; the staged files
+    // store the frozen physical name either way
+    p.filter(col("p_partkey") % 11 === 0)
+      .select((col("p_partkey") + 20000000L).as("p_partkey"),
+        col("p_retailprice").as("unit_price"), col("p_brand"))
+      .createOrReplaceTempView("q143_more")
+    s.sql("INSERT INTO gq143.db.part SELECT * FROM q143_more")
+    // DML through the NEW name updates the OLD bytes
+    s.sql("UPDATE gq143.db.part SET unit_price = unit_price + 1 " +
+      "WHERE p_partkey % 13 = 0")
+    s.sql(
+      """SELECT p_brand, count(*) AS n_parts,
+        |  CAST(round(sum(unit_price * 100)) AS BIGINT) AS price_cents
+        |FROM gq143.db.part
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+
+  val q143_rename_column_sql: String =
+    """WITH allp AS (
+      |  SELECT p_partkey, p_retailprice AS unit_price, p_brand FROM part
+      |  UNION ALL
+      |  SELECT p_partkey + 20000000, p_retailprice, p_brand FROM part
+      |  WHERE p_partkey % 11 = 0
+      |), upd AS (
+      |  SELECT p_partkey,
+      |    CASE WHEN p_partkey % 13 = 0 THEN unit_price + 1
+      |         ELSE unit_price END AS unit_price,
+      |    p_brand
+      |  FROM allp
+      |)
+      |SELECT p_brand, count(*) AS n_parts,
+      |  CAST(round(sum(unit_price * 100)) AS BIGINT) AS price_cents
+      |FROM upd
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q140_replace_where" -> q140_replace_where,
     "q141_drop_column" -> q141_drop_column,
+    "q143_rename_column" -> q143_rename_column,
     "q137_check_constraint" -> q137_check_constraint,
     "q135_sql_update" -> q135_sql_update,
     "q136_merge_into" -> q136_merge_into,
@@ -2807,6 +2867,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "q140_replace_where" -> q140_replace_where_sql,
     "q141_drop_column" -> q141_drop_column_sql,
+    "q143_rename_column" -> q143_rename_column_sql,
     "q137_check_constraint" -> q137_check_constraint_sql,
     "q135_sql_update" -> q135_sql_update_sql,
     "q136_merge_into" -> q136_merge_into_sql,

@@ -428,6 +428,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val man = manOf(ident)
     val adds = scala.collection.mutable.ArrayBuffer.empty[TableChange.AddColumn]
     val drops = scala.collection.mutable.ArrayBuffer.empty[TableChange.DeleteColumn]
+    val renames = scala.collection.mutable.ArrayBuffer.empty[TableChange.RenameColumn]
     val setChecks = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val unsetChecks = scala.collection.mutable.ArrayBuffer.empty[String]
     val setModes = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -435,6 +436,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     changes.foreach {
       case a: TableChange.AddColumn => adds += a
       case d: TableChange.DeleteColumn => drops += d
+      case r: TableChange.RenameColumn => renames += r
       case sp: TableChange.SetProperty
           if sp.property.startsWith("check.") =>
         setChecks += sp.property.stripPrefix("check.") -> sp.value.trim
@@ -449,8 +451,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         unsetModes += rp.property.stripPrefix("mode.")
       case other => throw new UnsupportedOperationException(
         s"ALTER TABLE on a graft table supports ADD COLUMN(S), " +
-          "DROP COLUMN(S) and SET/UNSET TBLPROPERTIES ('check.<name>' " +
-          s"/ 'mode.<stmt>' ...) only — got " +
+          "DROP COLUMN(S), RENAME COLUMN and SET/UNSET TBLPROPERTIES " +
+          s"('check.<name>' / 'mode.<stmt>' ...) only — got " +
           s"${other.getClass.getSimpleName}; the table's " +
           "key/stats/bloom bindings and committed boxes are fixed at " +
           "creation")
@@ -481,6 +483,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     var cur = vs.max
     if (adds.nonEmpty) cur = t.commitWidenSchema(widened, cur)
+    // RENAME COLUMN: one metadata-only mapping commit per rename (the
+    // column-mapping event list is per-version); flat names only
+    renames.foreach { r =>
+      require(r.fieldNames().length == 1,
+        s"nested RENAME COLUMN is not supported — graft tables are " +
+          s"flat (got ${r.fieldNames().mkString(".")})")
+      cur = t.commitRenameColumn(r.fieldNames().head, r.newName(), cur)
+    }
     if (drops.nonEmpty) {
       val names = drops.map { d =>
         require(d.fieldNames().length == 1,

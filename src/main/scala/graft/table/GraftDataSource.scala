@@ -89,6 +89,13 @@ final class GraftDataSource extends RelationProvider
         "parquet scan that cannot apply them; read through " +
         "graft_snapshot(...)/GraftTable.readAsOf, or run " +
         "graft_optimize to fold the DVs into clean files first")
+    // a raw HadoopFsRelation likewise cannot apply the RENAME COLUMN
+    // logical->physical aliasing — the mapped surfaces can
+    require(probe.logicalToPhysical(v).isEmpty,
+      s"snapshot v=$v of $man has renamed columns (column mapping) — " +
+        "format(\"graft\") plans a raw parquet scan that cannot alias " +
+        "the frozen physical names; read through graft_snapshot(...), " +
+        "the catalog table name, or GraftTable.readAsOf")
     val files = entries.map(_.getAs[String]("file"))
     // schema from the commit's _schema.ddl when recorded — planning a
     // format("graft") read then opens ZERO data files (the footer read
@@ -561,6 +568,22 @@ final class GraftStreamSource(spark: SparkSession, man: String,
       "GraftStreamSource declares admission control — Spark drives it " +
         "through latestOffset(start, limit), never getOffset")
 
+  /** Raw fresh-file read in the stream's LOGICAL schema: files store
+    * frozen physical names (column mapping), so the scan reads those
+    * and aliases back — identity on never-renamed tables. */
+  private def readLogical(files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val m = probe.logicalToPhysical(Int.MaxValue)
+    if (m.isEmpty) spark.read.schema(schema).parquet(files: _*)
+    else {
+      val phys = StructType(schema.fields.map(f =>
+        f.copy(name = m.getOrElse(f.name, f.name))))
+      spark.read.schema(phys).parquet(files: _*)
+        .select(schema.fieldNames.toIndexedSeq.map(n =>
+          col(m.getOrElse(n, n)).as(n)): _*)
+    }
+  }
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val to = Pos.parse(end, probe)
     val from = start.map(Pos.parse(_, probe))
@@ -591,8 +614,8 @@ final class GraftStreamSource(spark: SparkSession, man: String,
             .toIndexedSeq: _*)
         val rest = fresh.filterNot(anchorFiles.toSet)
         if (rest.isEmpty) anchorDf
-        else anchorDf.unionByName(spark.read.schema(schema).parquet(rest: _*))
-      } else spark.read.schema(schema).parquet(fresh: _*)
+        else anchorDf.unionByName(readLogical(rest))
+      } else readLogical(fresh)
     org.apache.spark.sql.GraftSqlBridge.asStreaming(spark, batch)
   }
 

@@ -475,9 +475,16 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         // the SAME column — recording it again would poison every
         // later read with COLUMN_ALREADY_EXISTS
         val resolver = spark.sessionState.conf.resolver
+        val fresh = batch.fields.filterNot(f =>
+          prev.fieldNames.exists(resolver(_, f.name)))
+        // append-time evolution shares ALTER ADD COLUMN's resurrection
+        // guard: after a metadata-only DROP (or under a rename's frozen
+        // physical name) a batch carrying the old name would otherwise
+        // silently re-record it and serve the un-purged bytes
+        requireNoPhysicalResurrection(base, fresh.map(_.name).toSeq,
+          "append-evolve")
         Some(org.apache.spark.sql.types.StructType(
-          prev.fields ++ batch.fields.filterNot(f =>
-            prev.fieldNames.exists(resolver(_, f.name)))).toDDL)
+          prev.fields ++ fresh).toDDL)
       case None =>
         if (files(base).isEmpty) Some(batch.toDDL) else None
     }
@@ -532,6 +539,18 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     clone.manFs.mkdirs(cloneManDir)
     clone.dataFs.mkdirs(new Path(targetData))
     clone.writeProps(provenance = Some(s"source=$man@v=$v"))
+    // carry the source's column mapping RESOLVED AT v as v=1 events:
+    // the clone's single-version lineage starts at the cloned snapshot,
+    // so the composed logical->physical pairs apply to every clone
+    // version (the clone's data files are the source's, under the same
+    // frozen physical names)
+    val mapped = logicalToPhysical(v).toSeq.sortBy(_._1)
+    mapped.zipWithIndex.foreach { case ((l, p), i) =>
+      clone.setPropLine(s"rename.1.$i", Some(s"$p:$l"))
+    }
+    if (mapped.nonEmpty ||
+        GraftTable.loadProps(spark, man).exists(_.schemaDetached))
+      clone.setPropLine("schema_detached", Some("true"))
     clone.commitManifest(manifest(v), 1,
       schemaDdl = versionSchema(v).map(_.toDDL))
     clone
@@ -687,9 +706,12 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * are hidden from Spark/Hadoop scans, so a transient stage is
     * invisible to readers; part-file names carry job UUIDs, so moves
     * cannot collide. */
-  private[table] def stagedAppend(batch: DataFrame, nParts: Int): Seq[String] =
+  private[table] def stagedAppend(batch: DataFrame, nParts: Int): Seq[String] = {
+    // files always store the frozen PHYSICAL names (column mapping)
+    val phys = toPhysical(batch)
     stagedMove(stage =>
-      GraftTable.clusteredWrite(batch, key, nParts, "overwrite", stage))
+      GraftTable.clusteredWrite(phys, key, nParts, "overwrite", stage))
+  }
 
   /** The stage-write-move tail shared by [[stagedAppend]] and the
     * z-order rewrite: `write` lands parquet in a fresh underscore-hidden
@@ -875,7 +897,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val replacement =
       (if (impacted.isEmpty) batch.limit(0)
        else morRead(impactedRows.map(r => (r.getAs[String]("file"),
-           entryDv(r))).toSeq, versionSchema(prevV))
+           entryDv(r))).toSeq, versionSchema(prevV), prevV)
          .join(batch.select(key).distinct(), Seq(key), "left_anti"))
         .unionByName(batch, allowMissingColumns = true)
     val added = stagedAppend(replacement,
@@ -928,15 +950,89 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     manifest(v).collect()
       .map(r => (r.getAs[String]("file"), entryDv(r))).toSeq
 
+  // ---- logical->physical column mapping (RENAME COLUMN) -------------
+
+  /** The table's rename events (version, oldLogical, newLogical) in
+    * replay order — `rename.<v>.<i>` lines in `_table_props`, written
+    * by [[commitRenameColumn]]. Empty for every table that never
+    * renamed (the universal fast path: one tiny driver-side props read,
+    * zero per-row work). */
+  private[graft] def renameEvents: Seq[(Int, String, String)] =
+    GraftTable.loadProps(spark, man).map(_.renames).getOrElse(Nil)
+
+  /** Resolve snapshot v's LOGICAL column names to the FROZEN PHYSICAL
+    * names data files store (Delta's column-mapping `name` mode):
+    * replay the rename events committed at or below v — each event
+    * moves its column's current logical name while the physical name
+    * (the name at first write) never changes. Only renamed columns
+    * appear in the map; everything else is identity. */
+  private[graft] def logicalToPhysical(v: Int): Map[String, String] = {
+    val evs = renameEvents.filter(_._1 <= v)
+    if (evs.isEmpty) Map.empty
+    else {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      evs.foreach { case (_, old, nw) =>
+        val phys = m.remove(old).getOrElse(old)
+        if (nw != phys) { m(nw) = phys; () }
+      }
+      m.toMap
+    }
+  }
+
+  /** `schema` (logical names) re-labelled with the physical names the
+    * files store — what a parquet-by-name reader must be handed. */
+  private def physicalSchemaOf(
+      schema: org.apache.spark.sql.types.StructType,
+      m: Map[String, String]): org.apache.spark.sql.types.StructType =
+    if (m.isEmpty) schema
+    else org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      f.copy(name = m.getOrElse(f.name, f.name))))
+
+  /** A batch arriving in CURRENT logical names, re-labelled to the
+    * frozen physical names before any file is written — the mapping's
+    * write side: the layout NEVER goes heterogeneous, old and new files
+    * alike store physical names. Identity (no projection at all) for
+    * never-renamed tables. */
+  private[table] def toPhysical(batch: DataFrame): DataFrame = {
+    val m = logicalToPhysical(Int.MaxValue)
+    if (m.isEmpty) batch
+    else {
+      val resolver = spark.sessionState.conf.resolver
+      // a batch column spelling a renamed column's FROZEN physical name
+      // must refuse at the door: staged as-is it would collide with the
+      // mapped column (duplicate physical name) or silently resurrect
+      // the old bytes on read
+      batch.columns.foreach { c =>
+        m.foreach { case (l, p) =>
+          require(!resolver(p, c) || resolver(l, c),
+            s"batch column '$c' collides with the frozen physical name " +
+              s"of renamed column '$l' — parquet matches by name, so the " +
+              "write would make reads resolve the wrong bytes; use the " +
+              s"current logical name '$l' or a different column name")
+        }
+      }
+      batch.select(batch.columns.toIndexedSeq.map { c =>
+        val p = m.collectFirst { case (l, ph) if resolver(l, c) => ph }
+          .getOrElse(c)
+        col(c).as(p)
+      }: _*)
+    }
+  }
+
   /** Live rows of the given (file, dv) entries read with `schema`:
     * DV-free files stream straight from the scan with no join work at
     * all; files carrying a deletion vector anti-join ONLY their
     * recorded positions on (file_path, row_index) — the Iceberg v2
     * position-delete read. The DV side is O(#masked rows); AQE
-    * broadcasts it while small. */
+    * broadcasts it while small. `v` resolves the column mapping: files
+    * are read under their frozen PHYSICAL names and aliased back to
+    * snapshot v's logical names, so a RENAME COLUMN costs one
+    * projection and zero byte movement. */
   private def morRead(pairs: Seq[(String, Option[String])],
-      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
-    val reader = schema.map(s => spark.read.schema(s))
+      schema: Option[org.apache.spark.sql.types.StructType],
+      v: Int): DataFrame = {
+    val m = logicalToPhysical(v)
+    val reader = schema.map(s => spark.read.schema(physicalSchemaOf(s, m)))
       .getOrElse(spark.read.option("mergeSchema", "true"))
     val (dirty, clean) = pairs.partition(_._2.isDefined)
     val cleanDf =
@@ -953,10 +1049,17 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
           .join(dv, Seq("__file", "__pos"), "left_anti")
           .drop("__file", "__pos"))
       }
-    (cleanDf, dirtyDf) match {
+    val out = (cleanDf, dirtyDf) match {
       case (Some(c), Some(d)) => c.unionByName(d)
       case (c, d) => c.orElse(d).getOrElse(
         throw new IllegalStateException("morRead over zero entries"))
+    }
+    if (m.isEmpty) out
+    else schema match {
+      case Some(s) => out.select(s.fieldNames.toIndexedSeq.map(n =>
+        col(m.getOrElse(n, n)).as(n)): _*)
+      case None => m.foldLeft(out) { case (df, (l, p)) =>
+        df.withColumnRenamed(p, l) }
     }
   }
 
@@ -968,7 +1071,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * rows. */
   def readAsOf(v: Int, only: Seq[String]): DataFrame = {
     val want = only.toSet
-    morRead(entryPairs(v).filter(p => want(p._1)), versionSchema(v))
+    morRead(entryPairs(v).filter(p => want(p._1)), versionSchema(v), v)
   }
 
   /** MERGE-ON-READ upsert commit — the write-amplification complement
@@ -1030,7 +1133,10 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val impactedRows = prevEntries
       .filter(GraftTable.boxIntersects(_, "lo", "hi", qlo, qhi))
     val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
-    val reader = versionSchema(prevV).map(s => spark.read.schema(s))
+    // physical-name schema for the raw file scan (the key itself can
+    // never be renamed, so col(key) below resolves either way)
+    val reader = versionSchema(prevV).map(s => spark.read.schema(
+        physicalSchemaOf(s, logicalToPhysical(prevV))))
       .getOrElse(spark.read.option("mergeSchema", "true"))
 
     // masked positions: key column + parquet metadata only — the scan
@@ -1266,6 +1372,29 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * Rows where the predicate is NULL are NOT deleted; already-masked
     * rows neither inflate the count nor re-mask; a no-match delete
     * burns no version. Returns rows deleted. */
+  /** Snapshot v's impacted-file scan for the MoR DML paths: files read
+    * under their frozen PHYSICAL names with (__file, __pos) captured
+    * straight off the scan (metadata columns survive no projection),
+    * then aliased to v's LOGICAL names so caller predicates and
+    * assignments resolve post-rename. Identity for never-renamed
+    * tables. */
+  private def dmlScan(v: Int, files: Seq[String]): DataFrame = {
+    val schema = versionSchema(v)
+    val m = logicalToPhysical(v)
+    val reader = schema.map(s => spark.read.schema(physicalSchemaOf(s, m)))
+      .getOrElse(spark.read.option("mergeSchema", "true"))
+    val raw = reader.parquet(files: _*)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    if (m.isEmpty) raw
+    else schema match {
+      case Some(s) => raw.select(s.fieldNames.toIndexedSeq.map(n =>
+        col(m.getOrElse(n, n)).as(n)) ++ Seq(col("__file"), col("__pos")): _*)
+      case None => m.foldLeft(raw) { case (df, (l, p)) =>
+        df.withColumnRenamed(p, l) }
+    }
+  }
+
   def commitDeleteMor(pruneFilters: Seq[org.apache.spark.sql.sources.Filter],
       pred: Column, prevV: Int, tag: Option[String] = None): Long = {
     val prevMan = manifest(prevV)
@@ -1277,8 +1406,6 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       .map(test => prevEntries.filter(test)).getOrElse(prevEntries)
     if (impactedRows.isEmpty) return 0L
     val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
-    val reader = versionSchema(prevV).map(s => spark.read.schema(s))
-      .getOrElse(spark.read.option("mergeSchema", "true"))
     // each impacted entry's OWN vector, computed once: the anti-join
     // side here (an entry's current dv is a superset of any stale
     // older copy, so own-only masks exactly the dead rows) AND the
@@ -1288,10 +1415,9 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     // columns + parquet metadata (no other value bytes); rows an
     // existing DV already masks anti-join away so the returned count
     // is live-exact and the no-op test cannot be fooled
-    val matchedRaw = reader.parquet(impacted: _*)
+    val matchedRaw = dmlScan(prevV, impacted)
       .filter(pred)
-      .select(col("_metadata.file_path").as("file"),
-        col("_metadata.row_index").as("pos"))
+      .select(col("__file").as("file"), col("__pos").as("pos"))
     val maskedNew = oldDv.fold(matchedRaw)(o =>
       matchedRaw.join(o.select("file", "pos"),
         Seq("file", "pos"), "left_anti")).persist()
@@ -1348,14 +1474,10 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     }
     if (impactedRows.isEmpty) return 0L
     val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
-    val reader = versionSchema(prevV).map(s => spark.read.schema(s))
-      .getOrElse(spark.read.option("mergeSchema", "true"))
     // each impacted entry's OWN vector, computed once — the live
     // anti-join side here and the commit tail's old-count source
     val oldDv = GraftTable.ownDvRows(spark, impactedRows).map(_.persist())
-    val raw = reader.parquet(impacted: _*)
-      .withColumn("__file", col("_metadata.file_path"))
-      .withColumn("__pos", col("_metadata.row_index"))
+    val raw = dmlScan(prevV, impacted)
     val live = oldDv.fold(raw)(o =>
       raw.join(o.select(col("file").as("__file"), col("pos").as("__pos")),
         Seq("__file", "__pos"), "left_anti"))
@@ -1645,7 +1767,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
         val packPairs = pack.map(r => (r.getAs[String]("file"), dvOf(r))).toSeq
         val added = stagedAppend(
-          morRead(packPairs, versionSchema(base)), nOut)
+          morRead(packPairs, versionSchema(base), base), nOut)
         if (tryCommitManifest(
             unionEntries(
               excludeFiles(man0, packFiles),
@@ -1688,6 +1810,20 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       s"cannot restore to uncommitted snapshot v=$toV of $man " +
         s"(committed: ${committedVersions.mkString(", ")})")
     val latest = committedVersions.max
+    // a restore may not cross a RENAME COLUMN boundary: the restored
+    // commit would re-record the PRE-rename schema at a version ABOVE
+    // the rename event, and the replayed mapping could then resolve a
+    // restored name onto the wrong physical column (the old name may
+    // have been legally reused once its bytes were purged) — silent
+    // wrong data, so refuse loudly with the recovery spelled out
+    val crossed = renameEvents.filter(e => e._1 > toV && e._1 <= latest)
+    require(crossed.isEmpty,
+      s"RESTORE to v=$toV would cross RENAME COLUMN commit(s) " +
+        crossed.map { case (v, o, n) => s"v=$v: $o -> $n" }
+          .mkString("[", "; ", "]") +
+        s" — the restored snapshot's schema predates the column " +
+        "mapping; rename the column(s) back first (the mapping then " +
+        "resolves both ways), or read the old snapshot via time travel")
     val targetFiles = files(toV)
     // no-op only when BOTH content and recorded schema already match:
     // an empty widening append changes the schema without touching the
@@ -1743,7 +1879,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     // live deletion vector must not resurrect its masked rows into the
     // survivor rewrite, and already-dead rows must not inflate nDel
     val df = morRead(impactedRows.map(r =>
-      (r.getAs[String]("file"), entryDv(r))).toSeq, versionSchema(prevV))
+      (r.getAs[String]("file"), entryDv(r))).toSeq, versionSchema(prevV),
+      prevV)
     val codec = GraftTable.codecFor(df.schema(key).dataType, key,
       forKey = true)
     val doomed = codec.toBox(col(key)).between(lit(qlo), lit(qhi))
@@ -1810,7 +1947,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       .map(test => prevEntries.filter(test)).getOrElse(prevEntries)
     if (impactedRows.isEmpty) return 0L
     val df = morRead(impactedRows.map(r =>
-      (r.getAs[String]("file"), entryDv(r))).toSeq, versionSchema(prevV))
+      (r.getAs[String]("file"), entryDv(r))).toSeq, versionSchema(prevV),
+      prevV)
     val nDel = df.filter(pred).count()
     if (nDel == 0L) return 0L // conservative planning kept files whose
                               // rows all miss: no-op, no burned version
@@ -1849,7 +1987,12 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val addedNew = stagedAppend(data, nParts)
     if (spark.conf.get("spark.graft.replaceWhere.check", "true").toBoolean
         && addedNew.nonEmpty) {
-      val bad = spark.read.parquet(addedNew: _*)
+      // staged files store PHYSICAL names; pred speaks logical — alias
+      // back before evaluating (identity for never-renamed tables)
+      val stagedRaw = spark.read.parquet(addedNew: _*)
+      val stagedLogical = logicalToPhysical(Int.MaxValue)
+        .foldLeft(stagedRaw) { case (d, (l, p)) => d.withColumnRenamed(p, l) }
+      val bad = stagedLogical
         .filter(!coalesce(pred, lit(false))).count()
       require(bad == 0L,
         s"REPLACE WHERE: $bad replacement row(s) do not satisfy the " +
@@ -1862,19 +2005,35 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val candidates = SnapshotPruning
       .keepTestV1(pruneFilters, Some(key), prunable, bloomable)
       .map(test => prevEntries.filter(test)).getOrElse(prevEntries)
-    val doomed =
-      if (candidates.isEmpty) 0L
-      else morRead(candidates.map(r =>
-        (r.getAs[String]("file"), entryDv(r))).toSeq, versionSchema(prevV))
-        .filter(pred).count()
+    // PER-FILE matched counts (the commitDeleteMor planning shape):
+    // a candidate file whose rows ALL miss the predicate is carried
+    // VERBATIM into the new version instead of being rewritten — box
+    // pruning is conservative, and rewriting a 128 MiB file to delete
+    // zero of its rows is pure write amplification
+    val doomedByFile: Map[String, Long] =
+      if (candidates.isEmpty) Map.empty
+      else {
+        val oldDv = GraftTable.ownDvRows(spark, candidates)
+        val raw = dmlScan(prevV, candidates.map(_.getAs[String]("file")).toSeq)
+        val live = oldDv.fold(raw)(o =>
+          raw.join(o.select(col("file").as("__file"), col("pos").as("__pos")),
+            Seq("__file", "__pos"), "left_anti"))
+        live.filter(pred).groupBy("__file").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+      }
+    val doomed = doomedByFile.values.sum
     // conservative planning kept files whose rows all miss: degrade to
     // a pure append — no file rewritten, no survivors re-staged
-    val impactedRows = if (doomed == 0L) Array.empty[Row] else candidates
+    val impactedRows =
+      if (doomed == 0L) Array.empty[Row]
+      else candidates.filter(r =>
+        doomedByFile.getOrElse(r.getAs[String]("file"), 0L) > 0L)
     val survivors =
       if (impactedRows.isEmpty) Seq.empty[String]
       else stagedAppend(
         morRead(impactedRows.map(r =>
-          (r.getAs[String]("file"), entryDv(r))).toSeq, versionSchema(prevV))
+          (r.getAs[String]("file"), entryDv(r))).toSeq,
+          versionSchema(prevV), prevV)
           .filter(!coalesce(pred, lit(false))),
         sizedParts(nParts, entryBytes(impactedRows)))
     val all = survivors ++ addedNew
@@ -1924,7 +2083,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val entries = manifest(prevV).collect()
     require(entries.nonEmpty, s"snapshot v=$prevV of $man has no files")
     val df = morRead(entries.map(r =>
-      (r.getAs[String]("file"), entryDv(r))).toSeq, versionSchema(prevV))
+      (r.getAs[String]("file"), entryDv(r))).toSeq, versionSchema(prevV),
+      prevV)
     dims.foreach { c =>
       require(df.columns.contains(c),
         s"z-order dimension '$c' is not a column of $man " +
@@ -1955,13 +2115,15 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         when(hi > lo, hi - lo).otherwise(lit(1.0))) *
         lit(gridMax)).cast("long"), lit(0L))
     val cols = df.columns.toIndexedSeq
+    // rewritten files keep the frozen PHYSICAL names (column mapping)
+    val physMap = logicalToPhysical(Int.MaxValue)
     val added = stagedMove { stage =>
       df.crossJoin(broadcast(mm))
         .withColumn("__z", z_value_n(dims.indices.map(i =>
           norm(numeric(i), col(s"__lo_$i"), col(s"__hi_$i")))))
         .repartitionByRange(nOut, col("__z"))
         .sortWithinPartitions("__z")
-        .select(cols.map(col): _*)
+        .select(cols.map(c => col(c).as(physMap.getOrElse(c, c))): _*)
         .write.mode("overwrite").parquet(stage)
     }
     require(added.nonEmpty, "z-order rewrite produced no files")
@@ -1971,6 +2133,142 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       throw new java.util.ConcurrentModificationException(
         s"z-order rewrite lost the commit race for v=${prevV + 1}; " +
           "re-run against the latest snapshot")
+    prevV + 1
+  }
+
+  /** The shared physical-presence (resurrection) guard: refuse
+    * recording `names` into the schema while any live file still
+    * PHYSICALLY carries one of them. The NULL-backfill contract must
+    * hold physically, not just in metadata: after a metadata-only DROP
+    * COLUMN (or under a RENAME's frozen physical name) the bytes are
+    * still in the files, and because parquet matches columns by NAME a
+    * re-recorded name would silently RESURRECT the old values (or crash
+    * every scan on a type change) instead of reading NULL — the failure
+    * column mapping exists to prevent in Delta. Shared by ALTER ADD
+    * COLUMN, RENAME COLUMN and append-time schema evolution
+    * ([[evolvedSchemaDdl]]) so no write path can slip a colliding name
+    * past the ALTER-path check. The O(#files) footer-union pass runs
+    * ONLY once the schema has ever detached from the physical layout
+    * (a DROP or RENAME committed the `schema_detached` props flag) —
+    * on the common never-detached table the guard costs one props
+    * read. Once rewrites + vacuum purge the old bytes, the name frees
+    * up automatically. */
+  private def requireNoPhysicalResurrection(prevV: Int,
+      names: Seq[String], verb: String): Unit = {
+    if (names.isEmpty) return
+    if (!GraftTable.loadProps(spark, man).exists(_.schemaDetached)) return
+    val live = files(prevV)
+    if (live.isEmpty) return
+    val physical = spark.read.option("mergeSchema", "true")
+      .parquet(live: _*).schema.fieldNames
+    val resolver = spark.sessionState.conf.resolver
+    names.foreach { n =>
+      require(!physical.exists(resolver(_, n)),
+        s"cannot $verb column '$n': a previously dropped or renamed " +
+          "column of that name is still physically present in this " +
+          "table's files and would resurrect its old values instead of " +
+          "reading NULL — rewrite the files first (OPTIMIZE ZORDER or " +
+          "a COW rewrite, then VACUUM) or pick a different name")
+    }
+  }
+
+  /** ALTER TABLE RENAME COLUMN as a METADATA-ONLY commit through a
+    * logical->physical column mapping (Delta's column-mapping `name`
+    * mode, spelled by name instead of field id): data files keep the
+    * column's FROZEN physical name forever — the bytes never move, old
+    * files stay readable in place, and every later write re-labels the
+    * batch back to the physical name ([[toPhysical]]) so the layout
+    * never goes heterogeneous — while the commit-recorded schema speaks
+    * the new logical name and every read aliases physical->logical
+    * ([[morRead]]/[[dmlScan]]/the SQL snapshot expansion). The mapping
+    * is an append-only event list in `_table_props`
+    * (`rename.<v>.<i>=<old>:<new>`) replayed up to the read version
+    * ([[logicalToPhysical]]), so time travel below the rename still
+    * answers in the name that snapshot recorded.
+    *
+    * Guards, all loud:
+    *  - the table key, declared stats/bloom columns and
+    *    CHECK-referenced columns refuse (committed manifest boxes,
+    *    blooms and every commit's stats scan bind to their names —
+    *    the DROP COLUMN rule);
+    *  - the new name must not collide with a live logical column, NOR
+    *    with ANY name physically present in live files (parquet
+    *    matches by name: colliding with a dropped column's un-purged
+    *    bytes or another column's frozen physical name would silently
+    *    read the wrong bytes);
+    *  - names may not contain the props-encoding metacharacters.
+    *
+    * RESTORE refuses to cross a rename commit ([[commitRestore]]) and
+    * `format("graft")`'s raw relation refuses a mapped table — both
+    * documented loud edges, never silent wrong data. Returns the new
+    * version. */
+  def commitRenameColumn(oldName: String, newName: String,
+      prevV: Int): Int = {
+    val base = versionSchema(prevV).getOrElse(
+      throw new UnsupportedOperationException(
+        s"snapshot v=$prevV of $man records no schema (pre-r11 table) — " +
+          "RENAME COLUMN needs the commit-recorded schema"))
+    val resolver = spark.sessionState.conf.resolver
+    val resolvedOld = base.fieldNames.find(resolver(_, oldName)).getOrElse(
+      throw new IllegalArgumentException(
+        s"RENAME COLUMN '$oldName': no such column — table columns: " +
+          base.fieldNames.mkString(", ")))
+    Seq(oldName, newName).foreach(n =>
+      require(!n.exists(c => c == ':' || c == '=' || c == '\n' || c == '.'),
+        s"RENAME COLUMN: name '$n' contains a reserved character " +
+          "(: = . or newline) — graft column names are flat identifiers"))
+    require(!resolver(resolvedOld, newName),
+      s"RENAME COLUMN '$resolvedOld' to '$newName': the names are the " +
+        "same column")
+    require(!base.fieldNames.exists(resolver(_, newName)),
+      s"RENAME COLUMN to '$newName': a column of that name already exists")
+    // the DROP COLUMN guard family: declarations resolve from
+    // _table_props (the catalog's maintenance handle carries none)
+    val props = GraftTable.loadProps(spark, man)
+    val keyCol = props.flatMap(_.key).getOrElse(key)
+    val statsC = props.map(_.statsCols).getOrElse(statsCols)
+    val bloomC = props.map(_.bloomCols).getOrElse(bloomCols)
+    require(resolvedOld != keyCol,
+      s"cannot rename '$resolvedOld' — it is the table key (clustering, " +
+        "merge matching and box pruning bind to it)")
+    require(!statsC.contains(resolvedOld) && !bloomC.contains(resolvedOld),
+      s"cannot rename '$resolvedOld' — it is a declared stats/bloom " +
+        "column; the committed manifests record boxes/blooms under it")
+    activeChecks.foreach { case (n, text) =>
+      val refs = spark.sessionState.sqlParser.parseExpression(text)
+        .collect { case ua: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedAttribute => ua.name }
+      require(!refs.exists(resolver(_, resolvedOld)),
+        s"cannot rename '$resolvedOld' — CHECK constraint '$n' ($text) " +
+          s"references it; UNSET TBLPROPERTIES ('check.$n') first")
+    }
+    // the new name must not shadow ANY physically present name — run
+    // the footer union unconditionally here (renames are rare DDL; the
+    // props flag may not be set yet on a first rename)
+    val live = files(prevV)
+    if (live.nonEmpty) {
+      val physical = spark.read.option("mergeSchema", "true")
+        .parquet(live: _*).schema.fieldNames
+      require(!physical.exists(resolver(_, newName)),
+        s"cannot rename to '$newName': that name is physically present " +
+          "in this table's live files (a dropped column's un-purged " +
+          "bytes, or another column's frozen physical name) — parquet " +
+          "matches by name, so reads would resolve the wrong bytes; " +
+          "rewrite + vacuum first, or pick a different name")
+    }
+    val renamed = org.apache.spark.sql.types.StructType(base.fields.map(f =>
+      if (f.name == resolvedOld) f.copy(name = newName) else f))
+    if (!tryCommitManifest(manifest(prevV), prevV + 1, noData = true,
+        schemaDdl = Some(renamed.toDDL)))
+      throw new java.util.ConcurrentModificationException(
+        s"RENAME COLUMN lost the commit race for v=${prevV + 1}; " +
+          "re-run against the latest snapshot")
+    // the mapping event + detach flag land AFTER the commit wins (a
+    // failed commit must not leave a dangling event); single-writer
+    // DDL, like widen/narrow
+    setPropLine(s"rename.${prevV + 1}.0",
+      Some(s"$resolvedOld:$newName"))
+    setPropLine("schema_detached", Some("true"))
     prevV + 1
   }
 
@@ -1998,29 +2296,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         s"${base.simpleString}, proposed ${widened.simpleString}")
     require(widened.fields.drop(base.length).forall(_.nullable),
       "added columns must be nullable — existing files backfill NULL")
-    // the NULL-backfill contract must hold PHYSICALLY, not just in
-    // metadata: after a metadata-only DROP COLUMN the bytes are still
-    // in the old files, and because parquet matches columns by NAME a
-    // re-add of the same name would silently RESURRECT the dropped
-    // data (or crash every scan on a type change) instead of reading
-    // NULL — the failure column mapping exists to prevent in Delta.
-    // One footer-union pass over the live files (ALTER-time only)
-    // catches it exactly; once rewrites + vacuum have purged the old
-    // files the same name becomes legal again automatically.
-    val live = files(prevV)
-    if (live.nonEmpty) {
-      val physical = spark.read.option("mergeSchema", "true")
-        .parquet(live: _*).schema.fieldNames
-      val resolver = spark.sessionState.conf.resolver
-      widened.fields.drop(base.length).foreach { f =>
-        require(!physical.exists(resolver(_, f.name)),
-          s"cannot add column '${f.name}': a previously dropped column " +
-            "of that name is still physically present in this table's " +
-            "files and would resurrect its old values instead of " +
-            "reading NULL — rewrite the files first (OPTIMIZE ZORDER " +
-            "or a COW rewrite, then VACUUM) or pick a different name")
-      }
-    }
+    requireNoPhysicalResurrection(prevV,
+      widened.fields.drop(base.length).map(_.name).toSeq, "add")
     if (!tryCommitManifest(manifest(prevV), prevV + 1, noData = true,
         schemaDdl = Some(widened.toDDL)))
       throw new java.util.ConcurrentModificationException(
@@ -2091,6 +2368,11 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       throw new java.util.ConcurrentModificationException(
         s"schema narrowing lost the commit race for v=${prevV + 1}; " +
           "re-run against the latest snapshot")
+    // the schema has detached from the physical layout: from here on,
+    // re-recording a name still physically present must be refused on
+    // EVERY path (ALTER and append-time evolution alike) — the flag is
+    // what arms [[requireNoPhysicalResurrection]]'s footer pass
+    setPropLine("schema_detached", Some("true"))
     prevV + 1
   }
 
@@ -2130,7 +2412,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     // sampled old file would silently hide the widened column); and
     // the MoR path: entries carrying a deletion vector anti-join their
     // masked positions — DV-free files stream straight from the scan
-    if (fs.nonEmpty) morRead(entryPairs(v), versionSchema(v))
+    if (fs.nonEmpty) morRead(entryPairs(v), versionSchema(v), v)
     else if (data.nonEmpty && partFiles.nonEmpty)
       spark.read.parquet(data).limit(0) // typed empty, schema from layout
     else
@@ -2396,7 +2678,7 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       if (pairs.isEmpty) // typed empty relation, same shape as the layout
         spark.createDataFrame(
           java.util.Collections.emptyList[Row](), unified)
-      else morRead(pairs, Some(unified))
+      else morRead(pairs, Some(unified), vTo)
     val valueCols = unified.fieldNames.filter(_ != key).toSeq
     // presence flags, not value-NULL checks, classify the op — a NULL in
     // a value column must not masquerade as an insert/delete
@@ -2816,7 +3098,9 @@ object GraftTable {
       bloomFpp: Double = DefaultBloomFpp,
       logStore: Option[String] = None,
       checks: Seq[(String, String)] = Nil,
-      dmlModes: Map[String, String] = Map.empty)
+      dmlModes: Map[String, String] = Map.empty,
+      renames: Seq[(Int, String, String)] = Nil,
+      schemaDetached: Boolean = false)
 
   /** The entries' OWN deletion-vector rows: for each entry carrying a
     * dv pointer, the (file, pos) rows recorded for THAT file inside
@@ -2902,7 +3186,20 @@ object GraftTable {
         kv.toSeq.collect { case (k, v) if k.startsWith("check.") &&
           v.nonEmpty => k.stripPrefix("check.") -> v }.sortBy(_._1),
         kv.collect { case (k, v) if k.startsWith("mode.") &&
-          v.nonEmpty => k.stripPrefix("mode.") -> v }))
+          v.nonEmpty => k.stripPrefix("mode.") -> v },
+        // rename events `rename.<v>.<i>=<old>:<new>`, replayed in
+        // (version, ordinal) order to resolve logical->physical names
+        kv.toSeq.collect { case (k, v) if k.startsWith("rename.") =>
+          (k.stripPrefix("rename."), v)
+        }.flatMap { case (vk, ev) =>
+          (vk.split('.'), ev.split(":", 2)) match {
+            case (Array(v, i), Array(o, n)) if v.forall(_.isDigit) &&
+                i.forall(_.isDigit) =>
+              Some(((v.toInt, i.toInt), (o, n)))
+            case _ => None
+          }
+        }.sortBy(_._1).map { case ((v, _), (o, n)) => (v, o, n) },
+        kv.get("schema_detached").contains("true")))
     }
   }
 

@@ -55,7 +55,10 @@ final case class GraftSnapshotRelation(
     bloomCols: Seq[String],
     entries: Seq[Row],     // full manifest rows for this version
     kept: Seq[String],     // current (possibly pruned) file list
-    output: Seq[Attribute])
+    output: Seq[Attribute],
+    // logical->physical column mapping at `version` (RENAME COLUMN):
+    // files store the frozen physical names; `output` speaks logical
+    colmap: Map[String, String] = Map.empty)
   extends LeafNode with MultiInstanceRelation {
 
   override def newInstance(): GraftSnapshotRelation =
@@ -465,13 +468,19 @@ final case class SnapshotExpandRule(spark: SparkSession)
   def expandNow(r: GraftSnapshotRelation): LogicalPlan =
     if (r.kept.isEmpty) LocalRelation(r.output)
     else {
+      // the parquet scan reads the frozen PHYSICAL names (column
+      // mapping); the position-aligned aliases below re-label each
+      // physical attribute onto its LOGICAL output name and exprId, so
+      // a RENAME COLUMN costs exactly this projection
       val schema = StructType(r.output.map(a =>
-        StructField(a.name, a.dataType, a.nullable, a.metadata)))
+        StructField(r.colmap.getOrElse(a.name, a.name), a.dataType,
+          a.nullable, a.metadata)))
       // schema passed explicitly: no footer re-read at expansion time
       val fresh = spark.read.schema(schema).parquet(r.kept: _*)
         .queryExecution.analyzed
       require(fresh.output.length == r.output.length &&
-        fresh.output.zip(r.output).forall { case (n, o) => n.name == o.name },
+        fresh.output.zip(r.output).forall { case (n, o) =>
+          n.name == r.colmap.getOrElse(o.name, o.name) },
         s"snapshot expansion schema drift: ${fresh.output} vs ${r.output}")
       val aliases = fresh.output.zip(r.output).map { case (n, o) =>
         Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier)

@@ -200,7 +200,8 @@ object SnapshotSql {
       key.filter(_ => manCols("lo") && manCols("hi")),
       statsCols.filter(c => manCols(s"lo_$c") && manCols(s"hi_$c")),
       bloomCols.filter(c => manCols(s"bloom_$c")),
-      entries, files, output)
+      entries, files, output,
+      colmap = table.logicalToPhysical(v))
   }
 
   private val changesUsage =
