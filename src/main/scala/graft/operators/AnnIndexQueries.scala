@@ -164,6 +164,16 @@ object AnnIndex {
       encodeFn: (DataFrame, Int, Boolean) => DataFrame): Long = {
     val from = indexedCorpusVersion(idx)
     if (from >= toV) return 0L
+    // the covered version anchors the change feed; once vacuum expires
+    // it the feed from there is permanently unreadable and the ONLY
+    // recovery is a rebuild — name it instead of surfacing cdc's
+    // generic expired-version error
+    require(corpus.isCommitted(from),
+      s"index ${idx.man} covers corpus v=$from, which has been EXPIRED " +
+        s"by vacuum (retained: ${corpus.committedVersions.mkString(", ")})" +
+        " — the change feed from the covered version is no longer " +
+        "readable, so incremental refresh is impossible; REBUILD the " +
+        "index (build() at the current corpus version) to re-anchor it")
     val delta = churn(corpus, from, toV)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -189,6 +199,110 @@ object AnnIndex {
         nLive
       } finally { coded.unpersist(); () }
     } finally { delta.unpersist(); () }
+  }
+
+  /** Index-lag observable — the `graft_files` DV-debt pattern applied
+    * to index maintenance: search's fresh segment is CORRECT at any
+    * lag, but its cost is O(un-indexed churn x probes), and a user who
+    * never refreshes degrades silently toward the brute-force q45
+    * shape. One row of manifest-only numbers (no data file is read):
+    * the covered corpus version, the latest, the churned (file, dv)
+    * entry count between them and the live-row sums on each side —
+    * `fresh_rows_est` bounds the fresh segment's brute-force side,
+    * `removed_rows_est` the anti-join side. `covered_readable` = false
+    * means vacuum expired the covered version: refresh will refuse
+    * loudly and only build() recovers (the [[refresh]] contract).
+    * Works for all three index shapes (IVF / PQ / SRP share the tag
+    * mechanism). */
+  def lag(spark: SparkSession, corpus: GraftTable, root: String)
+      : DataFrame = lagOf(spark, corpus, table(spark, root))
+
+  private[operators] def lagOf(spark: SparkSession, corpus: GraftTable,
+      idx: GraftTable): DataFrame = {
+    import spark.implicits._
+    val indexed = indexedCorpusVersion(idx)
+    val latest = corpus.committedVersions.max
+    val readable = corpus.isCommitted(indexed)
+    def entryRows(v: Int): Map[String, Long] = {
+      val m = corpus.manifest(v)
+      val hasDv = m.columns.contains("dv")
+      m.collect().map { r =>
+        val dv = if (hasDv) Option(r.getAs[String]("dv")).getOrElse("")
+          else ""
+        s"${r.getAs[String]("file")}|$dv" -> r.getAs[Long]("n_rows")
+      }.toMap
+    }
+    val (churnEntries, freshRows, removedRows) =
+      if (!readable || latest <= indexed) (0L, 0L, 0L)
+      else {
+        // (file, dv) PAIRS, like cdc's churn set: a DV-only change (a
+        // MoR delete) counts as churn even though the file survives
+        val a = entryRows(indexed)
+        val b = entryRows(latest)
+        val fresh = b.view.filterKeys(k => !a.contains(k)).toMap
+        val removed = a.view.filterKeys(k => !b.contains(k)).toMap
+        ((fresh.size + removed.size).toLong,
+          fresh.values.sum, removed.values.sum)
+      }
+    Seq((indexed.toLong, latest.toLong, (latest - indexed).toLong,
+      churnEntries, freshRows, removedRows, readable))
+      .toDF("indexed_corpus_v", "corpus_latest_v", "versions_behind",
+        "churn_entries", "fresh_rows_est", "removed_rows_est",
+        "covered_readable")
+  }
+
+  /** Generation-resolving REPACK — OPTIMIZE for the index WITHOUT
+    * retraining: fold the LSM debt ([[refresh]]'s superseded
+    * generations and tombstones) out of the stored rows while the
+    * frozen model stays untouched — the middle ground between
+    * `commitCompaction` (packs files, keeps every generation row) and
+    * [[build]] (retrains, re-encodes the whole corpus). Per `nid` the
+    * highest-generation LIVE rows survive (all of them — the SRP shape
+    * stores T rows per vector per generation); every superseded row
+    * and every tombstone drops. Search results are IDENTICAL by
+    * construction: search already resolves per-(query, nid) to exactly
+    * these rows, and a probe that reached only a stale cell finds
+    * nothing after the repack just as it found
+    * tombstone-dominated rows before. One atomic full swap
+    * (REPLACE WHERE true) re-clusters by the index key, so probe
+    * file-pruning tightens back to the build-time layout; the commit
+    * carries the covered `corpus_v` tag forward, so refresh provenance
+    * survives. `minDeadFraction` is the debt threshold (the OPTIMIZE
+    * minDvFraction pattern): repack only when dropped/(total) reaches
+    * it. Returns rows dropped (0 = no commit burned). */
+  def repack(spark: SparkSession, root: String, nParts: Int = 4,
+      minDeadFraction: Double = 0.0): Long =
+    repackOf(spark, table(spark, root), nParts, minDeadFraction)
+
+  private[operators] def repackOf(spark: SparkSession, idx: GraftTable,
+      nParts: Int, minDeadFraction: Double): Long = {
+    require(minDeadFraction >= 0.0 && minDeadFraction <= 1.0,
+      s"minDeadFraction must be in [0, 1]; got $minDeadFraction")
+    val v = idx.committedVersions.max
+    val covered = indexedCorpusVersion(idx)
+    val df = idx.readAsOf(v)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = df.count()
+      if (total == 0) return 0L
+      val maxIv = df.groupBy("nid").agg(max("iv").as("__maxiv"))
+      // keep = highest generation AND live: an update's old rows and
+      // every tombstone are dominated; a deleted nid's max generation
+      // IS its tombstone, so nothing of it survives
+      val kept = df.join(maxIv, Seq("nid"))
+        .filter(col("iv") === col("__maxiv") && !col("dead"))
+        .drop("__maxiv")
+      val nKept = kept.count()
+      val dropped = total - nKept
+      if (dropped == 0L ||
+          dropped.toDouble / total < minDeadFraction) return 0L
+      // one atomic full swap, re-clustered by the index key; the
+      // corpus_v tag rides the commit so indexedCorpusVersion still
+      // answers after older versions expire
+      idx.commitReplaceWhere(Seq.empty, lit(true), kept, v, nParts,
+        tag = Some(s"corpus_v=$covered"))
+      dropped
+    } finally { df.unpersist(); () }
   }
 
   /** Probe the PERSISTED index: top-`k` exact-cosine neighbors of each
@@ -637,14 +751,16 @@ object AnnIndexSrp {
     require(storage == "vector" || storage == "pq",
       s"storage must be vector or pq; got '$storage'")
     val e = corpus.readAsOf(corpusV).select("vec_id", "embedding")
-    Seq((tables, bits, probes, storage))
-      .toDF("tables", "bits", "probes", "storage")
-      .coalesce(1).write.mode("overwrite").parquet(paramsPath(root))
-    lazy val cb: Array[Array[Array[Float]]] =
+    val cb: Array[Array[Array[Float]]] =
       if (storage != "pq") null
       else {
         val sample = e.orderBy("vec_id").limit(256)
           .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+        // mirror AnnIndexPq.build's contract: a codes-only build over
+        // an empty corpus has nothing to train codebooks on
+        require(sample.nonEmpty,
+          "cannot build a codes-only (storage=pq) SRP ANN index over " +
+            s"an empty corpus (v=$corpusV)")
         val trained = graft.functions.Pq.train(sample,
           AnnIndexPq.M, AnnIndexPq.Kw, AnnIndexPq.TrainIters)
         trained.zipWithIndex.flatMap { case (cws, mi) =>
@@ -653,6 +769,12 @@ object AnnIndexSrp {
           .write.mode("overwrite").parquet(cbPath(root))
         trained
       }
+    // srp_params lands AFTER the codebook: a failed pq train leaves NO
+    // partially-initialized root (no srp_params => not an index root),
+    // instead of frozen params with no codebook behind them
+    Seq((tables, bits, probes, storage))
+      .toDF("tables", "bits", "probes", "storage")
+      .coalesce(1).write.mode("overwrite").parquet(paramsPath(root))
     val hconf = spark.sessionState.newHadoopConf()
     Seq(s"$root/idx_data", s"$root/idx_man").foreach { d =>
       val p = new org.apache.hadoop.fs.Path(d)

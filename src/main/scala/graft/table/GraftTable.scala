@@ -142,9 +142,13 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     // widening semantics), and SQL CHECK semantics hold: only FALSE
     // violates — NULL satisfies.
     val liveChecks = activeChecks
+    // staged files carry PHYSICAL names: checks declared against a
+    // renamed logical name map through the column mapping (identity
+    // for never-renamed tables)
+    val chkMap = logicalToPhysical(Int.MaxValue)
     val checkAggs = liveChecks.zipWithIndex.map { case ((_, text), i) =>
       sum(when(coalesce(GraftTable.checkColumn(spark, text,
-        df.columns.toSet), lit(true)) === lit(false), 1L)
+        df.columns.toSet, chkMap), lit(true)) === lit(false), 1L)
         .otherwise(0L)).as(s"__chk$i")
     }
     val aggs = (Seq(codecs(key).loAgg(key).as("lo"),
@@ -3216,15 +3220,27 @@ object GraftTable {
     * so it must be the same column to the constraint; substituting
     * NULL there would silently satisfy the check on a violating batch. */
   private[table] def checkColumn(spark: SparkSession, text: String,
-      present: Set[String]): Column = {
+      present: Set[String],
+      toPhys: Map[String, String] = Map.empty): Column = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.Literal
     val resolver = spark.sessionState.conf.resolver
     val parsed = spark.sessionState.sqlParser.parseExpression(text)
     org.apache.spark.sql.GraftSqlBridge.column(parsed.transformUp {
-      case ua: UnresolvedAttribute if ua.nameParts.length == 1 &&
-          !present.exists(resolver(_, ua.name)) =>
-        Literal(null, org.apache.spark.sql.types.NullType)
+      // `toPhys` maps renamed LOGICAL names to the frozen PHYSICAL
+      // names (column mapping): a check declared against a post-rename
+      // name must evaluate against the physical bytes when this
+      // expression runs over raw staged files (fileStats) — without
+      // the mapping the attribute would miss `present` and substitute
+      // NULL, silently satisfying the constraint on violating batches
+      case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
+        val target = toPhys.collectFirst {
+          case (l, p) if resolver(l, ua.name) => p
+        }.getOrElse(ua.name)
+        if (!present.exists(resolver(_, target)))
+          Literal(null, org.apache.spark.sql.types.NullType)
+        else if (target == ua.name) ua
+        else UnresolvedAttribute(Seq(target))
     })
   }
 

@@ -184,4 +184,111 @@ class AnnIndexSpec extends TestBase {
         "refresh must stay a no-op after vacuum (covered version known)")
     } finally { e.unpersist(); () }
   }
+
+  test("maintenance contracts: lag observable, generation repack, " +
+      "vacuumed-corpus refresh names the rebuild recovery") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annmx").toString
+    val e = TestBase.clusteredEmbeddings(spark).cache()
+    try {
+      val corpus = GraftTable(spark, s"$root/corpus_data",
+        s"$root/corpus_man", "vec_id")
+      corpus.create(e.filter(col("vec_id") < 450), 4)          // corpus v1
+      val idx = AnnIndex.build(spark, corpus, 1, root)
+
+      // ---- freshly built: the observable reports zero debt
+      val l0 = AnnIndex.lag(spark, corpus, root).head
+      assert(l0.getLong(0) == 1L && l0.getLong(1) == 1L &&
+        l0.getLong(2) == 0L && l0.getLong(3) == 0L && l0.getBoolean(6), l0)
+
+      // ---- corpus churns WITHOUT a refresh: search stays exact
+      // through the fresh segment while the observable reports the debt
+      corpus.commitAppend(e.filter(col("vec_id") >= 450), 1, 2) // v2
+      assert(corpus.commitDelete(
+        Seq(org.apache.spark.sql.sources.EqualTo("vec_id", 449L)),
+        2, 2) == 1L)                                            // v3
+      val l1 = AnnIndex.lag(spark, corpus, root).head
+      assert(l1.getLong(2) == 2L, s"versions_behind: $l1")
+      assert(l1.getLong(4) >= 50L,
+        s"fresh_rows_est must bound the un-indexed appends: $l1")
+      assert(l1.getLong(5) >= 1L, s"removed_rows_est: $l1")
+      assert(l1.getBoolean(6))
+      val live = e.filter(col("vec_id") =!= 449L)
+      val exact = TestBase.exactTopK(live, 10, 5)
+      val lagged = pairs(AnnIndex.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5, nprobe = 2))
+      assert(exact.intersect(lagged).size.toDouble / exact.size >= 0.9,
+        "search must stay exact-scored and recall-strong at full lag")
+      assert(!lagged.exists(_._2 == 449L))
+
+      // ---- refresh clears the debt
+      AnnIndex.refresh(spark, corpus, 3, root)
+      val l2 = AnnIndex.lag(spark, corpus, root).head
+      assert(l2.getLong(2) == 0L && l2.getLong(3) == 0L, l2)
+
+      // ---- fold an update too, so the index carries every LSM debt
+      // shape: a superseded generation, an update tombstone and a
+      // delete tombstone
+      val q0 = e.filter(col("vec_id") === 0L)
+        .select("embedding").head.getSeq[Float](0)
+      assert(corpus.commitUpdateCow(col("vec_id") === 42L,
+        Map("embedding" -> typedlit(q0)), 3) == 1L)             // v4
+      AnnIndex.refresh(spark, corpus, 4, root)
+      val vIdx = idx.committedVersions.max
+      val total0 = idx.readAsOf(vIdx).count()
+      val deadBefore = idx.readAsOf(vIdx).filter(col("dead")).count()
+      assert(deadBefore >= 2L, s"expected folded tombstones: $deadBefore")
+      def results() = AnnIndex.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5, nprobe = 2).collect()
+        .map(_.toString).toSeq
+      val beforeRepack = results()
+
+      // below-threshold debt: no commit burned
+      val vs0 = idx.committedVersions
+      assert(AnnIndex.repack(spark, root, minDeadFraction = 0.9) == 0L)
+      assert(idx.committedVersions == vs0)
+
+      // ---- the repack: superseded generations + tombstones drop,
+      // search results are IDENTICAL, the frozen model is untouched,
+      // provenance and refresh idempotence survive
+      val modelBefore = spark.read.parquet(s"$root/model")
+        .collect().map(_.toString).sorted.toSeq
+      val dropped = AnnIndex.repack(spark, root)
+      assert(dropped >= 3L, s"dropped $dropped")
+      val vNew = idx.committedVersions.max
+      val after = idx.readAsOf(vNew)
+      assert(after.count() == total0 - dropped)
+      assert(after.filter(col("dead")).count() == 0L,
+        "repack must drop every tombstone")
+      assert(after.groupBy("nid")
+        .agg(countDistinct("iv").as("g")).filter(col("g") > 1)
+        .count() == 0L, "repack must leave ONE generation per nid")
+      assert(results() == beforeRepack,
+        "repack must not change a single search result")
+      assert(spark.read.parquet(s"$root/model")
+        .collect().map(_.toString).sorted.toSeq == modelBefore,
+        "repack must never retrain the model")
+      assert(AnnIndex.indexedCorpusVersion(idx) == 4)
+      assert(AnnIndex.refresh(spark, corpus, 4, root) == 0L)
+
+      // ---- vacuuming the corpus past the covered version makes
+      // incremental refresh impossible: the error NAMES the rebuild
+      // recovery, the observable reports covered_readable=false, and
+      // build() re-anchors
+      val extra = e.filter(col("vec_id") === 0L)
+        .select((col("vec_id") + 600L).as("vec_id"), col("embedding"))
+      corpus.commitAppend(extra, 4, 1)                          // v5
+      corpus.vacuum(5, 5)
+      assert(corpus.committedVersions == Seq(5))
+      val err = intercept[IllegalArgumentException](
+        AnnIndex.refresh(spark, corpus, 5, root))
+      assert(err.getMessage.contains("REBUILD") &&
+        err.getMessage.contains("EXPIRED"), err.getMessage)
+      val l3 = AnnIndex.lag(spark, corpus, root).head
+      assert(!l3.getBoolean(6), s"covered_readable must be false: $l3")
+      AnnIndex.build(spark, corpus, 5, root)
+      assert(AnnIndex.indexedCorpusVersion(AnnIndex.table(spark, root)) == 5)
+      assert(AnnIndex.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5, nprobe = 2).count() == 50L)
+    } finally { e.unpersist(); () }
+  }
 }

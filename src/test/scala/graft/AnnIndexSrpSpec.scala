@@ -200,4 +200,20 @@ class AnnIndexSrpSpec extends TestBase {
         "a folded delete must tombstone its index entries")
     } finally { e.unpersist(); () }
   }
+
+  test("a codes-only build over an empty corpus refuses loudly and " +
+      "leaves NO partially-initialized root") {
+    val root = java.nio.file.Files.createTempDirectory("graft_srpe").toString
+    val corpus = GraftTable(spark, s"$root/corpus_data",
+      s"$root/corpus_man", "vec_id")
+    corpus.create(TestBase.clusteredEmbeddings(spark).limit(0), 1)
+    val err = intercept[IllegalArgumentException](
+      AnnIndexSrp.build(spark, corpus, 1, root, storage = "pq"))
+    assert(err.getMessage.contains("empty corpus"), err.getMessage)
+    // srp_params lands AFTER the codebook, so a failed pq build leaves
+    // no frozen geometry behind — the root is not mistakable for an
+    // index root
+    assert(!new java.io.File(s"$root/srp_params").exists(),
+      "a failed pq build must not leave srp_params behind")
+  }
 }

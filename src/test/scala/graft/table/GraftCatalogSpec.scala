@@ -721,6 +721,40 @@ class GraftCatalogSpec extends TestBase {
     }
   }
 
+  test("REPLACE WHERE rewrites ONLY the candidate files that actually " +
+      "match — unmatched files carry verbatim") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    val t = GraftTable(s, s"$root/data", s"$root/man", "id")
+    // two key-clustered files; `tagc` is a plain (unprunable) column, so
+    // BOTH files are candidates for a tagc predicate — but only one
+    // holds matching rows, and only that one may rewrite
+    t.create((1L to 20L).map(i => (i, if (i <= 10) "lo" else "hi"))
+      .toDF("id", "tagc"), 2)
+    val before = t.files(1)
+    assert(before.size == 2, s"fixture needs two files: $before")
+    val nDel = t.commitReplaceWhere(Seq.empty, col("tagc") === "lo",
+      (21L to 25L).map(i => (i, "lo")).toDF("id", "tagc"), 1)
+    assert(nDel == 10L)
+    val after = t.files(2).toSet
+    val matched = t.readAsOf(1, Seq(before.head)).filter(col("tagc") === "lo")
+    // exactly ONE of the two original files held 'lo' rows (the key
+    // clustering splits 1-10 / 11-20); the other must survive VERBATIM
+    val untouched = before.filter(after.contains)
+    assert(untouched.size == 1,
+      s"the unmatched candidate file must carry verbatim: " +
+        s"before=$before after=$after")
+    val carried = t.readAsOf(2, untouched).collect()
+    assert(carried.length == 10 &&
+      carried.forall(_.getString(1) == "hi"))
+    // content: 'lo' region fully swapped, 'hi' region intact
+    val all = t.readAsOf(2).collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    assert(all == ((21L to 25L).map((_, "lo")) ++
+      (11L to 20L).map((_, "hi"))).toSet)
+  }
+
   test("REPLACE WHERE over deletion-vector files never resurrects masked rows") {
     withExtSession { s =>
       val root = freshRoot()

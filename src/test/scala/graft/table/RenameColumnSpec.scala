@@ -170,6 +170,25 @@ class RenameColumnSpec extends TestBase {
     assert(e10.getMessage.contains("physically present"))
   }
 
+  test("a CHECK added AFTER a rename enforces against the frozen " +
+      "physical bytes — never a silent NULL pass") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    val t = mkTable(root)                                  // v1
+    t.commitRenameColumn("amount", "price", 1)             // v2
+    t.setCheckProp("price_pos", Some("price >= 0"))
+    // the violating batch arrives in the NEW name; the staged file
+    // stores the PHYSICAL name — the check must map through the column
+    // mapping instead of NULL-substituting a "missing" column
+    val e = intercept[IllegalArgumentException](t.commitAppend(
+      Seq((30L, "bad", -5.0)).toDF("id", "label", "price"), 2, 1))
+    assert(e.getMessage.contains("price_pos"), e.getMessage)
+    // a satisfying batch lands
+    t.commitAppend(Seq((31L, "ok", 5.0)).toDF("id", "label", "price"), 2, 1)
+    assert(t.readAsOf(3).count() == 21)
+  }
+
   test("SQL surface: ALTER TABLE ... RENAME COLUMN by name, reads, " +
       "UPDATE and pruning through the catalog") {
     val orig = spark
