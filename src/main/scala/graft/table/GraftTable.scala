@@ -430,7 +430,14 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     schema.foreach(sch => checks.foreach { case (n, e) =>
       GraftTable.validateCheck(spark, n, e, sch) })
     dataFs.mkdirs(new Path(data))
-    writeProps()
+    // createEmpty is the IDEMPOTENT start (streaming-ingest replay,
+    // racing creators): on an already-created table the props file is
+    // authoritative — rewriting it from this handle's declaration would
+    // CLOBBER every ALTER-recorded line (checks, DML modes, the rename
+    // mapping), silently un-mapping a renamed table. Only the first
+    // creator writes; create() stays destructive (it deletes the
+    // manifest dir first, so its writeProps is always a fresh file).
+    if (!manFs.exists(new Path(man, GraftTable.PropsFile))) writeProps()
     if (!isCommitted(1)) {
       val entries = schema match {
         case Some(sch) =>
@@ -1376,29 +1383,6 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * Rows where the predicate is NULL are NOT deleted; already-masked
     * rows neither inflate the count nor re-mask; a no-match delete
     * burns no version. Returns rows deleted. */
-  /** Snapshot v's impacted-file scan for the MoR DML paths: files read
-    * under their frozen PHYSICAL names with (__file, __pos) captured
-    * straight off the scan (metadata columns survive no projection),
-    * then aliased to v's LOGICAL names so caller predicates and
-    * assignments resolve post-rename. Identity for never-renamed
-    * tables. */
-  private def dmlScan(v: Int, files: Seq[String]): DataFrame = {
-    val schema = versionSchema(v)
-    val m = logicalToPhysical(v)
-    val reader = schema.map(s => spark.read.schema(physicalSchemaOf(s, m)))
-      .getOrElse(spark.read.option("mergeSchema", "true"))
-    val raw = reader.parquet(files: _*)
-      .withColumn("__file", col("_metadata.file_path"))
-      .withColumn("__pos", col("_metadata.row_index"))
-    if (m.isEmpty) raw
-    else schema match {
-      case Some(s) => raw.select(s.fieldNames.toIndexedSeq.map(n =>
-        col(m.getOrElse(n, n)).as(n)) ++ Seq(col("__file"), col("__pos")): _*)
-      case None => m.foldLeft(raw) { case (df, (l, p)) =>
-        df.withColumnRenamed(p, l) }
-    }
-  }
-
   def commitDeleteMor(pruneFilters: Seq[org.apache.spark.sql.sources.Filter],
       pred: Column, prevV: Int, tag: Option[String] = None): Long = {
     val prevMan = manifest(prevV)
@@ -1450,6 +1434,29 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
         schemaDdl = versionSchema(prevV).map(_.toDDL), oldDvPre = oldDv)
       nDel
     } finally { maskedNew.unpersist(); oldDv.foreach(_.unpersist()); () }
+  }
+
+  /** Snapshot v's impacted-file scan for the MoR DML paths: files read
+    * under their frozen PHYSICAL names with (__file, __pos) captured
+    * straight off the scan (metadata columns survive no projection),
+    * then aliased to v's LOGICAL names so caller predicates and
+    * assignments resolve post-rename. Identity for never-renamed
+    * tables. */
+  private def dmlScan(v: Int, files: Seq[String]): DataFrame = {
+    val schema = versionSchema(v)
+    val m = logicalToPhysical(v)
+    val reader = schema.map(s => spark.read.schema(physicalSchemaOf(s, m)))
+      .getOrElse(spark.read.option("mergeSchema", "true"))
+    val raw = reader.parquet(files: _*)
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    if (m.isEmpty) raw
+    else schema match {
+      case Some(s) => raw.select(s.fieldNames.toIndexedSeq.map(n =>
+        col(m.getOrElse(n, n)).as(n)) ++ Seq(col("__file"), col("__pos")): _*)
+      case None => m.foldLeft(raw) { case (df, (l, p)) =>
+        df.withColumnRenamed(p, l) }
+    }
   }
 
   /** MERGE-ON-READ UPDATE (`spark.graft.update.mode=mor` — the DV

@@ -134,6 +134,33 @@ class DedupSpec extends TestBase {
     corpus.unpersist()
   }
 
+  test("the cluster-count knob K cuts the candidate quadratic deeper; " +
+      "the decision stays exact") {
+    // the scale claim made quantitative: K is the knob SemDeDup grows
+    // with the corpus — doubling the cells roughly halves sum n_c²
+    // while recall on tau-close pairs is unaffected (duplicates share
+    // cells under ANY frozen model)
+    val corpus = DedupQueries.q142bCorpus(spark, sfDir).cache()
+    val n = corpus.count()
+    val want = (0L until 50L).map(_ + 1000000L).toSet
+    val fracs = Seq(16, 64).map { k =>
+      val cents = graft.operators.SketchQueries.kmeansCentroids(spark,
+        corpus.select("vec_id", "embedding"), k, 3)
+      val got = DedupQueries.semanticDedupDominated(cents, corpus, 0.85)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want,
+        s"K=$k missed=${want -- got} extra=${got -- want}")
+      val cand = DedupQueries.semanticCellPairs(cents, corpus, 2)
+        .select("aid", "bid").distinct().count()
+      cand.toDouble / (n * (n - 1) / 2)
+    }
+    info(f"candidate fraction of N²/2: K=16 ${fracs.head}%.3f, " +
+      f"K=64 ${fracs(1)}%.3f")
+    assert(fracs(1) < fracs.head / 2,
+      s"K=64 must cut at least 2x deeper than K=16: $fracs")
+    corpus.unpersist()
+  }
+
   test("exact dedup groups every document") {
     val total = Tables.load(spark, sfDir, "documents").count()
     val df = DedupQueries.q40_dedup_exact(spark, sfDir)

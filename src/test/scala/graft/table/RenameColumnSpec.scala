@@ -228,6 +228,23 @@ class RenameColumnSpec extends TestBase {
     }
   }
 
+  test("createEmpty replay never clobbers ALTER-recorded props — the " +
+      "rename mapping survives an idempotent re-create") {
+    val root = freshRoot()
+    val t = mkTable(root)                                  // v1
+    t.commitRenameColumn("amount", "price", 1)             // v2
+    // the streaming-ingest idempotent start re-invokes createEmpty on
+    // the same declaration; the existing props file (carrying the
+    // mapping) is authoritative — a rewrite from the handle's bare
+    // declaration would silently un-map the renamed column
+    GraftTable(spark, s"$root/data", s"$root/man", "id")
+      .createEmpty(Some(t.versionSchema(2).get))
+    val got = t.readAsOf(2)
+    assert(got.columns.toSeq == Seq("id", "label", "price"))
+    assert(got.agg(sum("price")).head.getDouble(0) ==
+      (1 to 20).map(_ * 10.0).sum)
+  }
+
   test("shallow clone carries the composed mapping; clone reads and " +
       "appends under the renamed name") {
     val root = freshRoot()
