@@ -31,16 +31,20 @@ class TableInvariantSpec extends TestBase {
 
   private type Model = Map[Long, (Long, String)] // id -> (v2, payload)
 
-  private def toDf(m: Seq[(Long, (Long, String))]): DataFrame = {
+  private def toDf(m: Seq[(Long, (Long, String))],
+      payCol: String = "payload"): DataFrame = {
     import spark.implicits._
-    m.map { case (id, (v2, p)) => (id, v2, p) }.toDF("id", "v2", "payload")
+    m.map { case (id, (v2, p)) => (id, v2, p) }.toDF("id", "v2", payCol)
   }
 
-  private def readModel(df: DataFrame): Model =
+  private def readModel(df: DataFrame,
+      payCol: String = "payload"): Model =
     df.collect().map(r => r.getAs[Long]("id") ->
-      (r.getAs[Long]("v2"), r.getAs[String]("payload"))).toMap
+      (r.getAs[Long]("v2"), r.getAs[String](payCol))).toMap
 
-  private def runSeed(seed: Int, nOps: Int): Unit = {
+  /** Returns the number of RENAME COLUMN ops the sequence hit, so the
+    * suite can assert the mapping path got fuzz coverage. */
+  private def runSeed(seed: Int, nOps: Int): Int = {
     val rnd = new scala.util.Random(seed)
     val root = java.nio.file.Files
       .createTempDirectory(s"graft_fuzz_$seed").toString
@@ -55,16 +59,25 @@ class TableInvariantSpec extends TestBase {
       rows
     }
 
-    // version -> model; v1 = initial create
+    // version -> model; v1 = initial create. The payload column gets
+    // RENAMED mid-sequence (the column-mapping op), so both the current
+    // logical name and each version's historical name are tracked —
+    // time travel must answer in the name that snapshot recorded.
     val init = freshRows(60)
     t.create(toDf(init), 3)
     var models = Map(1 -> init.toMap)
     var latest = 1
+    var payCol = "payload"
+    var payNames = Map(1 -> payCol)
+    def recordVersion(v: Int, m: Model): Unit = {
+      models += v -> m
+      payNames += v -> payCol
+    }
 
     def check(): Unit = {
       val m = models(latest)
       // 1. latest snapshot == model
-      assert(readModel(t.readAsOf(latest)) == m,
+      assert(readModel(t.readAsOf(latest), payCol) == m,
         s"seed=$seed v=$latest: snapshot != model")
       // 2. manifest n_rows sums to model size; pruned range == model range
       val entries = t.manifest(latest).collect()
@@ -83,47 +96,51 @@ class TableInvariantSpec extends TestBase {
         val got =
           if (kept.isEmpty) Map.empty[Long, (Long, String)]
           else readModel(t.readAsOf(latest, kept)
-            .filter(col("id").between(a, b)))
+            .filter(col("id").between(a, b)), payCol)
         assert(got == m.filter { case (id, _) => id >= a && id <= b },
           s"seed=$seed v=$latest: prune($a,$b) read != model slice")
       }
       // 3. every retained version still time-travels to its model
       models.keys.filter(v => v != latest && t.isCommitted(v)).foreach { v =>
-        assert(readModel(t.readAsOf(v)) == models(v),
+        // historical snapshots answer in the payload name THEY recorded
+        assert(readModel(t.readAsOf(v), payNames(v)) == models(v),
           s"seed=$seed: time travel to v=$v != recorded model")
       }
     }
 
     def applyCdc(prev: Model, vFrom: Int, vTo: Int): Model = {
       var m = prev
+      // the feed speaks the DESTINATION snapshot's names (the CDF rule)
+      val pay = payNames(vTo)
       t.cdc(vFrom, vTo).collect().foreach { r =>
         val id = r.getAs[Long]("id")
         r.getAs[String]("op") match {
           case "delete" => m -= id
           case _ => m += id ->
-            (r.getAs[Long]("new_v2"), r.getAs[String]("new_payload"))
+            (r.getAs[Long]("new_v2"), r.getAs[String](s"new_$pay"))
         }
       }
       m
     }
 
     var widened = 0
+    var renamed = 0
     (0 until nOps).foreach { _ =>
       val m = models(latest)
-      rnd.nextInt(14) match {
+      rnd.nextInt(16) match {
         case i if i <= 3 => // append fresh rows
           val batch = freshRows(1 + rnd.nextInt(40))
-          t.commitAppend(toDf(batch), latest, 1 + rnd.nextInt(3))
+          t.commitAppend(toDf(batch, payCol), latest, 1 + rnd.nextInt(3))
           latest += 1
-          models += latest -> (m ++ batch)
+          recordVersion(latest, m ++ batch)
         case i if i <= 6 && m.nonEmpty => // COW merge: updates + inserts
           val upd = rnd.shuffle(m.keys.toSeq)
             .take(1 + rnd.nextInt(math.max(1, m.size / 3)))
             .map(id => id -> (rnd.nextLong(1000000L), s"u${rnd.nextInt(1000)}"))
           val ins = freshRows(rnd.nextInt(10))
-          t.commitMerge(toDf(upd ++ ins), latest, 1 + rnd.nextInt(3))
+          t.commitMerge(toDf(upd ++ ins, payCol), latest, 1 + rnd.nextInt(3))
           val vFrom = latest; latest += 1
-          models += latest -> (m ++ upd ++ ins)
+          recordVersion(latest, m ++ upd ++ ins)
           // 4. the change feed's algebra closes over the commit
           assert(applyCdc(models(vFrom), vFrom, latest) == models(latest),
             s"seed=$seed: cdc($vFrom,$latest) replay != model")
@@ -134,16 +151,17 @@ class TableInvariantSpec extends TestBase {
             .take(1 + rnd.nextInt(math.max(1, m.size / 3)))
             .map(id => id -> (rnd.nextLong(1000000L), s"m${rnd.nextInt(1000)}"))
           val ins = freshRows(rnd.nextInt(10))
-          t.commitMergeMor(toDf(upd ++ ins), latest, 1 + rnd.nextInt(3))
+          t.commitMergeMor(toDf(upd ++ ins, payCol), latest,
+            1 + rnd.nextInt(3))
           val vFrom = latest; latest += 1
-          models += latest -> (m ++ upd ++ ins)
+          recordVersion(latest, m ++ upd ++ ins)
           assert(applyCdc(models(vFrom), vFrom, latest) == models(latest),
             s"seed=$seed: MoR cdc($vFrom,$latest) replay != model")
         case i if i <= 9 => // OPTIMIZE: content-identical new snapshot
           val packed = t.commitCompaction(latest, targetBytes = 1L << 30)
           if (packed > 0) {
             latest += 1
-            models += latest -> m // dataChange=false: same content
+            recordVersion(latest, m) // dataChange=false: same content
             assert(!t.dataChange(latest),
               s"seed=$seed: compaction v=$latest missing the no-data marker")
           }
@@ -170,7 +188,7 @@ class TableInvariantSpec extends TestBase {
             s"seed=$seed: commitDelete removed $nDel, model says $expect")
           if (nDel > 0) { // a no-match delete burns no version
             latest += 1
-            models += latest -> m.filterNot(doomed)
+            recordVersion(latest, m.filterNot(doomed))
           } else assert(t.committedVersions.max == latest,
             s"seed=$seed: no-match delete burned a version")
         case 12 => // ADD COLUMN: layout-identical widening commit
@@ -180,11 +198,27 @@ class TableInvariantSpec extends TestBase {
             base.fields :+ org.apache.spark.sql.types.StructField(
               s"w$widened", org.apache.spark.sql.types.LongType)), latest)
           latest = v
-          models += latest -> m // content identical; new col NULL-backfills
+          recordVersion(latest, m) // content identical; NULL-backfills
           assert(!t.dataChange(latest),
             s"seed=$seed: widening v=$latest missing the no-data marker")
           assert(t.readAsOf(latest).schema.fieldNames.contains(s"w$widened"),
             s"seed=$seed: widened column w$widened not visible")
+        case 13 | 14 => // RENAME COLUMN: metadata-only mapping commit —
+          // the content is IDENTICAL under the new name; every later op
+          // (appends, merges, MoR, deletes, cdc, clone) must compose
+          // with the logical->physical aliasing
+          renamed += 1
+          val newName = s"pay$renamed"
+          val v = t.commitRenameColumn(payCol, newName, latest)
+          payCol = newName
+          latest = v
+          recordVersion(latest, m)
+          assert(!t.dataChange(latest),
+            s"seed=$seed: rename v=$latest missing the no-data marker")
+          assert(t.readAsOf(latest).schema.fieldNames.contains(payCol) &&
+            !t.readAsOf(latest).schema.fieldNames.exists(
+              n => n != payCol && n.startsWith("pay")),
+            s"seed=$seed: renamed column $payCol not the visible one")
         case _ => // vacuum: drop history behind a random retained floor
           val keepFrom = models.keys.toSeq.sorted
             .drop(rnd.nextInt(models.size))(0)
@@ -201,30 +235,43 @@ class TableInvariantSpec extends TestBase {
     val cloneAt = models.keys.toSeq.sorted.apply(rnd.nextInt(models.size))
     val cl = t.shallowClone(cloneAt,
       s"$root/clone_data", s"$root/clone_man")
-    assert(readModel(cl.readAsOf(1)) == models(cloneAt),
+    assert(readModel(cl.readAsOf(1), payNames(cloneAt)) == models(cloneAt),
       s"seed=$seed: clone@v=$cloneAt != model")
     val extra = freshRows(15)
-    t.commitAppend(toDf(extra), latest, 2)
+    t.commitAppend(toDf(extra, payCol), latest, 2)
     latest += 1
-    models += latest -> (models(latest - 1) ++ extra)
+    recordVersion(latest, models(latest - 1) ++ extra)
     check()
-    assert(readModel(cl.readAsOf(1)) == models(cloneAt),
+    assert(readModel(cl.readAsOf(1), payNames(cloneAt)) == models(cloneAt),
       s"seed=$seed: source divergence leaked into the clone")
+    info(s"seed=$seed: versions=$latest renames=$renamed " +
+      s"widened=$widened payCol=$payCol")
+    renamed
   }
 
+  private var totalRenames = 0
+
   test("op-sequence fuzz, seed 1: model equivalence holds across 14 ops") {
-    runSeed(seed = 1, nOps = 14)
+    totalRenames += runSeed(seed = 1, nOps = 14)
   }
 
   test("op-sequence fuzz, seed 42: model equivalence holds across 14 ops") {
-    runSeed(seed = 42, nOps = 14)
+    totalRenames += runSeed(seed = 42, nOps = 14)
   }
 
   test("op-sequence fuzz, seed 7: model equivalence holds across 14 ops") {
-    runSeed(seed = 7, nOps = 14)
+    totalRenames += runSeed(seed = 7, nOps = 14)
   }
 
   test("op-sequence fuzz, seed 123: model equivalence holds across 14 ops") {
-    runSeed(seed = 123, nOps = 14)
+    totalRenames += runSeed(seed = 123, nOps = 14)
+  }
+
+  test("the op mix exercised RENAME COLUMN (column-mapping coverage)") {
+    // interleavings of the rename with every other op kind are exactly
+    // what no single-scenario spec writes down — the fuzz must actually
+    // hit the op (fixed seeds make this deterministic)
+    assert(totalRenames > 0,
+      "no seed drew the RENAME op — adjust seeds or the op mix")
   }
 }
