@@ -228,6 +228,72 @@ class RenameColumnSpec extends TestBase {
     }
   }
 
+  test("a stream over a renamed table delivers the NEW logical name " +
+      "with the old bytes — initial replay and incremental commits") {
+    val root = freshRoot()
+    val s = spark
+    import s.implicits._
+    val t = mkTable(root)                                  // v1
+    t.commitRenameColumn("amount", "price", 1)             // v2
+    val seen = scala.collection.mutable.Map[Long, Double]()
+    val q = spark.readStream.format("graft").load(s"$root/man")
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // the source schema must speak the CURRENT logical name while
+          // the files store the frozen physical one (readLogical)
+          assert(b.columns.toSeq == Seq("id", "label", "price"))
+          b.select("id", "price").collect().foreach(r =>
+            seen.synchronized { seen(r.getLong(0)) = r.getDouble(1) })
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(seen.synchronized(seen.toMap) ==
+        (1L to 20L).map(i => i -> i * 10.0).toMap)
+      // an incremental post-rename commit delivers under the new name
+      t.commitAppend(Seq((21L, "x", 210.0)).toDF("id", "label", "price"),
+        2, 1)
+      q.processAllAvailable()
+      assert(seen.synchronized(seen(21L)) == 210.0)
+    } finally q.stop()
+  }
+
+  test("SQL MERGE INTO a renamed table: assignments through the new " +
+      "name update the old bytes") {
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder().master("local[4]")
+        .withExtensions(new GraftExtensions).getOrCreate()
+      val root = freshRoot()
+      s.conf.set("spark.sql.catalog.gm", classOf[GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.gm.dir", s"$root/catalog")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS gm.db")
+      s.sql(s"""CREATE TABLE gm.db.t (id BIGINT, v DOUBLE) USING graft
+        |OPTIONS (man '$root/man', data '$root/data', key 'id')"""
+        .stripMargin)
+      import s.implicits._
+      (1L to 10L).map(i => (i, i * 2.0)).toDF("id", "v")
+        .createOrReplaceTempView("m_src0")
+      s.sql("INSERT INTO gm.db.t SELECT * FROM m_src0")
+      s.sql("ALTER TABLE gm.db.t RENAME COLUMN v TO score")
+      Seq((1L, 100.0), (11L, 22.0)).toDF("id", "score")
+        .createOrReplaceTempView("m_src")
+      s.sql(
+        """MERGE INTO gm.db.t AS tgt USING m_src AS src ON tgt.id = src.id
+          |WHEN MATCHED THEN UPDATE SET tgt.score = src.score
+          |WHEN NOT MATCHED THEN INSERT (id, score) VALUES (id, score)
+          |""".stripMargin)
+      val got = s.sql("SELECT id, score FROM gm.db.t ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+      assert(got == ((2L to 10L).map(i => i -> i * 2.0).toMap ++
+        Map(1L -> 100.0, 11L -> 22.0)), got)
+    } finally {
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
+    }
+  }
+
   test("createEmpty replay never clobbers ALTER-recorded props — the " +
       "rename mapping survives an idempotent re-create") {
     val root = freshRoot()
