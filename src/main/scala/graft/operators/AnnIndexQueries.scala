@@ -449,7 +449,9 @@ object AnnIndexPq {
   private def cbPath(root: String): String = s"$root/codebook"
 
   /** The PQ index table handle — the [[AnnIndex]] layout with codes in
-    * place of vectors. */
+    * place of vectors; [[AnnIndex.lag]] and [[AnnIndex.repack]] apply
+    * to PQ roots verbatim (same cell-keyed handle, payload-agnostic
+    * generation rule). */
   def table(spark: SparkSession, root: String): GraftTable =
     AnnIndex.table(spark, root)
 
@@ -788,6 +790,21 @@ object AnnIndexSrp {
     idx.commitAppend(coded, 1, nParts, tag = Some(s"corpus_v=$corpusV"))
     idx
   }
+
+  /** [[AnnIndex.lag]] for an SRP root — same manifest-only debt
+    * numbers; only the index-table handle (bkey key) differs. */
+  def lag(spark: SparkSession, corpus: GraftTable, root: String)
+      : org.apache.spark.sql.DataFrame =
+    AnnIndex.lagOf(spark, corpus, table(spark, root))
+
+  /** [[AnnIndex.repack]] for an SRP root: the generation-resolving
+    * rule is payload-agnostic and keeps ALL max-generation live rows
+    * per nid — exactly the T bucket rows the SRP shape stores — so the
+    * shared [[AnnIndex.repackOf]] applies with this table's bkey-keyed
+    * handle (the IVF handle's `cell` key would fail loudly here). */
+  def repack(spark: SparkSession, root: String, nParts: Int = 4,
+      minDeadFraction: Double = 0.0): Long =
+    AnnIndex.repackOf(spark, table(spark, root), nParts, minDeadFraction)
 
   /** Fold corpus changes into the SRP index — [[AnnIndex.refreshWith]]
     * with the bucket encoding (T rows per churn vector; tombstones

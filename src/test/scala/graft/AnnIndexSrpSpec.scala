@@ -201,6 +201,51 @@ class AnnIndexSrpSpec extends TestBase {
     } finally { e.unpersist(); () }
   }
 
+  test("SRP lag + generation repack: debt observable through the " +
+      "bkey-keyed handle; repack keeps the T-row shape and results") {
+    val root = java.nio.file.Files.createTempDirectory("graft_srpmx").toString
+    val e = TestBase.clusteredEmbeddings(spark).cache()
+    try {
+      val corpus = GraftTable(spark, s"$root/corpus_data",
+        s"$root/corpus_man", "vec_id")
+      corpus.create(e.filter(col("vec_id") < 450), 4)        // v1
+      AnnIndexSrp.build(spark, corpus, 1, root)
+      val (tables, _, _, _) = AnnIndexSrp.loadParams(spark, root)
+
+      // un-refreshed churn: the SRP-handle lag reports the debt
+      corpus.commitAppend(e.filter(col("vec_id") >= 450), 1, 2) // v2
+      val l1 = AnnIndexSrp.lag(spark, corpus, root).head
+      assert(l1.getLong(2) == 1L && l1.getLong(4) >= 50L, l1)
+      AnnIndexSrp.refresh(spark, corpus, 2, root)
+      // fold a delete -> T tombstones into the old buckets, T base
+      // rows superseded
+      assert(corpus.commitDelete(
+        Seq(org.apache.spark.sql.sources.EqualTo("vec_id", 460L)),
+        2, 2) == 1L)                                          // v3
+      AnnIndexSrp.refresh(spark, corpus, 3, root)
+
+      val idx = AnnIndexSrp.table(spark, root)
+      val total0 = idx.readAsOf(idx.committedVersions.max).count()
+      def got() = AnnIndexSrp.search(spark, corpus, root,
+        e.filter(col("vec_id") < 10), k = 5).collect()
+        .map(_.toString).toSeq
+      val before = got()
+      val dropped = AnnIndexSrp.repack(spark, root)
+      // the deleted vector's T base rows AND its T tombstones drop
+      assert(dropped >= 2L * tables, s"dropped $dropped (T=$tables)")
+      val after = idx.readAsOf(idx.committedVersions.max)
+      assert(after.count() == total0 - dropped)
+      assert(after.filter(col("dead")).count() == 0L)
+      // the T-rows-per-vector storage shape survives the repack
+      val perNid = after.groupBy("nid").agg(count(lit(1)).as("n"))
+        .select("n").distinct().collect().map(_.getLong(0)).toSet
+      assert(perNid == Set(tables.toLong), s"per-nid rows: $perNid")
+      assert(got() == before,
+        "repack must not change a single SRP search result")
+      assert(AnnIndexSrp.refresh(spark, corpus, 3, root) == 0L)
+    } finally { e.unpersist(); () }
+  }
+
   test("a codes-only build over an empty corpus refuses loudly and " +
       "leaves NO partially-initialized root") {
     val root = java.nio.file.Files.createTempDirectory("graft_srpe").toString
