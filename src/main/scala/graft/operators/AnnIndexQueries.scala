@@ -68,6 +68,37 @@ object AnnIndex {
 
   private[operators] def modelPath(root: String): String = s"$root/model"
 
+  /** Read-through cache for the frozen driver-side model parquets
+    * (coarse quantizer / codebook / srp params): one lifecycle query
+    * loads the same frozen model two-plus times (refresh encode +
+    * search probing), each a Spark collect job. The cache key is the
+    * model dir; the VALIDATOR is the dir's (file name, length, mtime)
+    * listing — the [[graft.Tables]] tsNanosCache pattern — so a
+    * rebuild (new part-file uuid) can never replay a stale model, and
+    * the frozen-model contract makes a validated hit exact. */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, AnyRef)]()
+
+  private[operators] def cachedModel[T <: AnyRef](spark: SparkSession,
+      dir: String)(read: => T): T = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fp =
+      try {
+        val fs = p.getFileSystem(hconf)
+        fs.listStatus(p).filter(_.isFile)
+          .map(s => s"${s.getPath.getName}|${s.getLen}|${s.getModificationTime}")
+          .sorted.mkString(";")
+      } catch { case _: java.io.IOException => return read }
+    val hit = modelCache.get(dir)
+    if (hit != null && hit._1 == fp) hit._2.asInstanceOf[T]
+    else {
+      val v = read
+      modelCache.put(dir, (fp, v))
+      v
+    }
+  }
+
   /** The index graft table handle. `nid` is a declared stats column:
     * maintenance predicates on vector id (audits, targeted rebuilds)
     * file-prune too. */
@@ -81,9 +112,11 @@ object AnnIndex {
     * k x dim doubles of driver-side model state (the same legitimacy as
     * kmeansCentroids' collect). */
   def loadModel(spark: SparkSession, root: String): Seq[(Int, Seq[Double])] =
-    spark.read.parquet(modelPath(root)).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1)))
-      .sortBy(_._1).toSeq
+    cachedModel(spark, modelPath(root)) {
+      spark.read.parquet(modelPath(root)).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
+    }
 
   private def encode(cents: Seq[(Int, Seq[Double])], e: DataFrame,
       iv: Int, dead: Boolean): DataFrame =
@@ -117,9 +150,14 @@ object AnnIndex {
       if (fs.exists(p)) fs.delete(p, true)
     }
     val idx = table(spark, root)
+    // persist: the clustered write's range sampler would otherwise run
+    // the whole encode scan (K cosines per corpus row) a second time
     val coded = encode(cents, e, corpusV, dead = false)
-    idx.createEmpty(Some(coded.schema))
-    idx.commitAppend(coded, 1, nParts, tag = Some(s"corpus_v=$corpusV"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      idx.createEmpty(Some(coded.schema))
+      idx.commitAppend(coded, 1, nParts, tag = Some(s"corpus_v=$corpusV"))
+    } finally { coded.unpersist(blocking = false); () }
     idx
   }
 
@@ -298,9 +336,12 @@ object AnnIndex {
           dropped.toDouble / total < minDeadFraction) return 0L
       // one atomic full swap, re-clustered by the index key; the
       // corpus_v tag rides the commit so indexedCorpusVersion still
-      // answers after older versions expire
+      // answers after older versions expire. check=false: the
+      // predicate is literally `true`, so the staged-validation scan
+      // can never reject — skip its footer reads (the r20 verdict's
+      // "what's wrong" (b))
       idx.commitReplaceWhere(Seq.empty, lit(true), kept, v, nParts,
-        tag = Some(s"corpus_v=$covered"))
+        tag = Some(s"corpus_v=$covered"), check = false)
       dropped
     } finally { df.unpersist(); () }
   }
@@ -458,14 +499,15 @@ object AnnIndexPq {
   /** The frozen codebooks, loaded from the codebook parquet — M x K x
     * (dim/M) floats of driver-side model state. */
   def loadCodebook(spark: SparkSession, root: String)
-      : Array[Array[Array[Float]]] = {
-    val rows = spark.read.parquet(cbPath(root)).collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
-      .toMap
-    val m = rows.keys.map(_._1).max + 1
-    val k = rows.keys.map(_._2).max + 1
-    Array.tabulate(m, k)((mi, c) => rows((mi, c)))
-  }
+      : Array[Array[Array[Float]]] =
+    AnnIndex.cachedModel(spark, cbPath(root)) {
+      val rows = spark.read.parquet(cbPath(root)).collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
+        .toMap
+      val m = rows.keys.map(_._1).max + 1
+      val k = rows.keys.map(_._2).max + 1
+      Array.tabulate(m, k)((mi, c) => rows((mi, c)))
+    }
 
   private def encode(cents: Seq[(Int, Seq[Double])],
       cb: Array[Array[Array[Float]]], e: DataFrame, iv: Int,
@@ -507,9 +549,14 @@ object AnnIndexPq {
       if (fs.exists(p)) fs.delete(p, true)
     }
     val idx = table(spark, root)
+    // persist: see AnnIndex.build — the encode (cells + PQ codes) must
+    // not run twice under the range sampler
     val coded = encode(cents, cb, e, corpusV, dead = false)
-    idx.createEmpty(Some(coded.schema))
-    idx.commitAppend(coded, 1, nParts, tag = Some(s"corpus_v=$corpusV"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      idx.createEmpty(Some(coded.schema))
+      idx.commitAppend(coded, 1, nParts, tag = Some(s"corpus_v=$corpusV"))
+    } finally { coded.unpersist(blocking = false); () }
     idx
   }
 
@@ -704,10 +751,11 @@ object AnnIndexSrp {
 
   /** The frozen (tables, bits, probes, storage) geometry. */
   def loadParams(spark: SparkSession, root: String)
-      : (Int, Int, Int, String) = {
-    val r = spark.read.parquet(paramsPath(root)).head
-    (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3))
-  }
+      : (Int, Int, Int, String) =
+    AnnIndex.cachedModel(spark, paramsPath(root)) {
+      val r = spark.read.parquet(paramsPath(root)).head
+      ((r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    }
 
   private def bucketed(tables: Int, bits: Int, e: DataFrame): DataFrame = {
     import graft.functions.TextHashExprs.srp_buckets
@@ -784,10 +832,15 @@ object AnnIndexSrp {
       if (fs.exists(p)) fs.delete(p, true)
     }
     val idx = table(spark, root)
+    // persist: see AnnIndex.build — the T-per-vector bucket expansion
+    // must not run twice under the range sampler
     val coded = encode(tables, bits, storage, cb, e, corpusV,
       dead = false)
-    idx.createEmpty(Some(coded.schema))
-    idx.commitAppend(coded, 1, nParts, tag = Some(s"corpus_v=$corpusV"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      idx.createEmpty(Some(coded.schema))
+      idx.commitAppend(coded, 1, nParts, tag = Some(s"corpus_v=$corpusV"))
+    } finally { coded.unpersist(blocking = false); () }
     idx
   }
 

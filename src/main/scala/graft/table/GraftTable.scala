@@ -106,6 +106,27 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * columns are legal — an all-NULL file records a NULL box there,
     * which pruning treats as "cannot skip on this dimension". */
   def fileStats(files: Seq[String]): DataFrame = {
+    // FOOTER fast path (the Delta/Iceberg shape: stats come from write
+    // metadata, never a re-read): every file here was just written by
+    // Spark through stagedAppend/clusteredWrite, and its parquet footer
+    // already carries exact per-column min/max/null-count/row-count —
+    // the distributed stats scan re-reads every newly-written byte to
+    // recompute what the writer already recorded. Driver-side footer
+    // reads are O(#files) planning work, the same class as the
+    // manifest read. Falls back to the scan whenever anything is
+    // outside the provable-exact envelope: CHECK constraints and bloom
+    // sketches need row-level evaluation; INT96 timestamps, decimals
+    // and NaN float bounds have footer semantics the box codecs do not
+    // share; absent/unset footer stats prove nothing. Scan/footer
+    // parity (values, file strings, NULL boxes, census, the NULL-key
+    // rejection) is locked by FooterStatsSpec.
+    if (activeChecks.isEmpty && bloomCols.isEmpty &&
+        spark.conf.get("spark.graft.stats.fromFooters", "true").toBoolean) {
+      footerStats(files) match {
+        case Some(out) => return out
+        case None => () // ineligible — fall through to the scan
+      }
+    }
     val df = spark.read.parquet(files: _*)
     val codecs = (key +: statsCols).map(c =>
       c -> GraftTable.codecFor(df.schema(c).dataType, c, forKey = c == key))
@@ -192,6 +213,209 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     spark.createDataFrame(stored.toList.asJava, entriesSchema(codecs))
   }
 
+  /** [[fileStats]] from parquet FOOTERS — per-file (box, row count,
+    * size, null census) decoded from the chunk statistics Spark's own
+    * writer recorded, merged across row groups on the driver. Returns
+    * None (fall back to the scan) unless every needed column in every
+    * file is provably exact: a supported primitive+annotation shape,
+    * stats present with a set null count, and no NaN float/double
+    * bound. Output is value-identical to the scan path — same file
+    * strings (qualified, like `_metadata.file_path`), same box codecs,
+    * same stored normalization, same NULL-key rejection. */
+  private def footerStats(files: Seq[String]): Option[DataFrame] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.spark.sql.types._
+    import scala.util.Try
+
+    val need = (key +: statsCols).distinct
+    // expand directory args (the create() path stats the whole layout)
+    val sts: Seq[FileStatus] = files.flatMap { f =>
+      val p = new Path(f)
+      val fs = p.getFileSystem(hconf)
+      val st = fs.getFileStatus(p)
+      if (st.isFile) Seq(st)
+      else listStatusSafe(fs, p).filter { s =>
+        val n = s.getPath.getName
+        s.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".")
+      }.toSeq
+    }
+
+    def sparkTypeOf(p: org.apache.parquet.schema.PrimitiveType)
+        : Option[DataType] = {
+      import LogicalTypeAnnotation._
+      p.getPrimitiveTypeName match {
+        case INT64 => p.getLogicalTypeAnnotation match {
+          case null => Some(LongType)
+          case t: TimestampLogicalTypeAnnotation
+            if t.getUnit == TimeUnit.MICROS && t.isAdjustedToUTC =>
+            Some(TimestampType)
+          case i: IntLogicalTypeAnnotation if i.getBitWidth == 64 =>
+            Some(LongType)
+          case _ => None
+        }
+        case INT32 => p.getLogicalTypeAnnotation match {
+          case null => Some(IntegerType)
+          case _: DateLogicalTypeAnnotation => Some(DateType)
+          case i: IntLogicalTypeAnnotation if i.getBitWidth <= 32 =>
+            Some(IntegerType)
+          case _ => None
+        }
+        case BINARY => p.getLogicalTypeAnnotation match {
+          case _: StringLogicalTypeAnnotation => Some(StringType)
+          case _ => None
+        }
+        case DOUBLE => Some(DoubleType)
+        case FLOAT => Some(FloatType)
+        case _ => None // INT96 / FIXED (decimal) / BOOLEAN keys: scan
+      }
+    }
+    // the agg-output value the scan path's loAgg/hiAgg would produce
+    def decode(dt: DataType, v: AnyRef): Option[Any] = (dt, v) match {
+      case (LongType, l: java.lang.Long) => Some(l)
+      case (IntegerType, i: java.lang.Integer) =>
+        Some(java.lang.Long.valueOf(i.longValue))
+      case (TimestampType, l: java.lang.Long) => Some(l) // already micros
+      case (DateType, i: java.lang.Integer) =>
+        Some(java.lang.Long.valueOf(i.longValue))
+      case (StringType, b: Binary) => Some(b.toStringUsingUTF8)
+      case (DoubleType, d: java.lang.Double) =>
+        if (d.isNaN) None else Some(d)
+      case (FloatType, f: java.lang.Float) =>
+        if (f.isNaN) None
+        else Some(java.lang.Double.valueOf(f.doubleValue))
+      case _ => None
+    }
+    def mergeMin(dt: DataType, a: Any, b: Any): Any = (a, b) match {
+      case (null, x) => x
+      case (x, null) => x
+      case (x: java.lang.Long, y: java.lang.Long) =>
+        if (x <= y) x else y
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        if (java.lang.Double.compare(x, y) <= 0) x else y
+      case (x: String, y: String) =>
+        if (GraftTable.utf8Compare(x, y) <= 0) x else y
+      case _ => throw new IllegalStateException(s"merge $a $b")
+    }
+    def mergeMax(dt: DataType, a: Any, b: Any): Any = (a, b) match {
+      case (null, x) => x
+      case (x, null) => x
+      case (x: java.lang.Long, y: java.lang.Long) =>
+        if (x >= y) x else y
+      case (x: java.lang.Double, y: java.lang.Double) =>
+        if (java.lang.Double.compare(x, y) >= 0) x else y
+      case (x: String, y: String) =>
+        if (GraftTable.utf8Compare(x, y) >= 0) x else y
+      case _ => throw new IllegalStateException(s"merge $a $b")
+    }
+
+    // per-file footer decode, parallel (footers are independent I/O;
+    // at scale this is the Iceberg manifest-building shape).
+    // Outcome per file: Left(()) = ineligible (forces the scan for the
+    // whole set); Right(None) = legal 0-row file (no entry — scan
+    // parity: groupBy produces no group for it); Right(Some) = entry.
+    case class FileAgg(file: String, bytes: Long, nRows: Long,
+      lo: Map[String, Any], hi: Map[String, Any],
+      nulls: Map[String, Long], types: Map[String, DataType])
+    import scala.jdk.CollectionConverters._
+    if (sts.isEmpty) return None
+    def decodeFile(st: FileStatus): Either[Unit, Option[FileAgg]] =
+      Try[Either[Unit, Option[FileAgg]]] {
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(st.getPath, hconf))
+        try {
+          val msg = reader.getFooter.getFileMetaData.getSchema
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val nRows = blocks.map(_.getRowCount).sum
+          if (nRows == 0) Right(None)
+          else if (need.exists(c => !msg.containsField(c) ||
+              !msg.getType(msg.getFieldIndex(c)).isPrimitive)) Left(())
+          else {
+            val types = need.map(c =>
+              c -> sparkTypeOf(msg.getType(msg.getFieldIndex(c))
+                .asPrimitiveType())).toMap
+            if (types.values.exists(_.isEmpty)) Left(())
+            else {
+              var lo = Map.empty[String, Any]
+              var hi = Map.empty[String, Any]
+              var nulls = need.map(_ -> 0L).toMap
+              var ok = true
+              blocks.foreach { b =>
+                val byCol = b.getColumns.asScala
+                  .map(cc => cc.getPath.toDotString -> cc).toMap
+                need.foreach { c =>
+                  if (ok) {
+                    val stats = byCol.get(c).map(_.getStatistics).orNull
+                    if (stats == null || stats.isEmpty ||
+                        !stats.isNumNullsSet) ok = false
+                    else {
+                      nulls = nulls.updated(c, nulls(c) + stats.getNumNulls)
+                      if (stats.hasNonNullValue) {
+                        val dt = types(c).get
+                        (decode(dt,
+                            stats.genericGetMin.asInstanceOf[AnyRef]),
+                          decode(dt,
+                            stats.genericGetMax.asInstanceOf[AnyRef])) match {
+                          case (Some(mn), Some(mx)) =>
+                            lo = lo.updated(c,
+                              mergeMin(dt, lo.getOrElse(c, null), mn))
+                            hi = hi.updated(c,
+                              mergeMax(dt, hi.getOrElse(c, null), mx))
+                          case _ => ok = false // NaN bound etc.
+                        }
+                      }
+                    }
+                  }
+                }
+              }
+              if (!ok) Left(())
+              else Right(Some(FileAgg(st.getPath.toString, st.getLen,
+                nRows, lo, hi, nulls,
+                types.map { case (c, t) => c -> t.get })))
+            }
+          }
+        } finally reader.close()
+      }.getOrElse(Left(()))
+    val decoded: Seq[Either[Unit, Option[FileAgg]]] =
+      sts.toList.asJava.parallelStream()
+        .map[Either[Unit, Option[FileAgg]]](st => decodeFile(st))
+        .collect(java.util.stream.Collectors
+          .toList[Either[Unit, Option[FileAgg]]]).asScala.toSeq
+    if (decoded.exists(_.isLeft)) return None
+    val aggs: Seq[FileAgg] = decoded.flatMap(_.toOption.get)
+    if (aggs.isEmpty) return None // all files 0-row: let the scan
+                                  // derive the typed empty shape
+    // one codec set for the whole batch (files share the writer schema)
+    if (aggs.exists(a => need.exists(c => a.types(c) != aggs.head.types(c))))
+      return None // mixed writer schemas: let the scan reconcile/fail
+    val codecs = need.map(c => c -> GraftTable.codecFor(
+      aggs.head.types(c), c, forKey = c == key)).toMap
+    val nNull = aggs.map(_.nulls(key)).sum
+    require(nNull == 0,
+      s"batch has $nNull NULL '$key' key(s) — the table key must be " +
+        "non-null (NULL keys cannot be merge-matched and min/max " +
+        "skipping would silently drop their rows)")
+    val stored = aggs.map { a =>
+      val vals: Seq[Any] =
+        Seq(a.file,
+          codecs(key).storeLo(a.lo.getOrElse(key, null)),
+          codecs(key).storeHi(a.hi.getOrElse(key, null)),
+          java.lang.Long.valueOf(a.nRows),
+          java.lang.Long.valueOf(a.bytes)) ++
+        statsCols.flatMap(c => Seq(
+          codecs(c).storeLo(a.lo.getOrElse(c, null)),
+          codecs(c).storeHi(a.hi.getOrElse(c, null)))) ++
+        statsCols.map(c => java.lang.Long.valueOf(a.nulls(c)))
+      Row.fromSeq(vals)
+    }
+    Some(spark.createDataFrame(stored.toList.asJava,
+      entriesSchema(codecs)))
+  }
+
   private def entriesSchema(codecs: Map[String, GraftTable.BoxCodec])
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types.{BinaryType, LongType, StringType,
@@ -237,7 +461,17 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     }
     def shape(df: DataFrame) =
       df.schema.fields.map(f => f.name -> f.dataType).toMap
-    if (shape(prev) == shape(stats)) prev.unionByName(stats)
+    if (shape(prev) == shape(stats)) {
+      // DRIVER-side union: both sides are local relations by
+      // construction (manifests read driver-side, stats built from
+      // collected rows), so a Union plan here would only force the
+      // commit's collect back into a Spark job (Union of local
+      // relations does not fold). Name-aligned like unionByName.
+      import scala.jdk.CollectionConverters._
+      val aligned = stats.select(prev.columns.toIndexedSeq.map(col): _*)
+      spark.createDataFrame(
+        (prev.collect() ++ aligned.collect()).toList.asJava, prev.schema)
+    }
     else if (prev.isEmpty) stats // local relations — driver-cheap checks
     else if (stats.isEmpty) prev
     else throw new IllegalStateException(
@@ -285,7 +519,22 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       schemaDdl: Option[String] = None): Boolean = {
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val tmp = new Path(man, s"_tmp_v${v}_$attempt")
-    entries.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    // driver-side direct write (the Delta-log shape — committing a
+    // manifest is O(#files) driver work, never a Spark job); entries
+    // plans are local relations in the common paths, so the collect is
+    // driver-only too. Types outside the manifest contract fall back
+    // to the Spark write below.
+    val wroteDirect =
+      try GraftTable.writeManifestRows(entries.collect().toIndexedSeq,
+        entries.schema, tmp, hconf)
+      catch { case e: Throwable =>
+        logWarning(s"driver-side manifest write failed, falling back " +
+          s"to the Spark write: $e")
+        manFs.delete(tmp, true)
+        false
+      }
+    if (!wroteDirect)
+      entries.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     require(touch(manFs, new Path(tmp, s"_ts_${System.currentTimeMillis()}")),
       "could not record commit timestamp")
     require(touch(manFs, new Path(tmp, s"_commit_$attempt")),
@@ -720,8 +969,33 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   private[table] def stagedAppend(batch: DataFrame, nParts: Int): Seq[String] = {
     // files always store the frozen PHYSICAL names (column mapping)
     val phys = toPhysical(batch)
-    stagedMove(stage =>
-      GraftTable.clusteredWrite(phys, key, nParts, "overwrite", stage))
+    // a multi-partition range-clustered write SAMPLES its input to
+    // compute partition bounds, so the batch's plan executes TWICE
+    // (sample pass + shuffle pass). For a COMPUTED batch — merge
+    // survivors, MoR rewrites, encoded churn: anything with a join/
+    // agg/union/generate/window in it — persist so the second pass
+    // reads the cache instead of recomputing the pipeline (guide §5:
+    // cache exactly what is reused and expensive). A bare scan/local
+    // batch recomputes cheaper than it caches, and an already-cached
+    // batch needs nothing.
+    val worthCaching = nParts > 1 && {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      val p = phys.queryExecution.optimizedPlan
+      !p.isInstanceOf[InMemoryRelation] && p.collectFirst {
+        case n @ (_: Join | _: Aggregate | _: Union | _: Generate |
+          _: Window) => n
+      }.isDefined
+    }
+    val mat =
+      if (worthCaching)
+        Some(phys.persist(org.apache.spark.storage.StorageLevel
+          .MEMORY_AND_DISK))
+      else None
+    try stagedMove(stage =>
+      GraftTable.clusteredWrite(mat.getOrElse(phys), key, nParts,
+        "overwrite", stage))
+    finally { mat.foreach(_.unpersist(blocking = false)); () }
   }
 
   /** The stage-write-move tail shared by [[stagedAppend]] and the
@@ -767,19 +1041,20 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       if (r.isNullAt(i)) 0L else r.getLong(i)
     }.sum
 
-  /** Entries minus the named files — spelled as a BROADCAST anti-join
-    * rather than `col("file").isin(files: _*)`: a commit impacting tens
-    * of thousands of files must not build a giant In literal on the
-    * driver (the r12 plan-audit note). `files` is already O(#impacted
-    * files) driver-resident manifest planning, so the broadcast costs
-    * nothing new. */
+  /** Entries minus the named files. Both sides are O(#files)
+    * driver-resident manifest planning by design, so this is a plain
+    * driver-side set filter returning a LOCAL relation — an anti-JOIN
+    * plan here (the pre-r21 spelling) forced every commit's entry
+    * collect into a Spark job for zero distributed work. */
   private[table] def excludeFiles(entries: DataFrame, files: Seq[String])
       : DataFrame =
     if (files.isEmpty) entries
     else {
-      import spark.implicits._
-      entries.join(broadcast(files.toDF("__gone_file")),
-        col("file") === col("__gone_file"), "left_anti")
+      import scala.jdk.CollectionConverters._
+      val gone = files.toSet
+      val rows = entries.collect()
+        .filterNot(r => gone(r.getAs[String]("file")))
+      spark.createDataFrame(rows.toList.asJava, entries.schema)
     }
 
   /** The semi twin of [[excludeFiles]]: keep only rows whose `file`
@@ -1205,6 +1480,30 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
       envGuard: Option[(Any, Any)] = None): Unit = {
     import spark.implicits._
     val hasDv = prevMan.columns.contains("dv")
+    // FAST PATH: when no impacted entry carries an existing DV (every
+    // first mask over an envelope — the common case), the combined
+    // vector IS the deduped new mask: ONE aggregation yields the
+    // per-file counts that the general path below needs three
+    // evaluations for (new counts to pick the refold set, combined
+    // counts, old counts — the latter provably zero here).
+    val anyOldDv = hasDv &&
+      impactedRows.exists(r => GraftTable.entryDvOf(r).isDefined)
+    if (!anyOldDv && maskedNew.isDefined) {
+      val dvAll = maskedNew.get.distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val allCnt: Map[String, Long] = dvAll
+          .groupBy("file").agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getAs[String]("file") -> r.getAs[Long]("n")).toMap
+        if (allCnt.isEmpty)
+          commitMorMaskedTail(prevMan, prevEntries, None, Map.empty,
+            Map.empty, stats, prevV, tag, schemaDdl, envGuard)
+        else
+          commitMorMaskedTail(prevMan, prevEntries, Some(dvAll),
+            allCnt, Map.empty, stats, prevV, tag, schemaDdl, envGuard)
+      } finally { dvAll.unpersist(blocking = false); () }
+      return
+    }
     // per-file NEW masked counts FIRST — they decide which entries
     // re-point at this commit's combined vector; everything else is
     // carried verbatim. O(#impacted files) driver-side planning.
@@ -1994,9 +2293,10 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * the number of rows deleted. */
   def commitReplaceWhere(pruneFilters: Seq[org.apache.spark.sql.sources.Filter],
       pred: Column, data: DataFrame, prevV: Int, nParts: Int = 2,
-      tag: Option[String] = None): Long = {
+      tag: Option[String] = None, check: Boolean = true): Long = {
     val addedNew = stagedAppend(data, nParts)
-    if (spark.conf.get("spark.graft.replaceWhere.check", "true").toBoolean
+    if (check &&
+        spark.conf.get("spark.graft.replaceWhere.check", "true").toBoolean
         && addedNew.nonEmpty) {
       // staged files store PHYSICAL names; pred speaks logical — alias
       // back before evaluating (identity for never-renamed tables)
@@ -2016,42 +2316,54 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val candidates = SnapshotPruning
       .keepTestV1(pruneFilters, Some(key), prunable, bloomable)
       .map(test => prevEntries.filter(test)).getOrElse(prevEntries)
-    // PER-FILE matched counts (the commitDeleteMor planning shape):
-    // a candidate file whose rows ALL miss the predicate is carried
-    // VERBATIM into the new version instead of being rewritten — box
-    // pruning is conservative, and rewriting a 128 MiB file to delete
-    // zero of its rows is pure write amplification
-    val doomedByFile: Map[String, Long] =
-      if (candidates.isEmpty) Map.empty
+    // ONE DV-masked envelope scan serves BOTH the per-file matched
+    // counts (the commitDeleteMor planning shape: a candidate file
+    // whose rows ALL miss the predicate is carried VERBATIM instead of
+    // rewritten) AND the survivor re-stage — previously the impacted
+    // files were MoR-read twice (the r20 verdict's "what's wrong" (a)).
+    // The scan persists across the two uses; the survivor side
+    // restricts to the doomed files with a broadcast semi-join.
+    val live =
+      if (candidates.isEmpty) None
       else {
         val oldDv = GraftTable.ownDvRows(spark, candidates)
         val raw = dmlScan(prevV, candidates.map(_.getAs[String]("file")).toSeq)
-        val live = oldDv.fold(raw)(o =>
+        Some(oldDv.fold(raw)(o =>
           raw.join(o.select(col("file").as("__file"), col("pos").as("__pos")),
             Seq("__file", "__pos"), "left_anti"))
-        live.filter(pred).groupBy("__file").agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       }
-    val doomed = doomedByFile.values.sum
-    // conservative planning kept files whose rows all miss: degrade to
-    // a pure append — no file rewritten, no survivors re-staged
-    val impactedRows =
-      if (doomed == 0L) Array.empty[Row]
-      else candidates.filter(r =>
-        doomedByFile.getOrElse(r.getAs[String]("file"), 0L) > 0L)
-    val survivors =
-      if (impactedRows.isEmpty) Seq.empty[String]
-      else stagedAppend(
-        morRead(impactedRows.map(r =>
-          (r.getAs[String]("file"), entryDv(r))).toSeq,
-          versionSchema(prevV), prevV)
-          .filter(!coalesce(pred, lit(false))),
-        sizedParts(nParts, entryBytes(impactedRows)))
-    val all = survivors ++ addedNew
-    val stats = if (all.isEmpty) emptyEntries else fileStats(all)
-    commitCowRewrite(prevV, impactedRows, stats, tag,
-      schemaDdl = evolvedSchemaDdl(prevV, data.schema))
-    doomed
+    try {
+      val doomedByFile: Map[String, Long] = live.fold(
+        Map.empty[String, Long])(
+        _.filter(pred).groupBy("__file").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap)
+      val doomed = doomedByFile.values.sum
+      // conservative planning kept files whose rows all miss: degrade to
+      // a pure append — no file rewritten, no survivors re-staged
+      val impactedRows =
+        if (doomed == 0L) Array.empty[Row]
+        else candidates.filter(r =>
+          doomedByFile.getOrElse(r.getAs[String]("file"), 0L) > 0L)
+      val survivors =
+        if (impactedRows.isEmpty) Seq.empty[String]
+        else {
+          import spark.implicits._
+          val impacted = impactedRows.map(_.getAs[String]("file")).toSeq
+          stagedAppend(
+            live.get
+              .join(broadcast(impacted.toDF("__keep_file")),
+                col("__file") === col("__keep_file"), "left_semi")
+              .filter(!coalesce(pred, lit(false)))
+              .drop("__file", "__pos"),
+            sizedParts(nParts, entryBytes(impactedRows)))
+        }
+      val all = survivors ++ addedNew
+      val stats = if (all.isEmpty) emptyEntries else fileStats(all)
+      commitCowRewrite(prevV, impactedRows, stats, tag,
+        schemaDdl = evolvedSchemaDdl(prevV, data.schema))
+      doomed
+    } finally { live.foreach(_.unpersist(blocking = false)); () }
   }
 
   /** Two-dimension convenience overload (the original API shape). */
@@ -3336,6 +3648,24 @@ object GraftTable {
     }
   }
 
+  /** UTF-8 byte-order string comparison — the order Spark's string
+    * min/max aggregate in (UTF8String is byte-wise unsigned) and the
+    * order parquet UTF8 chunk statistics are recorded in; Java's
+    * String.compareTo (UTF-16 code units) disagrees for supplementary
+    * characters, so the footer-stats merge must not use it. */
+  private[table] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** listStatus that treats a missing directory as empty (the Hadoop
     * API throws FileNotFoundException where java.io returned null). */
   private[table] def listStatusSafe(fs: FileSystem, dir: Path)
@@ -3470,6 +3800,78 @@ object GraftTable {
     spark.createDataFrame(rows.asJava, schema)
   }
 
+  /** Driver-side direct WRITE of manifest rows as ONE parquet part file
+    * — the mirror of [[readManifestRows]], and the other half of the
+    * Delta-log shape: COMMITTING a manifest is O(#files) driver work,
+    * so it must not schedule a Spark job either (the old
+    * `entries.coalesce(1).write.parquet` burned a full job + AQE
+    * planning round per commit — pure fixed overhead at every scale,
+    * and at bench scale the dominant cost of commit-heavy operators).
+    * Same flat-primitive type set as the read side; parity with the
+    * Spark-written form (schema, values, NULL boxes, binary sketches,
+    * empty manifests) is locked by ManifestDirectReadSpec. Returns
+    * false — caller falls back to the Spark write — on any type
+    * outside the manifest contract. */
+  def writeManifestRows(rows: Seq[Row], schema: StructType, dir: Path,
+      conf: org.apache.hadoop.conf.Configuration): Boolean = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.hadoop.util.HadoopOutputFile
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.io.api.Binary
+    import org.apache.spark.sql.types._
+    val builder = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val t = f.dataType match {
+        case StringType =>
+          Types.optional(BINARY).as(LogicalTypeAnnotation.stringType())
+        case BinaryType => Types.optional(BINARY)
+        case LongType => Types.optional(INT64)
+        case IntegerType => Types.optional(INT32)
+        case DoubleType => Types.optional(DOUBLE)
+        case FloatType => Types.optional(FLOAT)
+        case BooleanType => Types.optional(BOOLEAN)
+        case _ => return false // outside the manifest contract
+      }
+      builder.addField(t.named(f.name))
+    }
+    val msg = builder.named("spark_schema")
+    val fs = dir.getFileSystem(conf)
+    fs.mkdirs(dir)
+    val out = new Path(dir,
+      s"part-00000-${java.util.UUID.randomUUID()}-c000.snappy.parquet")
+    val w = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(out, conf))
+      .withConf(conf).withType(msg)
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .build()
+    try {
+      val gf = new SimpleGroupFactory(msg)
+      rows.foreach { r =>
+        val g = gf.newGroup()
+        var i = 0
+        while (i < schema.length) {
+          if (!r.isNullAt(i)) schema(i).dataType match {
+            case StringType => g.append(schema(i).name, r.getString(i))
+            case BinaryType => g.append(schema(i).name,
+              Binary.fromConstantByteArray(r.getAs[Array[Byte]](i)))
+            case LongType => g.append(schema(i).name, r.getLong(i))
+            case IntegerType => g.append(schema(i).name, r.getInt(i))
+            case DoubleType => g.append(schema(i).name, r.getDouble(i))
+            case FloatType => g.append(schema(i).name, r.getFloat(i))
+            case BooleanType => g.append(schema(i).name, r.getBoolean(i))
+            case dt => throw new IllegalStateException(dt.toString)
+          }
+          i += 1
+        }
+        w.write(g)
+      }
+    } finally w.close()
+    true
+  }
+
   /** Create an empty marker file; true if it exists when we are done —
     * a concurrent creator of the SAME marker is success, not failure
     * (markers are empty, content-free). */
@@ -3509,7 +3911,14 @@ object GraftTable {
     * use it directly; versioned tables via the instance method). */
   def clusteredWrite(df: DataFrame, key: String, nParts: Int, mode: String,
       path: String): Unit =
-    df.repartitionByRange(nParts, col(key)).sortWithinPartitions(key)
+    // single-partition writes need no range bounds: a round-robin
+    // repartition(1) + local sort produces the identical one sorted
+    // file WITHOUT repartitionByRange's sampling pass (which executes
+    // the whole input plan an extra time just to learn there is
+    // nothing to split)
+    (if (nParts <= 1) df.repartition(1)
+     else df.repartitionByRange(nParts, col(key)))
+      .sortWithinPartitions(key)
       .write.mode(mode).parquet(path)
 
   /** The key must be INTEGRAL: lo/hi are stored as long (the
