@@ -121,7 +121,7 @@ object AnnIndex {
   private def encode(cents: Seq[(Int, Seq[Double])], e: DataFrame,
       iv: Int, dead: Boolean): DataFrame =
     e.select(
-      SketchQueries.nearestCell(cents, dv(col("embedding")))
+      SketchQueries.nearestCell(cents, col("embedding"))
         .cast("long").as("cell"),
       col("vec_id").as("nid"), col("embedding"),
       lit(iv.toLong).as("iv"), lit(dead).as("dead"))
@@ -380,7 +380,7 @@ object AnnIndex {
     val probed = probes
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
         posexplode(slice(
-          SketchQueries.cellScores(cents, dv(col("embedding"))), 1, nprobe)))
+          SketchQueries.cellScores(cents, col("embedding")), 1, nprobe)))
       .select(col("qid"), col("qe"), (col("col.ncid") * -1).cast("long")
         .as("cell"))
     // the probed cell set is nQueries x nprobe ints — driver-side
@@ -513,7 +513,7 @@ object AnnIndexPq {
       cb: Array[Array[Array[Float]]], e: DataFrame, iv: Int,
       dead: Boolean): DataFrame =
     e.select(
-      SketchQueries.nearestCell(cents, AnnIndex.dv(col("embedding")))
+      SketchQueries.nearestCell(cents, col("embedding"))
         .cast("long").as("cell"),
       col("vec_id").as("nid"),
       graft.functions.PqExprs.pq_encode(col("embedding"), cb).as("code"),
@@ -588,7 +588,7 @@ object AnnIndexPq {
     val qdf = adcQueryRows(spark, probes, cb)
     val probed = qdf.select(col("qid"), col("qtab"), col("qnorm"),
         posexplode(slice(SketchQueries.cellScores(cents,
-          AnnIndex.dv(col("qe"))), 1, nprobe)))
+          col("qe")), 1, nprobe)))
       .select(col("qid"), col("qtab"), col("qnorm"),
         (col("col.ncid") * -1).cast("long").as("cell"))
     val cells = probed.select("cell").distinct().collect()

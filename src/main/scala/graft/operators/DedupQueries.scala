@@ -470,7 +470,7 @@ object DedupQueries {
     def dv(c: Column): Column = transform(c, x => x.cast("double"))
     val assigned = corpus.select(col("vec_id"), col("embedding"),
         explode(slice(
-          SketchQueries.cellScores(cents, dv(col("embedding"))),
+          SketchQueries.cellScores(cents, col("embedding")),
           1, nprobe)).as("cs"))
       .select(col("vec_id"), col("embedding"),
         (col("cs").getField("ncid") * -1).as("cell"))

@@ -88,7 +88,11 @@ object QuantizeQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = bidir.select(col("ia").as("node")).distinct()
 
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    // lazy: round 1's convergence count is the materializing action —
+    // an eager checkpoint here burned a separate serial job chain (the
+    // whole verified-edge pipeline) before the first round even began
+    var labels = nodes.withColumn("label", col("node"))
+      .localCheckpoint(eager = false)
     // previous round's checkpoint blocks are released explicitly — the
     // RDD behind a localCheckpoint is otherwise reachable only by GC
     var prevCkpt: DataFrame = labels

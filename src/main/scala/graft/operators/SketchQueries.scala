@@ -58,11 +58,14 @@ object SketchQueries {
     * k rows per vector through a per-vector window sort). Ties break to
     * the lowest cid (ncid is the negated id, sorted descending),
     * matching the old (sim desc, cid) window order exactly. */
+  /** Native codegen'd scoring ([[graft.functions.IvfExprs]]) — the old
+    * `sort_array(transform(typedlit(cents), ...))` spelling ran the
+    * interpreted HOF path per row per centroid; CellScoresSpec pins the
+    * two bit-identical. Accepts float or double arrays (float widens
+    * exactly like the old elementwise cast). */
   private[operators] def cellScores(cents: Seq[(Int, Seq[Double])],
       v: Column): Column =
-    sort_array(transform(typedlit(cents), c =>
-      struct(cosine_similarity(v, c.getField("_2")).as("sim"),
-        (c.getField("_1") * -1).as("ncid"))), asc = false)
+    graft.functions.IvfExprs.cell_scores(v, cents)
 
   private[operators] def nearestCell(cents: Seq[(Int, Seq[Double])],
       v: Column): Column =
@@ -170,12 +173,12 @@ object SketchQueries {
     // invert: each corpus vector -> nearest centroid cell (map-only)
     val assigned = e
       .select(col("vec_id").as("nid"), col("embedding").as("ne"),
-        nearestCell(cents, dv(col("embedding"))).as("cell"))
+        nearestCell(cents, col("embedding")).as("cell"))
     // queries probe their nprobe nearest cells (map-only: top-n of the
     // same sorted per-row score array)
     val probes = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        posexplode(slice(cellScores(cents, dv(col("embedding"))), 1, nprobe)))
+        posexplode(slice(cellScores(cents, col("embedding")), 1, nprobe)))
       .select(col("qid"), col("qe"), (col("col.ncid") * -1).as("cell"))
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("qid") =!= col("nid"))
@@ -235,7 +238,7 @@ object SketchQueries {
       def dv(c: Column): Column = transform(c, x => x.cast("double"))
       // corpus stored form: (nid, cell, code) — no raw vector carried
       val coded = e.select(col("vec_id").as("nid"),
-        nearestCell(cents, dv(col("embedding"))).as("cell"),
+        nearestCell(cents, col("embedding")).as("cell"),
         PqExprs.pq_encode(col("embedding"), cb).as("code"))
       Some((cents, cb, coded))
     }
@@ -273,7 +276,7 @@ object SketchQueries {
     val probes = AnnIndexPq
       .adcQueryRows(s, e.filter(col("vec_id") < 10), cb)
       .select(col("qid"), col("qe"), col("qtab"), col("qnorm"),
-        posexplode(slice(cellScores(cents, dv(col("qe"))), 1, nprobe)))
+        posexplode(slice(cellScores(cents, col("qe")), 1, nprobe)))
       .select(col("qid"), col("qe"), col("qtab"), col("qnorm"),
         (col("col.ncid") * -1).as("cell"))
 

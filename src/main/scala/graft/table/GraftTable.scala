@@ -969,33 +969,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
   private[table] def stagedAppend(batch: DataFrame, nParts: Int): Seq[String] = {
     // files always store the frozen PHYSICAL names (column mapping)
     val phys = toPhysical(batch)
-    // a multi-partition range-clustered write SAMPLES its input to
-    // compute partition bounds, so the batch's plan executes TWICE
-    // (sample pass + shuffle pass). For a COMPUTED batch — merge
-    // survivors, MoR rewrites, encoded churn: anything with a join/
-    // agg/union/generate/window in it — persist so the second pass
-    // reads the cache instead of recomputing the pipeline (guide §5:
-    // cache exactly what is reused and expensive). A bare scan/local
-    // batch recomputes cheaper than it caches, and an already-cached
-    // batch needs nothing.
-    val worthCaching = nParts > 1 && {
-      import org.apache.spark.sql.catalyst.plans.logical._
-      import org.apache.spark.sql.execution.columnar.InMemoryRelation
-      val p = phys.queryExecution.optimizedPlan
-      !p.isInstanceOf[InMemoryRelation] && p.collectFirst {
-        case n @ (_: Join | _: Aggregate | _: Union | _: Generate |
-          _: Window) => n
-      }.isDefined
-    }
-    val mat =
-      if (worthCaching)
-        Some(phys.persist(org.apache.spark.storage.StorageLevel
-          .MEMORY_AND_DISK))
-      else None
-    try stagedMove(stage =>
-      GraftTable.clusteredWrite(mat.getOrElse(phys), key, nParts,
-        "overwrite", stage))
-    finally { mat.foreach(_.unpersist(blocking = false)); () }
+    stagedMove(stage =>
+      GraftTable.clusteredWrite(phys, key, nParts, "overwrite", stage))
   }
 
   /** The stage-write-move tail shared by [[stagedAppend]] and the
@@ -2440,15 +2415,21 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     val cols = df.columns.toIndexedSeq
     // rewritten files keep the frozen PHYSICAL names (column mapping)
     val physMap = logicalToPhysical(Int.MaxValue)
-    val added = stagedMove { stage =>
-      df.crossJoin(broadcast(mm))
-        .withColumn("__z", z_value_n(dims.indices.map(i =>
-          norm(numeric(i), col(s"__lo_$i"), col(s"__hi_$i")))))
+    // persist across the range sampler: the z-coded input is a MoR
+    // read + bounds-join + Morton projection, and repartitionByRange
+    // executes its child twice (sample + shuffle) — the stagedAppend
+    // rule applied to the one write path that does not go through it
+    val zd = df.crossJoin(broadcast(mm))
+      .withColumn("__z", z_value_n(dims.indices.map(i =>
+        norm(numeric(i), col(s"__lo_$i"), col(s"__hi_$i")))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val added = try stagedMove { stage =>
+      zd
         .repartitionByRange(nOut, col("__z"))
         .sortWithinPartitions("__z")
         .select(cols.map(c => col(c).as(physMap.getOrElse(c, c))): _*)
         .write.mode("overwrite").parquet(stage)
-    }
+    } finally { zd.unpersist(blocking = false); () }
     require(added.nonEmpty, "z-order rewrite produced no files")
     if (!tryCommitManifest(fileStats(added), prevV + 1,
         noData = true, // content-identical: layout-only commit
@@ -3910,16 +3891,45 @@ object GraftTable {
     * physical-layout primitive (single-manifest q100/q105/q107 policies
     * use it directly; versioned tables via the instance method). */
   def clusteredWrite(df: DataFrame, key: String, nParts: Int, mode: String,
-      path: String): Unit =
-    // single-partition writes need no range bounds: a round-robin
+      path: String): Unit = {
+    // Single-partition writes need no range bounds: a round-robin
     // repartition(1) + local sort produces the identical one sorted
     // file WITHOUT repartitionByRange's sampling pass (which executes
     // the whole input plan an extra time just to learn there is
-    // nothing to split)
-    (if (nParts <= 1) df.repartition(1)
-     else df.repartitionByRange(nParts, col(key)))
+    // nothing to split).
+    if (nParts <= 1) {
+      df.repartition(1).sortWithinPartitions(key)
+        .write.mode(mode).parquet(path)
+      return
+    }
+    // A multi-partition range-clustered write SAMPLES its input to
+    // compute partition bounds, so the batch's plan executes TWICE
+    // (sample pass + shuffle pass). For a COMPUTED batch — merge
+    // survivors, MoR rewrites, encoded churn: anything with a join/
+    // agg/union/generate/window in it — persist so the second pass
+    // reads the cache instead of recomputing the pipeline (guide §5:
+    // cache exactly what is reused and expensive). A bare scan/local
+    // batch recomputes cheaper than it caches, and an already-cached
+    // batch needs nothing.
+    val worthCaching = {
+      import org.apache.spark.sql.catalyst.plans.logical._
+      import org.apache.spark.sql.execution.columnar.InMemoryRelation
+      val p = df.queryExecution.optimizedPlan
+      !p.isInstanceOf[InMemoryRelation] && p.collectFirst {
+        case n @ (_: Join | _: Aggregate | _: Union | _: Generate |
+          _: Window) => n
+      }.isDefined
+    }
+    val mat =
+      if (worthCaching)
+        Some(df.persist(org.apache.spark.storage.StorageLevel
+          .MEMORY_AND_DISK))
+      else None
+    try mat.getOrElse(df).repartitionByRange(nParts, col(key))
       .sortWithinPartitions(key)
       .write.mode(mode).parquet(path)
+    finally { mat.foreach(_.unpersist(blocking = false)); () }
+  }
 
   /** The key must be INTEGRAL: lo/hi are stored as long (the
     * manifestSchema type), and a lossy cast — a timestamp truncating to
