@@ -1218,8 +1218,51 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * by [[commitRenameColumn]]. Empty for every table that never
     * renamed (the universal fast path: one tiny driver-side props read,
     * zero per-row work). */
-  private[graft] def renameEvents: Seq[(Int, String, String)] =
-    GraftTable.loadProps(spark, man).map(_.renames).getOrElse(Nil)
+  private[graft] def renameEvents: Seq[(Int, String, String)] = {
+    val raw = GraftTable.loadProps(spark, man).map(_.renames).getOrElse(Nil)
+    if (raw.isEmpty) raw
+    else raw.filter { case (v, old, nw) => renameEventCommitted(v, old, nw) }
+  }
+
+  /** An event replays only once its version COMMITTED a schema
+    * speaking the new name. The r21 ordering fix writes the event
+    * BEFORE the atomic commit (so a crash can no longer leave a
+    * committed renamed schema with no mapping — the silent-NULL window
+    * of ADVICE r20 medium #2); the flip side is that a crash between
+    * event and commit leaves a DANGLING event, which must stay inert —
+    * in particular a later column legitimately created under the
+    * failed target name must never map to the old bytes. Three cases:
+    *  - version committed: valid iff its recorded schema speaks the
+    *    new name AND no longer speaks the old one — the rename
+    *    signature (a non-rename commit that claimed the number fails
+    *    this even when it coincidentally ADDS a column under the
+    *    failed target name: adds never remove the old column);
+    *  - version BELOW the oldest committed one: vacuum expired it —
+    *    trusted as valid (the pre-r21 behavior; a legit old rename
+    *    must keep mapping after its version expires);
+    *  - version above history (pending or crash residue): inert.
+    * A true validation is immutable (committed schemas never change)
+    * and cached; false re-validates, so a pending event turns live the
+    * instant its commit publishes. */
+  @transient private lazy val renameEventOk =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), java.lang.Boolean]()
+  private def renameEventCommitted(v: Int, old: String,
+      nw: String): Boolean = {
+    val key = (v, old, nw)
+    if (renameEventOk.get(key) != null) true
+    else {
+      val resolver = spark.sessionState.conf.resolver
+      val ok =
+        if (isCommitted(v))
+          versionSchema(v).exists { s =>
+            s.fieldNames.exists(resolver(_, nw)) &&
+              !s.fieldNames.exists(resolver(_, old))
+          }
+        else committedVersions.minOption.exists(v < _) // expired
+      if (ok) renameEventOk.put(key, java.lang.Boolean.TRUE)
+      ok
+    }
+  }
 
   /** Resolve snapshot v's LOGICAL column names to the FROZEN PHYSICAL
     * names data files store (Delta's column-mapping `name` mode):
@@ -2458,9 +2501,15 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     * read. Once rewrites + vacuum purge the old bytes, the name frees
     * up automatically. */
   private def requireNoPhysicalResurrection(prevV: Int,
-      names: Seq[String], verb: String): Unit = {
+      names: Seq[String], verb: String, always: Boolean = false): Unit = {
     if (names.isEmpty) return
-    if (!GraftTable.loadProps(spark, man).exists(_.schemaDetached)) return
+    // the schema_detached flag only exists on tables whose DROP/RENAME
+    // committed AFTER the flag was introduced — a legacy table's
+    // detach is invisible to it, so the rare ALTER path (`always`)
+    // runs the footer pass unconditionally (ADVICE r20 medium #1);
+    // only the hot append-evolve path keeps the flag gate
+    if (!always &&
+      !GraftTable.loadProps(spark, man).exists(_.schemaDetached)) return
     val live = files(prevV)
     if (live.isEmpty) return
     val physical = spark.read.option("mergeSchema", "true")
@@ -2562,17 +2611,28 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     }
     val renamed = org.apache.spark.sql.types.StructType(base.fields.map(f =>
       if (f.name == resolvedOld) f.copy(name = newName) else f))
-    if (!tryCommitManifest(manifest(prevV), prevV + 1, noData = true,
-        schemaDdl = Some(renamed.toDDL)))
-      throw new java.util.ConcurrentModificationException(
-        s"RENAME COLUMN lost the commit race for v=${prevV + 1}; " +
-          "re-run against the latest snapshot")
-    // the mapping event + detach flag land AFTER the commit wins (a
-    // failed commit must not leave a dangling event); single-writer
-    // DDL, like widen/narrow
+    // the mapping event + detach flag land BEFORE the commit (ADVICE
+    // r20 medium #2): a crash between the two previously left a
+    // COMMITTED schema speaking the new logical name with no mapping —
+    // every read then resolved the renamed column against files
+    // storing the old physical name and silently returned NULLs. The
+    // inverted residue (event written, commit never landed) is inert:
+    // [[renameEvents]] only replays an event once its version COMMITTED
+    // a schema speaking the new name, so a dangling event can never
+    // poison the mapping — not even for a LATER column legitimately
+    // created under the failed target name.
     setPropLine(s"rename.${prevV + 1}.0",
       Some(s"$resolvedOld:$newName"))
     setPropLine("schema_detached", Some("true"))
+    if (!tryCommitManifest(manifest(prevV), prevV + 1, noData = true,
+        schemaDdl = Some(renamed.toDDL))) {
+      // lost the race: drop the now-unreachable event (the flag stays —
+      // conservative: it only widens a guard)
+      setPropLine(s"rename.${prevV + 1}.0", None)
+      throw new java.util.ConcurrentModificationException(
+        s"RENAME COLUMN lost the commit race for v=${prevV + 1}; " +
+          "re-run against the latest snapshot")
+    }
     prevV + 1
   }
 
@@ -2601,7 +2661,8 @@ final case class GraftTable(spark: SparkSession, data: String, man: String,
     require(widened.fields.drop(base.length).forall(_.nullable),
       "added columns must be nullable — existing files backfill NULL")
     requireNoPhysicalResurrection(prevV,
-      widened.fields.drop(base.length).map(_.name).toSeq, "add")
+      widened.fields.drop(base.length).map(_.name).toSeq, "add",
+      always = true)
     if (!tryCommitManifest(manifest(prevV), prevV + 1, noData = true,
         schemaDdl = Some(widened.toDDL)))
       throw new java.util.ConcurrentModificationException(

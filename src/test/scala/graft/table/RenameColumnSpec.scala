@@ -331,4 +331,76 @@ class RenameColumnSpec extends TestBase {
     val footer = spark.read.parquet(fresh.toSeq: _*).schema.fieldNames.toSeq
     assert(footer.contains("amount") && !footer.contains("price"))
   }
+
+  // ---- r21 ordering fix (ADVICE r20 medium #2) --------------------
+
+  test("dangling rename event (crash residue before the commit) is " +
+      "inert: reads unaffected, later ADD COLUMN of the target name " +
+      "never maps to the old bytes") {
+    val root = freshRoot()
+    val t = mkTable(root) // v1: (id, label, amount)
+    // simulate the crash window the inverted ordering leaves: the
+    // event line lands, the manifest commit never does
+    val props = new org.apache.hadoop.fs.Path(s"$root/man", "_table_props")
+    val fs = props.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(props)
+    val txt = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+      bos.toString("UTF-8")
+    } finally in.close()
+    val out = fs.create(props, true)
+    try out.write((txt + "rename.2.0=amount:price\n" +
+      "schema_detached=true\n").getBytes("UTF-8"))
+    finally out.close()
+    // reads still answer the OLD schema with the right values
+    val cur = t.readAsOf(1)
+    assert(cur.columns.toSeq == Seq("id", "label", "amount"))
+    assert(cur.agg(sum("amount")).head.getDouble(0) ==
+      (1 to 20).map(_ * 10.0).sum)
+    // a LATER legitimate column under the failed target name reads its
+    // OWN values (NULL-backfilled), never the old 'amount' bytes
+    val sch = org.apache.spark.sql.types.StructType(
+      t.versionSchema(1).get.fields :+
+        org.apache.spark.sql.types.StructField("price",
+          org.apache.spark.sql.types.DoubleType))
+    val v2 = t.commitWidenSchema(sch, 1)
+    val widened = t.readAsOf(v2)
+    assert(widened.columns.toSeq == Seq("id", "label", "amount", "price"))
+    assert(widened.filter(col("price").isNotNull).count() == 0)
+    assert(widened.agg(sum("amount")).head.getDouble(0) ==
+      (1 to 20).map(_ * 10.0).sum)
+  }
+
+  test("legacy table without the schema_detached flag: ALTER ADD " +
+      "COLUMN still refuses to resurrect un-purged bytes " +
+      "(ADVICE r20 medium #1)") {
+    val root = freshRoot()
+    val t = mkTable(root) // v1: (id, label, amount)
+    val v2 = t.commitNarrowSchema(Seq("amount"), 1)
+    // simulate a pre-flag legacy table: strip the detach flag the
+    // modern DROP wrote
+    val props = new org.apache.hadoop.fs.Path(s"$root/man", "_table_props")
+    val fs = props.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(props)
+    val txt = try {
+      val bos = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+      bos.toString("UTF-8")
+    } finally in.close()
+    val out = fs.create(props, true)
+    try out.write(txt.linesIterator
+      .filterNot(_.startsWith("schema_detached="))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    // re-adding the dropped name must refuse: its bytes are un-purged
+    val sch = org.apache.spark.sql.types.StructType(
+      t.versionSchema(v2).get.fields :+
+        org.apache.spark.sql.types.StructField("amount",
+          org.apache.spark.sql.types.DoubleType))
+    val e = intercept[IllegalArgumentException] {
+      t.commitWidenSchema(sch, v2)
+    }
+    assert(e.getMessage.contains("resurrect"))
+  }
 }
